@@ -1,0 +1,130 @@
+package graft.dialect
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lowers the dialect's boolean-expression AST to Catalyst `Column`
+  * trees, preserving the reference's coercion-first comparison
+  * semantics (reference `pkg/expr/expr.go:121-154`, SURVEY.md P5):
+  * compare numerically when BOTH sides parse as doubles, else compare
+  * the stringified values lexicographically.
+  *
+  * Everything stays a composed built-in expression (`try_cast` + `when`)
+  * so whole-stage codegen applies and the predicates remain visible to
+  * Catalyst — no UDFs, no black boxes (SURVEY.md §7 "Built-in vs
+  * custom"). `try_cast` also keeps the semantics independent of
+  * Spark 4's ANSI mode (a plain cast would throw on 'abc').
+  */
+object Semantics {
+
+  /** Stringified form of an operand — the `fmt.Sprintf("%v")` analogue. */
+  private def str(o: Operand, df: DataFrame): Column = o match {
+    case ColRef(n) => resolve(df, n).cast("string")
+    case Lit(v, _) => lit(v)
+  }
+
+  /** Numeric view: null when the value doesn't parse as a double. */
+  private def num(o: Operand, df: DataFrame): Column =
+    str(o, df).try_cast("double")
+
+  /** Case-insensitive column resolution; unknown columns raise, matching
+    * the reference's WHERE validation (reference `select.go:146-162`).
+    */
+  def resolve(df: DataFrame, name: String): Column = {
+    val actual = df.columns.find(_.equalsIgnoreCase(name)).getOrElse(
+      throw DialectException(s"unknown column: $name"))
+    col(actual)
+  }
+
+  def validateColumns(e: Expr, df: DataFrame): Unit =
+    Expr.collectColumns(e).foreach(resolve(df, _))
+
+  /** WHERE/HAVING expression → boolean Column. */
+  def toColumn(e: Expr, df: DataFrame): Column = e match {
+    case And(l, r) => toColumn(l, df) && toColumn(r, df)
+    case Or(l, r) => toColumn(l, df) || toColumn(r, df)
+    case Not(c) => !toColumn(c, df)
+    case Cmp(l, op, r) => cmp(l, op, r, df)
+    case In(o, vs) =>
+      // string-equality membership over stringified values
+      // (reference `expr.go:159-193`)
+      str(o, df).isin(vs.map {
+        case Lit(v, _) => v
+        case c: ColRef => throw DialectException(s"IN list must be literals, found column ${c.name}")
+      }: _*)
+    case Between(o, lo, hi) =>
+      // inclusive; numeric iff all three parse (reference `expr.go:196-247`)
+      val (vn, ln, hn) = (num(o, df), num(lo, df), num(hi, df))
+      val (vs, ls, hs) = (str(o, df), str(lo, df), str(hi, df))
+      when(vn.isNotNull && ln.isNotNull && hn.isNotNull, vn >= ln && vn <= hn)
+        .otherwise(vs >= ls && vs <= hs)
+    case Like(o, pattern) => like(str(o, df), pattern)
+    case Truthy(o) =>
+      // bare identifier = `operand != false` (reference `expr.go:514-517`)
+      cmp(o, "!=", Lit("false", quoted = false), df)
+  }
+
+  private def cmp(l: Operand, op: String, r: Operand, df: DataFrame): Column = {
+    val (ln, rn) = (num(l, df), num(r, df))
+    val (ls, rs) = (str(l, df), str(r, df))
+    def apply[T](a: Column, b: Column): Column = op match {
+      case "=" => a === b
+      case "!=" => a =!= b
+      case "<" => a < b
+      case "<=" => a <= b
+      case ">" => a > b
+      case ">=" => a >= b
+      case other => throw DialectException(s"unknown operator: $other")
+    }
+    when(ln.isNotNull && rn.isNotNull, apply(ln, rn)).otherwise(apply(ls, rs))
+  }
+
+  /** The reference's 4 LIKE shapes (`expr.go:250-277`): %x% → contains,
+    * x% → startsWith, %x → endsWith, bare → exact equality. No `_`
+    * wildcard, no interior `%` — we intentionally do NOT use
+    * `Column.like`, which would be a superset.
+    */
+  def like(c: Column, pattern: String): Column = {
+    val starts = pattern.startsWith("%")
+    val ends = pattern.endsWith("%")
+    val core = pattern.stripPrefix("%").stripSuffix("%")
+    (starts, ends) match {
+      case (true, true) => c.contains(core)
+      case (false, true) => c.startsWith(core)
+      case (true, false) => c.endsWith(core)
+      case (false, false) => c === lit(core)
+    }
+  }
+
+  // ---- aggregates with reference dialect rules (SURVEY §2.4) ----
+
+  /** SUM over values that coerce to numbers; non-numeric silently
+    * skipped; empty → 0 (Go float64 accumulator starts at 0,
+    * reference `select.go:285-297`).
+    */
+  def aggColumn(p: AggProj, df: DataFrame): Column = {
+    def numArg(a: String) = resolve(df, a).cast("string").try_cast("double")
+    val c = (p.func, p.arg) match {
+      case ("COUNT", None) => count(lit(1))
+      case ("COUNT", Some(a)) => count(resolve(df, a))
+      case ("SUM", Some(a)) => coalesce(sum(numArg(a)), lit(0.0))
+      case ("AVG", Some(a)) => coalesce(avg(numArg(a)), lit(0.0)) // A7: empty → 0, not NULL
+      case ("MIN", Some(a)) => min(numArg(a))
+      case ("MAX", Some(a)) => max(numArg(a))
+      case (f, a) => throw DialectException(s"unsupported aggregate $f($a)")
+    }
+    c.as(p.outputName)
+  }
+
+  /** Mixed-type sort key (reference `select.go:516-533`): numeric pairs
+    * compare numerically, everything else lexicographically. The
+    * reference's per-pair comparator is non-transitive; we use the
+    * two-level key (numeric value, string value) with non-numerics
+    * after numerics — identical on cleanly-typed columns.
+    */
+  def sortKeys(c: Column, descending: Boolean): Seq[Column] = {
+    val n = c.cast("string").try_cast("double")
+    val s = c.cast("string")
+    if (descending) Seq(n.desc_nulls_last, s.desc) else Seq(n.asc_nulls_last, s.asc)
+  }
+}
