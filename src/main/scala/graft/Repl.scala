@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import scala.io.StdIn
+
+/** Interactive CLI REPL — the reference's primary entry point
+  * (reference `main.go:29-121`) over the Spark engine. Reads one
+  * statement per line, routes through Engine (SELECT → show, DML/DDL →
+  * status line). Database directory comes from args(0) or ./graft_db.
+  */
+object Repl {
+  def main(args: Array[String]): Unit = {
+    val dbPath = args.headOption.getOrElse("graft_db")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-repl")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val engine = new Engine(spark, dbPath)
+    println(s"graft engine — db at $dbPath. Statements end with newline; 'exit' quits.")
+    var line = StdIn.readLine("graft> ")
+    while (line != null && !Set("exit", "quit", "\\q").contains(line.trim.toLowerCase)) {
+      val trimmed = line.trim
+      if (trimmed.nonEmpty) {
+        try {
+          engine.execute(trimmed) match {
+            case Right(df) => df.show(50, truncate = false)
+            case Left(msg) => println(msg)
+          }
+        } catch {
+          case e: graft.dialect.DialectException => println(s"error: ${e.message}")
+          case e: Exception => println(s"error: ${e.getMessage}")
+        }
+      }
+      line = StdIn.readLine("graft> ")
+    }
+    spark.stop()
+  }
+}

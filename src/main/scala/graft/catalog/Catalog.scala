@@ -1,0 +1,161 @@
+package graft.catalog
+
+import graft.dialect.DialectException
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Persistent catalog: one database = one directory holding
+  * `schema.json` plus a parquet dataset directory per table — the Spark
+  * re-expression of the reference's `schema.json` + `<table>.dat` NDJSON
+  * layout (reference `pkg/schema/types.go:31-36`, SURVEY.md §1).
+  *
+  * The reference's 5 column types map to Spark types (SURVEY §1 table):
+  * INT→LongType, TEXT→StringType, DECIMAL→DoubleType (the reference uses
+  * float64, not exact decimal), BOOL→BooleanType, IMAGE→StringType
+  * (a resolved filesystem path).
+  *
+  * At scale each table directory is just a parquet dataset — it can be
+  * partitioned/bucketed and read by a 1000-executor cluster unchanged.
+  */
+final class Catalog(val spark: SparkSession, val dbPath: String) {
+  import Catalog._
+
+  private val root: Path = Paths.get(dbPath)
+  private val schemaFile: Path = root.resolve("schema.json")
+  Files.createDirectories(root)
+
+  /** name → declared columns (name, dialect type). */
+  @volatile private var tables: Map[String, Seq[(String, String)]] = loadSchema()
+
+  private def loadSchema(): Map[String, Seq[(String, String)]] =
+    if (!Files.exists(schemaFile)) Map.empty
+    else parseSchemaJson(Files.readString(schemaFile))
+
+  private def save(): Unit =
+    Files.writeString(schemaFile, renderSchemaJson(tables))
+
+  def listTables: Seq[String] = tables.keys.toSeq.sorted
+
+  def exists(name: String): Boolean = tables.contains(name)
+
+  def columnsOf(name: String): Seq[(String, String)] =
+    tables.getOrElse(name, throw DialectException(s"table not found: $name"))
+
+  def sparkSchema(name: String): StructType =
+    StructType(columnsOf(name).map { case (n, t) => StructField(n, toSparkType(t)) })
+
+  def tableDir(name: String): Path = root.resolve(name)
+
+  def create(name: String, columns: Seq[(String, String)]): Unit = synchronized {
+    if (tables.contains(name)) throw DialectException(s"table already exists: $name")
+    columns.foreach { case (_, t) =>
+      if (!dialectTypes.contains(t.toUpperCase))
+        throw DialectException(s"invalid column type: $t")
+    }
+    Files.createDirectories(tableDir(name))
+    tables += name -> columns.map { case (n, t) => (n, t.toUpperCase) }
+    save()
+  }
+
+  def drop(name: String): Unit = synchronized {
+    if (!tables.contains(name)) throw DialectException(s"table not found: $name")
+    deleteRecursively(tableDir(name))
+    tables -= name
+    save()
+  }
+
+  /** Read a table; empty table (no parquet yet) yields an empty frame
+    * with the declared schema.
+    */
+  def load(name: String): DataFrame = {
+    val dir = tableDir(name)
+    val schema = sparkSchema(name)
+    val hasData = Files.exists(dir) && {
+      val s = Files.list(dir)
+      try s.iterator.asScala.exists(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    if (hasData) spark.read.schema(schema).parquet(dir.toString)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Append rows (the reference's buffered AppendRow, S2). */
+  def append(name: String, df: DataFrame): Unit = {
+    columnsOf(name) // existence check
+    df.write.mode("append").parquet(tableDir(name).toString)
+  }
+
+  /** Full-table replace via stage-to-temp + atomic directory swap —
+    * Spark cannot overwrite its own input mid-read, so this mirrors the
+    * reference's temp-file + fsync + rename (reference
+    * `pkg/storage/storage.go:251-316`, SURVEY §7 "What's hard" #3).
+    */
+  def overwrite(name: String, df: DataFrame): Unit = synchronized {
+    columnsOf(name)
+    val dir = tableDir(name)
+    val tmp = root.resolve(s".$name.tmp")
+    val old = root.resolve(s".$name.old")
+    deleteRecursively(tmp); deleteRecursively(old)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (Files.exists(dir)) Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
+  /** Register/refresh every table as a temp view. */
+  def registerAll(): Unit =
+    tables.keys.foreach(n => load(n).createOrReplaceTempView(n))
+}
+
+object Catalog {
+  val dialectTypes: Set[String] = Set("INT", "TEXT", "DECIMAL", "BOOL", "IMAGE")
+
+  def toSparkType(dialectType: String): DataType = dialectType.toUpperCase match {
+    case "INT" => LongType
+    case "TEXT" => StringType
+    case "DECIMAL" => DoubleType
+    case "BOOL" => BooleanType
+    case "IMAGE" => StringType
+    case other => throw DialectException(s"invalid column type: $other")
+  }
+
+  def fromSparkType(t: DataType): String = t match {
+    case ByteType | ShortType | IntegerType | LongType => "INT"
+    case FloatType | DoubleType | _: DecimalType => "DECIMAL"
+    case BooleanType => "BOOL"
+    case _ => "TEXT"
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+    }
+
+  // ---- minimal hand-rolled JSON for the catalog file (schema is flat,
+  // identifiers are word-like; avoids pulling a JSON dependency) ----
+  def renderSchemaJson(tables: Map[String, Seq[(String, String)]]): String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    tables.toSeq.sortBy(_._1).map { case (name, cols) =>
+      val colJson = cols.map { case (n, t) =>
+        s"""{"name":"${esc(n)}","type":"${esc(t)}"}"""
+      }.mkString("[", ",", "]")
+      s""""${esc(name)}":$colJson"""
+    }.mkString("{", ",", "}")
+  }
+
+  def parseSchemaJson(text: String): Map[String, Seq[(String, String)]] = {
+    // Tolerant scanner for the exact shape renderSchemaJson emits.
+    val tablePat = """"([^"]+)"\s*:\s*\[((?:[^\]])*)\]""".r
+    val colPat = """\{"name"\s*:\s*"([^"]+)"\s*,\s*"type"\s*:\s*"([^"]+)"\}""".r
+    tablePat.findAllMatchIn(text).map { m =>
+      val cols = colPat.findAllMatchIn(m.group(2)).map(c => (c.group(1), c.group(2))).toSeq
+      m.group(1) -> cols
+    }.toMap
+  }
+}

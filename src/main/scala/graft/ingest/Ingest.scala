@@ -1,0 +1,55 @@
+package graft.ingest
+
+import graft.catalog.Catalog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** File ingestion (SURVEY.md §2.1 S7/S8).
+  *
+  * S8 is the reference's raison d'être — it shells out to parquet-tools
+  * or python+pandas to convert parquet→CSV and re-ingests the CSV
+  * (reference `pkg/importer/importer.go:89-205`). Here both formats are
+  * native `spark.read` calls: schema comes from the parquet footer, the
+  * read is distributed, and nothing leaves the JVM.
+  */
+object Ingest {
+
+  /** S7: CSV import. Reference parity: header names become columns and
+    * every cell is TEXT (`importer.go:38-52` infers all-TEXT; `:71-78`
+    * appends strings regardless of declared types). Set
+    * `inferTypes=true` for the useful superset (Spark schema inference).
+    */
+  def importCsv(catalog: Catalog, path: String, table: String,
+      inferTypes: Boolean = false): Long = {
+    val raw = catalog.spark.read
+      .option("header", "true")
+      .option("inferSchema", inferTypes.toString)
+      .csv(path)
+    val df = if (inferTypes) raw
+      else raw.select(raw.columns.map(c => col(c).cast("string").as(c)): _*)
+    appendCreating(catalog, df, table)
+  }
+
+  /** S8: native parquet import — the external-converter pipeline
+    * collapses to one distributed read.
+    */
+  def importParquet(catalog: Catalog, path: String, table: String): Long = {
+    appendCreating(catalog, catalog.spark.read.parquet(path), table)
+  }
+
+  /** Auto-create the table from the frame's schema if absent (reference
+    * auto-creates on CSV import), then append.
+    */
+  private def appendCreating(catalog: Catalog, df: DataFrame, table: String): Long = {
+    if (!catalog.exists(table)) {
+      val cols = df.schema.fields.toSeq.map(f => f.name -> Catalog.fromSparkType(f.dataType))
+      catalog.create(table, cols)
+    }
+    // align to the declared schema (columns by name, declared types)
+    val schema = catalog.sparkSchema(table)
+    val aligned = df.select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    val n = aligned.count()
+    catalog.append(table, aligned)
+    n
+  }
+}
