@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact → n-gram Jaccard → MinHash+LSH → SimHash →
+  * embedding cosine (see Similarity for the vector ops).
+  *
+  * Scale design: every method is shuffle-bounded by (a) hash-groupBy on
+  * a fingerprint, or (b) an equi-join on a *bucket key* (LSH band /
+  * SimHash chunk / shingle) — never an all-pairs cross join. Hot keys
+  * are controlled with document-frequency caps, the standard web-dedup
+  * trick, so a 100 TB corpus with a viral boilerplate shingle doesn't
+  * produce a quadratic bucket.
+  */
+object Dedup {
+
+  // ---- exact ----
+
+  /** Exact dedup on canonical text: keep the smallest id per
+    * fingerprint. Single hash aggregation, fully map-side combinable.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprintMd5(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- n-gram Jaccard ----
+
+  /** All pairs with token-n-gram Jaccard ≥ threshold.
+    *
+    * Plan shape: explode shingles → self-equi-join on shingle →
+    * count co-occurrences → |A∩B| / (|A|+|B|−|A∩B|). The join key is
+    * the shingle, so co-location comes from one shuffle; `maxShingleDf`
+    * drops shingles present in more than that many documents (stop-
+    * shingles), which both bounds skew and removes noise.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol), n).as("sh"))
+      .select(col("id"), explode(col("sh")).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val filtered = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
+    val co = filtered.as("a")
+      .join(filtered.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- MinHash + LSH ----
+
+  /** k minhash values per document: explode shingles once, aggregate k
+    * independent mins in a single pass (one shuffle, map-side partial
+    * min). Hash family: xxhash64(shingle, seed_i) via a seed column.
+    */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, n: Int = 3): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol), n).as("sh"))
+      .select(col("id"), explode(col("sh")).as("shingle"))
+    val mins: Seq[Column] = (0 until k).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Candidate near-duplicate pairs via banded LSH over the minhash
+    * signature (bands × rowsPerBand = k). Two documents are candidates
+    * iff at least one band matches exactly; est_jaccard is the fraction
+    * of equal minhash components. The join key is (band index, band
+    * hash) — equality join, one shuffle, no cross product.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val sig = minhashSignature(df, idCol, textCol, k, n)
+    val banded = sig.select(col("id"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / lit(k.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash per document, computed entirely with higher-order
+    * array functions (no UDF): per token, each bit of xxhash64(token)
+    * votes ±1; the sign vector becomes the fingerprint bits. Two-step
+    * (votes column, then bit assembly) so the heavy vote aggregation
+    * appears once in the plan, not 64 times.
+    */
+  def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // bit i of xxhash64(token), as a ±1 vote; i is a plan-time constant
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        array((0 until 64).map(i =>
+          shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)): _*),
+        (a, v) => a + v))
+    val bits = (0 until 64).map(i =>
+      when(element_at(col("_votes"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    df.withColumn("_votes", votes)
+      .withColumn(out, bits)
+      .drop("_votes")
+  }
+
+  /** Near-duplicate candidate pairs by SimHash: split the 64-bit
+    * fingerprint into 4 16-bit chunks; any pair within Hamming
+    * distance ≤ 3 must share at least one chunk (pigeonhole), so an
+    * equality join on (chunk index, chunk value) finds all of them
+    * without a cross join. Pairs are then verified with the true
+    * Hamming distance.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withSim = withSimhash(df.select(col(idCol).as("id"), col(textCol)), textCol, "sim")
+      .select(col("id"), col("sim"))
+    val chunked = withSim.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val popcnt = (x: Column) => bit_count(x)
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", popcnt(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

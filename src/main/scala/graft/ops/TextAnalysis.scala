@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, token counting, quality scoring, language ID, and
+  * document fingerprinting. Everything is composed from codegen'd
+  * built-ins (`split`, `regexp_*`, higher-order array functions) — no
+  * UDFs — so the operators stay inside whole-stage codegen and scale
+  * linearly with executors; there is no shuffle in any per-document
+  * metric.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (lowercased). */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast("long")
+
+  /** BPE-ish token count: word pieces + punctuation as separate tokens,
+    * the usual pre-tokenizer regex shape.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0))).cast("long")
+
+  /** Per-document quality metrics (length, token stats, punctuation and
+    * stopword ratios) — the standard cheap quality filters applied
+    * before training-data selection.
+    */
+  def qualityMetrics(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    Seq(
+      length(text).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      (length(regexp_replace(text, "\\s", "")).cast("double") / greatest(nTok, lit(1.0))).as("avg_token_len"),
+      (length(regexp_replace(text, "[A-Za-z0-9_\\s]", "")).cast("double") /
+        greatest(length(text).cast("double"), lit(1.0))).as("punct_ratio"),
+      (size(array_intersect(toks, lit(stopwordsEn.toArray))).cast("double") /
+        greatest(lit(1.0), size(array_distinct(toks)).cast("double"))).as("stopword_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: prefers mid-length documents with
+    * some stopwords and limited punctuation. Deterministic, branch-free.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = size(tokens(text)).cast("double")
+    val lengthScore = least(nTok / lit(20.0), lit(1.0)) // ramps to 1 at 20 tokens
+    val punct = length(regexp_replace(text, "[A-Za-z0-9_\\s]", "")).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val punctScore = lit(1.0) - least(punct * lit(4.0), lit(1.0))
+    val stop = size(array_intersect(tokens(text), lit(stopwordsEn.toArray))).cast("double")
+    val stopScore = least(stop / lit(3.0), lit(1.0))
+    ((lengthScore + punctScore + stopScore) / lit(3.0)).as("quality")
+  }
+
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic
+    * language identifier. Lists are intentionally small and disjoint.
+    */
+  val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+  val stopwordsByLang: Map[String, Seq[String]] = Map(
+    "en" -> stopwordsEn,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "un", "pas", "pour", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "uno", "no", "por", "para"))
+
+  /** Heuristic language ID: argmax over per-language stopword hits on
+    * the token set; 'und' (undetermined) when nothing matches. A when()
+    * chain over greatest() keeps it a single codegen'd projection.
+    */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val scores = stopwordsByLang.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> size(array_intersect(toks, lit(words.toArray)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
+      when(score === best && score > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Canonical-text fingerprint: md5 of whitespace-normalized lowercase
+    * text. Two documents differing only in spacing/case collide — the
+    * first-line exact-dedup key.
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** 64-bit rolling fingerprint over tokens: chained
+    * acc = xxhash64(acc, token), computed with a higher-order aggregate
+    * entirely inside codegen. Order-sensitive, unlike a token *set*
+    * hash, and overflow-free under ANSI mode (a polynomial acc*31+h
+    * would throw on long overflow).
+    */
+  def fingerprintRolling(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** token-n-gram shingles (space-joined), the MinHash/Jaccard unit. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")),
+        s => length(s) > 0))
+  }
+
+  /** Full per-document analysis frame: doc identifier + all metrics. */
+  def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      (Seq(col(idCol)) ++
+        qualityMetrics(t) ++
+        Seq(
+          bpeishTokenCount(t).as("n_bpeish_tokens"),
+          qualityScore(t),
+          langId(t).as("lang_pred"),
+          fingerprintMd5(t).as("fp_md5"),
+          fingerprintRolling(t).as("fp_rolling"))): _*)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Training-data-pipeline operator pack over `documents` and
+  * `embeddings`: text analysis, dedup (exact / n-gram Jaccard /
+  * MinHash-LSH / SimHash), similarity search, and the time-bucketed
+  * events rollup. DuckDB oracles cover everything ANSI-SQL can express
+  * (including the full n-gram Jaccard join); LSH/SimHash variants are
+  * rows-only here and covered against brute-force ground truth in
+  * PipelineOpsSpec.
+  */
+object PipelineQueries {
+
+  /** The fixed ANN probe vector: embedding of vec_id=0 (collecting one
+    * row to form the query literal is input preparation, not a data
+    * path).
+    */
+  private def queryVec(s: SparkSession, dir: String): Array[Double] =
+    Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(col("embedding")).head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_analysis" -> ((s, dir) => {
+      val t = col("text")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          length(t).cast("long").as("n_chars"),
+          TextAnalysis.tokenCount(t).as("n_tokens"),
+          TextAnalysis.bpeishTokenCount(t).as("n_bpeish_tokens"),
+          (length(regexp_replace(t, "\\s", "")).cast("double") /
+            greatest(TextAnalysis.tokenCount(t).cast("double"), lit(1.0))).as("avg_token_len"),
+          (length(regexp_replace(t, "[A-Za-z0-9_\\s]", "")).cast("double") /
+            greatest(length(t).cast("double"), lit(1.0))).as("punct_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_text_lang_quality" -> ((s, dir) => {
+      // language-ID + quality + fingerprints: heuristic semantics, no
+      // clean ANSI equivalent → rows-only check; unit-tested in
+      // PipelineOpsSpec.
+      TextAnalysis.analyze(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("fp"))
+    }),
+    "q_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.2, maxShingleDf = 1000000)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          k = 64, bands = 16, threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_ann_topk" -> ((s, dir) => {
+      Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", queryVec(s, dir), k = 10)
+        .withColumn("sim", round(col("sim"), 6))
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      // LSH-bucketed variant; recall vs brute force asserted in spec.
+      Similarity.annTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", queryVec(s, dir), k = 10, nBits = 12)
+        .withColumn("sim", round(col("sim"), 6))
+    }),
+    "q_emb_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4, nBits = 6)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_events_hourly" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+        .orderBy(col("hour"), col("event_type"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_text_analysis" ->
+      """SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LEN(string_split_regex(LOWER(TRIM(text)), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_bpeish_tokens,
+           CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS DOUBLE) /
+             GREATEST(CAST(LEN(string_split_regex(LOWER(TRIM(text)), '\s+')) AS DOUBLE), 1.0) AS avg_token_len,
+           CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9_\s]', '', 'g')) AS DOUBLE) /
+             GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS punct_ratio
+         FROM documents ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """SELECT md5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fp,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY fp""",
+    "q_dedup_ngram" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, UNNEST(list_distinct(list_transform(
+             range(1, GREATEST(LEN(t) - 3, 0) + 2),
+             i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+           FROM toks),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         co AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT ia AS id_a, ib AS id_b,
+           CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+         FROM co JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+         WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.2
+         ORDER BY id_a, id_b""",
+    "q_ann_topk" ->
+      """SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+         FROM embeddings
+         ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+         LIMIT 10""",
+    "q_events_hourly" ->
+      """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
+  )
+}

@@ -1,0 +1,138 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ground-truth tests for the training-data-pipeline operators: exact
+  * behavior on planted inputs, and LSH variants validated against
+  * brute-force truth.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- text analysis ----
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq((1L, "Hello, world! It's 2024.")).toDF("id", "text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bp")).head()
+    assert(r.getLong(0) == 4) // Hello, | world! | It's | 2024.
+    // Hello , world ! It ' s 2024 . → 9
+    assert(r.getLong(1) == 9)
+  }
+
+  test("language id picks the stopword-majority language") {
+    val df = Seq(
+      (1L, "the cat sat of the mat and it is that"),
+      (2L, "der hund und die katze ist nicht das problem"),
+      (3L, "el perro y los gatos es una cosa para no"),
+      (4L, "zzz qqq xxx")).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "und"))
+  }
+
+  test("md5 fingerprint collapses spacing/case variants; rolling hash is order-sensitive") {
+    val df = Seq(
+      (1L, "The  Quick   Fox"), (2L, "the quick fox"),
+      (3L, "fox quick the")).toDF("id", "text")
+    val fps = df.select(TextAnalysis.fingerprintMd5(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+    val rolls = df.select(TextAnalysis.fingerprintRolling(col("text"))).collect().map(_.getLong(0))
+    assert(rolls(0) == rolls(1) && rolls(0) != rolls(2))
+  }
+
+  test("quality score prefers clean prose over junk") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and it is a fine day in the park today"),
+      (2L, "!!! ### $$$ %% ^^ && ** (( ))")).toDF("id", "text")
+    val s = df.select(col("id"), TextAnalysis.qualityScore(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(1L) > 0.8 && s(2L) < 0.4)
+  }
+
+  // ---- dedup ----
+  test("exact dedup groups canonical-equal texts and keeps min id") {
+    val df = Seq(
+      (10L, "Alpha  Beta"), (3L, "alpha beta"), (7L, "gamma")).toDF("doc_id", "text")
+    val groups = Dedup.exact(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((3L, 2L), (7L, 1L))) // (keep_id, n_copies)
+  }
+
+  test("ngram jaccard finds the planted near-duplicates in documents") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxShingleDf = 1000000).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("minhash LSH recalls the true high-jaccard pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.7, maxShingleDf = 1000000)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.35)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val recall = truth.count(lsh.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall over ${truth.size} truth pairs")
+  }
+
+  test("simhash pairs: near-identical docs collide, distinct docs do not") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val near = base.replace("sigma", "sigmaX")
+    val far = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  // ---- similarity ----
+  private def perturb(v: Array[Double], eps: Double, seed: Int): Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    v.map(x => x + eps * rnd.nextGaussian())
+  }
+
+  test("LSH ANN finds planted near neighbors with high recall") {
+    val rnd = new scala.util.Random(7)
+    val dims = 64
+    val query = Array.fill(dims)(rnd.nextGaussian())
+    val planted = (1 to 10).map(i => (i.toLong, perturb(query, 0.05, i).map(_.toFloat)))
+    val noise = (11 to 500).map(i => (i.toLong, Array.fill(dims)(rnd.nextGaussian().toFloat)))
+    val df = (planted ++ noise).toDF("vec_id", "embedding")
+    val ann = Similarity.annTopK(df, "vec_id", "embedding", query, k = 10, nBits = 12)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (1 to 10).count(i => ann.contains(i.toLong)) / 10.0
+    assert(recall >= 0.8, s"ANN recall $recall")
+  }
+
+  test("brute-force top-k equals exact ranking") {
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)), (4L, Array(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, "vec_id", "embedding", Array(1.0, 0.0), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("cosine near-dup pairs: planted duplicates found, random pairs excluded") {
+    val rnd = new scala.util.Random(3)
+    val dims = 64
+    val a = Array.fill(dims)(rnd.nextGaussian())
+    val rows = Seq(
+      (1L, a.map(_.toFloat)), (2L, perturb(a, 0.02, 1).map(_.toFloat))) ++
+      (3 to 200).map(i => (i.toLong, Array.fill(dims)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.95, nBits = 8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+}
