@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
     graft.queries.DialectQueries.queries ++
-    graft.queries.PipelineQueries.queries
+    graft.queries.PipelineQueries.queries ++
+    graft.queries.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
     graft.queries.DialectQueries.oracles ++
-    graft.queries.PipelineQueries.oracles
+    graft.queries.PipelineQueries.oracles ++
+    graft.queries.StreamQueries.oracles
 }

@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Multimodal
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Streaming-shaped queries run in batch mode (identical plans serve
+  * `readStream` — StreamingSpec proves stream/batch equivalence), plus
+  * the multimodal feature-extraction pipeline.
+  */
+object StreamQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> ((s, dir) => {
+      // window() exactly as the streaming job uses it; decimal-exact sum.
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+    "q_stream_session" -> ((s, dir) => {
+      // session_window vs the oracle's gaps-and-islands formulation.
+      Tables.load(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+    "q_multimodal_features" -> ((s, dir) => {
+      // binary payload → per-partition stub decode → features; rows-only
+      // (the stub is not SQL); plumbing validated in MultimodalSpec.
+      import s.implicits._
+      val media = Multimodal.syntheticMedia(
+        Tables.load(s, dir, "documents"), "doc_id")
+        .select(col("media_id"), col("kind"), col("payload"),
+          col("meta.format"), col("meta.width"), col("meta.height"), col("meta.duration_ms"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(element_at(col("feature"), 1), 4).as("f0"), col("thumb_bytes"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         m AS (SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e),
+         g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS grp FROM m)
+         SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM g GROUP BY user_id, grp ORDER BY user_id, session_start"""
+  )
+}

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface over the `events` table shape
+  * (SURVEY.md §2.10 — the reference has no streaming; semantics defined
+  * fresh here per SURVEY §7 "What's hard" #5).
+  *
+  * Every transform takes a DataFrame that may be a batch read or a
+  * `readStream` — identical plans either way, which is how the batch
+  * oracle (q_events_hourly) and the streaming tests share semantics.
+  * Watermarks bound state: at 100 TB/day the window state store only
+  * holds `watermark` worth of late data per key.
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class SessionSummary(user_id: Long, n_events: Long,
+      total_value: Double, started: Timestamp, ended: Timestamp)
+
+  final case class SessionState(nEvents: Long, totalValue: Double,
+      started: Long, lastTs: Long)
+
+  /** Tumbling-window counts/sums per event type. */
+  def tumblingAgg(events: DataFrame, window: String, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window aggregation. */
+  def slidingAgg(events: DataFrame, window: String, slide: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows: events within `gap` of each other merge into one
+    * session per user (built-in session_window — state is merged
+    * incrementally, not buffered per event).
+    */
+  def sessionAgg(events: DataFrame, gap: String, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: emits a
+    * SessionSummary when a user's session times out. Demonstrates
+    * arbitrary per-key state (the mapGroupsWithState surface) beyond
+    * what session_window can express.
+    */
+  def sessionize(events: Dataset[Event], gapMillis: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, evts: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionSummary] = {
+      val sorted = evts.toSeq.sortBy(_.ts.getTime)
+      var cur = state.getOption
+      val out = Seq.newBuilder[SessionSummary]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastTs <= gapMillis =>
+            cur = Some(SessionState(s.nEvents + 1, s.totalValue + e.value, s.started, t))
+          case Some(s) =>
+            out += SessionSummary(userId, s.nEvents, s.totalValue,
+              new Timestamp(s.started), new Timestamp(s.lastTs))
+            cur = Some(SessionState(1, e.value, t, t))
+          case None =>
+            cur = Some(SessionState(1, e.value, t, t))
+        }
+      }
+      cur match {
+        case Some(s) if state.hasTimedOut =>
+          out += SessionSummary(userId, s.nEvents, s.totalValue,
+            new Timestamp(s.started), new Timestamp(s.lastTs))
+          state.remove()
+        case Some(s) =>
+          state.update(s)
+          state.setTimeoutDuration(gapMillis)
+        case None => ()
+      }
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(update)
+  }
+
+  /** Flush any open sessions in a *batch* context (no timeouts fire in
+    * batch execution): sessionize then append the still-open tail
+    * sessions computed from the same grouping. Used by tests.
+    */
+  def sessionizeBatch(events: Dataset[Event], gapMillis: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (userId, evts) =>
+      val sorted = evts.toSeq.sortBy(_.ts.getTime)
+      val sessions = Seq.newBuilder[SessionSummary]
+      var open: Option[(Long, Double, Long, Long)] = None // n, total, started, last
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        open match {
+          case Some((n, tot, st, last)) if t - last <= gapMillis =>
+            open = Some((n + 1, tot + e.value, st, t))
+          case Some((n, tot, st, last)) =>
+            sessions += SessionSummary(userId, n, tot, new Timestamp(st), new Timestamp(last))
+            open = Some((1L, e.value, t, t))
+          case None => open = Some((1L, e.value, t, t))
+        }
+      }
+      open.foreach { case (n, tot, st, last) =>
+        sessions += SessionSummary(userId, n, tot, new Timestamp(st), new Timestamp(last))
+      }
+      sessions.result().iterator
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming semantics: a real readStream run must produce
+  * exactly what the same plan produces in batch, and the two session
+  * formulations (session_window vs custom state) must agree.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+
+  test("streaming tumbling agg over a file source equals the batch result") {
+    val dir = Files.createTempDirectory("graftstream")
+    // stage the events (ns→us already handled by Tables.load) as the stream source
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val schema = events.schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+
+    val q = Streams.tumblingAgg(stream, "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("tumbling_out")
+      .select("window_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = Streams.tumblingAgg(events, "1 hour")
+      .select("window_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("sliding windows produce window/slide multiples per event") {
+    val got = Streams.slidingAgg(events, "1 hour", "30 minutes")
+      .agg(sum("n")).head().getLong(0)
+    // each event lands in exactly 2 sliding windows
+    assert(got == 2 * events.count())
+  }
+
+  test("session_window agg and custom stateful sessionize agree") {
+    val gapMs = 30 * 60 * 1000L
+    val builtin = Streams.sessionAgg(events, "30 minutes")
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val custom = Streams.sessionizeBatch(events.as[Event], gapMs)
+      .collect().map(s => (s.user_id, s.n_events))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(builtin == custom && builtin.nonEmpty)
+  }
+
+  test("sessionize splits on gap and merges within gap") {
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    val evts = Seq(
+      Event(1, ts(0), 1, "a", 1.0, ""), Event(2, ts(10), 1, "a", 2.0, ""),
+      Event(3, ts(60), 1, "a", 3.0, ""), // > 30min gap → new session
+      Event(4, ts(5), 2, "b", 4.0, "")
+    ).toDS()
+    val sessions = Streams.sessionizeBatch(evts, 30 * 60 * 1000L)
+      .collect().sortBy(s => (s.user_id, s.started.getTime))
+    assert(sessions.map(s => (s.user_id, s.n_events, s.total_value)).toSeq ==
+      Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
+  }
+}
