@@ -4,7 +4,9 @@ import graft.catalog.Catalog
 import graft.dialect.{Parser, Select, Statement}
 import graft.exec.{Dml, Executor}
 import graft.functions.ImageResolver
+import graft.nl.{Ollama, Patterns}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** The REPL-equivalent surface (reference `main.go:29-121`): one entry
   * point that routes a statement string to query execution (SELECT → a
@@ -32,4 +34,36 @@ final class Engine(val spark: SparkSession, dbPath: String) {
         case other: Statement => Left(dml.run(other))
       }
   }
+
+  // ---- natural-language front-end (SURVEY §2.12) ----
+
+  def tableInfos: Seq[Patterns.TableInfo] =
+    catalog.listTables.map(t => Patterns.TableInfo(t, catalog.columnsOf(t).map(_._1)))
+
+  /** ≤40 distinct stringified values of a column, for the N5 heuristics
+    * (the reference samples 40 rows).
+    */
+  private def sampleValues(table: String, column: String): Seq[String] =
+    catalog.load(table).select(col(column).cast("string")).na.drop()
+      .distinct().limit(40).collect().map(_.getString(0)).toSeq
+
+  /** NL → dialect SQL: deterministic patterns first, then the optional
+    * Ollama path (disabled unless GRAFT_OLLAMA_URL is set). None = no
+    * translation found.
+    */
+  def naturalToSql(input: String, prevTable: Option[String] = None): Option[String] =
+    Patterns.toSql(input, tableInfos, prevTable, sampleValues)
+      .orElse(Ollama.translate(input, tableInfos))
+
+  /** Route anything: natural language is translated then executed; SQL
+    * executes directly. Returns the generated SQL alongside the result
+    * so callers can surface it (the reference confirmation-gates it).
+    */
+  def executeAny(input: String): (Option[String], Either[String, DataFrame]) =
+    if (Patterns.isNaturalLanguage(input)) {
+      naturalToSql(input) match {
+        case Some(sql) => (Some(sql), execute(sql))
+        case None => (None, Left("could not translate to SQL"))
+      }
+    } else (None, execute(input))
 }

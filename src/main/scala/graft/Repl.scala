@@ -28,7 +28,9 @@ object Repl {
       val trimmed = line.trim
       if (trimmed.nonEmpty) {
         try {
-          engine.execute(trimmed) match {
+          val (generated, result) = engine.executeAny(trimmed)
+          generated.foreach(sql => println(s"[nl→sql] $sql"))
+          result match {
             case Right(df) => df.show(50, truncate = false)
             case Left(msg) => println(msg)
           }
