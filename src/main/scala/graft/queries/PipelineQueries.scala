@@ -53,7 +53,7 @@ object PipelineQueries {
     }),
     "q_dedup_ngram" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
-          n = 3, threshold = 0.2, maxShingleDf = 1000000)
+          n = 3, threshold = 0.2, maxShingleDf = 50)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_dedup_minhash" -> ((s, dir) => {
@@ -110,11 +110,13 @@ object PipelineQueries {
     "q_dedup_ngram" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t FROM documents),
-         sh AS (
+         sh0 AS (
            SELECT doc_id, UNNEST(list_distinct(list_transform(
              range(1, GREATEST(LEN(t) - 3, 0) + 2),
              i -> array_to_string(t[i:i+2], ' ')))) AS shingle
            FROM toks),
+         hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 50),
+         sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
          sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
          co AS (
            SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter

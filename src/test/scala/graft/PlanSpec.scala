@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that matter at 100 TB —
+  * filters reaching the parquet scan, column pruning, broadcast joins
+  * for dims, TakeOrdered for top-k, map-side partial aggregation —
+  * verified against the actual executed plans so a regression in plan
+  * shape fails CI, not just a benchmark.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // let AQE finalize so codegen spans are visible
+    df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q1_agg: shipdate filter pushed to parquet, columns pruned, partial agg") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // only the 7 needed columns in the scan, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"), readSchema)
+    // partial + final hash aggregation (map-side combine before shuffle)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("codegen id"), "no whole-stage codegen spans")
+  }
+
+  test("q_filter_in: IN-list pushed to the scan") {
+    val p = plan("q_filter_in")
+    assert(p.contains("PushedFilters") && p.contains("In(o_orderpriority"), p)
+  }
+
+  test("q_projection_alias: scan reads only projected columns") {
+    val p = plan("q_projection_alias")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("c_custkey") && !readSchema.contains("c_mktsegment"), readSchema)
+  }
+
+  test("q_join_broadcast: dimension side broadcast, no fact shuffle join") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_join_multi: all dimension joins broadcast") {
+    val p = plan("q_join_multi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("q_semi_join / q_anti_join compile to semi/anti joins, not distinct+inner") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("q_topk: TakeOrderedAndProject, not global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked:\n$p")
+  }
+
+  test("dialect WHERE also reaches the parquet scan as a pushed filter") {
+    // coercion semantics compile to try_cast comparisons; the IsNotNull
+    // guard should still prune, and the scan must not read every column
+    val p = graft.exec.Executor.sql(spark, sf,
+      "SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("c_mktsegment"), readSchema)
+  }
+
+  test("dedup exact: single shuffle (partial+final agg), no join") {
+    val p = plan("q_dedup_exact")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("ann brute force: no shuffle beyond TakeOrdered") {
+    val p = plan("q_ann_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
