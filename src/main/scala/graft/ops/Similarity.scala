@@ -12,25 +12,20 @@ import org.apache.spark.sql.functions._
   * probed by bucket instead of scanned. Signatures are plain columns:
   * they can be precomputed, partitioned on, and pruned like any other.
   *
-  * All arithmetic is double-precision via higher-order functions
-  * (`zip_with` + `aggregate`), inside whole-stage codegen — no UDFs.
+  * All arithmetic is double-precision, computed by the native Catalyst
+  * expressions in graft.functions.VectorExpressions (codegen'd fused
+  * loops — Spark's higher-order lambdas would interpret per element).
   */
 object Similarity {
-
-  /** Elementwise double view of a float-array column. */
-  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  import graft.functions.VectorExpressions
 
   /** Dot product of two array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot_product(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity, 0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
-  }
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosine_sim(a, b)
 
   /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed so
     * signatures are stable across runs and cluster restarts).

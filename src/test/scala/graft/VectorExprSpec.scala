@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.VectorExpressions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native vector expressions: correctness (incl. bit-parity with the
+  * higher-order formulation), codegen path, and SQL registration.
+  */
+class VectorExprSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0, 5.0, 6.0)),
+    (2L, Array(0.0f, 0.0f, 0.0f), Array(1.0, 0.0, 0.0)),
+    (3L, Array(-1.0f, 1.0f, 0.5f), Array(2.0, -2.0, 8.0))
+  ).toDF("id", "vf", "vd")
+
+  test("dot product matches hand computation; mixed float/double arrays") {
+    val got = df.orderBy("id").select(VectorExpressions.dot_product(col("vf"), col("vd")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.0*4 + 2*5 + 3*6, 0.0, -2.0 - 2.0 + 4.0))
+  }
+
+  test("cosine similarity: known values and zero-vector guard") {
+    val got = df.orderBy("id").select(VectorExpressions.cosine_sim(col("vf"), col("vd")))
+      .collect().map(_.getDouble(0))
+    val expected0 = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(got(0) - expected0) < 1e-12)
+    assert(got(1) == 0.0) // zero vector → 0, not NaN
+  }
+
+  test("bit-identical to the higher-order formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1).map(_.toDouble).toArray
+    val hof = emb.select(col("vec_id"), aggregate(
+        zip_with(transform(col("embedding"), x => x.cast("double")), typedlit(q), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+      .orderBy("vec_id").collect().map(_.getDouble(1))
+    val native = emb.select(col("vec_id"),
+        VectorExpressions.dot_product(col("embedding"), typedlit(q)).as("d"))
+      .orderBy("vec_id").collect().map(_.getDouble(1))
+    assert(hof.toSeq == native.toSeq) // exact equality, same accumulation order
+  }
+
+  test("interpreted eval path agrees with codegen path") {
+    // force interpreted eval via the expression's nullSafeEval directly
+    val e = graft.functions.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0, 0.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0, 1.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+    val interp = e.eval(null).asInstanceOf[Double]
+    assert(math.abs(interp - 1.0 / math.sqrt(2.0)) < 1e-12)
+  }
+
+  test("registered SQL functions work through spark.sql") {
+    VectorExpressions.registerAll(spark)
+    df.createOrReplaceTempView("vex")
+    val r = spark.sql("SELECT id, cosine_sim(vf, vd) AS c, dot_product(vf, vd) AS d FROM vex ORDER BY id")
+      .collect()
+    assert(r.length == 3 && r(0).getDouble(2) == 32.0)
+  }
+
+  test("type check rejects non-array inputs") {
+    val bad = graft.functions.DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal(1),
+      org.apache.spark.sql.catalyst.expressions.Literal(2))
+    assert(!bad.checkInputDataTypes().isSuccess)
+  }
+}
