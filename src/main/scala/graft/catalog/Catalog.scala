@@ -26,10 +26,10 @@ final class Catalog(val spark: SparkSession, val dbPath: String) {
   private val schemaFile: Path = root.resolve("schema.json")
   Files.createDirectories(root)
 
-  /** name → declared columns (name, dialect type). */
-  @volatile private var tables: Map[String, Seq[(String, String)]] = loadSchema()
+  /** name → table spec (declared columns + partition columns). */
+  @volatile private var tables: Map[String, TableSpec] = loadSchema()
 
-  private def loadSchema(): Map[String, Seq[(String, String)]] =
+  private def loadSchema(): Map[String, TableSpec] =
     if (!Files.exists(schemaFile)) Map.empty
     else parseSchemaJson(Files.readString(schemaFile))
 
@@ -40,22 +40,34 @@ final class Catalog(val spark: SparkSession, val dbPath: String) {
 
   def exists(name: String): Boolean = tables.contains(name)
 
-  def columnsOf(name: String): Seq[(String, String)] =
+  def specOf(name: String): TableSpec =
     tables.getOrElse(name, throw DialectException(s"table not found: $name"))
+
+  def columnsOf(name: String): Seq[(String, String)] = specOf(name).columns
 
   def sparkSchema(name: String): StructType =
     StructType(columnsOf(name).map { case (n, t) => StructField(n, toSparkType(t)) })
 
   def tableDir(name: String): Path = root.resolve(name)
 
-  def create(name: String, columns: Seq[(String, String)]): Unit = synchronized {
+  /** Create a table; `partitionBy` columns become hive-style directory
+    * partitions — the 100 TB layout where partition pruning turns a
+    * full scan into a handful of directory reads.
+    */
+  def create(name: String, columns: Seq[(String, String)],
+      partitionBy: Seq[String] = Nil): Unit = synchronized {
     if (tables.contains(name)) throw DialectException(s"table already exists: $name")
     columns.foreach { case (_, t) =>
       if (!dialectTypes.contains(t.toUpperCase))
         throw DialectException(s"invalid column type: $t")
     }
+    partitionBy.foreach { p =>
+      if (!columns.exists(_._1.equalsIgnoreCase(p)))
+        throw DialectException(s"partition column not in schema: $p")
+    }
     Files.createDirectories(tableDir(name))
-    tables += name -> columns.map { case (n, t) => (n, t.toUpperCase) }
+    tables += name -> TableSpec(
+      columns.map { case (n, t) => (n, t.toUpperCase) }, partitionBy)
     save()
   }
 
@@ -67,24 +79,38 @@ final class Catalog(val spark: SparkSession, val dbPath: String) {
   }
 
   /** Read a table; empty table (no parquet yet) yields an empty frame
-    * with the declared schema.
+    * with the declared schema. Partitioned tables are read without a
+    * fixed schema (partition columns come from the directory layout)
+    * and re-projected to declared column order.
     */
   def load(name: String): DataFrame = {
     val dir = tableDir(name)
+    val spec = specOf(name)
     val schema = sparkSchema(name)
     val hasData = Files.exists(dir) && {
-      val s = Files.list(dir)
+      val s = Files.walk(dir)
       try s.iterator.asScala.exists(_.toString.endsWith(".parquet"))
       finally s.close()
     }
-    if (hasData) spark.read.schema(schema).parquet(dir.toString)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (!hasData)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else if (spec.partitionBy.isEmpty)
+      spark.read.schema(schema).parquet(dir.toString)
+    else {
+      import org.apache.spark.sql.functions.col
+      spark.read.parquet(dir.toString)
+        .select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    }
   }
 
-  /** Append rows (the reference's buffered AppendRow, S2). */
+  /** Append rows (the reference's buffered AppendRow, S2); partitioned
+    * tables append into their hive-style partition directories.
+    */
   def append(name: String, df: DataFrame): Unit = {
-    columnsOf(name) // existence check
-    df.write.mode("append").parquet(tableDir(name).toString)
+    val spec = specOf(name)
+    val w = df.write.mode("append")
+    (if (spec.partitionBy.nonEmpty) w.partitionBy(spec.partitionBy: _*) else w)
+      .parquet(tableDir(name).toString)
   }
 
   /** Full-table replace via stage-to-temp + atomic directory swap —
@@ -98,7 +124,10 @@ final class Catalog(val spark: SparkSession, val dbPath: String) {
     val tmp = root.resolve(s".$name.tmp")
     val old = root.resolve(s".$name.old")
     deleteRecursively(tmp); deleteRecursively(old)
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val spec = specOf(name)
+    val w = df.write.mode("overwrite")
+    (if (spec.partitionBy.nonEmpty) w.partitionBy(spec.partitionBy: _*) else w)
+      .parquet(tmp.toString)
     if (Files.exists(dir)) Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(old)
@@ -110,6 +139,9 @@ final class Catalog(val spark: SparkSession, val dbPath: String) {
 }
 
 object Catalog {
+  /** Declared columns (name, dialect type) + hive-style partition cols. */
+  final case class TableSpec(columns: Seq[(String, String)], partitionBy: Seq[String] = Nil)
+
   val dialectTypes: Set[String] = Set("INT", "TEXT", "DECIMAL", "BOOL", "IMAGE")
 
   def toSparkType(dialectType: String): DataType = dialectType.toUpperCase match {
@@ -135,27 +167,30 @@ object Catalog {
 
   // ---- minimal hand-rolled JSON for the catalog file (schema is flat,
   // identifiers are word-like; avoids pulling a JSON dependency) ----
-  def renderSchemaJson(tables: Map[String, Seq[(String, String)]]): String = {
+  def renderSchemaJson(tables: Map[String, TableSpec]): String = {
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    tables.toSeq.sortBy(_._1).map { case (name, cols) =>
-      val colJson = cols.map { case (n, t) =>
+    tables.toSeq.sortBy(_._1).map { case (name, spec) =>
+      val colJson = spec.columns.map { case (n, t) =>
         s"""{"name":"${esc(n)}","type":"${esc(t)}"}"""
       }.mkString("[", ",", "]")
-      s""""${esc(name)}":$colJson"""
+      val partJson = spec.partitionBy.map(p => s""""${esc(p)}"""").mkString("[", ",", "]")
+      s""""${esc(name)}":{"columns":$colJson,"partitionBy":$partJson}"""
     }.mkString("{", ",", "}")
   }
 
-  def parseSchemaJson(text: String): Map[String, Seq[(String, String)]] = {
+  def parseSchemaJson(text: String): Map[String, TableSpec] = {
     // Tolerant scanner for the exact shape renderSchemaJson emits.
-    val tablePat = """"([^"]+)"\s*:\s*\[((?:[^\]])*)\]""".r
+    val tablePat = """"([^"]+)"\s*:\s*\{"columns"\s*:\s*\[((?:[^\]])*)\]\s*,\s*"partitionBy"\s*:\s*\[([^\]]*)\]\}""".r
     val colPat = """\{"name"\s*:\s*"([^"]+)"\s*,\s*"type"\s*:\s*"([^"]+)"\}""".r
+    val strPat = """"([^"]+)"""".r
     tablePat.findAllMatchIn(text).map { m =>
       val cols = colPat.findAllMatchIn(m.group(2)).map(c => (c.group(1), c.group(2))).toSeq
-      m.group(1) -> cols
+      val parts = strPat.findAllMatchIn(m.group(3)).map(_.group(1)).toSeq
+      m.group(1) -> TableSpec(cols, parts)
     }.toMap
   }
 }

@@ -31,19 +31,22 @@ object Ingest {
   }
 
   /** S8: native parquet import — the external-converter pipeline
-    * collapses to one distributed read.
+    * collapses to one distributed read. `partitionBy` lays the table
+    * out hive-partitioned for pruning at scale.
     */
-  def importParquet(catalog: Catalog, path: String, table: String): Long = {
-    appendCreating(catalog, catalog.spark.read.parquet(path), table)
+  def importParquet(catalog: Catalog, path: String, table: String,
+      partitionBy: Seq[String] = Nil): Long = {
+    appendCreating(catalog, catalog.spark.read.parquet(path), table, partitionBy)
   }
 
   /** Auto-create the table from the frame's schema if absent (reference
     * auto-creates on CSV import), then append.
     */
-  private def appendCreating(catalog: Catalog, df: DataFrame, table: String): Long = {
+  private def appendCreating(catalog: Catalog, df: DataFrame, table: String,
+      partitionBy: Seq[String] = Nil): Long = {
     if (!catalog.exists(table)) {
       val cols = df.schema.fields.toSeq.map(f => f.name -> Catalog.fromSparkType(f.dataType))
-      catalog.create(table, cols)
+      catalog.create(table, cols, partitionBy)
     }
     // align to the declared schema (columns by name, declared types)
     val schema = catalog.sparkSchema(table)

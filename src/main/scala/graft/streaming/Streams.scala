@@ -57,6 +57,16 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: drops rows whose key was already seen
+    * within the watermark horizon — the streaming face of
+    * Dedup.exact, with state bounded by the watermark instead of
+    * growing forever.
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Custom stateful sessionization via flatMapGroupsWithState: emits a
     * SessionSummary when a user's session times out. Demonstrates
     * arbitrary per-key state (the mapGroupsWithState surface) beyond

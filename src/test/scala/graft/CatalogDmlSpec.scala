@@ -136,8 +136,10 @@ class CatalogDmlSpec extends AnyFunSuite {
       e.execute("INSERT INTO photos (id, img) VALUES (3, nosuch)"))
   }
 
-  test("schema.json round-trips") {
-    val tables = Map("t1" -> Seq("a" -> "INT", "b" -> "TEXT"), "t2" -> Seq("x" -> "IMAGE"))
+  test("schema.json round-trips, including partition columns") {
+    val tables = Map(
+      "t1" -> Catalog.TableSpec(Seq("a" -> "INT", "b" -> "TEXT"), Seq("b")),
+      "t2" -> Catalog.TableSpec(Seq("x" -> "IMAGE")))
     assert(Catalog.parseSchemaJson(Catalog.renderSchemaJson(tables)) == tables)
   }
 }
