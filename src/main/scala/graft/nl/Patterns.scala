@@ -154,8 +154,9 @@ object Patterns {
       }
     }
 
-    // counting: "how many ..." / "count (of) ..."
-    if (q.startsWith("how many") || q.startsWith("count")) {
+    // counting: "how many ..." / "count (of) ..." — anywhere in the
+    // query, so follow-ups like "and among these, how many?" resolve
+    if (q.contains("how many") || q.startsWith("count")) {
       table.foreach { t => return Some(withWhere(t, s"SELECT COUNT(*) FROM $t")) }
     }
 

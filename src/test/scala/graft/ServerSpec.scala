@@ -1,0 +1,79 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the REST surface over a real socket: DDL+DML+query, NL
+  * translation with conversation context, CSV upload, error paths.
+  */
+class ServerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private lazy val server = {
+    val s = new Server(new Engine(spark, Files.createTempDirectory("graftsrv").toString), 0)
+    s.start(); s
+  }
+  private lazy val base = s"http://127.0.0.1:${server.boundPort}"
+  private val client = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String, contentType: String = "application/json"): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder().uri(URI.create(s"$base$path"))
+      .header("Content-Type", contentType)
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder().uri(URI.create(s"$base$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def q(sql: String): HttpResponse[String] =
+    post("/api/query", s"""{"query":${Json.str(sql)}}""")
+
+  test("query endpoint: DDL, DML, SELECT round-trip") {
+    assert(q("CREATE TABLE crew (id INT, name TEXT, score DECIMAL)").body().contains("\"success\":true"))
+    assert(q("INSERT INTO crew (id, name, score) VALUES (1, 'Ana', 9.5)").statusCode() == 200)
+    assert(q("INSERT INTO crew (id, name, score) VALUES (2, 'Bo', 7.0)").statusCode() == 200)
+    val r = q("SELECT name, score FROM crew ORDER BY score DESC")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains(""""rows":[{"name":"Ana","score":9.5},{"name":"Bo","score":7.0}]"""), r.body())
+  }
+
+  test("tables endpoint lists catalog tables") {
+    q("CREATE TABLE listed (id INT)")
+    val r = get("/api/tables")
+    assert(r.body().contains("listed"))
+  }
+
+  test("natural language with conversation context") {
+    val conv = post("/api/conversations", "")
+    val id = """"conversationId":"([a-f0-9-]+)"""".r.findFirstMatchIn(conv.body()).get.group(1)
+    val r = post("/api/query",
+      s"""{"query":"how many crew are there?","isNatural":true,"conversationId":"$id"}""")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains(""""generatedSQL":"SELECT COUNT(*) FROM crew""""), r.body())
+    assert(r.body().contains(""""count":2"""), r.body())
+    // follow-up resolves the table from conversation context
+    val r2 = post("/api/query",
+      s"""{"query":"and among these, how many?","isNatural":true,"conversationId":"$id"}""")
+    assert(r2.body().contains("SELECT COUNT(*) FROM crew"), r2.body())
+    // conversation listed
+    assert(get("/api/conversations").body().contains(id))
+  }
+
+  test("csv upload imports rows") {
+    val csv = "id,city\n1,Lyon\n2,Oslo\n"
+    val r = post("/api/upload?table=cities&format=csv", csv, "text/csv")
+    assert(r.body().contains(""""rowsImported":2"""), r.body())
+    assert(q("SELECT COUNT(*) FROM cities").body().contains(""""count":2"""))
+  }
+
+  test("error paths: bad SQL is 400, bad method is 405, missing query is 400") {
+    assert(q("SELECT FROM WHERE").statusCode() == 400)
+    assert(q("SELECT * FROM nosuch").statusCode() == 400)
+    val r = client.send(HttpRequest.newBuilder().uri(URI.create(s"$base/api/query")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 405)
+    assert(post("/api/query", """{"nope":1}""").statusCode() == 400)
+  }
+}
