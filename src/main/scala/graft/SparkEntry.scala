@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.DialectQueries.queries ++
     graft.queries.PipelineQueries.queries ++
-    graft.queries.StreamQueries.queries
+    graft.queries.StreamQueries.queries ++
+    graft.queries.CompositionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
     graft.queries.DialectQueries.oracles ++
     graft.queries.PipelineQueries.oracles ++
-    graft.queries.StreamQueries.oracles
+    graft.queries.StreamQueries.oracles ++
+    graft.queries.CompositionQueries.oracles
 }

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus preparation — the composition a training-data
+  * pipeline actually runs, built from the individual operators:
+  *
+  *   quality filter → language filter → exact dedup → near-dedup
+  *   (MinHash-LSH) → per-document stats
+  *
+  * Plan shape at scale: the per-document stages are one pass with no
+  * shuffle; exact dedup is one hash aggregation; near-dedup is the
+  * banded-LSH equality join. Nothing here is quadratic in corpus size.
+  */
+object Pipelines {
+
+  final case class CorpusConfig(
+      minQuality: Double = 0.3,
+      keepLangs: Set[String] = Set.empty, // empty = keep all
+      nearDupThreshold: Double = 0.6,
+      minhashK: Int = 64,
+      lshBands: Int = 16)
+
+  /** Clean a document corpus; returns the surviving documents with
+    * analysis columns attached. Deterministic: survivors of a near-dup
+    * cluster are the smallest doc_id (same keep-min rule as exact
+    * dedup).
+    */
+  def prepareCorpus(docs: DataFrame, idCol: String, textCol: String,
+      config: CorpusConfig = CorpusConfig()): DataFrame = {
+    val id = col(idCol)
+    val text = col(textCol)
+
+    // 1+2: quality + language gates — single scan, no shuffle
+    val scored = docs
+      .withColumn("quality", TextAnalysis.qualityScore(text))
+      .withColumn("lang_pred", TextAnalysis.langId(text))
+      .filter(col("quality") >= config.minQuality)
+      .filter(if (config.keepLangs.isEmpty) lit(true)
+        else col("lang_pred").isin(config.keepLangs.toSeq: _*))
+
+    // 3: exact dedup — keep the smallest id per canonical fingerprint
+    val keepExact = scored
+      .withColumn("fp", TextAnalysis.fingerprintMd5(text))
+      .withColumn("keep_id", min(id).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(id === col("keep_id"))
+      .drop("keep_id")
+
+    // 4: near-dedup — drop the larger id of every LSH-confirmed pair
+    val dropIds = Dedup.minhashLshPairs(keepExact, idCol, textCol,
+        k = config.minhashK, bands = config.lshBands,
+        threshold = config.nearDupThreshold)
+      .select(col("id_b").as(idCol)).distinct()
+    val deduped = keepExact.join(dropIds, Seq(idCol), "left_anti")
+
+    // 5: stats for downstream selection
+    deduped
+      .withColumn("n_tokens", TextAnalysis.tokenCount(text))
+      .withColumn("n_bpeish_tokens", TextAnalysis.bpeishTokenCount(text))
+  }
+
+  /** Corpus-level report of what the pipeline kept/dropped. */
+  def corpusStats(before: DataFrame, after: DataFrame, idCol: String): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
+    val nBefore = before.count()
+    val nAfter = after.count()
+    val tokens = after.agg(sum(col("n_tokens"))).head().getLong(0)
+    Seq((nBefore, nAfter, nBefore - nAfter, tokens))
+      .toDF("docs_in", "docs_kept", "docs_dropped", "tokens_kept")
+  }
+}

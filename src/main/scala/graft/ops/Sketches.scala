@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate aggregates for interactive analytics at corpus scale —
+  * constant-memory sketches where exact answers would shuffle the
+  * world: HyperLogLog++ distinct counts, t-digest quantiles, and
+  * frequent-item detection. All built-ins (codegen'd, mergeable
+  * map-side), surfaced with the tolerances documented.
+  */
+object Sketches {
+
+  /** HLL++ distinct count (relative error rsd, default 5%). */
+  def approxDistinct(df: DataFrame, column: String, rsd: Double = 0.05): DataFrame =
+    df.agg(approx_count_distinct(col(column), rsd).as("approx_distinct"))
+
+  /** Per-group HLL++ distinct counts. */
+  def approxDistinctBy(df: DataFrame, groupCol: String, column: String,
+      rsd: Double = 0.05): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(approx_count_distinct(col(column), rsd).as("approx_distinct"),
+        count(lit(1)).as("n"))
+
+  /** Approximate quantiles via percentile_approx (t-digest style;
+    * `accuracy` trades memory for error ≤ 1/accuracy).
+    */
+  def approxQuantiles(df: DataFrame, column: String,
+      probabilities: Seq[Double], accuracy: Int = 10000): DataFrame =
+    df.agg(percentile_approx(col(column),
+      typedlit(probabilities), lit(accuracy)).as("quantiles"))
+
+  /** Items covering more than `support` fraction of rows (count-based
+    * heavy hitters via a single aggregation + having).
+    */
+  def heavyHitters(df: DataFrame, column: String, support: Double = 0.01): DataFrame = {
+    val total = df.count()
+    df.groupBy(col(column)).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= lit(support * total))
+      .orderBy(col("n").desc, col(column))
+  }
+}

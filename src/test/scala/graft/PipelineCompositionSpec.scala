@@ -1,0 +1,76 @@
+package graft
+
+import graft.ops.{Bucketing, Pipelines, Sketches}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Composition layer: corpus-prep pipeline end-to-end, bucketed
+  * zero-exchange joins, and sketch tolerance checks.
+  */
+class PipelineCompositionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("corpus pipeline: drops junk, exact dups, and near-dups; keeps min ids") {
+    val base = "the quick brown fox jumps over the lazy dog and it is a very fine day in the park"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                   // exact dup of 1
+      (3L, base.replace("park", "yard")),           // near dup of 1
+      (4L, "!!! ### $$$ %%"),                       // junk (quality gate)
+      (5L, "completely different words entirely unrelated to all other documents here today my friend")
+    ).toDF("doc_id", "text")
+    val cleaned = Pipelines.prepareCorpus(docs, "doc_id", "text",
+      Pipelines.CorpusConfig(minQuality = 0.3, nearDupThreshold = 0.5))
+    val kept = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L), s"kept $kept")
+    assert(cleaned.columns.contains("n_tokens") && cleaned.columns.contains("quality"))
+    val stats = Pipelines.corpusStats(docs, cleaned, "doc_id").collect().head
+    assert(stats.getLong(0) == 5 && stats.getLong(1) == 2 && stats.getLong(2) == 3)
+  }
+
+  test("corpus pipeline on real documents keeps the planted near-dup survivors") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val cleaned = Pipelines.prepareCorpus(docs, "doc_id", "text",
+      Pipelines.CorpusConfig(minQuality = 0.0, nearDupThreshold = 0.5))
+    val n = cleaned.count()
+    assert(n > 0 && n < docs.count()) // planted near-dups removed
+  }
+
+  test("bucketed join on the same key runs with zero exchange") {
+    val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .withColumnRenamed("o_custkey", "custkey")
+    val c = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .withColumnRenamed("c_custkey", "custkey")
+    Bucketing.writeBucketed(o, "orders_b", "custkey", 8, sortBy = Some("custkey"))
+    Bucketing.writeBucketed(c, "customer_b", "custkey", 8, sortBy = Some("custkey"))
+    // disable broadcast so the planner must pick sort-merge — the case
+    // bucketing exists for (fact⋈fact, both sides too big to broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(spark, "orders_b", "customer_b", "custkey")
+      joined.collect() // finalize AQE
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == o.count()) // every order matches its customer
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("sketches: HLL distinct within rsd, quantiles within tolerance, heavy hitters") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val exact = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val approx = Sketches.approxDistinct(li, "l_orderkey").head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15, s"$approx vs $exact")
+
+    val qs = Sketches.approxQuantiles(li, "l_quantity", Seq(0.0, 0.5, 1.0))
+      .head().getSeq[Double](0)
+    assert(qs.head == 1.0 && qs.last == 50.0 && math.abs(qs(1) - 25) <= 3, qs)
+
+    val hh = Sketches.heavyHitters(
+      Tables.load(spark, "/root/testdata/sf0.001", "orders"), "o_orderpriority", 0.1)
+    assert(hh.count() >= 1) // priorities are uniform-ish, all above 10%
+  }
+}
