@@ -2,7 +2,7 @@ package graft.ingest
 
 import graft.catalog.Catalog
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, when}
 
 /** File ingestion (SURVEY.md §2.1 S7/S8).
   *
@@ -37,6 +37,24 @@ object Ingest {
   def importParquet(catalog: Catalog, path: String, table: String,
       partitionBy: Seq[String] = Nil): Long = {
     appendCreating(catalog, catalog.spark.read.parquet(path), table, partitionBy)
+  }
+
+  /** Compatibility reader for the reference's native storage: NDJSON
+    * `.dat` files (one JSON object per row, reference
+    * `pkg/storage/storage.go`). Quirk handling: the reference persists
+    * nil values as the literal string "NULL" (`storage.go:56-61`) —
+    * normalized back to real nulls here; missing keys become nulls
+    * natively; malformed lines are dropped like the reference's
+    * skip-with-warning scan (S1: mode=DROPMALFORMED).
+    */
+  def importNdjson(catalog: Catalog, path: String, table: String): Long = {
+    val raw = catalog.spark.read
+      .option("mode", "DROPMALFORMED")
+      .option("primitivesAsString", "true")
+      .json(path)
+    val df = raw.select(raw.columns.map(c =>
+      when(col(c) === "NULL", lit(null)).otherwise(col(c)).cast("string").as(c)): _*)
+    appendCreating(catalog, df, table)
   }
 
   /** Auto-create the table from the frame's schema if absent (reference

@@ -119,6 +119,31 @@ class CatalogDmlSpec extends AnyFunSuite {
     assert(e.execute("SELECT COUNT(*) FROM imported").toOption.get.collect().head.getLong(0) == 2L)
   }
 
+  test("ndjson .dat import: reference storage quirks normalized") {
+    val e = freshEngine()
+    val dat = Files.createTempFile("graft", ".dat")
+    // mirrors the reference's on-disk quirks: "NULL" strings for nil,
+    // missing keys, a malformed line that must be skipped, mixed types
+    Files.writeString(dat,
+      """{"id":"1","name":"Ana","course":"math"}
+        |{"id":"2","name":"NULL","course":"art"}
+        |{"course":"data science","name":"sam"}
+        |this line is not json
+        |{"id":"4","name":"Bo","course":"math"}
+        |""".stripMargin)
+    val n = Ingest.importNdjson(e.catalog, dat.toString, "students")
+    assert(n == 4)
+    val rows = e.execute("SELECT id, name, course FROM students ORDER BY course").toOption.get.collect()
+    assert(rows.length == 4)
+    val sam = rows.find(r => !r.isNullAt(1) && r.getString(1) == "sam").get
+    assert(sam.isNullAt(0)) // missing key → NULL
+    val two = rows.find(r => !r.isNullAt(0) && r.getString(0) == "2").get
+    assert(two.isNullAt(1)) // "NULL" string → real null
+    // coercion-compare still works on the all-TEXT table
+    val m = e.execute("SELECT COUNT(*) FROM students WHERE id > 1").toOption.get.collect().head
+    assert(m.getLong(0) == 2)
+  }
+
   test("image dir: set, resolve exact and substring, fail on missing") {
     val e = freshEngine()
     val imgs = Files.createTempDirectory("graftimg")
