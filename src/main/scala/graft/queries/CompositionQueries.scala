@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Pipelines, Sketches}
+import graft.ops.{Joins, Pipelines, Sketches}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,8 +24,47 @@ object CompositionQueries {
       Sketches.approxDistinctBy(
           Tables.load(s, dir, "orders"), "o_orderpriority", "o_custkey")
         .orderBy(col("o_orderpriority"))
+    }),
+    "q_asof_join" -> ((s, dir) => {
+      // each purchase gets the user's most recent prior error event;
+      // single shuffle on user_id (window composition), verified against
+      // DuckDB's native ASOF JOIN.
+      val events = Tables.load(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val errors = events.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      Joins.asofJoinBackward(purchases, errors, "user_id", "ts", Seq("event_id"))
+        .orderBy(col("event_id"))
+    }),
+    "q_range_join" -> ((s, dir) => {
+      // orders priced within ±500 of each part's retail price; binned
+      // equi-join instead of an O(n·m) nested loop.
+      val parts = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), (col("p_retailprice") - 500).as("lo"),
+          (col("p_retailprice") + 500).as("hi"))
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      Joins.pointInRangeJoin(orders, parts, "o_totalprice", "lo", "hi", binWidth = 1000)
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("p_partkey"))
     })
   )
 
-  def oracles: Map[String, String] = Map.empty
+  def oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """SELECT l.event_id, l.ts, l.user_id, l.value, r.event_id AS asof_event_id
+         FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+               FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+               FROM events WHERE event_type = 'error') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+    "q_range_join" ->
+      """SELECT p_partkey, COUNT(*) AS n_orders
+         FROM part JOIN orders
+           ON o_totalprice >= p_retailprice - 500 AND o_totalprice <= p_retailprice + 500
+         GROUP BY p_partkey ORDER BY p_partkey"""
+  )
 }
