@@ -31,7 +31,8 @@ object Repl {
           val (generated, result) = engine.executeAny(trimmed)
           generated.foreach(sql => println(s"[nl→sql] $sql"))
           result match {
-            case Right(df) => df.show(50, truncate = false)
+            // reference-style fixed-width output (SURVEY S10)
+            case Right(df) => println(graft.functions.Format.textTable(df, 50))
             case Left(msg) => println(msg)
           }
         } catch {
