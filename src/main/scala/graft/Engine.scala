@@ -35,6 +35,16 @@ final class Engine(val spark: SparkSession, dbPath: String) {
       }
   }
 
+  /** Full Spark SQL over the catalog tables (beyond-reference escape
+    * hatch: the dialect preserves reference quirks, this gives users
+    * the whole ANSI/Spark surface — joins, windows, CTEs — on the same
+    * data).
+    */
+  def sparkSql(query: String): DataFrame = {
+    catalog.registerAll()
+    spark.sql(query)
+  }
+
   // ---- natural-language front-end (SURVEY §2.12) ----
 
   def tableInfos: Seq[Patterns.TableInfo] =

@@ -57,6 +57,24 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Continuous ingestion: append each micro-batch of a stream into a
+    * catalog table (foreachBatch → the same append path DML uses, so
+    * partitioning and schema alignment apply). Returns the handle;
+    * callers own its lifecycle.
+    */
+  def streamIntoCatalog(stream: DataFrame, catalog: graft.catalog.Catalog,
+      table: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = catalog.sparkSchema(table)
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val aligned = batch.select(
+          schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+        catalog.append(table, aligned)
+      }
+      .start()
+  }
+
   /** Streaming exact dedup: drops rows whose key was already seen
     * within the watermark horizon — the streaming face of
     * Dedup.exact, with state bounded by the watermark instead of

@@ -70,4 +70,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.map(s => (s.user_id, s.n_events, s.total_value)).toSeq ==
       Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
   }
+
+  test("streaming ingestion appends micro-batches into a catalog table") {
+    val dir = Files.createTempDirectory("graftingest")
+    val engine = new Engine(spark, Files.createTempDirectory("graftingestdb").toString)
+    engine.execute("CREATE TABLE sink (event_id INT, user_id INT, value DECIMAL)")
+    events.select("event_id", "user_id", "value").limit(200)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(events.select("event_id", "user_id", "value").schema)
+      .parquet(s"$dir/in")
+    val q = Streams.streamIntoCatalog(stream, engine.catalog, "sink")
+    try q.processAllAvailable() finally q.stop()
+    assert(engine.catalog.load("sink").count() == 200)
+    // and it is queryable through both surfaces
+    assert(engine.execute("SELECT COUNT(*) FROM sink").toOption.get.collect().head.getLong(0) == 200)
+    assert(engine.sparkSql("SELECT COUNT(*) FROM sink").collect().head.getLong(0) == 200)
+  }
+
+  test("sparkSql passthrough: full SQL (join + window) over catalog tables") {
+    val engine = new Engine(spark, Files.createTempDirectory("graftsqldb").toString)
+    engine.execute("CREATE TABLE people (id INT, dept TEXT, pay DECIMAL)")
+    Seq("(1, 'eng', 100)", "(2, 'eng', 120)", "(3, 'ops', 90)").foreach(v =>
+      engine.execute(s"INSERT INTO people (id, dept, pay) VALUES $v"))
+    val r = engine.sparkSql(
+      """SELECT id, dept, RANK() OVER (PARTITION BY dept ORDER BY pay DESC) AS rk
+         FROM people ORDER BY id""").collect()
+    assert(r.map(x => (x.getLong(0), x.getInt(2))).toSeq == Seq((1L, 2), (2L, 1), (3L, 1)))
+  }
 }
