@@ -53,30 +53,89 @@ object Semantics {
         case c: ColRef => throw DialectException(s"IN list must be literals, found column ${c.name}")
       }: _*)
     case Between(o, lo, hi) =>
-      // inclusive; numeric iff all three parse (reference `expr.go:196-247`)
-      val (vn, ln, hn) = (num(o, df), num(lo, df), num(hi, df))
-      val (vs, ls, hs) = (str(o, df), str(lo, df), str(hi, df))
-      when(vn.isNotNull && ln.isNotNull && hn.isNotNull, vn >= ln && vn <= hn)
-        .otherwise(vs >= ls && vs <= hs)
+      // inclusive; numeric iff all three parse (reference `expr.go:196-247`).
+      // Same pushability specialization as cmp(): numeric col + numeric
+      // bounds → plain between; any non-numeric bound → pure string range.
+      val boundsNumeric = Seq(lo, hi).forall {
+        case Lit(v, _) => v.toDoubleOption.isDefined
+        case _ => false
+      }
+      val colIsNumeric = o match {
+        case ColRef(n) => isNumericCol(df, n)
+        case Lit(v, _) => v.toDoubleOption.isDefined
+      }
+      val someBoundNonNumeric = Seq(lo, hi).exists {
+        case Lit(v, _) => v.toDoubleOption.isEmpty
+        case _ => false
+      }
+      if (someBoundNonNumeric)
+        str(o, df) >= str(lo, df) && str(o, df) <= str(hi, df)
+      else if (colIsNumeric && boundsNumeric) {
+        def b(x: Operand) = x match { case Lit(v, _) => lit(v.toDouble); case c: ColRef => resolve(df, c.name) }
+        val v = o match { case ColRef(n) => resolve(df, n); case Lit(x, _) => lit(x.toDouble) }
+        v >= b(lo) && v <= b(hi)
+      } else {
+        val (vn, ln, hn) = (num(o, df), num(lo, df), num(hi, df))
+        val (vs, ls, hs) = (str(o, df), str(lo, df), str(hi, df))
+        when(vn.isNotNull && ln.isNotNull && hn.isNotNull, vn >= ln && vn <= hn)
+          .otherwise(vs >= ls && vs <= hs)
+      }
     case Like(o, pattern) => like(str(o, df), pattern)
     case Truthy(o) =>
       // bare identifier = `operand != false` (reference `expr.go:514-517`)
       cmp(o, "!=", Lit("false", quoted = false), df)
   }
 
+  private def applyOp(op: String)(a: Column, b: Column): Column = op match {
+    case "=" => a === b
+    case "!=" => a =!= b
+    case "<" => a < b
+    case "<=" => a <= b
+    case ">" => a > b
+    case ">=" => a >= b
+    case other => throw DialectException(s"unknown operator: $other")
+  }
+
+  private def isNumericCol(df: DataFrame, name: String): Boolean =
+    df.schema.fields.find(_.name.equalsIgnoreCase(name))
+      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+
+  /** Coercion comparison, specialized to a PUSHABLE plain predicate when
+    * the dynamic dual-regime when() chain is provably equivalent:
+    *  - numeric column vs numeric literal → both sides always parse, so
+    *    the numeric branch always runs → plain `col op lit` (reaches the
+    *    parquet scan as a pushed filter);
+    *  - any operand vs a non-numeric literal → the numeric branch can
+    *    never run (the literal never parses) → plain string comparison
+    *    (pushable when the column is already a string).
+    * Everything else (string/mixed columns vs numeric literals) keeps
+    * the per-row dual regime — that dynamism is the reference semantics
+    * and is inherently not pushable.
+    */
   private def cmp(l: Operand, op: String, r: Operand, df: DataFrame): Column = {
-    val (ln, rn) = (num(l, df), num(r, df))
-    val (ls, rs) = (str(l, df), str(r, df))
-    def apply[T](a: Column, b: Column): Column = op match {
-      case "=" => a === b
-      case "!=" => a =!= b
-      case "<" => a < b
-      case "<=" => a <= b
-      case ">" => a > b
-      case ">=" => a >= b
-      case other => throw DialectException(s"unknown operator: $other")
+    def litNumeric(o: Operand): Option[Boolean] = o match {
+      case Lit(v, _) => Some(v.toDoubleOption.isDefined)
+      case _ => None
     }
-    when(ln.isNotNull && rn.isNotNull, apply(ln, rn)).otherwise(apply(ls, rs))
+    def colNumeric(o: Operand): Boolean = o match {
+      case ColRef(n) => isNumericCol(df, n)
+      case Lit(v, _) => v.toDoubleOption.isDefined
+    }
+    val someLitNonNumeric =
+      litNumeric(l).contains(false) || litNumeric(r).contains(false)
+    if (someLitNonNumeric)
+      applyOp(op)(str(l, df), str(r, df))
+    else if (colNumeric(l) && colNumeric(r)) {
+      def numExact(o: Operand): Column = o match {
+        case ColRef(n) => resolve(df, n)
+        case Lit(v, _) => lit(v.toDouble)
+      }
+      applyOp(op)(numExact(l), numExact(r))
+    } else {
+      val (ln, rn) = (num(l, df), num(r, df))
+      when(ln.isNotNull && rn.isNotNull, applyOp(op)(ln, rn))
+        .otherwise(applyOp(op)(str(l, df), str(r, df)))
+    }
   }
 
   /** The reference's 4 LIKE shapes (`expr.go:250-277`): %x% → contains,
@@ -126,5 +185,15 @@ object Semantics {
     val n = c.cast("string").try_cast("double")
     val s = c.cast("string")
     if (descending) Seq(n.desc_nulls_last, s.desc) else Seq(n.asc_nulls_last, s.asc)
+  }
+
+  /** Schema-aware sort: a numeric column always takes the numeric
+    * branch of the reference comparator, so a plain single-key sort is
+    * equivalent (and avoids the double-cast sort key).
+    */
+  def sortKeysFor(df: DataFrame, name: String, descending: Boolean): Seq[Column] = {
+    val c = resolve(df, name)
+    if (isNumericCol(df, name)) Seq(if (descending) c.desc else c.asc)
+    else sortKeys(c, descending)
   }
 }

@@ -91,7 +91,7 @@ final class Executor(resolveTable: String => DataFrame) {
     }
 
     s.orderBy.fold(havinged) { ob =>
-      havinged.orderBy(Semantics.sortKeys(Semantics.resolve(havinged, ob.column), ob.descending): _*)
+      havinged.orderBy(Semantics.sortKeysFor(havinged, ob.column, ob.descending): _*)
     }
   }
 
@@ -141,14 +141,14 @@ final class Executor(resolveTable: String => DataFrame) {
       val d = filtered.select(projCols: _*).distinct()
       s.orderBy match {
         case Some(ob) if d.columns.exists(_.equalsIgnoreCase(ob.column)) =>
-          d.orderBy(Semantics.sortKeys(Semantics.resolve(d, ob.column), ob.descending): _*)
+          d.orderBy(Semantics.sortKeysFor(d, ob.column, ob.descending): _*)
         case _ => d
       }
     } else {
       // ORDER BY runs on full rows (order column need not be projected),
       // then projection preserves the row order.
       val ordered = s.orderBy.fold(filtered) { ob =>
-        filtered.orderBy(Semantics.sortKeys(Semantics.resolve(filtered, ob.column), ob.descending): _*)
+        filtered.orderBy(Semantics.sortKeysFor(filtered, ob.column, ob.descending): _*)
       }
       ordered.select(projCols: _*)
     }

@@ -63,14 +63,23 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dialect WHERE also reaches the parquet scan as a pushed filter") {
-    // coercion semantics compile to try_cast comparisons; the IsNotNull
-    // guard should still prune, and the scan must not read every column
+    // numeric-col-vs-numeric-literal specializes to a plain pushable
+    // predicate; the scan must not read every column either
     val p = graft.exec.Executor.sql(spark, sf,
       "SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000")
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(!readSchema.contains("c_mktsegment"), readSchema)
+    assert(p.contains("GreaterThan(c_acctbal,5000.0)"), p)
+  }
+
+  test("dialect string equality on a string column is pushed too") {
+    val p = graft.exec.Executor.sql(spark, sf,
+      "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
   }
 
   test("dedup exact: single shuffle (partial+final agg), no join") {
