@@ -46,12 +46,26 @@ object Semantics {
     case Not(c) => !toColumn(c, df)
     case Cmp(l, op, r) => cmp(l, op, r, df)
     case In(o, vs) =>
-      // string-equality membership over stringified values
-      // (reference `expr.go:159-193`)
-      str(o, df).isin(vs.map {
+      // Reference semantics: membership by equality of `%v`-stringified
+      // values (`expr.go:159-193`). Go's %v renders float64 10.0 as
+      // "10", so for a NUMERIC column the reference behaves like
+      // numeric equality — which is exactly `col.isin(doubles)`, and it
+      // pushes to the scan. Our cast-to-string would render "10.0" and
+      // miss; so the numeric specialization is both faster AND closer
+      // to the reference. Non-numeric columns keep string membership.
+      val listVals = vs.map {
         case Lit(v, _) => v
         case c: ColRef => throw DialectException(s"IN list must be literals, found column ${c.name}")
-      }: _*)
+      }
+      val colIsNum = o match {
+        case ColRef(n) => isNumericCol(df, n)
+        case Lit(v, _) => v.toDoubleOption.isDefined
+      }
+      if (colIsNum && listVals.forall(_.toDoubleOption.isDefined))
+        (o match { case ColRef(n) => resolve(df, n); case Lit(v, _) => lit(v.toDouble) })
+          .isin(listVals.map(_.toDouble): _*)
+      else
+        str(o, df).isin(listVals: _*)
     case Between(o, lo, hi) =>
       // inclusive; numeric iff all three parse (reference `expr.go:196-247`).
       // Same pushability specialization as cmp(): numeric col + numeric

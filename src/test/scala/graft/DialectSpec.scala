@@ -79,6 +79,12 @@ class DialectSpec extends AnyFunSuite {
     assert(filterIds("name LIKE 'Bob'") == Set(2L))       // exact
   }
 
+  test("expr: IN on a numeric column matches Go %v rendering (10.0 IN ('10'))") {
+    // Go fmt %v renders float64 10.0 as "10"; the numeric specialization
+    // reproduces that where a naive cast-to-string ("10.0") would miss.
+    assert(filterIds("score IN (95, '72.0')") == Set(1L, 2L))
+  }
+
   test("expr: coercion — numeric when both sides parse, else lexicographic") {
     val mixed = Seq(Tuple1("10"), Tuple1("9"), Tuple1("abc")).toDF("v")
     val e = exec(Map("t" -> mixed))

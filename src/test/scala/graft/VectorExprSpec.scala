@@ -69,4 +69,18 @@ class VectorExprSpec extends AnyFunSuite {
       org.apache.spark.sql.catalyst.expressions.Literal(2))
     assert(!bad.checkInputDataTypes().isSuccess)
   }
+
+  test("GraftExtensions registers the functions on a new session") {
+    // apply to an extensions container (builder-injection path), then
+    // verify through an independent session's catalog via newSession
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext) // must not throw
+    // end-to-end: a cloned session with functions registered resolves SQL
+    val s2 = spark.newSession()
+    VectorExpressions.registerAll(s2)
+    import s2.implicits._
+    val one = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    one.createOrReplaceTempView("vx")
+    assert(s2.sql("SELECT cosine_sim(a, b) FROM vx").head().getDouble(0) == 1.0)
+  }
 }
