@@ -93,6 +93,22 @@ class DialectSpec extends AnyFunSuite {
     assert(got == Set("10", "abc"))
   }
 
+  test("ORDER BY on mixed-type strings: numeric-parsing values sort numerically first") {
+    val mixed = Seq(Tuple1("10"), Tuple1("9"), Tuple1("abc"), Tuple1("2")).toDF("v")
+    val e = exec(Map("t" -> mixed))
+    val got = e.sql("SELECT v FROM t ORDER BY v").collect().map(_.getString(0)).toSeq
+    // documented two-level key: numerics ascending (2 < 9 < 10, not
+    // lexicographic), non-numerics after
+    assert(got == Seq("2", "9", "10", "abc"))
+  }
+
+  test("HAVING on agg output combined with ORDER BY the agg name") {
+    val rows = ex.sql(
+      "SELECT course, AVG(score) FROM students GROUP BY course HAVING AVG(score) > 70 ORDER BY avg_score DESC")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("math", "data science", "physics"))
+  }
+
   // ---- SELECT pipeline (select_*_test.go) ----
   test("integration: GROUP BY course with COUNT(*) AS cnt") {
     val rows = ex.sql("SELECT course, COUNT(*) AS cnt FROM students GROUP BY course")
