@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting and sampling for training pipelines.
+  *
+  * Everything keys off a hash of a stable id — NOT `rand()` — so splits
+  * are reproducible across runs, machines, and cluster sizes, and a
+  * document's split assignment never changes when the corpus grows
+  * (the property training pipelines need to avoid test-set leakage
+  * between dataset versions).
+  */
+object Sampling {
+
+  /** Stable per-row bucket in [0, buckets): pmod(xxhash64(id, salt)). */
+  def hashBucket(id: Column, buckets: Int, salt: Int = 0): Column =
+    pmod(xxhash64(id, lit(salt)), lit(buckets)).cast("int")
+
+  /** Deterministic train/test split: rows whose hash bucket falls below
+    * `trainPct` go to train. Returns (train, test).
+    */
+  def trainTestSplit(df: DataFrame, idCol: String, trainPct: Int,
+      salt: Int = 0): (DataFrame, DataFrame) = {
+    require(trainPct > 0 && trainPct < 100, "trainPct in (0,100)")
+    val b = hashBucket(col(idCol), 100, salt)
+    (df.filter(b < trainPct), df.filter(b >= trainPct))
+  }
+
+  /** Deterministic per-stratum downsampling: keep ~fraction of each
+    * stratum, chosen by id hash (reproducible, unlike sampleBy's RNG).
+    * Fractions are per stratum value; absent strata keep everything.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], salt: Int = 0): DataFrame = {
+    val b = pmod(xxhash64(col(idCol), lit(salt)), lit(10000)).cast("double") / 10000.0
+    val keepExpr = fractions.foldLeft(lit(true)) { case (acc, (stratum, frac)) =>
+      when(col(stratumCol) === stratum, b < frac).otherwise(acc)
+    }
+    df.filter(keepExpr)
+  }
+
+  /** Weighted interleave of corpora: deterministically thin each source
+    * to its weight then union — the "data mixture" step. Weights in
+    * (0,1] are keep-fractions per source.
+    */
+  def mixture(sources: Seq[(DataFrame, Double)], idCol: String, salt: Int = 0): DataFrame = {
+    require(sources.nonEmpty)
+    sources.zipWithIndex.map { case ((df, w), i) =>
+      require(w > 0 && w <= 1.0, s"weight $w out of (0,1]")
+      val b = pmod(xxhash64(col(idCol), lit(salt + i)), lit(10000)).cast("double") / 10000.0
+      df.filter(b < w)
+    }.reduce(_ unionByName _)
+  }
+}

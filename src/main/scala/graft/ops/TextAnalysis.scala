@@ -99,6 +99,36 @@ object TextAnalysis {
   def fingerprintRolling(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** PII scrub: redact emails, phone-like numbers, and long digit runs
+    * (card/SSN-ish) — the cheap regex pass applied before training-data
+    * release. Pure regexp_replace chain, codegen'd, oracle-able.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    // long pure-digit runs (cards/SSNs) before the looser phone shape,
+    // or the phone pattern would swallow them
+    val num = regexp_replace(email, "[0-9]{9,}", "<NUM>")
+    regexp_replace(num, "\\+?[0-9][0-9()\\-. ]{7,}[0-9]", "<PHONE>")
+  }
+
+  /** Split a document into token chunks of `size` with `overlap` tokens
+    * carried between consecutive chunks — the standard pre-training
+    * windowing. Returns an array of chunk strings; explode for one row
+    * per chunk. Stride must be positive (size > overlap).
+    */
+  def chunkTokens(text: Column, chunkSize: Int, overlap: Int = 0): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val toks = tokens(text)
+    val nChunks = greatest(
+      ceil((size(toks).cast("double") - overlap) / stride).cast("int"), lit(1))
+    filter(
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * stride + 1, lit(chunkSize)), " ")),
+      c => length(c) > 0)
+  }
+
   /** token-n-gram shingles (space-joined), the MinHash/Jaccard unit. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -83,6 +83,30 @@ object PipelineQueries {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_text_chunks" -> ((s, dir) => {
+      // pre-training windowing: 8-token chunks, 2-token overlap
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TextAnalysis.chunkTokens(col("text"), 8, 2)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+    "q_text_redact" -> ((s, dir) => {
+      // deterministic PII augmentation (the corpus has none) then the
+      // redaction chain; DuckDB applies the same regexes
+      val augmented = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.com code 4111111111111111 call +1 (415) 555-0199"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.redactPii(augmented).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_train_split" -> ((s, dir) => {
+      // deterministic hash split (rows-only: DuckDB's hash differs);
+      // disjointness/stability asserted in SamplingSpec
+      val (train, _) = Sampling.trainTestSplit(
+        Tables.load(s, dir, "documents"), "doc_id", 80)
+      train.select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "q_events_hourly" -> ((s, dir) => {
       Tables.load(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
@@ -135,6 +159,28 @@ object PipelineQueries {
          ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
              (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
          LIMIT 10""",
+    "q_text_chunks" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t FROM documents),
+         ch AS (
+           SELECT doc_id, list_filter(list_transform(
+             range(0, GREATEST(CAST(CEIL((LEN(t) - 2.0) / 6) AS BIGINT), 1)),
+             i -> array_to_string(t[i*6+1 : i*6+8], ' ')),
+             c -> LENGTH(c) > 0) AS chunks
+           FROM toks)
+         SELECT doc_id, UNNEST(range(LEN(chunks))) AS chunk_idx, UNNEST(chunks) AS chunk
+         FROM ch ORDER BY doc_id, chunk_idx""",
+    "q_text_redact" ->
+      """SELECT doc_id,
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(
+                 text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                   '@mail.com code 4111111111111111 call +1 (415) 555-0199',
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{9,}', '<NUM>', 'g'),
+             '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
     "q_events_hourly" ->
       """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
            COUNT(*) AS n,

@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops.{Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic splitting/sampling + chunking/redaction semantics. */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  test("train/test split: disjoint, exhaustive, deterministic, ~80/20") {
+    val (train, test) = Sampling.trainTestSplit(docs, "doc_id", 80)
+    val (nTrain, nTest, nAll) = (train.count(), test.count(), docs.count())
+    assert(nTrain + nTest == nAll)
+    assert(nTrain > nAll * 0.7 && nTrain < nAll * 0.9, s"train=$nTrain of $nAll")
+    // no overlap and stable across invocations
+    assert(train.join(test, "doc_id").count() == 0)
+    val (train2, _) = Sampling.trainTestSplit(docs, "doc_id", 80)
+    assert(train2.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      train.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // different salt → different assignment
+    val (train3, _) = Sampling.trainTestSplit(docs, "doc_id", 80, salt = 1)
+    assert(train3.select("doc_id").collect().map(_.getLong(0)).toSet !=
+      train.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("stratified sample keeps ~fraction per stratum, untouched strata intact") {
+    val df = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+    val sampled = Sampling.stratifiedSample(df, "o_orderkey", "o_orderpriority",
+      Map("1-URGENT" -> 0.5, "5-LOW" -> 0.1))
+    val before = df.groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = sampled.groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(after("1-URGENT").toDouble / before("1-URGENT") - 0.5) < 0.1)
+    assert(math.abs(after("5-LOW").toDouble / before("5-LOW") - 0.1) < 0.05)
+    assert(after("3-MEDIUM") == before("3-MEDIUM")) // not in fractions → kept
+  }
+
+  test("mixture thins each source by its weight deterministically") {
+    val a = docs.select(col("doc_id"), col("text"))
+    val b = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val mixed = Sampling.mixture(Seq((a, 1.0), (b, 0.25)), "doc_id")
+    val n = mixed.count()
+    val na = a.count()
+    assert(n > na && n < na + na * 0.4, s"mixed=$n")
+    assert(mixed.count() == n) // deterministic
+  }
+
+  test("chunking: sizes, overlap carry, short docs yield one chunk") {
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("id", "text")
+    val chunks = df.select(col("id"), TextAnalysis.chunkTokens(col("text"), 4, 1).as("ch"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // stride 3: [a b c d] [d e f g] [g h i j] (10 tokens → ceil((10-1)/3)=3)
+    assert(chunks(1L) == Seq("a b c d", "d e f g", "g h i j"))
+    assert(chunks(2L) == Seq("x y"))
+    // exploded form: every token index is covered
+    val allTokens = chunks(1L).flatMap(_.split(" ")).toSet
+    assert(allTokens == "a b c d e f g h i j".split(" ").toSet)
+  }
+
+  test("PII redaction: emails, phones, long digit runs") {
+    val df = Seq(
+      (1L, "contact me at jane.doe+x@example.co.uk or +1 (415) 555-0137 ok"),
+      (2L, "card 4111111111111111 expires soon"),
+      (3L, "clean text with number 42")).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.redactPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L).contains("<EMAIL>") && got(1L).contains("<PHONE>"))
+    assert(!got(1L).contains("example") && !got(1L).contains("555"))
+    assert(got(2L).contains("<NUM>") && !got(2L).contains("4111"))
+    assert(got(3L) == "clean text with number 42") // short numbers untouched
+  }
+}
