@@ -30,17 +30,29 @@ object Bench {
     if (warmup) names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
+      spark.catalog.clearCache() // operators persist signature tables
     }
+    val errors = Seq.newBuilder[String]
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      catch { case e: Throwable =>
+        // a failing query must be VISIBLE, not recorded as a fast run
+        errors += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> t
     }
+    val errorNames = errors.result()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errorNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // errors surface in the JSON + stderr; exit stays 0 so the driver
+    // still collects the line
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

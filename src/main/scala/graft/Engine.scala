@@ -1,7 +1,7 @@
 package graft
 
 import graft.catalog.Catalog
-import graft.dialect.{Parser, Select, Statement}
+import graft.dialect.{Delete, DropTable, Parser, Select, Statement, Update}
 import graft.exec.{Dml, Executor}
 import graft.functions.ImageResolver
 import graft.nl.{Ollama, Patterns}
@@ -34,6 +34,23 @@ final class Engine(val spark: SparkSession, dbPath: String) {
         case other: Statement => Left(dml.run(other))
       }
   }
+
+  /** Drop every cached plan. The dedup/similarity operators persist
+    * their signature tables (CacheManager holds them until unpersist,
+    * GC never reclaims Dataset caches) — a long-running service should
+    * call this periodically or after heavy pipeline queries.
+    */
+  def clearCaches(): Unit = spark.catalog.clearCache()
+
+  /** True when a statement is destructive (mutates or drops data) —
+    * NL-generated SQL of these kinds is confirmation-gated, mirroring
+    * the reference's gate on LLM output (reference `main.go:292-303`).
+    */
+  def isDestructive(sql: String): Boolean =
+    try Parser.parse(sql) match {
+      case _: Update | _: Delete | _: DropTable => true
+      case _ => false
+    } catch { case _: Exception => false }
 
   /** Full Spark SQL over the catalog tables (beyond-reference escape
     * hatch: the dialect preserves reference quirks, this gives users

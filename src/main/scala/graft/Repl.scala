@@ -28,12 +28,29 @@ object Repl {
       val trimmed = line.trim
       if (trimmed.nonEmpty) {
         try {
-          val (generated, result) = engine.executeAny(trimmed)
-          generated.foreach(sql => println(s"[nl→sql] $sql"))
-          result match {
-            // reference-style fixed-width output (SURVEY S10)
-            case Right(df) => println(graft.functions.Format.textTable(df, 50))
-            case Left(msg) => println(msg)
+          // confirmation gate for destructive NL-generated SQL
+          // (reference `main.go:292-303`): show it, ask, then run
+          val nlSql =
+            if (graft.nl.Patterns.isNaturalLanguage(trimmed))
+              engine.naturalToSql(trimmed)
+            else None
+          val gated = nlSql.exists(engine.isDestructive) && {
+            println(s"[nl→sql] ${nlSql.get}")
+            val answer = StdIn.readLine("execute this statement? [y/N] ")
+            answer == null || !answer.trim.equalsIgnoreCase("y")
+          }
+          if (gated) println("cancelled")
+          else {
+            val (generated, result) = nlSql match {
+              case Some(sql) => (Some(sql), engine.execute(sql))
+              case None => engine.executeAny(trimmed)
+            }
+            generated.foreach(sql => println(s"[nl→sql] $sql"))
+            result match {
+              // reference-style fixed-width output (SURVEY S10)
+              case Right(df) => println(graft.functions.Format.textTable(df, 50))
+              case Left(msg) => println(msg)
+            }
           }
         } catch {
           case e: graft.dialect.DialectException => println(s"error: ${e.message}")

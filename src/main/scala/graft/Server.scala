@@ -68,10 +68,17 @@ final class Server(engine: Engine, port: Int) {
     val isNatural = Json.getBool(body, "isNatural").getOrElse(false)
     val convId = Json.getString(body, "conversationId")
 
+    val confirmed = Json.getBool(body, "confirm").getOrElse(false)
     val prevTable = convId.flatMap(lastTableOf)
     val (generated, result) =
       if (isNatural || graft.nl.Patterns.isNaturalLanguage(query)) {
         engine.naturalToSql(query, prevTable) match {
+          case Some(sql) if engine.isDestructive(sql) && !confirmed =>
+            // reference-style confirmation gate: a heuristic table match
+            // must not drop/update the wrong data — client re-sends with
+            // "confirm":true to execute
+            return (200,
+              s"""{"success":true,"requiresConfirmation":true,"generatedSQL":${Json.str(sql)}}""")
           case Some(sql) => (Some(sql), engine.execute(sql))
           case None => return (422, jsonError("could not translate to SQL"))
         }
@@ -148,7 +155,12 @@ final class Server(engine: Engine, port: Int) {
     """(?i)FROM\s+(\w+)""".r.findAllMatchIn(text).toSeq.lastOption.map(_.group(1))
   }
 
-  private def appendConversation(id: String, query: String, sql: Option[String]): Unit = {
+  private val convLock = new Object
+
+  /** Read-modify-write under a lock: two pool threads appending to the
+    * same conversation must not drop each other's message.
+    */
+  private def appendConversation(id: String, query: String, sql: Option[String]): Unit = convLock.synchronized {
     val f = convFile(id)
     if (!Files.exists(f)) return
     val text = Files.readString(f)

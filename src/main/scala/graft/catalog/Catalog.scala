@@ -105,8 +105,12 @@ final class Catalog(val spark: SparkSession, val dbPath: String) {
 
   /** Append rows (the reference's buffered AppendRow, S2); partitioned
     * tables append into their hive-style partition directories.
+    * Synchronized with overwrite(): an append landing between
+    * overwrite's read and its directory swap would be silently lost
+    * (the staged copy lacks it and the old dir is deleted) — same
+    * coarse per-catalog locking the reference uses for its files.
     */
-  def append(name: String, df: DataFrame): Unit = {
+  def append(name: String, df: DataFrame): Unit = synchronized {
     val spec = specOf(name)
     val w = df.write.mode("append")
     (if (spec.partitionBy.nonEmpty) w.partitionBy(spec.partitionBy: _*) else w)

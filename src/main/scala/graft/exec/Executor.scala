@@ -123,16 +123,19 @@ final class Executor(resolveTable: String => DataFrame) {
 
   // ---- plain SELECT (SURVEY §2.2/§2.6) ----
   private def plainPath(s: Select, filtered: DataFrame): DataFrame = {
-    val projCols: Seq[Column] = s.projections.flatMap {
-      case Star => filtered.columns.toSeq.map(col)
+    // (bare expression, aliased projection) pairs — window partition
+    // specs need the bare form
+    val proj: Seq[(Column, Column)] = s.projections.flatMap {
+      case Star => filtered.columns.toSeq.map(c => (col(c), col(c)))
       case ColumnProj(n, alias) =>
         // P1: projecting a missing column yields NULL, not an error.
         val c = filtered.columns.find(_.equalsIgnoreCase(n))
           .map(col).getOrElse(lit(null).cast("string"))
-        Seq(c.as(alias.getOrElse(n)))
+        Seq((c, c.as(alias.getOrElse(n))))
       case a: AggProj =>
         throw DialectException(s"aggregate ${a.func} on non-aggregated path")
     }
+    val projCols: Seq[Column] = proj.map(_._2)
 
     if (s.distinct) {
       // O5: DISTINCT dedupes the projected tuple. The reference sorts
@@ -142,6 +145,22 @@ final class Executor(resolveTable: String => DataFrame) {
       s.orderBy match {
         case Some(ob) if d.columns.exists(_.equalsIgnoreCase(ob.column)) =>
           d.orderBy(Semantics.sortKeysFor(d, ob.column, ob.descending): _*)
+        case Some(ob) if filtered.columns.exists(_.equalsIgnoreCase(ob.column)) =>
+          // Order column not in the projection: reproduce the
+          // reference's sort-then-keep-first semantics (otherwise the
+          // clause would silently vanish and LIMIT would pick an
+          // arbitrary subset). row_number over the projected tuple
+          // ordered by the sort key keeps each tuple's first
+          // occurrence; that row still carries the sort column, so the
+          // final order is its sort position.
+          val keys = Semantics.sortKeysFor(filtered, ob.column, ob.descending)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(proj.map(_._1): _*).orderBy(keys: _*)
+          filtered
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1)
+            .orderBy(keys: _*)
+            .select(projCols: _*)
         case _ => d
       }
     } else {

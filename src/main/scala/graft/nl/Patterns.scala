@@ -95,9 +95,11 @@ object Patterns {
       v <- sample(c).take(40)
       lv = v.toLowerCase if lv.nonEmpty && lv.length > 1 && q.contains(lv)
     } yield (c, v, lv.length)
-    // longest matched value wins (most specific)
+    // longest matched value wins (most specific); quote-escape the
+    // sampled value ('' is the lexer's escape) — data like O'Brien must
+    // not produce an unterminated string literal
     candidates.sortBy(-_._3).headOption.map { case (c, v, _) =>
-      s"$c ${if (negated) "!=" else "="} '$v'"
+      s"$c ${if (negated) "!=" else "="} '${v.replace("'", "''")}'"
     }
   }
 
@@ -121,8 +123,10 @@ object Patterns {
     // string so values keep their case ('Bob', not 'bob'); column/table
     // names come from the catalog side and are already canonical.
 
-    // drop: "drop/delete the X table"
-    val dropPat = """(?i)(?:drop|delete)\s+(?:the\s+)?(\w+)\s+table""".r
+    // drop: "drop/delete/remove the X table" ("drop ..."/"delete ..."
+    // prefixes are usually classified as SQL by N1; "remove ..." is the
+    // phrasing that reaches this NL path)
+    val dropPat = """(?i)(?:drop|delete|remove)\s+(?:the\s+)?(\w+)\s+table""".r
     dropPat.findFirstMatchIn(orig).foreach { m =>
       return Some(s"DROP TABLE ${m.group(1).toLowerCase}")
     }

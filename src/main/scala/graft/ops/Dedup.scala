@@ -95,6 +95,11 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    // bands > k would make every band hash an empty slice (identical for
+    // all docs → full cross product); a non-divisor silently ignores the
+    // signature tail and weakens the bands×rows=k recall guarantee
+    require(bands > 0 && bands <= k && k % bands == 0,
+      s"need bands to divide k, got k=$k bands=$bands")
     val rowsPerBand = k / bands
     // persist: consumed by the band explode AND both re-attach joins;
     // compact (one k-long array per doc), spillable

@@ -28,16 +28,22 @@ object Joins {
       keyCol: String, timeCol: String,
       rightPayload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val payload = rightPayload.map(c => s"_r_$c")
 
+    // The whole right payload travels as ONE struct ("_r"): the struct
+    // is non-null for every right row even when individual payload
+    // fields are null, so last(_, ignoreNulls) attaches the LATEST
+    // right row — carrying bare payload columns would skip a right row
+    // whose payload value is legitimately NULL and resurrect a stale
+    // older value.
     val taggedRight = right.select(
       (Seq(col(keyCol), col(timeCol).as("_t"), lit(1).as("_is_right")) ++
-        leftCols.filterNot(c => c == keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(c => col(c).as(s"_r_$c"))): _*)
+        leftCols.filterNot(c => c == keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightPayload.map(col): _*).as("_r")): _*)
+    val rStructType = taggedRight.schema("_r").dataType
     val taggedLeft = left.select(
       (Seq(col(keyCol), col(timeCol).as("_t"), lit(0).as("_is_right")) ++
-        leftCols.filterNot(c => c == keyCol).map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c"))): _*)
+        leftCols.filterNot(c => c == keyCol).map(col) :+
+        lit(null).cast(rStructType).as("_r")): _*)
 
     // right rows sort before left rows at equal timestamps → inclusive
     val w = Window.partitionBy(col(keyCol))
@@ -46,14 +52,14 @@ object Joins {
 
     val carried = taggedRight.unionByName(taggedLeft)
       .select((Seq(col(keyCol), col("_t"), col("_is_right")) ++
-        leftCols.filterNot(c => c == keyCol).map(col) ++
-        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+        leftCols.filterNot(c => c == keyCol).map(col) :+
+        last(col("_r"), ignoreNulls = true).over(w).as("_r")): _*)
 
     carried.filter(col("_is_right") === 0)
       .select((leftCols.map {
         case c if c == timeCol => col("_t").as(timeCol)
         case c => col(c)
-      } ++ payload.zip(rightPayload).map { case (tmp, orig) => col(tmp).as(s"asof_$orig") }): _*)
+      } ++ rightPayload.map(c => col(s"_r.$c").as(s"asof_$c"))): _*)
   }
 
   /** Point-in-range join: pairs (point, range) with lo <= point <= hi.

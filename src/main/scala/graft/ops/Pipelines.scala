@@ -67,7 +67,8 @@ object Pipelines {
     import spark.implicits._
     val nBefore = before.count()
     val nAfter = after.count()
-    val tokens = after.agg(sum(col("n_tokens"))).head().getLong(0)
+    // sum over zero rows is NULL — an all-filtered corpus must report 0
+    val tokens = after.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
     Seq((nBefore, nAfter, nBefore - nAfter, tokens))
       .toDF("docs_in", "docs_kept", "docs_dropped", "tokens_kept")
   }

@@ -235,4 +235,12 @@ class DialectSpec extends AnyFunSuite {
     assert(c.columns.map(_._2) == Seq("INT", "TEXT", "DECIMAL", "BOOL", "IMAGE"))
     assertThrows[DialectException](Parser.parse("CREATE TABLE t (a BLOB)"))
   }
+
+  test("DISTINCT with ORDER BY on a non-projected column keeps sort semantics") {
+    // reference sorts full rows then dedupes; the order must not vanish
+    val names = ex.sql("SELECT DISTINCT course FROM students ORDER BY score DESC LIMIT 2")
+      .collect().map(_.getString(0)).toSeq
+    // highest scores: Alice(math,95), Amy(physics,88) → math, physics
+    assert(names == Seq("math", "physics"))
+  }
 }

@@ -67,4 +67,16 @@ class JoinsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("as-of join attaches the latest right row even when its payload is NULL") {
+    val left = Seq((1L, ts(10), 100L)).toDF("event_id", "t", "user")
+    val right = Seq(
+      (Some(91L), ts(2), 100L), (Option.empty[Long], ts(8), 100L) // later row, null payload
+    ).toDF("rid", "t", "user")
+    val r = Joins.asofJoinBackward(left, right, "user", "t", Seq("rid"))
+      .collect().head
+    // latest right row (t=8) wins; its NULL payload must NOT be replaced
+    // by the stale t=2 value
+    assert(r.isNullAt(r.fieldIndex("asof_rid")))
+  }
 }

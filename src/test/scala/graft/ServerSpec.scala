@@ -76,4 +76,18 @@ class ServerSpec extends AnyFunSuite {
     assert(r.statusCode() == 405)
     assert(post("/api/query", """{"nope":1}""").statusCode() == 400)
   }
+
+  test("destructive NL requires confirmation; confirm:true executes") {
+    q("CREATE TABLE victims (id INT, tag TEXT)")
+    q("INSERT INTO victims (id, tag) VALUES (1, 'x')")
+    val r = post("/api/query", """{"query":"remove the victims table","isNatural":true}""")
+    assert(r.body().contains(""""requiresConfirmation":true"""), r.body())
+    assert(r.body().contains("DROP TABLE victims"))
+    // not executed yet
+    assert(q("SELECT COUNT(*) FROM victims").statusCode() == 200)
+    val r2 = post("/api/query",
+      """{"query":"remove the victims table","isNatural":true,"confirm":true}""")
+    assert(r2.body().contains(""""success":true"""), r2.body())
+    assert(q("SELECT COUNT(*) FROM victims").statusCode() == 400) // gone
+  }
 }
