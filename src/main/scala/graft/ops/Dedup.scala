@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread a narrow input across the cluster before a CPU-heavy
+    * per-document stage: a small corpus arrives as one parquet split
+    * and would otherwise run the shingle/signature expressions on a
+    * single core. No-op when the input is already wide (a 100 TB scan
+    * has thousands of splits; an extra shuffle would be waste).
+    */
+  private[ops] def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   // ---- exact ----
 
   /** Exact dedup on canonical text: keep the smallest id per
@@ -38,24 +49,28 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000): DataFrame = {
-    val raw = df
+    // Persist the exploded shingle table FIRST: every downstream job
+    // (the hot-shingle aggregate, its broadcast subplan, the anti-join,
+    // the sizes aggregate, both self-join sides) would otherwise
+    // re-evaluate the shingle construction — measured as the dominant
+    // cost when re-run 4-5x per invocation. Compact rows, spillable.
+    val raw = widen(df)
       .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol), n).as("sh"))
       .select(col("id"), explode(col("sh")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    raw.count() // materialize once, eagerly
     // Stop-shingle removal via aggregate + broadcast anti-join: the hot
     // list is tiny by construction (shingles in >maxShingleDf docs).
     // Hot shingles contribute O(df²) join pairs, so this cap is what
     // keeps the self-join near-linear on skewed corpora. Jaccard is
     // then computed over the FILTERED shingle universe (sizes too).
-    val filtered = (if (maxShingleDf >= Int.MaxValue / 2) raw else {
-      val hot = raw.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxShingleDf).select("shingle")
-      raw.join(broadcast(hot), Seq("shingle"), "left_anti")
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Persisted AND materialized eagerly: three consumers (sizes, both
-    // self-join sides) would otherwise re-run the explode + broadcast
-    // pipeline each — measured 10x slower. The shingle table is the
-    // compact post-cap form, spillable to disk at corpus scale.
-    filtered.count()
+    val filtered =
+      if (maxShingleDf >= Int.MaxValue / 2) raw
+      else {
+        val hot = raw.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf).select("shingle")
+        raw.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val co = filtered.as("a")
       .join(filtered.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -77,7 +92,7 @@ object Dedup {
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       k: Int = 64, n: Int = 3): DataFrame = {
-    val sh = df
+    val sh = widen(df)
       .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol), n).as("sh"))
       .select(col("id"), explode(col("sh")).as("shingle"))
     val mins: Seq[Column] = (0 until k).map(i =>
@@ -138,6 +153,7 @@ object Dedup {
     * appears once in the plan, not 64 times.
     */
   def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame = {
+    val wide = widen(df)
     val toks = TextAnalysis.tokens(col(textCol))
     // bit i of xxhash64(token), as a ±1 vote; i is a plan-time constant
     val votes = aggregate(
@@ -150,7 +166,7 @@ object Dedup {
     val bits = (0 until 64).map(i =>
       when(element_at(col("_votes"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
-    df.withColumn("_votes", votes)
+    wide.withColumn("_votes", votes)
       .withColumn(out, bits)
       .drop("_votes")
   }

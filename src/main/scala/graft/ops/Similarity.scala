@@ -64,7 +64,7 @@ object Similarity {
       if (d >= 0.0) 1L << i else 0L
     }.reduce(_ | _)
     val probeSigs = qSig +: (0 until nBits).map(i => qSig ^ (1L << i))
-    df.withColumn("lsh_sig", signature(col(vecCol), planes))
+    Dedup.widen(df).withColumn("lsh_sig", signature(col(vecCol), planes))
       .filter(col("lsh_sig").isin(probeSigs: _*))
       .select(col(idCol), cosine(col(vecCol), typedlit(query)).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
@@ -80,7 +80,7 @@ object Similarity {
       threshold: Double = 0.95, nBits: Int = 16, dims: Int = 64): DataFrame = {
     val planes = hyperplanes(nBits, dims)
     // persist: nBits×dims dot products per row, consumed by both join sides
-    val signed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val signed = Dedup.widen(df).select(col(idCol).as("id"), col(vecCol).as("v"),
       signature(col(vecCol), planes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     signed.as("a")

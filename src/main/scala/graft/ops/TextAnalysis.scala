@@ -129,7 +129,12 @@ object TextAnalysis {
       c => length(c) > 0)
   }
 
-  /** token-n-gram shingles (space-joined), the MinHash/Jaccard unit. */
+  /** token-n-gram shingles (space-joined), the MinHash/Jaccard unit.
+    * slice + array_join measured faster than the element_at+concat_ws
+    * alternative (ANSI element_at pays per-element bounds machinery and
+    * throws on sub-n-token docs); consumers persist the exploded
+    * shingle table so this expression evaluates once per corpus pass.
+    */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
     array_distinct(
