@@ -303,6 +303,22 @@ object Relational {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- grouping sets (beyond-reference, SURVEY §2.4 note) ----
+    "q_rollup" -> ((s, dir) => {
+      // subtotal rows carry NULL group keys; both engines order them
+      // explicitly NULLS LAST for a deterministic dump
+      Tables.load(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderpriority").asc_nulls_last, col("o_orderstatus").asc_nulls_last)
+    }),
+    "q_cube" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+    }),
+
     // ---- events (time-series shape; batch view of §2.10) ----
     "q_events_agg" -> ((s, dir) => {
       Tables.load(s, dir, "events")
@@ -453,6 +469,15 @@ object Relational {
               WHEN o_totalprice > 100000 THEN 'mid'
               ELSE 'low' END AS tier
          FROM orders ORDER BY o_orderkey""",
+    "q_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+         ORDER BY o_orderpriority NULLS LAST, o_orderstatus NULLS LAST""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""",
     "q_events_agg" ->
       """SELECT event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
