@@ -26,7 +26,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args = subset of query names, for targeted local profiling;
+    // the driver invokes with no args and gets the full suite
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (args.nonEmpty) names0.filter(args.toSet) else names0
     if (warmup) names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }

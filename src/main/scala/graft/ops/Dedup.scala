@@ -27,6 +27,18 @@ object Dedup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** (id, shingle) with shingles as 64-bit hashes — the shared input of
+    * the n-gram Jaccard join and the minhash signature build. Token
+    * hashes are bound to a real column first so the n-gram lambda reads
+    * a materialized long array (see TextAnalysis.shingleHashesFrom).
+    */
+  private def explodedShingleHashes(df: DataFrame, idCol: String,
+      textCol: String, n: Int, distinct: Boolean): DataFrame =
+    widen(df)
+      .withColumn("_th", TextAnalysis.tokenHashes(col(textCol)))
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.shingleHashesFrom(col("_th"), n, distinct)).as("shingle"))
+
   // ---- exact ----
 
   /** Exact dedup on canonical text: keep the smallest id per
@@ -53,10 +65,10 @@ object Dedup {
     // (the hot-shingle aggregate, its broadcast subplan, the anti-join,
     // the sizes aggregate, both self-join sides) would otherwise
     // re-evaluate the shingle construction — measured as the dominant
-    // cost when re-run 4-5x per invocation. Compact rows, spillable.
-    val raw = widen(df)
-      .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol), n).as("sh"))
-      .select(col("id"), explode(col("sh")).as("shingle"))
+    // cost when re-run 4-5x per invocation. Shingles travel as 64-bit
+    // hashes, so the persisted/shuffled rows are two longs, not
+    // (long, string). Compact rows, spillable.
+    val raw = explodedShingleHashes(df, idCol, textCol, n, distinct = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     raw.count() // materialize once, eagerly
     // Stop-shingle removal via aggregate + broadcast anti-join: the hot
@@ -88,13 +100,15 @@ object Dedup {
 
   /** k minhash values per document: explode shingles once, aggregate k
     * independent mins in a single pass (one shuffle, map-side partial
-    * min). Hash family: xxhash64(shingle, seed_i) via a seed column.
+    * min). Hash family: xxhash64(shingle_hash, seed_i) — re-hashing an
+    * 8-byte long k times is far cheaper than re-hashing the shingle
+    * string k times, and the min-hash uniformity argument is unchanged.
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       k: Int = 64, n: Int = 3): DataFrame = {
-    val sh = widen(df)
-      .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol), n).as("sh"))
-      .select(col("id"), explode(col("sh")).as("shingle"))
+    // distinct=false: min over a multiset equals min over its set, so
+    // the array_distinct pass would be pure waste here
+    val sh = explodedShingleHashes(df, idCol, textCol, n, distinct = false)
     val mins: Seq[Column] = (0 until k).map(i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
@@ -154,14 +168,16 @@ object Dedup {
     */
   def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame = {
     val wide = widen(df)
-    val toks = TextAnalysis.tokens(col(textCol))
-    // bit i of xxhash64(token), as a ±1 vote; i is a plan-time constant
+    // hash every token ONCE up front; the vote lambda then reads bits of
+    // a long instead of re-running xxhash64(token) 64 times per token
+    val hashes = transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t))
+    // bit i of the token hash, as a ±1 vote; i is a plan-time constant
     val votes = aggregate(
-      toks,
+      hashes,
       array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
+      (acc, h) => zip_with(acc,
         array((0 until 64).map(i =>
-          shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)): _*),
+          shiftright(h, i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)): _*),
         (a, v) => a + v))
     val bits = (0 until 64).map(i =>
       when(element_at(col("_votes"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))

@@ -40,13 +40,18 @@ object Pipelines {
       .filter(if (config.keepLangs.isEmpty) lit(true)
         else col("lang_pred").isin(config.keepLangs.toSeq: _*))
 
-    // 3: exact dedup — keep the smallest id per canonical fingerprint
+    // 3: exact dedup — keep the smallest id per canonical fingerprint.
+    // Persisted: it feeds BOTH the LSH signature build and the final
+    // anti-join, and its quality/lang expressions are the expensive
+    // per-document stage — recomputing them twice measured ~2x the
+    // whole pipeline.
     val keepExact = scored
       .withColumn("fp", TextAnalysis.fingerprintMd5(text))
       .withColumn("keep_id", min(id).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .filter(id === col("keep_id"))
       .drop("keep_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 4: near-dedup — drop the larger id of every LSH-confirmed pair
     val dropIds = Dedup.minhashLshPairs(keepExact, idCol, textCol,
