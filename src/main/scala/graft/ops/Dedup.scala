@@ -32,7 +32,7 @@ object Dedup {
     * hashes are bound to a real column first so the n-gram lambda reads
     * a materialized long array (see TextAnalysis.shingleHashesFrom).
     */
-  private def explodedShingleHashes(df: DataFrame, idCol: String,
+  private[graft] def explodedShingleHashes(df: DataFrame, idCol: String,
       textCol: String, n: Int, distinct: Boolean): DataFrame =
     widen(df)
       .withColumn("_th", TextAnalysis.tokenHashes(col(textCol)))
@@ -187,23 +187,54 @@ object Dedup {
       .drop("_votes")
   }
 
+  /** (id, sim) with the 64-bit SimHash per document, computed as a
+    * codegen'd hash aggregation: explode tokens, hash each once, and
+    * take 64 parallel ±1-vote sums (map-side combinable, one shuffle
+    * keyed by id). Matches [[withSimhash]] bit-for-bit — including the
+    * empty-document case, where `split` yields the single empty token —
+    * but runs the hot path inside whole-stage codegen instead of an
+    * interpreted 64-wide zip_with per token.
+    */
+  def simhashDocs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = widen(df)
+      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .select(col("id"), xxhash64(col("_t")).as("_h"))
+    val votes = (0 until 64).map(i =>
+      sum(shiftright(col("_h"), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"v$i"))
+    val bits = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    tok.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), bits.as("sim"))
+  }
+
   /** Near-duplicate candidate pairs by SimHash: split the 64-bit
-    * fingerprint into 4 16-bit chunks; any pair within Hamming
-    * distance ≤ 3 must share at least one chunk (pigeonhole), so an
-    * equality join on (chunk index, chunk value) finds all of them
+    * fingerprint into `maxHamming + 1` chunks; any pair within Hamming
+    * distance ≤ maxHamming must share at least one chunk (pigeonhole —
+    * the chunk count is derived from the parameter, so the guarantee
+    * holds for ANY maxHamming < 64, not just the 4-chunk ≤ 3 case), so
+    * an equality join on (chunk index, chunk value) finds all of them
     * without a cross join. Pairs are then verified with the true
     * Hamming distance.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // persist: the vote aggregation is the expensive part (interpreted
-    // higher-order functions) and feeds both self-join sides
-    val withSim = withSimhash(df.select(col(idCol).as("id"), col(textCol)), textCol, "sim")
-      .select(col("id"), col("sim"))
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"need 0 <= maxHamming < 64, got $maxHamming")
+    val nChunks = maxHamming + 1
+    // chunk c covers bits [bounds(c), bounds(c+1)) — widths differ by
+    // at most one bit when nChunks does not divide 64
+    val bounds = (0 to nChunks).map(c => c * 64 / nChunks)
+    // persist: the fingerprint aggregation feeds both self-join sides
+    val withSim = simhashDocs(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = withSim.select(col("id"), col("sim"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(array((0 until nChunks).map { c =>
+        val lo = bounds(c)
+        val w = bounds(c + 1) - lo
+        val mask = if (w == 64) -1L else (1L << w) - 1L
+        shiftright(col("sim"), lo).bitwiseAND(lit(mask))
+      }: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
     val popcnt = (x: Column) => bit_count(x)
     chunked.as("a")
