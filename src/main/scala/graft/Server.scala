@@ -87,8 +87,12 @@ final class Server(engine: Engine, port: Int) {
     val resultJson = result match {
       case Left(msg) => s""""message":${Json.str(msg)}"""
       case Right(df) =>
-        val rows = df.limit(1000).toJSON.collect()
-        s""""rows":[${rows.mkString(",")}],"columns":${Json.strArr(df.columns.toSeq)}"""
+        // fetch cap+1 so a capped result is distinguishable from one
+        // with exactly `cap` rows; consumers see "truncated":true
+        val cap = 1000
+        val rows = df.limit(cap + 1).toJSON.collect()
+        val truncated = rows.length > cap
+        s""""rows":[${rows.take(cap).mkString(",")}],"columns":${Json.strArr(df.columns.toSeq)},"truncated":$truncated"""
     }
     convId.foreach(c => appendConversation(c, query, generated))
     val gen = generated.map(g => s""","generatedSQL":${Json.str(g)}""").getOrElse("")

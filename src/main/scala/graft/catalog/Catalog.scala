@@ -48,7 +48,18 @@ final class Catalog(val spark: SparkSession, val dbPath: String) {
   def sparkSchema(name: String): StructType =
     StructType(columnsOf(name).map { case (n, t) => StructField(n, toSparkType(t)) })
 
-  def tableDir(name: String): Path = root.resolve(name)
+  /** Table directory under the DB root. Validates the name on EVERY
+    * path resolution (not just create) so a quoted identifier like
+    * `'../../x'` — reachable from the HTTP API via CREATE/DROP TABLE or
+    * ?table= upload — can never escape the root: create would
+    * `createDirectories` outside it and drop would `deleteRecursively`
+    * an arbitrary directory. Mirrors the conversation-id check in
+    * Server.convFile.
+    */
+  def tableDir(name: String): Path = {
+    requireValidTableName(name)
+    root.resolve(name)
+  }
 
   /** Create a table; `partitionBy` columns become hive-style directory
     * partitions — the 100 TB layout where partition pruning turns a
@@ -56,6 +67,7 @@ final class Catalog(val spark: SparkSession, val dbPath: String) {
     */
   def create(name: String, columns: Seq[(String, String)],
       partitionBy: Seq[String] = Nil): Unit = synchronized {
+    requireValidTableName(name)
     if (tables.contains(name)) throw DialectException(s"table already exists: $name")
     columns.foreach { case (_, t) =>
       if (!dialectTypes.contains(t.toUpperCase))
@@ -147,6 +159,16 @@ object Catalog {
   final case class TableSpec(columns: Seq[(String, String)], partitionBy: Seq[String] = Nil)
 
   val dialectTypes: Set[String] = Set("INT", "TEXT", "DECIMAL", "BOOL", "IMAGE")
+
+  private val validTableName = "^[A-Za-z0-9_]{1,64}$".r
+
+  /** Strict identifier check for anything that becomes a filesystem
+    * path component under the DB root.
+    */
+  def requireValidTableName(name: String): Unit =
+    if (!validTableName.matches(name))
+      throw DialectException(
+        s"invalid table name: $name (allowed: letters, digits, _, max 64 chars)")
 
   def toSparkType(dialectType: String): DataType = dialectType.toUpperCase match {
     case "INT" => LongType

@@ -27,6 +27,22 @@ object Semantics {
   private def num(o: Operand, df: DataFrame): Column =
     str(o, df).try_cast("double")
 
+  /** Go `%v` rendering of an operand: a float64 with an integral value
+    * renders without the decimal point (10.0 → "10"), unlike Spark's
+    * cast-to-string ("10.0"). Needed where the reference compares raw
+    * %v strings (IN membership) so a stored 72.0 equals literal '72'
+    * and NOT literal '72.0'. Values at |v| ≥ 1e15 keep Spark's
+    * rendering (Go switches to scientific at 1e21 — an untestable
+    * corner in the reference's own suite).
+    */
+  private def goVStr(o: Operand, df: DataFrame): Column = o match {
+    case ColRef(n) if isNumericCol(df, n) =>
+      val c = resolve(df, n)
+      when(c === floor(c) && abs(c) < lit(1e15), c.cast("long").cast("string"))
+        .otherwise(c.cast("string"))
+    case other => str(other, df)
+  }
+
   /** Case-insensitive column resolution; unknown columns raise, matching
     * the reference's WHERE validation (reference `select.go:146-162`).
     */
@@ -61,11 +77,14 @@ object Semantics {
         case ColRef(n) => isNumericCol(df, n)
         case Lit(v, _) => v.toDoubleOption.isDefined
       }
-      if (colIsNum && listVals.forall(_.toDoubleOption.isDefined))
+      if (colIsNum && listVals.forall(isCanonicalNumericLiteral))
+        // numeric equality == %v-string equality for canonical literals,
+        // and this form pushes to the parquet scan
         (o match { case ColRef(n) => resolve(df, n); case Lit(v, _) => lit(v.toDouble) })
           .isin(listVals.map(_.toDouble): _*)
       else
-        str(o, df).isin(listVals: _*)
+        // reference semantics verbatim: %v-stringified membership
+        goVStr(o, df).isin(listVals: _*)
     case Between(o, lo, hi) =>
       // inclusive; numeric iff all three parse (reference `expr.go:196-247`).
       // Same pushability specialization as cmp(): numeric col + numeric
@@ -113,6 +132,31 @@ object Semantics {
   private def isNumericCol(df: DataFrame, name: String): Boolean =
     df.schema.fields.find(_.name.equalsIgnoreCase(name))
       .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+
+  /** True when a literal's text IS the reference's `%v` rendering of
+    * its float64 value, so numeric IN equality and the reference's
+    * stringified-membership agree. `intcol IN (10.0)` must NOT match a
+    * stored 10 — the reference compares "10" against "10.0" — so only
+    * canonically-formatted literals ("10", "10.5") take the numeric
+    * fast path; anything else ("10.0", "1e1", "010", "10.50", NaN/Inf,
+    * "-0") falls back to string membership, which is the reference
+    * semantics verbatim.
+    */
+  private def isCanonicalNumericLiteral(s: String): Boolean =
+    s.toDoubleOption.exists { d =>
+      val canonical =
+        if (!java.lang.Double.isFinite(d)) null // %v "NaN"/"+Inf" never equals numeric compare
+        else if (d == 0.0 && 1.0 / d < 0) null // "-0" renders as "-0" but equals 0 numerically
+        else if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
+        else {
+          // Java's shortest round-trip form matches Go %v for plain
+          // decimals; scientific notation differs between the two, but
+          // those literals aren't in scientific form canonically anyway
+          val j = d.toString
+          if (j.contains("E") || j.contains("e")) null else j
+        }
+      canonical == s
+    }
 
   /** Coercion comparison, specialized to a PUSHABLE plain predicate when
     * the dynamic dual-regime when() chain is provably equivalent:

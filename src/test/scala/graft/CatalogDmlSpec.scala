@@ -25,6 +25,20 @@ class CatalogDmlSpec extends AnyFunSuite {
     assert(e.execute("SHOW TABLES") == Left(""))
   }
 
+  test("table names that would escape the DB root are rejected") {
+    val e = freshEngine()
+    // quoted identifiers reach the catalog verbatim; a traversal name
+    // must never become a filesystem path (create would mkdir outside
+    // the root, drop would recursively delete an arbitrary directory)
+    assertThrows[DialectException](e.execute("CREATE TABLE '../../pwned' (id INT)"))
+    assertThrows[DialectException](e.execute("DROP TABLE '../..'"))
+    assertThrows[DialectException](e.catalog.create("a/b", Seq("id" -> "INT")))
+    assertThrows[DialectException](e.catalog.create("", Seq("id" -> "INT")))
+    assertThrows[DialectException](e.catalog.create("x" * 65, Seq("id" -> "INT")))
+    assertThrows[DialectException](e.catalog.tableDir("../../etc"))
+    e.catalog.create("ok_Name_9", Seq("id" -> "INT")) // sane names still pass
+  }
+
   test("insert with coercion, select back") {
     val e = freshEngine()
     e.execute("CREATE TABLE t (id INT, name TEXT, score DECIMAL, ok BOOL)")

@@ -79,10 +79,25 @@ class DialectSpec extends AnyFunSuite {
     assert(filterIds("name LIKE 'Bob'") == Set(2L))       // exact
   }
 
-  test("expr: IN on a numeric column matches Go %v rendering (10.0 IN ('10'))") {
-    // Go fmt %v renders float64 10.0 as "10"; the numeric specialization
-    // reproduces that where a naive cast-to-string ("10.0") would miss.
-    assert(filterIds("score IN (95, '72.0')") == Set(1L, 2L))
+  test("expr: IN on a numeric column matches Go %v rendering exactly") {
+    // Reference inOp.Eval (expr.go:164-193) compares %v-stringified row
+    // values against RAW literal text: stored 95.0 renders "95", so the
+    // literal must be in canonical form to match — '95' and 95 do,
+    // '72.0' does NOT (stored 72.0 renders "72", "72" != "72.0").
+    assert(filterIds("score IN (95, '72.0')") == Set(1L))
+    assert(filterIds("score IN ('95', 72)") == Set(1L, 2L))
+    assert(filterIds("score IN (95.0)") == Set.empty) // "95" != "95.0"
+    assert(filterIds("score IN ('010', 61.5)") == Set.empty)
+  }
+
+  test("expr: IN keeps the numeric fast path for canonical decimals") {
+    val halves = Seq((1L, 61.5), (2L, 72.25)).toDF("id", "score")
+    val e = exec(Map("students" -> halves))
+    def ids(w: String): Set[Long] =
+      e.sql(s"SELECT id FROM students WHERE $w").collect().map(_.getLong(0)).toSet
+    assert(ids("score IN (61.5)") == Set(1L))      // canonical non-integral
+    assert(ids("score IN ('72.25', 5)") == Set(2L))
+    assert(ids("score IN (61.50)") == Set.empty)   // "61.5" != "61.50"
   }
 
   test("expr: coercion — numeric when both sides parse, else lexicographic") {

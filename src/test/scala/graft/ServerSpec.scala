@@ -68,6 +68,20 @@ class ServerSpec extends AnyFunSuite {
     assert(q("SELECT COUNT(*) FROM cities").body().contains(""""count":2"""))
   }
 
+  test("upload with a traversal table name is rejected with 400") {
+    val r = post("/api/upload?table=" + java.net.URLEncoder.encode("../../pwn", "UTF-8") +
+      "&format=csv", "id\n1\n", "text/csv")
+    assert(r.statusCode() == 400, r.body())
+    assert(r.body().contains("invalid table name"), r.body())
+  }
+
+  test("query results carry an explicit truncated flag") {
+    q("CREATE TABLE trunc_t (id INT)")
+    q("INSERT INTO trunc_t VALUES (1)")
+    val r = q("SELECT * FROM trunc_t")
+    assert(r.body().contains(""""truncated":false"""), r.body())
+  }
+
   test("error paths: bad SQL is 400, bad method is 405, missing query is 400") {
     assert(q("SELECT FROM WHERE").statusCode() == 400)
     assert(q("SELECT * FROM nosuch").statusCode() == 400)
