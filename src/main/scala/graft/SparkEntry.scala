@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.DialectQueries.queries ++
     graft.queries.PipelineQueries.queries ++
     graft.queries.StreamQueries.queries ++
-    graft.queries.CompositionQueries.queries
+    graft.queries.CompositionQueries.queries ++
+    graft.queries.ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     graft.queries.DialectQueries.oracles ++
     graft.queries.PipelineQueries.oracles ++
     graft.queries.StreamQueries.oracles ++
-    graft.queries.CompositionQueries.oracles
+    graft.queries.CompositionQueries.oracles ++
+    graft.queries.ExtendedQueries.oracles
 }
