@@ -102,14 +102,14 @@ object Semantics {
         case _ => false
       }
       if (someBoundNonNumeric)
-        str(o, df) >= str(lo, df) && str(o, df) <= str(hi, df)
+        goVStr(o, df) >= goVStr(lo, df) && goVStr(o, df) <= goVStr(hi, df)
       else if (colIsNumeric && boundsNumeric) {
         def b(x: Operand) = x match { case Lit(v, _) => lit(v.toDouble); case c: ColRef => resolve(df, c.name) }
         val v = o match { case ColRef(n) => resolve(df, n); case Lit(x, _) => lit(x.toDouble) }
         v >= b(lo) && v <= b(hi)
       } else {
         val (vn, ln, hn) = (num(o, df), num(lo, df), num(hi, df))
-        val (vs, ls, hs) = (str(o, df), str(lo, df), str(hi, df))
+        val (vs, ls, hs) = (goVStr(o, df), goVStr(lo, df), goVStr(hi, df))
         when(vn.isNotNull && ln.isNotNull && hn.isNotNull, vn >= ln && vn <= hn)
           .otherwise(vs >= ls && vs <= hs)
       }
@@ -182,7 +182,10 @@ object Semantics {
     val someLitNonNumeric =
       litNumeric(l).contains(false) || litNumeric(r).contains(false)
     if (someLitNonNumeric)
-      applyOp(op)(str(l, df), str(r, df))
+      // the numeric regime can never run (one side never parses), so
+      // this is the reference's %v string compare — which renders a
+      // numeric column Go-style ("72", not "72.0")
+      applyOp(op)(goVStr(l, df), goVStr(r, df))
     else if (colNumeric(l) && colNumeric(r)) {
       def numExact(o: Operand): Column = o match {
         case ColRef(n) => resolve(df, n)
@@ -192,7 +195,7 @@ object Semantics {
     } else {
       val (ln, rn) = (num(l, df), num(r, df))
       when(ln.isNotNull && rn.isNotNull, applyOp(op)(ln, rn))
-        .otherwise(applyOp(op)(str(l, df), str(r, df)))
+        .otherwise(applyOp(op)(goVStr(l, df), goVStr(r, df)))
     }
   }
 

@@ -75,6 +75,41 @@ class CoercionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("numeric columns: string-regime compare and IN agree with the Go %v model") {
+    val doubles = sample(Gen.listOfN(80, Gen.oneOf(
+      Gen.choose(-1000, 1000).map(_.toDouble),
+      Gen.choose(-100.0, 100.0),
+      Gen.oneOf(72.0, 72.5, 0.0, 61.0, 95.0)))).distinct
+    val df = doubles.map(Tuple1(_)).toDF("v")
+    // Go fmt %v of float64: integral values render without the point
+    def goV(d: Double): String =
+      if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    def cmpBool(c: Int, op: String) = op match {
+      case "=" => c == 0; case "!=" => c != 0
+      case "<" => c < 0; case "<=" => c <= 0
+      case ">" => c > 0; case ">=" => c >= 0
+    }
+    for (op <- Seq("=", "!=", "<", "<=", ">", ">=");
+         litv <- Seq("72.!", "abc", "72.0", "50", "zz", "")) {
+      val expr = Cmp(ColRef("v"), op, Lit(litv, quoted = true))
+      val got = df.filter(Semantics.toColumn(expr, df))
+        .collect().map(_.getDouble(0)).toSet
+      val want = doubles.filter { d =>
+        litv.toDoubleOption match {
+          case Some(b) => cmpBool(d.compareTo(b), op) // both parse → numeric
+          case None => cmpBool(goV(d).compareTo(litv), op) // %v string regime
+        }
+      }.toSet
+      assert(got == want, s"op=$op lit='$litv' diff=${got.diff(want)}/${want.diff(got)}")
+    }
+    // IN: membership of the %v rendering among RAW literal texts
+    val inExpr = graft.dialect.In(ColRef("v"),
+      List(Lit("72.0", true), Lit("72", false), Lit("-5", false), Lit("61.5", false)))
+    val got = df.filter(Semantics.toColumn(inExpr, df)).collect().map(_.getDouble(0)).toSet
+    val want = doubles.filter(d => Set("72.0", "72", "-5", "61.5").contains(goV(d))).toSet
+    assert(got == want, s"IN diff=${got.diff(want)}/${want.diff(got)}")
+  }
+
   test("LIKE shapes agree with contains/startsWith/endsWith/exact") {
     val words = sample(Gen.listOfN(80, Gen.oneOf(
       Gen.alphaStr.map(_.take(8)), Gen.oneOf("Anna", "banana", "An", "nA", "", "aa%a"))))

@@ -90,6 +90,13 @@ class DialectSpec extends AnyFunSuite {
     assert(filterIds("score IN ('010', 61.5)") == Set.empty)
   }
 
+  test("expr: string-regime comparisons render numeric columns Go-%v style") {
+    // score 72.0 renders "72" (not "72.0"): "72" < "72.!" is true while
+    // "72.0" < "72.!" is false ('0' > '!'), so the rendering decides
+    assert(filterIds("score < '72.!'") == Set(2L, 4L))
+    assert(filterIds("score BETWEEN '6!' AND '72.!'") == Set(2L, 4L))
+  }
+
   test("expr: IN keeps the numeric fast path for canonical decimals") {
     val halves = Seq((1L, 61.5), (2L, 72.25)).toDF("id", "score")
     val e = exec(Map("students" -> halves))
