@@ -92,4 +92,48 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_ann_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q_scalar_subquery: correlated subqueries rewritten to aggregate joins") {
+    // the rewrite must NOT leave a per-row subquery: expect outer joins
+    // against pre-aggregated orders, one aggregate per scalar subquery
+    val p = plan("q_scalar_subquery")
+    assert(!p.toLowerCase.contains("subquery"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_not_exists: NOT EXISTS compiles to an anti join") {
+    val p = plan("q_not_exists")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q_pivot: two-phase pivot over a pruned scan") {
+    // Spark plans pivot as pre-aggregate on (group, pivot) keys then
+    // pivot assembly — the pre-aggregation shrinks data before the
+    // second shuffle, the shape that survives 100 TB. The explicit
+    // value list also avoids a separate distinct-values collect job.
+    val p = plan("q_pivot")
+    val finalTree = p.split("== Initial Plan ==").head
+    assert("HashAggregate".r.findAllIn(finalTree).size >= 2, finalTree)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("o_orderkey") && !readSchema.contains("o_orderdate"), readSchema)
+  }
+
+  test("q_json_extract: scan pruned to the two consumed columns") {
+    val p = plan("q_json_extract")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("props") && readSchema.contains("event_type")
+      && !readSchema.contains("user_id") && !readSchema.contains("value"), readSchema)
+  }
+
+  test("q_latest_event: rank-limit pushed below the window shuffle, no join") {
+    val p = plan("q_latest_event")
+    assert(!p.contains("Join"), p)
+    // WindowGroupLimit keeps only the per-key top row BEFORE the
+    // exchange — the map-side combine of the QUALIFY pattern; without
+    // it the full events table crosses the wire
+    val finalTree = p.split("== Initial Plan ==").head
+    assert(finalTree.contains("WindowGroupLimit"), finalTree)
+    // exactly two exchanges: window hash partitioning + final sort
+    assert("Exchange \\(".r.findAllIn(finalTree).size == 2, finalTree)
+  }
 }
