@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** 10x scale probe (reproducible version of the round-1 ad-hoc probe):
+  * synthesizes a 6M-row lineitem and a 50k-doc corpus by unioning
+  * sf0.1 ten times with offset keys (worst-case duplication: every
+  * document has 9 exact copies), then times the flagship aggregate and
+  * the three fuzzy-dedup operators. Results recorded in BASELINE.md.
+  *
+  * Run: SPARK_GRAFT_CPUS=8 sbt "runMain graft.ScaleProbe"
+  * Writes only under /tmp/graft_scale10.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = "/tmp/graft_scale10"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!Files.exists(Paths.get(s"$out/lineitem.parquet"))) {
+      val li = Tables.load(spark, base, "lineitem")
+      (0 until 10).map(i => li.withColumn("l_orderkey",
+          col("l_orderkey") + lit(i * 100000000L)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      val docs = Tables.load(spark, base, "documents")
+      (0 until 10).map(i => docs.withColumn("doc_id",
+          col("doc_id") + lit(i * 10000000L)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println(s"[probe] synthesized 10x data under $out")
+    }
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      spark.catalog.clearCache()
+    }
+
+    val li = Tables.load(spark, out, "lineitem")
+    val docs = Tables.load(spark, out, "documents")
+    println(s"[probe] cpus=$cpus lineitem=${li.count()} docs=${docs.count()}")
+
+    time("q1 shape over 6M rows") {
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base"),
+          count(lit(1)).as("n"))
+        .count()
+    }
+    time("minhash LSH pairs, 50k docs, 9 exact copies each") {
+      graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 64, bands = 16, threshold = 0.35).count()
+    }
+    time("simhash pairs, 50k docs") {
+      graft.ops.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count()
+    }
+    time("ngram Jaccard pairs, 50k docs") {
+      graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.2, maxShingleDf = 50).count()
+    }
+    spark.stop()
+  }
+}
