@@ -71,6 +71,99 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- IVF (inverted-file) index: the partition-pruned ANN scale path ----
+
+  /** Coarse IVF centroids: a deterministic hash-ordered seed sample
+    * refined with `lloydIters` distributed Lloyd steps. Each step is
+    * one assignment pass (nCentroids codegen'd cosines per row) plus
+    * one per-dimension mean — computed distributed via explode +
+    * groupBy(cid, dim), then collected (nCentroids × dims values, tiny).
+    */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, lloydIters: Int = 2): Array[Array[Double]] = {
+    require(nCentroids > 0, "need nCentroids > 0")
+    var centroids: Array[Array[Double]] = df
+      .select(col(vecCol).cast("array<double>").as("v"), xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(nCentroids)
+      .collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until lloydIters) {
+      val assigned = withIvfCid(df.select(col(vecCol).cast("array<double>").as("v")),
+        "v", centroids, "cid")
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byCid = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCid.get(c) match {
+          case Some(rows) =>
+            val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).sortBy(_._1)
+            dims.map(_._2).toArray
+          case None => centroids(c) // empty cell keeps its seed
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Attach the nearest-centroid id (argmax cosine). The sims are
+    * staged as one array column so each native cosine is evaluated
+    * exactly once per row; argmax over the nCentroids-long array is a
+    * cheap interpreted pass. At scale, WRITE the table partitioned by
+    * this column — a probe then reads only nProbe directories.
+    */
+  def withIvfCid(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], out: String): DataFrame = {
+    val sims = array(centroids.map(c => cosine(col(vecCol), typedlit(c))): _*)
+    df.withColumn("_sims", sims)
+      .withColumn(out,
+        (array_position(col("_sims"), array_max(col("_sims"))) - 1).cast("int"))
+      .drop("_sims")
+  }
+
+  /** IVF approximate top-k: probe the nProbe centroid cells nearest the
+    * query, brute-force only within them. On a cid-partitioned table
+    * the non-probed cells are pruned at the directory level, so the
+    * scan cost is ~nProbe/nCentroids of the corpus.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(df, idCol, vecCol, nCentroids, lloydIters)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val probed = centroids.zipWithIndex
+      .sortBy { case (c, _) => -cos(c, query) }
+      .take(nProbe).map(_._2)
+    withIvfCid(Dedup.widen(df), vecCol, centroids, "ivf_cid")
+      .filter(col("ivf_cid").isin(probed.toIndexedSeq: _*))
+      .select(col(idCol), cosine(col(vecCol), typedlit(query)).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ---- int8 quantization: 4x smaller vectors for shuffle/storage ----
+
+  /** Per-vector symmetric int8 quantization: struct(scale, bytes) with
+    * scale = max|v| / 127. Shrinks an embedding column 4x (the storage
+    * and shuffle win at 100 TB); cosine on dequantized vectors stays
+    * within ~1% of the original for typical embeddings.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val scale = greatest(array_max(transform(v, x => abs(x))), lit(1e-30)) / lit(127.0)
+    struct(
+      scale.cast("double").as("scale"),
+      transform(v, x => round(x / scale).cast("tinyint")).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]. */
+  def dequantizeInt8(qv: Column): Column =
+    transform(qv.getField("q"), x => x.cast("double") * qv.getField("scale"))
+
   /** Embedding-cosine near-duplicate pairs: equality join on the LSH
     * signature (single shuffle on a compact long key), then exact
     * cosine verification ≥ threshold. The signature join finds pairs

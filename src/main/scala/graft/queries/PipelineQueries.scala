@@ -77,6 +77,14 @@ object PipelineQueries {
           "vec_id", "embedding", queryVec(s, dir), k = 10, nBits = 12)
         .withColumn("sim", round(col("sim"), 6))
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF cell-probed variant (the partition-pruned scale path);
+      // recall vs brute force asserted in spec.
+      Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", queryVec(s, dir), k = 10,
+          nCentroids = 16, nProbe = 4)
+        .withColumn("sim", round(col("sim"), 6))
+    }),
     "q_emb_neardup" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.4, nBits = 6)

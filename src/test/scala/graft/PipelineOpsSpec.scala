@@ -114,6 +114,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"ANN recall $recall")
   }
 
+  test("IVF ANN finds planted near neighbors; quantization preserves ranking") {
+    val rnd = new scala.util.Random(11)
+    val dims = 64
+    val query = Array.fill(dims)(rnd.nextGaussian())
+    val planted = (1 to 10).map(i => (i.toLong, perturb(query, 0.05, i).map(_.toFloat)))
+    val noise = (11 to 500).map(i => (i.toLong, Array.fill(dims)(rnd.nextGaussian().toFloat)))
+    val df = (planted ++ noise).toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", query,
+      k = 10, nCentroids = 8, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (1 to 10).count(i => ivf.contains(i.toLong)) / 10.0
+    assert(recall >= 0.8, s"IVF recall $recall")
+
+    // int8 round-trip: cosine against the query barely moves
+    val rt = df.select(col("vec_id"),
+        Similarity.cosine(col("embedding"), typedlit(query)).as("exact"),
+        Similarity.cosine(
+          Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding").cast("array<double>"))),
+          typedlit(query)).as("approx"))
+      .select(max(abs(col("exact") - col("approx")))).head().getDouble(0)
+    assert(rt < 0.02, s"max cosine drift after int8 round-trip: $rt")
+  }
+
   test("brute-force top-k equals exact ranking") {
     val df = Seq(
       (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)), (4L, Array(-1f, 0f))
