@@ -82,29 +82,34 @@ object Similarity {
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, lloydIters: Int = 2): Array[Array[Double]] = {
     require(nCentroids > 0, "need nCentroids > 0")
-    var centroids: Array[Array[Double]] = df
+    // lloydIters + 1 passes read the same projection: cache it (a few
+    // doubles per row; at 100 TB run this on a sample, not the corpus).
+    val vecs = df
       .select(col(vecCol).cast("array<double>").as("v"), xxhash64(col(idCol)).as("h"))
-      .orderBy(col("h")).limit(nCentroids)
-      .collect().map(_.getSeq[Double](0).toArray)
-    for (_ <- 0 until lloydIters) {
-      val assigned = withIvfCid(df.select(col(vecCol).cast("array<double>").as("v")),
-        "v", centroids, "cid")
-      val means = assigned
-        .select(col("cid"), posexplode(col("v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .collect()
-      val byCid = means.groupBy(_.getInt(0))
-      centroids = centroids.indices.map { c =>
-        byCid.get(c) match {
-          case Some(rows) =>
-            val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).sortBy(_._1)
-            dims.map(_._2).toArray
-          case None => centroids(c) // empty cell keeps its seed
-        }
-      }.toArray
-    }
-    centroids
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Array[Array[Double]] = vecs
+        .orderBy(col("h")).limit(nCentroids)
+        .collect().map(_.getSeq[Double](0).toArray)
+      for (_ <- 0 until lloydIters) {
+        val assigned = withIvfCid(vecs.select(col("v")), "v", centroids, "cid")
+        val means = assigned
+          .select(col("cid"), posexplode(col("v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(avg(col("col")).as("m"))
+          .collect()
+        val byCid = means.groupBy(_.getInt(0))
+        centroids = centroids.indices.map { c =>
+          byCid.get(c) match {
+            case Some(rows) =>
+              val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).sortBy(_._1)
+              dims.map(_._2).toArray
+            case None => centroids(c) // empty cell keeps its seed
+          }
+        }.toArray
+      }
+      centroids
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** Attach the nearest-centroid id (argmax cosine). The sims are
