@@ -129,7 +129,6 @@ object Dedup {
     // signature tail and weakens the bands×rows=k recall guarantee
     require(bands > 0 && bands <= k && k % bands == 0,
       s"need bands to divide k, got k=$k bands=$bands")
-    val rowsPerBand = k / bands
     // persist: consumed by the band explode AND both re-attach joins;
     // compact (one k-long array per doc), spillable
     val sig = minhashSignature(df, idCol, textCol, k, n)
@@ -138,24 +137,63 @@ object Dedup {
     // instead of dragging the k-element signature through a 16-way
     // explode; signatures are re-attached to the (deduplicated, tiny)
     // candidate pair set afterwards.
-    val banded = sig.select(col("id"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val banded = bandedOf(sig, k, bands)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    estJaccardOfPairs(cand, sig, k).filter(col("est_jaccard") >= threshold)
+  }
+
+  /** (id, band, band_hash) rows: one per band per signature. */
+  private def bandedOf(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    sig.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
+  /** Attach est_jaccard (fraction of equal minhash components) to
+    * (id_a, id_b) candidate pairs from a signature table.
+    */
+  private def estJaccardOfPairs(cand: DataFrame, sig: DataFrame, k: Int): DataFrame =
     cand
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / lit(k.toDouble)).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+
+  /** Incremental near-dedup: pairs between a NEW batch's signatures and
+    * a stored corpus signature table (plus new-vs-new), WITHOUT
+    * touching corpus documents. The daily-ingest shape at 100 TB:
+    * signatures are computed once per document ([[minhashSignature]])
+    * and appended to a signature table; each incoming batch band-joins
+    * against it — cost scales with batch × matching buckets, never
+    * with corpus². Corpus-vs-corpus pairs are deliberately excluded
+    * (they were found when those documents were ingested). Ids must be
+    * unique across both tables.
+    */
+  def minhashLshPairsIncremental(newSig: DataFrame, corpusSig: DataFrame,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && bands <= k && k % bands == 0,
+      s"need bands to divide k, got k=$k bands=$bands")
+    val fresh = newSig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = corpusSig.select(col("id"), col("sig")).unionByName(fresh)
+    // left side is always a new doc, so corpus×corpus never joins; a
+    // new×new pair appears in both orders → normalize + dedupe.
+    val cand = bandedOf(fresh, k, bands).as("a")
+      .join(bandedOf(all, k, bands).as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+          && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    estJaccardOfPairs(cand, all, k).filter(col("est_jaccard") >= threshold)
   }
 
   // ---- SimHash ----

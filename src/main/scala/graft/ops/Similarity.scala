@@ -136,15 +136,66 @@ object Similarity {
       query: Array[Double], k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       lloydIters: Int = 2): DataFrame = {
     val centroids = ivfCentroids(df, idCol, vecCol, nCentroids, lloydIters)
+    val probed = nearestCentroids(centroids, query, nProbe)
+    withIvfCid(Dedup.widen(df), vecCol, centroids, "ivf_cid")
+      .filter(col("ivf_cid").isin(probed.toIndexedSeq: _*))
+      .select(col(idCol), cosine(col(vecCol), typedlit(query)).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Indices of the nProbe centroids nearest (by cosine) to the query. */
+  def nearestCentroids(centroids: Array[Array[Double]], query: Array[Double],
+      nProbe: Int): Array[Int] = {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
     }
-    val probed = centroids.zipWithIndex
-      .sortBy { case (c, _) => -cos(c, query) }
+    centroids.zipWithIndex.sortBy { case (c, _) => -cos(c, query) }
       .take(nProbe).map(_._2)
-    withIvfCid(Dedup.widen(df), vecCol, centroids, "ivf_cid")
+  }
+
+  // ---- persisted IVF index: build once, probe many ----
+
+  /** Build a persistent IVF index at `path`: the table written as
+    * parquet PARTITIONED BY ivf_cid (one directory per cell), with the
+    * trained centroids in a `_ivf_centroids.txt` sidecar (the leading
+    * underscore keeps Spark's file listing from treating it as data).
+    * Probes then read only the probed cells' directories — at 100 TB
+    * the index build is a one-off batch job and every query scans
+    * ~nProbe/nCentroids of the corpus. Returns the centroids.
+    */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String, nCentroids: Int = 16, lloydIters: Int = 2): Array[Array[Double]] = {
+    val centroids = ivfCentroids(df, idCol, vecCol, nCentroids, lloydIters)
+    withIvfCid(df, vecCol, centroids, "ivf_cid")
+      .write.mode("overwrite").partitionBy("ivf_cid").parquet(path)
+    val sidecar = java.nio.file.Paths.get(path, "_ivf_centroids.txt")
+    java.nio.file.Files.write(sidecar,
+      centroids.map(_.mkString(",")).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    centroids
+  }
+
+  /** Centroids from a [[buildIvfIndex]] sidecar. */
+  def loadIvfCentroids(path: String): Array[Array[Double]] =
+    new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, "_ivf_centroids.txt")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").map(_.split(",").map(_.toDouble))
+
+  /** Top-k against a persisted IVF index. The isin filter on the
+    * partition column becomes a PartitionFilter in the scan: pruned
+    * cells are never listed, let alone read (asserted in spec).
+    */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, query: Array[Double], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val centroids = loadIvfCentroids(path)
+    val probed = nearestCentroids(centroids, query, nProbe)
+    spark.read.parquet(path)
       .filter(col("ivf_cid").isin(probed.toIndexedSeq: _*))
       .select(col(idCol), cosine(col(vecCol), typedlit(query)).as("sim"))
       .orderBy(col("sim").desc, col(idCol))

@@ -61,6 +61,19 @@ object PipelineQueries {
           k = 64, bands = 16, threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // daily-ingest shape: new batch (doc_id % 5 == 0) deduped against
+      // the stored corpus signature table only — corpus docs untouched
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val corpusSig = Dedup.minhashSignature(
+        docs.filter(col("id") % 5 =!= 0), "id", "text", k = 64)
+      val freshSig = Dedup.minhashSignature(
+        docs.filter(col("id") % 5 === 0), "id", "text", k = 64)
+      Dedup.minhashLshPairsIncremental(freshSig, corpusSig,
+          k = 64, bands = 16, threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
           maxHamming = 3)

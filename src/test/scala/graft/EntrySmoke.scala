@@ -6,7 +6,7 @@ class EntrySmoke extends AnyFunSuite {
     val n = df.count()
     info(s"entry rows: $n")
     assert(n > 0)
-    assert(SparkEntry.queries.size == 72)
+    assert(SparkEntry.queries.size == 73)
     assert(SparkEntry.oracleSql.size == 62)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }

@@ -137,6 +137,69 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rt < 0.02, s"max cosine drift after int8 round-trip: $rt")
   }
 
+  test("persisted IVF index: probe prunes partitions and matches in-memory IVF") {
+    val rnd = new scala.util.Random(12)
+    val dims = 32
+    val query = Array.fill(dims)(rnd.nextGaussian())
+    val planted = (1 to 10).map(i => (i.toLong, perturb(query, 0.05, i).map(_.toFloat)))
+    val noise = (11 to 500).map(i => (i.toLong, Array.fill(dims)(rnd.nextGaussian().toFloat)))
+    val df = (planted ++ noise).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    try {
+      val centroids = Similarity.buildIvfIndex(df, "vec_id", "embedding", dir,
+        nCentroids = 8, lloydIters = 2)
+      assert(Similarity.loadIvfCentroids(dir).map(_.toSeq).toSeq ==
+        centroids.map(_.toSeq).toSeq)
+
+      val probe = Similarity.probeIvfIndex(spark, dir, "vec_id", "embedding",
+        query, k = 10, nProbe = 3)
+      // partition pruning is visible in the scan: only probed cells' files
+      // read (input_file_name must be read below any exchange, so rebuild
+      // the probe's filtered scan directly)
+      val probedCells = Similarity.nearestCentroids(centroids, query, 3).toSet
+      val scannedCells = spark.read.parquet(dir)
+        .filter(col("ivf_cid").isin(probedCells.toSeq: _*))
+        .select(input_file_name()).distinct().collect()
+        .map(_.getString(0).replaceAll(".*ivf_cid=(\\d+).*", "$1").toInt).toSet
+      assert(scannedCells.subsetOf(probedCells),
+        s"scanned $scannedCells beyond probed $probedCells")
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("ivf_cid"),
+        "isin on the partition column must become a PartitionFilter")
+
+      val got = probe.collect().map(_.getLong(0)).toSet
+      val recall = (1 to 10).count(i => got.contains(i.toLong)) / 10.0
+      assert(recall >= 0.8, s"persisted-IVF recall $recall")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.iterator.asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally s.close()
+    }
+  }
+
+  test("incremental minhash equals full-batch pairs restricted to new docs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val corpus = docs.filter(col("id") % 5 =!= 0)
+    val fresh = docs.filter(col("id") % 5 === 0)
+    val corpusSig = Dedup.minhashSignature(corpus, "id", "text", k = 64, n = 3)
+    val freshSig = Dedup.minhashSignature(fresh, "id", "text", k = 64, n = 3)
+    val incr = Dedup.minhashLshPairsIncremental(freshSig, corpusSig,
+        k = 64, bands = 16, threshold = 0.35)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val freshIds = fresh.select("id").collect().map(_.getLong(0)).toSet
+    val full = Dedup.minhashLshPairs(docs, "id", "text",
+        k = 64, bands = 16, n = 3, threshold = 0.35)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => freshIds.contains(a) || freshIds.contains(b) }
+      .toSet
+
+    assert(incr == full, s"incremental-only diff: ${incr.diff(full)}; missing: ${full.diff(incr)}")
+    assert(incr.nonEmpty, "expected planted near-duplicates to span the split")
+  }
+
   test("brute-force top-k equals exact ranking") {
     val df = Seq(
       (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)), (4L, Array(-1f, 0f))
