@@ -152,11 +152,53 @@ final class Catalog(val spark: SparkSession, val dbPath: String) {
   /** Register/refresh every table as a temp view. */
   def registerAll(): Unit =
     tables.keys.foreach(n => load(n).createOrReplaceTempView(n))
+
+  /** Parquet file statistics for a table — the compaction signal.
+    * Every append writes at least one new file per task, so a
+    * frequently-appended table degrades into thousands of small files
+    * whose per-file open/footer cost dominates scans at scale.
+    */
+  def fileStats(name: String): Catalog.FileStats = {
+    columnsOf(name)
+    val dir = tableDir(name)
+    if (!Files.exists(dir)) return Catalog.FileStats(0, 0L, 0L)
+    val s = Files.walk(dir)
+    val sizes =
+      try s.iterator.asScala.filter(_.toString.endsWith(".parquet"))
+        .map(Files.size).toVector
+      finally s.close()
+    Catalog.FileStats(sizes.size, sizes.sum,
+      if (sizes.isEmpty) 0L else sizes.max)
+  }
+
+  /** Rewrite a table into files sized near `targetFileBytes` via the
+    * same atomic staged-overwrite swap (readers never see a partial
+    * table). Partitioned tables are re-split on their partition
+    * columns so each hive directory compacts independently. The row
+    * data is unchanged — this is pure layout maintenance.
+    */
+  def compact(name: String, targetFileBytes: Long = 128L << 20): Unit = synchronized {
+    val stats = fileStats(name)
+    // already one right-sized file (or empty): nothing to rewrite
+    if (stats.fileCount <= 1 && stats.totalBytes <= targetFileBytes) return
+    val nFiles = math.max(1,
+      math.ceil(stats.totalBytes.toDouble / targetFileBytes).toInt)
+    val spec = specOf(name)
+    val df = load(name)
+    val reshaped =
+      if (spec.partitionBy.nonEmpty)
+        df.repartition(nFiles, spec.partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nFiles)
+    overwrite(name, reshaped)
+  }
 }
 
 object Catalog {
   /** Declared columns (name, dialect type) + hive-style partition cols. */
   final case class TableSpec(columns: Seq[(String, String)], partitionBy: Seq[String] = Nil)
+
+  /** Parquet layout stats: data-file count, total bytes, largest file. */
+  final case class FileStats(fileCount: Int, totalBytes: Long, maxFileBytes: Long)
 
   val dialectTypes: Set[String] = Set("INT", "TEXT", "DECIMAL", "BOOL", "IMAGE")
 

@@ -170,6 +170,51 @@ object ExtendedQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- distinct / conditional / string aggregates ----
+    "q_distinct_agg" -> ((s, dir) => {
+      // distinct aggs each add a shuffle-side dedup; keeping them in one
+      // agg lets Spark expand to a single multi-phase plan
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          sum_distinct(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast("double").as("sum_dq"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "q_conditional_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+          dsum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice")))
+            .as("urgent_total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    "q_string_agg" -> ((s, dir) => {
+      // deterministic: sort the collected list before joining (matches
+      // the oracle's string_agg ORDER BY)
+      Tables.load(s, dir, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(concat_ws(",", array_sort(collect_list(col("c_name")))).as("names"),
+          count(lit(1)).as("n"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // ---- time-range window frame ----
+    "q_window_range_time" -> ((s, dir) => {
+      // trailing-hour frame keyed on epoch seconds: RANGE frames need a
+      // numeric sort key; peers (same second) are included on both sides
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("value")).over(w), 4).as("sum_1h"))
+        .orderBy(col("user_id"), col("event_id"), col("n_1h"), col("sum_1h"))
+    }),
+
     // ---- language ID + quality score, hash-checked ----
     "q_text_langid" -> ((s, dir) => {
       val t = col("text")
@@ -261,6 +306,33 @@ object ExtendedQueries {
            CAST(QUARTER(o_orderdate) AS BIGINT) AS q,
            CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow
          FROM orders ORDER BY o_orderkey""",
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_dq
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_conditional_agg" ->
+      """SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+             THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent_total,
+           COUNT(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_string_agg" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           COUNT(*) AS n
+         FROM customer GROUP BY 1 ORDER BY 1""",
+    "q_window_range_time" ->
+      """SELECT user_id, event_id,
+           COUNT(*) OVER w AS n_1h,
+           ROUND(SUM(value) OVER w, 4) AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+           ORDER BY CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id, n_1h, sum_1h""",
     "q_text_langid" ->
       """WITH t AS (
            SELECT doc_id, text,

@@ -39,6 +39,30 @@ class CatalogDmlSpec extends AnyFunSuite {
     e.catalog.create("ok_Name_9", Seq("id" -> "INT")) // sane names still pass
   }
 
+  test("compaction merges append-fragmented files, data unchanged") {
+    val e = freshEngine()
+    e.execute("CREATE TABLE frag (id INT, name TEXT)")
+    // each single-row insert writes its own parquet file
+    (1 to 12).foreach(i =>
+      e.execute(s"INSERT INTO frag (id, name) VALUES ($i, 'n$i')"))
+    val before = e.catalog.fileStats("frag")
+    assert(before.fileCount == 12, s"expected 12 fragment files, got $before")
+    val rowsBefore = e.catalog.load("frag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+
+    e.catalog.compact("frag")
+    val after = e.catalog.fileStats("frag")
+    assert(after.fileCount == 1, s"expected one compacted file, got $after")
+    val rowsAfter = e.catalog.load("frag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rowsAfter == rowsBefore)
+
+    // tiny target forces a multi-file layout; still the same rows
+    e.catalog.compact("frag", targetFileBytes = 1L)
+    assert(e.catalog.fileStats("frag").fileCount > 1)
+    assert(e.catalog.load("frag").count() == 12)
+  }
+
   test("insert with coercion, select back") {
     val e = freshEngine()
     e.execute("CREATE TABLE t (id INT, name TEXT, score DECIMAL, ok BOOL)")
