@@ -35,6 +35,15 @@ object StreamQueries {
           col("n_events"), col("total_value"))
         .orderBy(col("user_id"), col("session_start"))
     }),
+    "q_stream_sliding" -> ((s, dir) => {
+      // 1-hour window sliding every 15 minutes: each event lands in 4
+      // overlapping windows (window() expands rows, then one shuffle)
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
     "q_multimodal_features" -> ((s, dir) => {
       // binary payload → per-partition stub decode → features; rows-only
       // (the stub is not SQL); plumbing validated in MultimodalSpec.
@@ -57,6 +66,12 @@ object StreamQueries {
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q_stream_sliding" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+             - k.k * INTERVAL '15 minutes' AS window_start,
+           event_type, COUNT(*) AS n
+         FROM events CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS k) k
+         GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "q_stream_session" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
          m AS (SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
