@@ -72,6 +72,49 @@ object ScaleProbe {
       graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.2, maxShingleDf = 50).count()
     }
+
+    // incremental ingest: 1/10 of the corpus as the "new batch" against
+    // the other 9/10's stored signatures — the cost that matters daily
+    val sigDir = s"$out/corpus_sig.parquet"
+    val docsRenamed = docs.select(col("doc_id").as("id"), col("text"))
+    if (!Files.exists(Paths.get(sigDir))) {
+      val t0 = System.nanoTime()
+      graft.ops.Dedup.minhashSignature(
+          docsRenamed.filter(col("id") % 10 =!= 0), "id", "text", k = 64)
+        .write.mode("overwrite").parquet(sigDir)
+      println(f"[probe] one-off signature-table build (45k docs): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    time("incremental minhash: 5k new docs vs 45k stored signatures") {
+      val freshSig = graft.ops.Dedup.minhashSignature(
+        docsRenamed.filter(col("id") % 10 === 0), "id", "text", k = 64)
+      graft.ops.Dedup.minhashLshPairsIncremental(freshSig,
+        spark.read.parquet(sigDir), k = 64, bands = 16, threshold = 0.35).count()
+    }
+
+    // persisted IVF: one-off partitioned index build, then a probe that
+    // reads only nProbe of nCentroids cells
+    val embBase = Tables.load(spark, base, "embeddings")
+    val emb10 = (0 until 10).map(i => embBase.withColumn("vec_id",
+        col("vec_id") + lit(i * 10000000L)))
+      .reduce(_ unionAll _)
+    val idxDir = s"$out/ivf_idx"
+    val query = embBase.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    if (!Files.exists(Paths.get(idxDir))) {
+      val t0 = System.nanoTime()
+      graft.ops.Similarity.buildIvfIndex(emb10, "vec_id", "embedding", idxDir,
+        nCentroids = 16, lloydIters = 2)
+      println(f"[probe] one-off IVF index build (${emb10.count()} vectors): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    time("IVF probe top-10 (4/16 cells) vs full corpus") {
+      graft.ops.Similarity.probeIvfIndex(spark, idxDir, "vec_id", "embedding",
+        query, k = 10, nProbe = 4).count()
+    }
+    time("brute-force top-10 over the same corpus") {
+      graft.ops.Similarity.bruteForceTopK(emb10, "vec_id", "embedding",
+        query, k = 10).count()
+    }
     spark.stop()
   }
 }
