@@ -28,7 +28,12 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!Files.exists(Paths.get(s"$out/lineitem.parquet"))) {
+    // guard on documents.parquet — it is written LAST, so a run that
+    // died mid-synthesis re-synthesizes instead of half-loading.
+    // Cached artifacts under /tmp (incl. corpus_sig/ivf_idx below) are
+    // tied to the current hash/centroid scheme: rm -rf /tmp/graft_scale10
+    // after changing signature code.
+    if (!Files.exists(Paths.get(s"$out/documents.parquet"))) {
       val li = Tables.load(spark, base, "lineitem")
       (0 until 10).map(i => li.withColumn("l_orderkey",
           col("l_orderkey") + lit(i * 100000000L)))

@@ -174,8 +174,11 @@ final class Catalog(val spark: SparkSession, val dbPath: String) {
   /** Rewrite a table into files sized near `targetFileBytes` via the
     * same atomic staged-overwrite swap (readers never see a partial
     * table). Partitioned tables are re-split on their partition
-    * columns so each hive directory compacts independently. The row
-    * data is unchanged — this is pure layout maintenance.
+    * columns; maxRecordsPerFile (rows estimated from the current
+    * bytes/row) then caps every output file, so one huge hive
+    * partition still lands as several right-sized files instead of a
+    * single task-sized one. The row data is unchanged — this is pure
+    * layout maintenance.
     */
   def compact(name: String, targetFileBytes: Long = 128L << 20): Unit = synchronized {
     val stats = fileStats(name)
@@ -185,11 +188,20 @@ final class Catalog(val spark: SparkSession, val dbPath: String) {
       math.ceil(stats.totalBytes.toDouble / targetFileBytes).toInt)
     val spec = specOf(name)
     val df = load(name)
+    val totalRows = df.count()
+    val bytesPerRow = math.max(1L, stats.totalBytes / math.max(1L, totalRows))
+    val rowsPerFile = math.max(1L, targetFileBytes / bytesPerRow)
     val reshaped =
       if (spec.partitionBy.nonEmpty)
         df.repartition(nFiles, spec.partitionBy.map(org.apache.spark.sql.functions.col): _*)
       else df.repartition(nFiles)
-    overwrite(name, reshaped)
+    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", rowsPerFile.toString)
+    try overwrite(name, reshaped)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
   }
 }
 

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * Everything stays a composed built-in expression (`try_cast` + `when`)
   * so whole-stage codegen applies and the predicates remain visible to
-  * Catalyst — no UDFs, no black boxes (SURVEY.md §7 "Built-in vs
-  * custom"). `try_cast` also keeps the semantics independent of
-  * Spark 4's ANSI mode (a plain cast would throw on 'abc').
+  * Catalyst (SURVEY.md §7 "Built-in vs custom") — with ONE exception:
+  * the exact Go-%v float renderer ([[goVFormat]]) runs as a scalar UDF
+  * on the residual non-integral branch of the string regime, which is
+  * already non-pushable by nature. `try_cast` keeps the semantics
+  * independent of Spark 4's ANSI mode (a plain cast would throw on
+  * 'abc').
   */
 object Semantics {
 
@@ -27,19 +30,80 @@ object Semantics {
   private def num(o: Operand, df: DataFrame): Column =
     str(o, df).try_cast("double")
 
-  /** Go `%v` rendering of an operand: a float64 with an integral value
-    * renders without the decimal point (10.0 → "10"), unlike Spark's
-    * cast-to-string ("10.0"). Needed where the reference compares raw
-    * %v strings (IN membership) so a stored 72.0 equals literal '72'
-    * and NOT literal '72.0'. Values at |v| ≥ 1e15 keep Spark's
-    * rendering (Go switches to scientific at 1e21 — an untestable
-    * corner in the reference's own suite).
+  /** Exact Go `strconv.FormatFloat(v, 'g', -1, 64)` — what `fmt.Sprintf
+    * ("%v", float64)` prints, and therefore what every reference
+    * string-regime comparison sees (rows are JSON-decoded float64s):
+    * shortest round-trip digits; e-notation iff the decimal exponent is
+    * < -4 or >= 6 (strconv's shortest-mode eprec); two-digit signed
+    * exponent; "-0", "NaN", "+Inf"/"-Inf". Spark's own rendering
+    * diverges on all of: integral values ("10.0"), |v| in [1e6, 1e7)
+    * non-integral, |v| >= 1e7, |v| < 1e-3, and -0.0.
+    */
+  private[graft] def goVFormat(v: Double): String = {
+    if (v.isNaN) return "NaN"
+    if (v == Double.PositiveInfinity) return "+Inf"
+    if (v == Double.NegativeInfinity) return "-Inf"
+    val neg = v < 0.0 || (v == 0.0 && 1.0 / v < 0.0)
+    val a = math.abs(v)
+    var digits = "0"; var decExp = 0
+    if (a != 0.0) {
+      // shortest digit string: smallest precision that parses back exactly
+      var p = 1
+      var done = false
+      while (!done) {
+        val s = String.format(java.util.Locale.ROOT, "%." + (p - 1) + "e",
+          java.lang.Double.valueOf(a))
+        if (p >= 17 || java.lang.Double.parseDouble(s) == a) {
+          val i = s.indexOf('e')
+          digits = s.substring(0, i).replace(".", "")
+          decExp = s.substring(i + 1).toInt
+          while (digits.length > 1 && digits.last == '0') digits = digits.init
+          done = true
+        }
+        p += 1
+      }
+    }
+    val sb = new StringBuilder
+    if (neg) sb += '-'
+    if (decExp < -4 || decExp >= 6) {
+      sb ++= digits.substring(0, 1)
+      if (digits.length > 1) { sb += '.'; sb ++= digits.substring(1) }
+      sb += 'e'
+      sb += (if (decExp < 0) '-' else '+')
+      val ae = math.abs(decExp)
+      if (ae < 10) sb += '0'
+      sb ++= ae.toString
+    } else if (decExp >= digits.length - 1) {
+      sb ++= digits
+      sb ++= "0" * (decExp - digits.length + 1)
+    } else if (decExp >= 0) {
+      sb ++= digits.substring(0, decExp + 1); sb += '.'; sb ++= digits.substring(decExp + 1)
+    } else {
+      sb ++= "0."; sb ++= "0" * (-decExp - 1); sb ++= digits
+    }
+    sb.toString
+  }
+
+  private lazy val goVUdf = udf((d: java.lang.Double) =>
+    if (d == null) null else goVFormat(d.doubleValue))
+
+  /** Go `%v` rendering of an operand as a Column. The integral fast
+    * path stays a codegen'd when(); the residual non-integral branch is
+    * the engine's ONLY UDF — confined to the string-comparison regime,
+    * which is already non-pushable dual-regime dialect semantics. All
+    * arithmetic runs on doubles so Spark 4 ANSI mode cannot overflow
+    * (notably abs(Long.MinValue)).
     */
   private def goVStr(o: Operand, df: DataFrame): Column = o match {
     case ColRef(n) if isNumericCol(df, n) =>
-      val c = resolve(df, n)
-      when(c === floor(c) && abs(c) < lit(1e15), c.cast("long").cast("string"))
-        .otherwise(c.cast("string"))
+      val d = resolve(df, n).cast("double")
+      // the last conjunct keeps -0.0 out of the fast path (Go renders
+      // "-0"; Spark casts it to "-0.0", so the sign survives the
+      // string rendering while === treats ±0 as equal)
+      when(d === floor(d) && d > lit(-1e15) && d < lit(1e15)
+          && (d =!= lit(0.0) || !d.cast("string").startsWith("-")),
+        d.cast("long").cast("string"))
+        .otherwise(goVUdf(d))
     case other => str(other, df)
   }
 
@@ -75,7 +139,11 @@ object Semantics {
       }
       val colIsNum = o match {
         case ColRef(n) => isNumericCol(df, n)
-        case Lit(v, _) => v.toDoubleOption.isDefined
+        // the reference evaluates a literal left operand to its raw
+        // text (only column refs hit the row), and IN compares raw
+        // strings — so a literal left side NEVER goes numeric:
+        // '10.0' IN ('10') is false there even though both parse
+        case _: Lit => false
       }
       if (colIsNum && listVals.forall(isCanonicalNumericLiteral))
         // numeric equality == %v-string equality for canonical literals,
@@ -144,18 +212,11 @@ object Semantics {
     */
   private def isCanonicalNumericLiteral(s: String): Boolean =
     s.toDoubleOption.exists { d =>
-      val canonical =
-        if (!java.lang.Double.isFinite(d)) null // %v "NaN"/"+Inf" never equals numeric compare
-        else if (d == 0.0 && 1.0 / d < 0) null // "-0" renders as "-0" but equals 0 numerically
-        else if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
-        else {
-          // Java's shortest round-trip form matches Go %v for plain
-          // decimals; scientific notation differs between the two, but
-          // those literals aren't in scientific form canonically anyway
-          val j = d.toString
-          if (j.contains("E") || j.contains("e")) null else j
-        }
-      canonical == s
+      // NaN/Inf: %v text matches itself but numeric equality differs
+      // (NaN != NaN); "-0": renders "-0" yet equals +0 numerically —
+      // both must stay on the string path
+      java.lang.Double.isFinite(d) && !(d == 0.0 && 1.0 / d < 0) &&
+        goVFormat(d) == s
     }
 
   /** Coercion comparison, specialized to a PUSHABLE plain predicate when

@@ -130,7 +130,10 @@ object Dedup {
     require(bands > 0 && bands <= k && k % bands == 0,
       s"need bands to divide k, got k=$k bands=$bands")
     // persist: consumed by the band explode AND both re-attach joins;
-    // compact (one k-long array per doc), spillable
+    // compact (one k-long array per doc), spillable. Lifecycle note:
+    // the returned frame is lazy, so we cannot unpersist here — callers
+    // in long-lived sessions should spark.catalog.clearCache() after
+    // consuming results (Verify/Bench do so between queries).
     val sig = minhashSignature(df, idCol, textCol, k, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The band join shuffles only (id, band, band_hash) — 24 bytes/row —
@@ -229,14 +232,19 @@ object Dedup {
     * codegen'd hash aggregation: explode tokens, hash each once, and
     * take 64 parallel ±1-vote sums (map-side combinable, one shuffle
     * keyed by id). Matches [[withSimhash]] bit-for-bit — including the
-    * empty-document case, where `split` yields the single empty token —
+    * empty-document case (`split` yields the single empty token) and
+    * NULL text (explode_outer keeps the row; the null hash makes every
+    * vote null, so the fingerprint is 0, as withSimhash computes) —
     * but runs the hot path inside whole-stage codegen instead of an
     * interpreted 64-wide zip_with per token.
     */
   def simhashDocs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = widen(df)
-      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("_t"))
-      .select(col("id"), xxhash64(col("_t")).as("_h"))
+      .select(col(idCol).as("id"),
+        explode_outer(TextAnalysis.tokens(col(textCol))).as("_t"))
+      // xxhash64(null) would return the seed, not null — keep null
+      // tokens null so null-text docs aggregate to fingerprint 0
+      .select(col("id"), when(col("_t").isNotNull, xxhash64(col("_t"))).as("_h"))
     val votes = (0 until 64).map(i =>
       sum(shiftright(col("_h"), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"v$i"))
     val bits = (0 until 64).map(i =>

@@ -150,7 +150,9 @@ object ExtendedQueries {
 
     // ---- JSON extraction ----
     "q_json_extract" -> ((s, dir) => {
-      val k = get_json_object(col("props"), "$.k").cast("long")
+      // try_cast: a non-numeric $.k becomes null instead of an ANSI
+      // crash (dirty-string rule; oracle mirrors with TRY_CAST)
+      val k = get_json_object(col("props"), "$.k").try_cast("long")
       Tables.load(s, dir, "events")
         .select(col("event_type"), k.as("k"))
         .groupBy(col("event_type"))
@@ -296,8 +298,8 @@ object ExtendedQueries {
          ORDER BY user_id""",
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_date_arith" ->
       """SELECT o_orderkey,

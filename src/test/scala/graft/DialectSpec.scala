@@ -107,6 +107,54 @@ class DialectSpec extends AnyFunSuite {
     assert(ids("score IN (61.50)") == Set.empty)   // "61.5" != "61.50"
   }
 
+  test("goVFormat matches Go strconv %v across notations") {
+    import graft.dialect.Semantics.goVFormat
+    // expected strings are Go fmt.Sprintf("%v", x) outputs: shortest
+    // digits, e-notation iff exponent < -4 or >= 6
+    val cases = Seq(
+      0.0 -> "0", -0.0 -> "-0", 10.0 -> "10", -42.0 -> "-42",
+      10.5 -> "10.5", 61.5 -> "61.5", 0.1 -> "0.1",
+      1.0 / 3.0 -> "0.3333333333333333",
+      0.0005 -> "0.0005", 0.00005 -> "5e-05", 1.5e-8 -> "1.5e-08",
+      123456.0 -> "123456", 999999.5 -> "999999.5",
+      1000000.0 -> "1e+06", 1234567.0 -> "1.234567e+06",
+      12345678.5 -> "1.23456785e+07", 1e15 -> "1e+15",
+      9007199254740992.0 -> "9.007199254740992e+15", 1e21 -> "1e+21",
+      1e100 -> "1e+100", -2.5e-7 -> "-2.5e-07",
+      Double.NaN -> "NaN",
+      Double.PositiveInfinity -> "+Inf", Double.NegativeInfinity -> "-Inf")
+    cases.foreach { case (d, want) =>
+      assert(goVFormat(d) == want, s"goVFormat($d)")
+    }
+  }
+
+  test("expr: string-regime rendering is Go-%v even for scientific/tiny values") {
+    val exotic = Seq((1L, 1234567.5), (2L, 0.0005), (3L, 0.00005), (4L, -0.0))
+      .toDF("id", "score")
+    val e = exec(Map("students" -> exotic))
+    def ids(w: String): Set[Long] =
+      e.sql(s"SELECT id FROM students WHERE $w").collect().map(_.getLong(0)).toSet
+    // string regime (non-numeric literal forces it): rendering decides
+    assert(ids("score = '1.2345675e+06'") == Set(1L))
+    assert(ids("score = '0.0005'") == Set(2L))
+    assert(ids("score = '5e-05'") == Set(3L))
+    assert(ids("score = '-0'") == Set(4L))
+    // IN goes through raw %v membership for non-canonical literals
+    assert(ids("score IN ('5e-05', 'x')") == Set(3L))
+  }
+
+  test("expr: IN with a literal left operand is raw-text membership") {
+    val df = Seq(Tuple1(1L)).toDF("id")
+    val e = exec(Map("students" -> df))
+    def hit(w: String): Boolean =
+      e.sql(s"SELECT id FROM students WHERE $w").collect().nonEmpty
+    // reference evaluates a literal operand to its raw text: "10.0" is
+    // not in {"10"} even though both parse numerically
+    assert(!hit("'10.0' IN ('10')"))
+    assert(hit("'10' IN ('10', '20')"))
+    assert(hit("10.0 IN ('10.0')")) // raw text matches itself
+  }
+
   test("expr: coercion — numeric when both sides parse, else lexicographic") {
     val mixed = Seq(Tuple1("10"), Tuple1("9"), Tuple1("abc")).toDF("v")
     val e = exec(Map("t" -> mixed))

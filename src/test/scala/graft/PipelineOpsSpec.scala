@@ -95,6 +95,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("simhash: NULL-text docs keep fingerprint 0 and match withSimhash") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, null: String), (3L, null: String))
+      .toDF("doc_id", "text")
+    val agg = Dedup.simhashDocs(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaArray = Dedup.withSimhash(df, "text", "sim")
+      .select(col("doc_id"), col("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(agg == viaArray, "codegen'd aggregation must match the array formulation")
+    assert(agg(2L) == 0L && agg(3L) == 0L)
+    // two null docs are Hamming-0 near-duplicates, as in the array path
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 3L)))
+  }
+
   // ---- similarity ----
   private def perturb(v: Array[Double], eps: Double, seed: Int): Array[Double] = {
     val rnd = new scala.util.Random(seed)
