@@ -41,4 +41,17 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
       key: String, joinType: String = "inner"): DataFrame =
     spark.table(left).join(spark.table(right), Seq(key), joinType)
+
+  /** Range-clustered layout: repartitionByRange on the key then sort
+    * within partitions, so every output file covers a disjoint key
+    * interval. Parquet row-group min/max stats + the pushed range
+    * filter then skip everything outside the queried interval — the
+    * complement to bucketing (equality joins) for range scans
+    * (time-slice reads of an event log, date-bounded fact queries).
+    */
+  def writeRangeSorted(df: DataFrame, path: String, key: String,
+      nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(path)
 }

@@ -59,6 +59,39 @@ class PipelineCompositionSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("range-sorted layout: disjoint per-file key intervals, range filter pushed") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val dir = java.nio.file.Files.createTempDirectory("range_sorted").toString
+    try {
+      Bucketing.writeRangeSorted(li, dir, "l_shipdate", nFiles = 6)
+      // every file covers a disjoint l_shipdate interval — the property
+      // that lets parquet min/max stats skip row groups outside a
+      // queried time slice
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("l_shipdate").cast("string")).as("lo"),
+          max(col("l_shipdate").cast("string")).as("hi"))
+        .collect().map(r => (r.getString(1), r.getString(2)))
+        .sortBy(_._1) // ISO timestamp strings sort chronologically
+      assert(spans.length > 1)
+      spans.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"overlapping file intervals: $hi > $lo")
+      }
+      val sliced = spark.read.parquet(dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+      val p = sliced.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"), p)
+      assert(sliced.count() == li.filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")).count())
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.iterator.asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally s.close()
+    }
+  }
+
   test("sketches: HLL distinct within rsd, quantiles within tolerance, heavy hitters") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val exact = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)

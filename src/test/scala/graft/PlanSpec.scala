@@ -136,4 +136,31 @@ class PlanSpec extends AnyFunSuite {
     // exactly two exchanges: window hash partitioning + final sort
     assert("Exchange \\(".r.findAllIn(finalTree).size == 2, finalTree)
   }
+
+  test("q_distinct_agg: multi-distinct expands once, keeps partial aggregation") {
+    val p = plan("q_distinct_agg")
+    // Catalyst's Expand-based rewrite: one scan feeds all three
+    // distinct aggregates (no self-joins)
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_window_range_time: one window shuffle, scan pruned to 4 columns") {
+    val p = plan("q_window_range_time")
+    val finalTree = p.split("== Initial Plan ==").head
+    // window partitioning + final total sort — nothing else
+    assert("Exchange \\(".r.findAllIn(finalTree).size == 2, finalTree)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type"), readSchema)
+  }
+
+  test("q_stream_sliding: window explode stays map-side of a single agg shuffle") {
+    val p = plan("q_stream_sliding")
+    val finalTree = p.split("== Initial Plan ==").head
+    // the 4-window expansion must NOT multiply shuffled bytes before
+    // partial aggregation: partial agg, one exchange, final agg, sort
+    assert("HashAggregate".r.findAllIn(finalTree).size >= 2, finalTree)
+    assert("Exchange \\(".r.findAllIn(finalTree).size == 2, finalTree)
+  }
 }
