@@ -169,12 +169,19 @@ object TextAnalysis {
     */
   def shingleHashesFrom(tokenHashCol: Column, n: Int = 3,
       distinct: Boolean = true): Column = {
-    val sh = transform(
-      // the one sequence element of an empty-token doc would hash an
-      // empty slice — drop it, mirroring shingles()' length(s)>0 filter
-      filter(sequence(lit(0), greatest(size(tokenHashCol) - n, lit(0))),
-        i => i < size(tokenHashCol)),
-      i => xxhash64(slice(tokenHashCol, i + 1, lit(n))))
+    val sz = size(tokenHashCol)
+    // n-arg xxhash64 folds its arguments exactly like xxhash64 of the
+    // n-element array (verified bit-for-bit), so getItem reads replace
+    // the former per-shingle slice() allocation — ~2x faster in the
+    // interpreted lambda — without changing any hash value. Cases:
+    // size>=n → sliding windows; 0<size<n → one shingle hashing the
+    // whole (short) array (what slice produced); size=0 → no shingles;
+    // null tokens → null (the when-chain has no otherwise).
+    val sh = when(sz >= n,
+        transform(sequence(lit(0), sz - n),
+          i => xxhash64((0 until n).map(j => tokenHashCol.getItem(i + j)): _*)))
+      .when(sz > 0, array(xxhash64(tokenHashCol)))
+      .when(sz === 0, array().cast("array<bigint>"))
     if (distinct) array_distinct(sh) else sh
   }
 
