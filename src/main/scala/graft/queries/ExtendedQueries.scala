@@ -217,6 +217,42 @@ object ExtendedQueries {
         .orderBy(col("user_id"), col("event_id"), col("n_1h"), col("sum_1h"))
     }),
 
+    // ---- ROWS-frame moving average ----
+    "q_window_moving_avg" -> ((s, dir) => {
+      // exact-decimal sum / count, divided in double on BOTH sides, so
+      // the rounding is engine-independent
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double") / count(lit(1)).over(w), 4).as("avg_4"))
+        .orderBy(col("o_orderkey"), col("o_orderpriority"), col("avg_4"))
+    }),
+
+    // ---- multiset difference ----
+    "q_except_all" -> ((s, dir) => {
+      // custkeys appearing more often among orders than customers —
+      // bag semantics, unlike q_except's set semantics
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey").cast("long").as("custkey"))
+        .exceptAll(Tables.load(s, dir, "customer")
+          .select(col("c_custkey").cast("long").as("custkey")))
+        .orderBy(col("custkey"))
+    }),
+
+    // ---- higher-order array functions ----
+    "q_array_hof" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(toks, t => length(t) > 4)).cast("long").as("n_long"),
+          aggregate(toks, lit(0L), (a, t) => a + length(t)).as("n_chars"),
+          concat_ws(" ", slice(sort_array(toks), 1, 3)).as("first3_sorted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- language ID + quality score, hash-checked ----
     "q_text_langid" -> ((s, dir) => {
       val t = col("text")
@@ -335,6 +371,29 @@ object ExtendedQueries {
            ORDER BY CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, event_id, n_1h, sum_1h""",
+    "q_window_moving_avg" ->
+      """SELECT o_orderkey, o_orderpriority,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / (COUNT(*) OVER w), 4) AS avg_4
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey, o_orderpriority, avg_4""",
+    "q_except_all" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+         EXCEPT ALL
+         SELECT CAST(c_custkey AS BIGINT) FROM customer
+         ORDER BY custkey""",
+    "q_array_hof" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(list_filter(toks, t -> len(t) > 4)) AS BIGINT) AS n_long,
+           CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS n_chars,
+           array_to_string(list_sort(toks)[1:3], ' ') AS first3_sorted
+         FROM t ORDER BY doc_id""",
     "q_text_langid" ->
       """WITH t AS (
            SELECT doc_id, text,
