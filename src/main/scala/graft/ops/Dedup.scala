@@ -186,7 +186,11 @@ object Dedup {
     require(bands > 0 && bands <= k && k % bands == 0,
       s"need bands to divide k, got k=$k bands=$bands")
     val fresh = newSig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist the union too: it feeds the band join AND both
+    // est_jaccard re-attach joins — without it a computed corpusSig
+    // (as in the self-contained driver query) is evaluated three times
     val all = corpusSig.select(col("id"), col("sig")).unionByName(fresh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // left side is always a new doc, so corpus×corpus never joins; a
     // new×new pair appears in both orders → normalize + dedupe.
     val cand = bandedOf(fresh, k, bands).as("a")
