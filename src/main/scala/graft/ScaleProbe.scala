@@ -28,12 +28,12 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // guard on documents.parquet — it is written LAST, so a run that
-    // died mid-synthesis re-synthesizes instead of half-loading.
-    // Cached artifacts under /tmp (incl. corpus_sig/ivf_idx below) are
-    // tied to the current hash/centroid scheme: rm -rf /tmp/graft_scale10
-    // after changing signature code.
-    if (!Files.exists(Paths.get(s"$out/documents.parquet"))) {
+    // guard on the _SUCCESS marker of the LAST write — the directory
+    // itself appears at write START, so only the marker proves the
+    // synthesis completed. Cached artifacts under /tmp (incl.
+    // corpus_sig/ivf_idx below) are tied to the current hash/centroid
+    // scheme: rm -rf /tmp/graft_scale10 after changing signature code.
+    if (!Files.exists(Paths.get(s"$out/documents.parquet/_SUCCESS"))) {
       val li = Tables.load(spark, base, "lineitem")
       (0 until 10).map(i => li.withColumn("l_orderkey",
           col("l_orderkey") + lit(i * 100000000L)))

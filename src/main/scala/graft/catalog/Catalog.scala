@@ -188,6 +188,8 @@ final class Catalog(val spark: SparkSession, val dbPath: String) {
       math.ceil(stats.totalBytes.toDouble / targetFileBytes).toInt)
     val spec = specOf(name)
     val df = load(name)
+    // near-free: counting a parquet scan projects zero columns, so
+    // only footers/row-group metadata are read, not data pages
     val totalRows = df.count()
     val bytesPerRow = math.max(1L, stats.totalBytes / math.max(1L, totalRows))
     val rowsPerFile = math.max(1L, targetFileBytes / bytesPerRow)

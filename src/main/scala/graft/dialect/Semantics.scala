@@ -97,10 +97,13 @@ object Semantics {
   private def goVStr(o: Operand, df: DataFrame): Column = o match {
     case ColRef(n) if isNumericCol(df, n) =>
       val d = resolve(df, n).cast("double")
-      // the last conjunct keeps -0.0 out of the fast path (Go renders
-      // "-0"; Spark casts it to "-0.0", so the sign survives the
-      // string rendering while === treats ±0 as equal)
-      when(d === floor(d) && d > lit(-1e15) && d < lit(1e15)
+      // bound 1e6, NOT 1e15: Go's %g shortest form switches to
+      // e-notation at decimal exponent >= 6, so integral 1000000
+      // renders "1e+06" — only integrals below that print as plain
+      // digits. The last conjunct keeps -0.0 out of the fast path (Go
+      // renders "-0"; Spark casts it to "-0.0", so the sign survives
+      // the string rendering while === treats ±0 as equal)
+      when(d === floor(d) && d > lit(-1e6) && d < lit(1e6)
           && (d =!= lit(0.0) || !d.cast("string").startsWith("-")),
         d.cast("long").cast("string"))
         .otherwise(goVUdf(d))
@@ -145,12 +148,20 @@ object Semantics {
         // '10.0' IN ('10') is false there even though both parse
         case _: Lit => false
       }
-      if (colIsNum && listVals.forall(isCanonicalNumericLiteral))
+      if (colIsNum && listVals.forall(isCanonicalNumericLiteral)) {
         // numeric equality == %v-string equality for canonical literals,
-        // and this form pushes to the parquet scan
-        (o match { case ColRef(n) => resolve(df, n); case Lit(v, _) => lit(v.toDouble) })
-          .isin(listVals.map(_.toDouble): _*)
-      else
+        // and this form pushes to the parquet scan. One stored-value
+        // exception: -0.0 renders "-0" (never canonical), yet isin
+        // treats it as equal to a literal 0 — exclude it when the list
+        // contains zero (the extra conjunct ANDs beside the pushable
+        // isin, so pushdown survives).
+        val c = o match { case ColRef(n) => resolve(df, n); case Lit(v, _) => lit(v.toDouble) }
+        val base = c.isin(listVals.map(_.toDouble): _*)
+        if (listVals.exists(_.toDouble == 0.0)) {
+          val d = c.cast("double")
+          base && (d =!= lit(0.0) || !d.cast("string").startsWith("-"))
+        } else base
+      } else
         // reference semantics verbatim: %v-stringified membership
         goVStr(o, df).isin(listVals: _*)
     case Between(o, lo, hi) =>

@@ -86,7 +86,8 @@ class CoercionPropertySpec extends AnyFunSuite {
     // are pinned against a Go-output table in DialectSpec, so the
     // non-integral tail may reuse the engine's formatter here
     def goV(d: Double): String =
-      if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
+      // integral cutoff is 1e6: Go's %g uses e-notation from exponent 6
+      if (d.isWhole && math.abs(d) < 1e6) d.toLong.toString
       else graft.dialect.Semantics.goVFormat(d)
     def cmpBool(c: Int, op: String) = op match {
       case "=" => c == 0; case "!=" => c != 0

@@ -129,18 +129,25 @@ class DialectSpec extends AnyFunSuite {
   }
 
   test("expr: string-regime rendering is Go-%v even for scientific/tiny values") {
-    val exotic = Seq((1L, 1234567.5), (2L, 0.0005), (3L, 0.00005), (4L, -0.0))
-      .toDF("id", "score")
+    // a parsing literal would take the NUMERIC regime, so every
+    // assertion here forces the string regime: IN lists holding a
+    // non-numeric member, or comparisons against non-parsing text
+    val exotic = Seq((1L, 1234567.5), (2L, 0.0005), (3L, 0.00005),
+      (4L, -0.0), (5L, 1000000.0)).toDF("id", "score")
     val e = exec(Map("students" -> exotic))
     def ids(w: String): Set[Long] =
       e.sql(s"SELECT id FROM students WHERE $w").collect().map(_.getLong(0)).toSet
-    // string regime (non-numeric literal forces it): rendering decides
-    assert(ids("score = '1.2345675e+06'") == Set(1L))
-    assert(ids("score = '0.0005'") == Set(2L))
-    assert(ids("score = '5e-05'") == Set(3L))
-    assert(ids("score = '-0'") == Set(4L))
-    // IN goes through raw %v membership for non-canonical literals
+    assert(ids("score IN ('1.2345675e+06', 'x')") == Set(1L))
+    assert(ids("score IN ('0.0005', 'x')") == Set(2L))
     assert(ids("score IN ('5e-05', 'x')") == Set(3L))
+    assert(ids("score IN ('-0', 'x')") == Set(4L))
+    // integral 1e6 must render "1e+06", NOT "1000000"
+    assert(ids("score IN ('1e+06', 'x')") == Set(5L))
+    // lexicographic >= '1e': "1e+06" (prefix match, longer) and
+    // "5e-05" ('5' > '1') qualify; "1.2345675e+06" has '.' < 'e' at
+    // position 1, "1000000" would have '0' < 'e' — so a wrong plain
+    // rendering of id 5 makes this fail
+    assert(ids("score >= '1e'") == Set(3L, 5L))
   }
 
   test("expr: IN with a literal left operand is raw-text membership") {
