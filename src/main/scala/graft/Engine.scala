@@ -20,6 +20,7 @@ final class Engine(val spark: SparkSession, dbPath: String) {
 
   private val setImageDir = """(?i)^\s*SET\s+IMAGE\s+DIR\s+(.+?)\s*;?\s*$""".r
   private val showImageDir = """(?i)^\s*SHOW\s+IMAGE\s+DIR\s*;?\s*$""".r
+  private val explainStmt = """(?i)^\s*EXPLAIN\s+(.+)$""".r
 
   /** Execute one statement: Right = query result, Left = status text. */
   def execute(input: String): Either[String, DataFrame] = input match {
@@ -28,6 +29,15 @@ final class Engine(val spark: SparkSession, dbPath: String) {
       Left(s"image directory set")
     case showImageDir() =>
       Left(ImageResolver.getImageDir.getOrElse("image directory not set"))
+    case explainStmt(inner) =>
+      // beyond-reference: surface the Catalyst physical plan for any
+      // dialect SELECT — the tool for checking that a predicate pushed
+      // down or a join broadcast, same as PlanSpec asserts in CI
+      Parser.parse(inner) match {
+        case s: Select => Left(executor.select(s).queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        case _ => Left("EXPLAIN supports only SELECT statements")
+      }
     case _ =>
       Parser.parse(input) match {
         case s: Select => Right(executor.select(s))

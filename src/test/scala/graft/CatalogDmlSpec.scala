@@ -39,6 +39,21 @@ class CatalogDmlSpec extends AnyFunSuite {
     e.catalog.create("ok_Name_9", Seq("id" -> "INT")) // sane names still pass
   }
 
+  test("EXPLAIN returns the formatted physical plan; non-SELECT rejected") {
+    val e = freshEngine()
+    e.execute("CREATE TABLE ex (id INT, name TEXT)")
+    e.execute("INSERT INTO ex (id, name) VALUES (1, 'a')")
+    val out = e.execute("EXPLAIN SELECT id FROM ex WHERE id = 1")
+    assert(out.isLeft)
+    val plan = out.swap.toOption.get
+    assert(plan.contains("Physical Plan"), plan)
+    assert(plan.contains("Scan") || plan.contains("LocalTableScan"), plan)
+    assert(e.execute("EXPLAIN DROP TABLE ex") ==
+      Left("EXPLAIN supports only SELECT statements"))
+    // the table survived — EXPLAIN never executes DML
+    assert(e.execute("SHOW TABLES") == Left("ex"))
+  }
+
   test("compaction merges append-fragmented files, data unchanged") {
     val e = freshEngine()
     e.execute("CREATE TABLE frag (id INT, name TEXT)")
