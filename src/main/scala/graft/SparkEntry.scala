@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.PipelineQueries.queries ++
     graft.queries.StreamQueries.queries ++
     graft.queries.CompositionQueries.queries ++
-    graft.queries.ExtendedQueries.queries
+    graft.queries.ExtendedQueries.queries ++
+    graft.queries.Round3Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
     graft.queries.PipelineQueries.oracles ++
     graft.queries.StreamQueries.oracles ++
     graft.queries.CompositionQueries.oracles ++
-    graft.queries.ExtendedQueries.oracles
+    graft.queries.ExtendedQueries.oracles ++
+    graft.queries.Round3Queries.oracles
 }

@@ -27,6 +27,20 @@ object Sampling {
     (df.filter(b < trainPct), df.filter(b >= trainPct))
   }
 
+  /** md5-based train/test split: same stability guarantees as
+    * `trainTestSplit`, but the bucket is the first byte of
+    * md5(id-as-string) — recomputable in any engine with an md5
+    * function, so an independent system can verify the exact split
+    * membership (xxhash64 is Spark-specific). Granularity is 1/256:
+    * `trainPct`=80 keeps floor(256*0.80)=204 buckets ≈ 79.7%.
+    */
+  def md5TrainTestSplit(df: DataFrame, idCol: String, trainPct: Int): (DataFrame, DataFrame) = {
+    require(trainPct > 0 && trainPct < 100, "trainPct in (0,100)")
+    val thr = f"${(256 * trainPct) / 100}%02x"
+    val b = substring(md5(col(idCol).cast("string").cast("binary")), 1, 2)
+    (df.filter(b < lit(thr)), df.filter(b >= lit(thr)))
+  }
+
   /** Deterministic per-stratum downsampling: keep ~fraction of each
     * stratum, chosen by id hash (reproducible, unlike sampleBy's RNG).
     * Fractions are per stratum value; absent strata keep everything.

@@ -1,0 +1,321 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Sampling, Skew}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-3 additions: TPC-H-shaped multi-join analytics (Q3/Q5/Q6
+  * adapted to the synthetic schema), gaps-and-islands sessionization,
+  * functional MERGE/upsert, regex extraction, cumulative-distribution
+  * windows, a salted skew join checked against its plain-join oracle,
+  * an md5-based train/test split that an independent engine can verify
+  * row-for-row, multiset intersection, and a cross join.
+  *
+  * Oracle-parity rules follow Relational/ExtendedQueries: money math
+  * through DECIMAL(18,2) then DOUBLE; identical IEEE expression trees
+  * on both sides where a double survives unrounded; every row-dump
+  * query ends in a total ORDER BY.
+  */
+object Round3Queries {
+
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** TPC-H revenue term with exact decimal accumulation on both sides:
+    * DECIMAL(18,2) * DECIMAL(18,2) is exact (scale 4), the SUM is
+    * exact, and only the final cast produces a double.
+    */
+  private def revenueTerm(price: Column, discount: Column): Column =
+    price.cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - discount.cast(DecimalType(18, 2)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- TPC-H Q3 shape: shipping-priority top-10 ----
+    "q_tpch_q3" -> ((s, dir) => {
+      // filters push to the parquet scans BEFORE the joins; the
+      // customer dim (one segment) broadcasts, so the only shuffle is
+      // lineitem⋈orders on orderkey — the minimum possible for this
+      // query at any scale
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") < lit("1997-06-01").cast("date"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") > lit("1997-06-01").cast("date"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dsumExact(revenueTerm(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+        .limit(10)
+    }),
+
+    // ---- TPC-H Q5 shape: local-supplier volume per nation ----
+    "q_tpch_q5" -> ((s, dir) => {
+      // one fact shuffle (lineitem⋈orders); every dimension broadcasts,
+      // including the region-filtered nation/supplier chain
+      val region = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = Tables.load(s, dir, "nation")
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val supp = Tables.load(s, dir, "supplier")
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1997-01-01").cast("date"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsumExact(revenueTerm(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ---- TPC-H Q6 shape: forecast-revenue global aggregate ----
+    "q_tpch_q6" -> ((s, dir) => {
+      // pure scan+filter+agg: all three predicates reach PushedFilters,
+      // map-side partial agg collapses to one row — no shuffle of data,
+      // only of partial sums
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1997-01-01").cast("date") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            col("l_discount").cast(DecimalType(18, 2))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ---- gaps-and-islands sessionization (batch form) ----
+    "q_sessionize" -> ((s, dir) => {
+      // the relational dual of q_stream_session: a session break is a
+      // >30 min gap; islands numbered by a running sum over the break
+      // flags — two window passes over one shuffle on user_id
+      val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("es"))
+        .withColumn("new_s",
+          when(lag(col("es"), 1).over(w).isNull ||
+            col("es") - lag(col("es"), 1).over(w) > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("es")) - min(col("es"))).as("duration_s"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // ---- functional MERGE / upsert ----
+    "q_merge_upsert" -> ((s, dir) => {
+      // MERGE expressed as full-outer join + coalesce: matched rows get
+      // balance += spend, unmatched source rows insert as new customers
+      // (one synthetic row keeps the insert branch non-empty). The
+      // balance sum stays an unrounded double — both engines evaluate
+      // the identical IEEE expression tree.
+      val updates = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(dsum(col("o_totalprice")).as("spend"))
+        .unionByName(s.range(1).select(
+          lit(9999990001L).as("custkey"), lit(1234.56).as("spend")))
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .join(updates, col("c_custkey") === col("custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("custkey")).as("custkey"),
+          coalesce(col("c_name"), lit("NEW")).as("name"),
+          (coalesce(col("c_acctbal"), lit(0.0)) + coalesce(col("spend"), lit(0.0))).as("balance"))
+        .orderBy(col("custkey"))
+    }),
+
+    // ---- regex extraction ----
+    "q_regex_extract" -> ((s, dir) => {
+      // '' (Spark's no-match result) normalized to NULL on both sides
+      val firstNum = regexp_extract(col("text"), "([0-9]+)", 1)
+      val firstCap = regexp_extract(col("text"), "\\b([A-Z][a-z]+)\\b", 1)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          when(firstNum === "", lit(null)).otherwise(firstNum)
+            .try_cast("long").as("first_num"),
+          when(firstCap === "", lit(null)).otherwise(firstCap).as("first_cap"),
+          length(regexp_replace(lower(col("text")), "[^aeiou]", ""))
+            .cast("long").as("n_vowels"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- cumulative-distribution windows ----
+    "q_window_cume" -> ((s, dir) => {
+      // unique o_orderkey in the window ORDER BY makes ranks and the
+      // lead() neighbor total-order deterministic
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- salted skew join, checked against the plain-join oracle ----
+    "q_skew_salted" -> ((s, dir) => {
+      // the salt splits each hot custkey across 8 reducers; the oracle
+      // is the UNsalted join — proving the rewrite changes the shuffle
+      // layout, not the result
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(o, c, "custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- md5 train/test split (cross-engine verifiable) ----
+    "q_split_md5" -> ((s, dir) => {
+      // unlike q_train_split's xxhash64 bucket (rows-only check), the
+      // md5 split is reproducible in any engine — the oracle recomputes
+      // the exact membership
+      val (train, _) = Sampling.md5TrainTestSplit(
+        Tables.load(s, dir, "documents"), "doc_id", 80)
+      train.select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // ---- multiset intersection ----
+    "q_intersect_all" -> ((s, dir) => {
+      // parts shipped in 1996 ∩ parts shipped in 1998, bag semantics:
+      // a partkey appears min(n_1996, n_1998) times
+      def shipped(year: String, next: String) =
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate").cast("date") >= lit(s"$year-01-01").cast("date") &&
+            col("l_shipdate").cast("date") < lit(s"$next-01-01").cast("date"))
+          .select(col("l_partkey").cast("long").as("partkey"))
+      shipped("1996", "1997").intersectAll(shipped("1998", "1999"))
+        .orderBy(col("partkey"))
+    }),
+
+    // ---- cross join ----
+    "q_cross_join" -> ((s, dir) => {
+      // both sides tiny; Spark plans BroadcastNestedLoopJoin — the only
+      // safe cross-join shape at scale (never cross-join two facts)
+      Tables.load(s, dir, "region").select(col("r_name"))
+        .crossJoin(Tables.load(s, dir, "nation").select(col("n_name")))
+        .orderBy(col("r_name"), col("n_name"))
+    })
+  )
+
+  /** Exact decimal sum for the scale-4 revenue term (dsum re-casts to
+    * scale 2, which would round the term before accumulating).
+    */
+  private def dsumExact(c: Column): Column = sum(c).cast("double")
+
+  def oracles: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o_orderdate
+         FROM customer JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND CAST(o_orderdate AS DATE) < DATE '1997-06-01'
+           AND CAST(l_shipdate AS DATE) > DATE '1997-06-01'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_tpch_q5" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+           FROM events),
+         f AS (
+           SELECT user_id, event_id, es,
+             CASE WHEN LAG(es) OVER w IS NULL OR es - LAG(es) OVER w > 1800
+               THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+         s AS (
+           SELECT user_id, es,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM f)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, MAX(es) - MIN(es) AS duration_s
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+    "q_merge_upsert" ->
+      """WITH u AS (
+           SELECT CAST(o_custkey AS BIGINT) AS custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+           FROM orders GROUP BY 1
+           UNION ALL SELECT 9999990001, 1234.56)
+         SELECT COALESCE(c_custkey, custkey) AS custkey,
+           COALESCE(c_name, 'NEW') AS name,
+           COALESCE(c_acctbal, 0.0) + COALESCE(spend, 0.0) AS balance
+         FROM customer FULL OUTER JOIN u ON c_custkey = custkey
+         ORDER BY custkey""",
+    "q_regex_extract" ->
+      """SELECT doc_id,
+           TRY_CAST(NULLIF(regexp_extract(text, '([0-9]+)', 1), '') AS BIGINT) AS first_num,
+           NULLIF(regexp_extract(text, '\b([A-Z][a-z]+)\b', 1), '') AS first_cap,
+           CAST(LENGTH(REGEXP_REPLACE(LOWER(text), '[^aeiou]', '', 'g')) AS BIGINT) AS n_vowels
+         FROM documents ORDER BY doc_id""",
+    "q_window_cume" ->
+      """SELECT o_orderkey, o_orderpriority,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd,
+           LEAD(o_totalprice, 1) OVER w AS next_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
+    "q_skew_salted" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_split_md5" ->
+      """SELECT doc_id FROM documents
+         WHERE SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+         ORDER BY doc_id""",
+    "q_intersect_all" ->
+      """SELECT partkey FROM (
+           SELECT CAST(l_partkey AS BIGINT) AS partkey FROM lineitem
+           WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+             AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+           INTERSECT ALL
+           SELECT CAST(l_partkey AS BIGINT) AS partkey FROM lineitem
+           WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+             AND CAST(l_shipdate AS DATE) < DATE '1999-01-01')
+         ORDER BY partkey""",
+    "q_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name"""
+  )
+}

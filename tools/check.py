@@ -17,6 +17,11 @@ for t in ["region","nation","customer","supplier","part","orders",
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# optional 3rd arg: comma-separated query-name subset (matches Verify's
+# subset mode for fast local iteration)
+if len(sys.argv) > 3:
+    keep = set(sys.argv[3].split(","))
+    oracle = {k: v for k, v in oracle.items() if k in keep}
 fails = 0
 for name, sql in sorted(oracle.items()):
     rp = f"{outdir}/{name}"
