@@ -213,6 +213,96 @@ object Round3Queries {
       Tables.load(s, dir, "region").select(col("r_name"))
         .crossJoin(Tables.load(s, dir, "nation").select(col("n_name")))
         .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // ---- conversion funnel (view → click → purchase) ----
+    "q_funnel" -> ((s, dir) => {
+      // each stage keys on the previous stage's first-event time; the
+      // stage joins stay on user_id (one shuffle key throughout), and
+      // the final counts are three single-row aggregates cross-joined
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("es"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("es")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("es") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("es")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("es") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("es")).as("t_buy"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    }),
+
+    // ---- week-over-week retention ----
+    "q_retention" -> ((s, dir) => {
+      // distinct user-weeks self-joined one week apart; DATE-normalized
+      // because Spark's date_trunc returns TIMESTAMP where DuckDB's
+      // returns DATE
+      val uw = Tables.load(s, dir, "events")
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+      val prev = uw.select(col("user_id"), date_add(col("wk"), 7).as("wk"))
+      uw.join(prev, Seq("user_id", "wk"))
+        .groupBy(col("wk")).agg(countDistinct(col("user_id")).as("n_retained"))
+        .orderBy(col("wk"))
+    }),
+
+    // ---- calendar gap-fill (series generation + left join) ----
+    "q_date_fill" -> ((s, dir) => {
+      // every day in the order date range, zero-filled: the generated
+      // calendar is one row per day (tiny at any SF) and broadcasts
+      // against the aggregated counts
+      val o = Tables.load(s, dir, "orders")
+      val daily = o.groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n_orders"))
+      val cal = o.agg(to_date(min(col("o_orderdate"))).as("lo"),
+          to_date(max(col("o_orderdate"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("d"))
+      cal.join(daily, Seq("d"), "left")
+        .select(col("d"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("d"))
+    }),
+
+    // ---- token document frequency (vocabulary head) ----
+    "q_token_freq" -> ((s, dir) => {
+      import graft.ops.TextAnalysis
+      Tables.load(s, dir, "documents")
+        .select(explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token"))
+        .limit(30)
+    }),
+
+    // ---- TF-IDF scoring ----
+    "q_tf_idf" -> ((s, dir) => {
+      // classic map-side-combinable shape: one explode, two aggregates
+      // on (doc,token)/(token), a broadcastable one-row corpus count;
+      // natural log on IEEE doubles matches across engines at 6 dp
+      import graft.ops.TextAnalysis
+      val docs = Tables.load(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfreq = tok.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "token").crossJoin(total)
+        .filter(length(col("token")) > 6)
+        .select(col("doc_id"), col("token"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+            .as("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
+        .limit(200)
+    }),
+
+    // ---- equi-width histogram ----
+    "q_histogram" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -316,6 +406,66 @@ object Round3Queries {
          ORDER BY partkey""",
     "q_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
-         ORDER BY r_name, n_name"""
+         ORDER BY r_name, n_name""",
+    "q_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+           FROM events),
+         v AS (SELECT user_id, MIN(es) AS t_view FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, MIN(es) AS t_click FROM e
+           JOIN v USING (user_id)
+           WHERE event_type = 'click' AND es > t_view GROUP BY 1),
+         p AS (SELECT e.user_id, MIN(es) AS t_buy FROM e
+           JOIN c USING (user_id)
+           WHERE event_type = 'purchase' AND es > t_click GROUP BY 1)
+         SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase""",
+    "q_retention" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+             date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+           FROM events)
+         SELECT a.wk, COUNT(DISTINCT a.user_id) AS n_retained
+         FROM uw a JOIN uw b
+           ON a.user_id = b.user_id AND a.wk = b.wk + 7
+         GROUP BY a.wk ORDER BY a.wk""",
+    "q_date_fill" ->
+      """WITH bounds AS (
+           SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+             CAST(MAX(o_orderdate) AS DATE) AS hi
+           FROM orders),
+         cal AS (
+           SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+           FROM bounds),
+         daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT cal.d, COALESCE(n_orders, 0) AS n_orders
+         FROM cal LEFT JOIN daily USING (d)
+         ORDER BY d""",
+    "q_token_freq" ->
+      """SELECT token, COUNT(*) AS df FROM (
+           SELECT UNNEST(list_distinct(string_split_regex(LOWER(TRIM(text)), '\s+'))) AS token
+           FROM documents)
+         GROUP BY token ORDER BY df DESC, token LIMIT 30""",
+    "q_tf_idf" ->
+      """WITH tok AS (
+           SELECT doc_id, UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT token, COUNT(*) AS df FROM
+           (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+         total AS (SELECT COUNT(*) AS n_docs FROM documents)
+         SELECT doc_id, token,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+         FROM tf JOIN dfreq USING (token) CROSS JOIN total
+         WHERE LENGTH(token) > 6
+         ORDER BY tfidf DESC, doc_id, token LIMIT 200""",
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n
+         FROM orders GROUP BY 1 ORDER BY bucket"""
   )
 }

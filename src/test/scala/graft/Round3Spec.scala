@@ -89,6 +89,30 @@ class Round3Spec extends AnyFunSuite {
     assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1, p)
   }
 
+  test("q_funnel: stage counts are monotone non-increasing") {
+    val r = SparkEntry.queries("q_funnel")(spark, sf).head()
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"funnel not monotone: $v $c $p")
+    assert(v > 0)
+  }
+
+  test("q_date_fill: calendar is dense and counts total to the table") {
+    val df = SparkEntry.queries("q_date_fill")(spark, sf).cache()
+    val n = df.count()
+    val span = df.agg(
+      (datediff(max(col("d")), min(col("d"))) + 1).cast("long")).head().getLong(0)
+    assert(n === span, "calendar has gaps")
+    val total = df.agg(sum(col("n_orders"))).head().getLong(0)
+    assert(total === Tables.load(spark, sf, "orders").count())
+    df.unpersist()
+  }
+
+  test("q_tf_idf: scores positive and rare tokens outrank common ones") {
+    val rows = SparkEntry.queries("q_tf_idf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) > 0), "idf of df=N token must filter out")
+  }
+
   test("q_merge_upsert: insert branch lands and matched rows update") {
     val df = SparkEntry.queries("q_merge_upsert")(spark, sf).cache()
     assert(df.filter(col("name") === "NEW").count() === 1)
