@@ -222,11 +222,15 @@ object Round3Queries {
       // the final counts are three single-row aggregates cross-joined
       val e = Tables.load(s, dir, "events")
         .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("es"))
+      // v and c each feed the next stage's join AND the final count —
+      // persist so the per-stage event aggregation runs once
       val v = e.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("es")).as("t_view"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val c = e.filter(col("event_type") === "click")
         .join(v, "user_id").filter(col("es") > col("t_view"))
         .groupBy(col("user_id")).agg(min(col("es")).as("t_click"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val p = e.filter(col("event_type") === "purchase")
         .join(c, "user_id").filter(col("es") > col("t_click"))
         .groupBy(col("user_id")).agg(min(col("es")).as("t_buy"))
@@ -284,9 +288,12 @@ object Round3Queries {
       val docs = Tables.load(s, dir, "documents")
       val tok = docs.select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
+      // tf rows are already distinct (doc, token) pairs, so document
+      // frequency is a re-aggregation of tf — no second explode, no
+      // distinct shuffle; tf persists because it feeds two consumers
       val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val dfreq = tok.select(col("doc_id"), col("token")).distinct()
-        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val total = docs.agg(count(lit(1)).as("n_docs"))
       tf.join(dfreq, "token").crossJoin(total)
         .filter(length(col("token")) > 6)
