@@ -54,6 +54,31 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // round-3 probes run the actual SparkEntry queries against the 10x
+    // dir, so the probed plan is exactly the production plan: orders and
+    // events scale 10x (offset keys), the customer dim copies 1x (dims
+    // don't scale with the fact at 100 TB either)
+    if (!Files.exists(Paths.get(s"$out/orders.parquet/_SUCCESS"))) {
+      val o = Tables.load(spark, base, "orders")
+      (0 until 10).map(i => o.withColumn("o_orderkey",
+          col("o_orderkey") + lit(i * 100000000L)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    }
+    if (!Files.exists(Paths.get(s"$out/events.parquet/_SUCCESS"))) {
+      // raw read keeps ts as nanos long (conf set by loadEvents), so the
+      // 10x copy round-trips through Tables.load like the original
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = spark.read.parquet(s"$base/events.parquet")
+      (0 until 10).map(i => e.withColumn("event_id",
+          col("event_id") + lit(i * 100000000L)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+    if (!Files.exists(Paths.get(s"$out/customer.parquet/_SUCCESS")))
+      Tables.load(spark, base, "customer")
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
     val li = Tables.load(spark, out, "lineitem")
     val docs = Tables.load(spark, out, "documents")
     println(s"[probe] cpus=$cpus lineitem=${li.count()} docs=${docs.count()}")
@@ -65,6 +90,15 @@ object ScaleProbe {
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base"),
           count(lit(1)).as("n"))
         .count()
+    }
+    time("tpch q3 shape: 6M lineitem ⋈ 1.5M orders ⋈ customer dim") {
+      SparkEntry.queries("q_tpch_q3")(spark, out).count()
+    }
+    time("sessionize 1M events (gaps-and-islands)") {
+      SparkEntry.queries("q_sessionize")(spark, out).count()
+    }
+    time("tf-idf over 50k docs") {
+      SparkEntry.queries("q_tf_idf")(spark, out).count()
     }
     time("minhash LSH pairs, 50k docs, 9 exact copies each") {
       graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",

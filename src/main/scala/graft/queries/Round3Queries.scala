@@ -310,6 +310,38 @@ object Round3Queries {
         .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("bucket"))
+    }),
+
+    // ---- null-safe equality join ----
+    "q_null_safe_join" -> ((s, dir) => {
+      // <=> (IS NOT DISTINCT FROM) joins NULL keys to NULL keys — a
+      // plain equi-join would silently drop every below-threshold order
+      // from the result; the NULL dim row collects them instead
+      val o = Tables.load(s, dir, "orders")
+        .select(when(col("o_totalprice") > 300000, col("o_orderpriority"))
+          .as("prio_hi"))
+      val dim = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("p")).distinct()
+        .unionByName(s.range(1).select(lit(null).cast("string").as("p")))
+      o.join(dim, col("prio_hi") <=> col("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("n"))
+        .orderBy(col("p"))
+    }),
+
+    // ---- fuzzy matching (edit distance) ----
+    "q_fuzzy_match" -> ((s, dir) => {
+      // levenshtein self-join on the 25-row nation dim; at scale the
+      // fuzzy side would be blocked first (q_dedup_* show the pattern) —
+      // this covers the edit-distance primitive itself
+      val a = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("key_a"), col("n_name").as("name_a"))
+      val b = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("key_b"), col("n_name").as("name_b"))
+      a.crossJoin(b).filter(col("key_a") < col("key_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 2)
+        .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"), col("dist"))
+        .orderBy(col("key_a"), col("key_b"))
     })
   )
 
@@ -473,6 +505,23 @@ object Round3Queries {
          ORDER BY tfidf DESC, doc_id, token LIMIT 200""",
     "q_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n
-         FROM orders GROUP BY 1 ORDER BY bucket"""
+         FROM orders GROUP BY 1 ORDER BY bucket""",
+    "q_null_safe_join" ->
+      """WITH o AS (
+           SELECT CASE WHEN o_totalprice > 300000 THEN o_orderpriority END AS prio_hi
+           FROM orders),
+         dim AS (
+           SELECT DISTINCT o_orderpriority AS p FROM orders
+           UNION ALL SELECT NULL)
+         SELECT p, COUNT(*) AS n
+         FROM o JOIN dim ON prio_hi IS NOT DISTINCT FROM p
+         GROUP BY p ORDER BY p NULLS FIRST""",
+    "q_fuzzy_match" ->
+      """SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
+           a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+         FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+         WHERE levenshtein(a.n_name, b.n_name) <= 2
+         ORDER BY key_a, key_b"""
   )
 }
