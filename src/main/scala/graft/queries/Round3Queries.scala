@@ -339,7 +339,7 @@ object Round3Queries {
         .select(col("n_nationkey").as("key_b"), col("n_name").as("name_b"))
       a.crossJoin(b).filter(col("key_a") < col("key_b"))
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-        .filter(col("dist") <= 2)
+        .filter(col("dist") <= 1)
         .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"), col("dist"))
         .orderBy(col("key_a"), col("key_b"))
     })
@@ -521,7 +521,7 @@ object Round3Queries {
            a.n_name AS name_a, b.n_name AS name_b,
            CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
          FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
-         WHERE levenshtein(a.n_name, b.n_name) <= 2
+         WHERE levenshtein(a.n_name, b.n_name) <= 1
          ORDER BY key_a, key_b"""
   )
 }

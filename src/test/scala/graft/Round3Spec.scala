@@ -113,6 +113,24 @@ class Round3Spec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(2) > 0), "idf of df=N token must filter out")
   }
 
+  test("q_token_freq: map-side partial aggregation before the shuffle") {
+    val p = plan("q_token_freq")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_null_safe_join: tiny dim broadcasts") {
+    val p = plan("q_null_safe_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_fuzzy_match: only off-by-one names survive") {
+    val rows = SparkEntry.queries("q_fuzzy_match")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(4) <= 1))
+    // sanity: NATION_2 / NATION_20-24 style pairs exist, identical none
+    assert(rows.forall(r => r.getString(2) != r.getString(3)))
+  }
+
   test("q_merge_upsert: insert branch lands and matched rows update") {
     val df = SparkEntry.queries("q_merge_upsert")(spark, sf).cache()
     assert(df.filter(col("name") === "NEW").count() === 1)
