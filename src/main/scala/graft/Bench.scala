@@ -28,7 +28,8 @@ object Bench {
     "q_dedup_simhash", "q_dedup_incremental", "q_pipeline_corpus",
     "q_emb_neardup", "q_ann_topk", "q_ann_ivf", "q_stream_session",
     "q_text_chunks", "q_train_split", "q_topk", "q_window_rank",
-    "q_unpivot", "q_global_agg")
+    "q_unpivot", "q_global_agg",
+    "q_tpch_q3", "q_tpch_q5", "q_sessionize", "q_tf_idf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

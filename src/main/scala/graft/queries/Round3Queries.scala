@@ -286,17 +286,20 @@ object Round3Queries {
       // natural log on IEEE doubles matches across engines at 6 dp
       import graft.ops.TextAnalysis
       val docs = Tables.load(s, dir, "documents")
+      // length filter applies before any aggregation: tf and df are
+      // per-token quantities, so dropping short tokens early never
+      // changes surviving rows
       val tok = docs.select(col("doc_id"),
-        explode(TextAnalysis.tokens(col("text"))).as("token"))
-      // tf rows are already distinct (doc, token) pairs, so document
-      // frequency is a re-aggregation of tf — no second explode, no
-      // distinct shuffle; tf persists because it feeds two consumers
-      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val total = docs.agg(count(lit(1)).as("n_docs"))
-      tf.join(dfreq, "token").crossJoin(total)
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
         .filter(length(col("token")) > 6)
+      // tf rows are distinct (doc, token) pairs, so document frequency
+      // is a count over a token-partitioned window on tf itself — one
+      // shuffle on token, no second aggregate, no join, nothing persisted
+      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val wTok = Window.partitionBy(col("token"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      tf.withColumn("df", count(lit(1)).over(wTok))
+        .crossJoin(total)
         .select(col("doc_id"), col("token"),
           round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6)
             .as("tfidf"))
