@@ -44,6 +44,12 @@ object StreamQueries {
         .select(col("window.start").as("window_start"), col("event_type"), col("n"))
         .orderBy(col("window_start"), col("event_type"))
     }),
+    "q_stream_interval_join" -> ((s, dir) => {
+      // stream-stream interval join in its batch form (StreamingSpec
+      // runs the same plan as a dual readStream and gets equal output)
+      Streams.viewClickJoin(Tables.load(s, dir, "events"))
+        .orderBy(col("user_id"), col("view_id"), col("click_id"))
+    }),
     "q_multimodal_features" -> ((s, dir) => {
       // binary payload → per-partition stub decode → features; rows-only
       // (the stub is not SQL); plumbing validated in MultimodalSpec.
@@ -80,6 +86,15 @@ object StreamQueries {
                  ROWS UNBOUNDED PRECEDING) AS grp FROM m)
          SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         FROM g GROUP BY user_id, grp ORDER BY user_id, session_start"""
+         FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""",
+    "q_stream_interval_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           CAST(v.ts AS TIMESTAMP) AS view_ts, CAST(c.ts AS TIMESTAMP) AS click_ts
+         FROM events v JOIN events c
+           ON v.user_id = c.user_id
+           AND v.event_type = 'view' AND c.event_type = 'click'
+           AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+           AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+         ORDER BY v.user_id, view_id, click_id"""
   )
 }

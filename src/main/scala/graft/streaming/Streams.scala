@@ -75,6 +75,33 @@ object Streams {
       .start()
   }
 
+  /** Watermarked stream-stream interval join: each 'click' pairs with
+    * the same user's 'view' events from the preceding `horizon`. The
+    * time-bound join condition is what lets Spark evict join state once
+    * the watermark passes view_ts + horizon — without it a
+    * stream-stream join buffers both sides forever. Inner stream-stream
+    * joins emit matches as they arrive (the watermark only bounds
+    * state), and `withWatermark` is a no-op in batch, so a batch
+    * DataFrame runs the identical plan — which is how the DuckDB
+    * oracle checks the semantics.
+    */
+  def viewClickJoin(events: DataFrame, horizon: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    views.join(clicks,
+        col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Streaming exact dedup: drops rows whose key was already seen
     * within the watermark horizon — the streaming face of
     * Dedup.exact, with state bounded by the watermark instead of

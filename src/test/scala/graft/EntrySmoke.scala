@@ -6,8 +6,8 @@ class EntrySmoke extends AnyFunSuite {
     val n = df.count()
     info(s"entry rows: $n")
     assert(n > 0)
-    assert(SparkEntry.queries.size == 100)
-    assert(SparkEntry.oracleSql.size == 89)
+    assert(SparkEntry.queries.size == 101)
+    assert(SparkEntry.oracleSql.size == 90)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }

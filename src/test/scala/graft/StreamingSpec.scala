@@ -39,6 +39,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("stream-stream interval join over file sources equals the batch result") {
+    val dir = Files.createTempDirectory("graftssj")
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = Streams.viewClickJoin(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ssj_out").select("view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Streams.viewClickJoin(events).select("view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("sliding windows produce window/slide multiples per event") {
     val got = Streams.slidingAgg(events, "1 hour", "30 minutes")
       .agg(sum("n")).head().getLong(0)
