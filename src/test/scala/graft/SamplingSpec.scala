@@ -27,6 +27,20 @@ class SamplingSpec extends AnyFunSuite {
       train.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("md5 split: membership is a pure function of the id, threshold monotone") {
+    // a row's split assignment must not depend on the rest of the corpus
+    val (trainAll, _) = Sampling.md5TrainTestSplit(docs, "doc_id", 80)
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val (trainHalf, _) = Sampling.md5TrainTestSplit(half, "doc_id", 80)
+    val allSet = trainAll.select("doc_id").collect().map(_.getLong(0)).toSet
+    val halfSet = trainHalf.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(halfSet == allSet.filter(_ % 2 == 0), "membership changed with corpus")
+    // a larger trainPct strictly grows the train side (prefix property)
+    val (train60, _) = Sampling.md5TrainTestSplit(docs, "doc_id", 60)
+    val set60 = train60.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(set60.subsetOf(allSet), "60% train not a subset of 80% train")
+  }
+
   test("stratified sample keeps ~fraction per stratum, untouched strata intact") {
     val df = Tables.load(spark, "/root/testdata/sf0.01", "orders")
     val sampled = Sampling.stratifiedSample(df, "o_orderkey", "o_orderpriority",
