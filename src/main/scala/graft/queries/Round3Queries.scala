@@ -331,6 +331,39 @@ object Round3Queries {
         .orderBy(col("p"))
     }),
 
+    // ---- boolean / bitwise aggregates ----
+    "q_bool_bit_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+          bit_and(col("o_orderkey")).as("key_and"),
+          bit_or(col("o_orderkey")).as("key_or"),
+          bit_xor(col("o_orderkey")).as("key_xor"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- discrete percentiles (actual data values, no interpolation) ----
+    "q_percentile_disc" -> ((s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("g3_pd_orders")
+      s.sql("""SELECT o_orderpriority,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+           percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+           percentile_disc(0.9)  WITHIN GROUP (ORDER BY o_totalprice) AS p90
+         FROM g3_pd_orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
+    // ---- linear-regression aggregates ----
+    "q_regr" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(round(regr_slope(col("o_totalprice"), col("o_custkey")), 6).as("slope"),
+          round(regr_intercept(col("o_totalprice"), col("o_custkey")), 6).as("intercept"),
+          round(regr_r2(col("o_totalprice"), col("o_custkey")), 6).as("r2"),
+          regr_count(col("o_totalprice"), col("o_custkey")).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- fuzzy matching (edit distance) ----
     "q_fuzzy_match" -> ((s, dir) => {
       // levenshtein self-join on the 25-row nation dim; at scale the
@@ -519,6 +552,27 @@ object Round3Queries {
          SELECT p, COUNT(*) AS n
          FROM o JOIN dim ON prio_hi IS NOT DISTINCT FROM p
          GROUP BY p ORDER BY p NULLS FIRST""",
+    "q_bool_bit_agg" ->
+      """SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           bit_and(o_orderkey) AS key_and,
+           bit_or(o_orderkey) AS key_or,
+           bit_xor(o_orderkey) AS key_xor
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_percentile_disc" ->
+      """SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.5)  AS p50,
+           quantile_disc(o_totalprice, 0.9)  AS p90
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_regr" ->
+      """SELECT o_orderstatus,
+           ROUND(regr_slope(o_totalprice, o_custkey), 6) AS slope,
+           ROUND(regr_intercept(o_totalprice, o_custkey), 6) AS intercept,
+           ROUND(regr_r2(o_totalprice, o_custkey), 6) AS r2,
+           CAST(regr_count(o_totalprice, o_custkey) AS BIGINT) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_fuzzy_match" ->
       """SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
            a.n_name AS name_a, b.n_name AS name_b,
