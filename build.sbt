@@ -12,6 +12,10 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true  // forward stdin to the forked JVM (Repl)
+// The bench/verify collectors parse the forked JVM's stdout line by
+// line; sbt's default LoggedOutput prefixes every line with "[info] "
+// which breaks that. StdoutOutput inherits the parent's raw streams.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
