@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.StreamQueries.queries ++
     graft.queries.CompositionQueries.queries ++
     graft.queries.ExtendedQueries.queries ++
-    graft.queries.Round3Queries.queries
+    graft.queries.Round3Queries.queries ++
+    graft.queries.Round4Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
     graft.queries.StreamQueries.oracles ++
     graft.queries.CompositionQueries.oracles ++
     graft.queries.ExtendedQueries.oracles ++
-    graft.queries.Round3Queries.oracles
+    graft.queries.Round3Queries.oracles ++
+    graft.queries.Round4Queries.oracles
 }

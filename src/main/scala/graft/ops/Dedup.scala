@@ -203,6 +203,66 @@ object Dedup {
     estJaccardOfPairs(cand, all, k).filter(col("est_jaccard") >= threshold)
   }
 
+  // ---- duplicate clusters (connected components) ----
+
+  /** Cluster ids over an undirected near-duplicate pair graph: every
+    * document connected (transitively) through pairs gets the minimum
+    * doc id of its component as `cluster_id`. This is the step that
+    * turns pairwise dedup output into keep/drop decisions — keep one
+    * representative per cluster, drop the rest.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the min of its own label and its neighbors' labels — one
+    * equi-join on the edge list plus one hash aggregation per round,
+    * converging in O(component diameter) rounds. Near-dup components
+    * are shallow (stars and short chains), so this terminates in a
+    * handful of rounds on real corpora; `maxIter` bounds pathological
+    * chains. Each round materializes via `localCheckpoint` to truncate
+    * lineage (an unbounded iterative plan re-executes every prior round
+    * at every action). Convergence is certified by the label-sum:
+    * labels only ever decrease, so an unchanged sum means a fixpoint —
+    * one cheap aggregate instead of a change-count join.
+    *
+    * Scale: state is (node, label) pairs — two longs per distinct doc
+    * appearing in any pair — and each round is one shuffle bounded by
+    * the edge count. The same loop distributed over 1000 executors is
+    * the standard large-graph CC shape (GraphX/GraphFrames implement
+    * the same propagation with star-contraction shortcuts).
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .unionByName(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    def labelSum(l: DataFrame): Long = {
+      val r = l.agg(sum(col("label"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    // seed: own id vs min direct neighbor (first propagation round for free)
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("node"), least(col("node"), col("m")).as("label"))
+      .localCheckpoint()
+    var sum0 = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = prop.unionByName(labels.select(col("node"), col("label")))
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val sum1 = labelSum(next)
+      converged = sum1 == sum0
+      sum0 = sum1
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("id"), col("label").as("cluster_id"))
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash per document, computed entirely with higher-order

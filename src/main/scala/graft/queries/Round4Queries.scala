@@ -1,0 +1,392 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-4 additions: near-duplicate CLUSTERS (connected components
+  * over the pair graph, oracled with a recursive CTE), grouped top-k,
+  * window-based heavy hitters, deterministic stratified sampling,
+  * bigram PMI collocations, TPC-H Q12/Q14/Q18 shapes, per-group
+  * z-score anomalies, interval-overlap concurrency, and hashing-trick
+  * feature buckets.
+  *
+  * Oracle-parity rules follow the earlier packs: money math through
+  * DECIMAL(18,2) then DOUBLE, identical IEEE expression trees on both
+  * sides, md5 for anything an independent engine must recompute, and a
+  * total ORDER BY on every row dump.
+  */
+object Round4Queries {
+
+  /** Exact decimal accumulation of the scale-4 revenue term; only the
+    * final cast produces a double (same helper as Round3Queries).
+    */
+  private def dsumExact(c: Column): Column = sum(c).cast("double")
+
+  private def revenueTerm(price: Column, discount: Column): Column =
+    price.cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - discount.cast(DecimalType(18, 2)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- near-duplicate clusters (connected components) ----
+    "q_dedup_cluster" -> ((s, dir) => {
+      // pairwise dedup output → keep/drop decisions: every doc reachable
+      // through n-gram-Jaccard pairs gets its component's min doc id.
+      // Same pair parameters as q_dedup_ngram, so the oracle reuses that
+      // query's pair SQL under a recursive CTE.
+      val pairs = Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.2, maxShingleDf = 50)
+      Dedup.connectedComponents(pairs)
+        .orderBy(col("id"))
+    }),
+
+    // ---- grouped top-k ----
+    "q_group_topk" -> ((s, dir) => {
+      // top-3 revenue parts per return flag: aggregate then rank inside
+      // the group — two shuffles total (agg key, then window key, and
+      // the window key is a prefix of the agg key so AQE can often
+      // avoid the second exchange entirely)
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("revenue").desc, col("l_partkey"))
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_partkey"))
+        .agg(dsumExact(revenueTerm(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("l_returnflag"), col("rnk"), col("l_partkey"), col("revenue"))
+        .orderBy(col("l_returnflag"), col("rnk"))
+    }),
+
+    // ---- heavy hitters (relative-frequency filter) ----
+    "q_heavy_hitters" -> ((s, dir) => {
+      // users contributing >1% of an event type's traffic: counts per
+      // (type, user), then the type total as a window sum over the
+      // aggregated frame — one shuffle, no join-back (the q_tf_idf
+      // lesson applied)
+      val w = Window.partitionBy(col("event_type"))
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(w))
+        .filter(col("n").cast("double") / col("total").cast("double") > 0.01)
+        .select(col("event_type"), col("user_id"), col("n"),
+          round(col("n").cast("double") / col("total").cast("double"), 6).as("share"))
+        .orderBy(col("event_type"), col("user_id"))
+    }),
+
+    // ---- deterministic stratified sampling ----
+    "q_sample_stratified" -> ((s, dir) => {
+      // per-stratum rates (50% of URGENT orders, 10% of the rest) via
+      // md5 membership — a pure filter: no shuffle, no sort, no RNG
+      // state, and any engine recomputes the exact sample. This is how
+      // a 100 TB table is subsampled: the predicate pushes into the
+      // scan and the job never materializes the excluded rows.
+      val h = substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 2)
+      Tables.load(s, dir, "orders")
+        .filter(when(col("o_orderpriority") === "1-URGENT", h < "80")
+          .otherwise(h < "1a"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- bigram PMI collocations ----
+    "q_bigram_pmi" -> ((s, dir) => {
+      // pointwise mutual information over adjacent token pairs: bigrams
+      // built array-side (zip of the token array with its own tail — no
+      // positional self-join), then two hash aggregations and a join of
+      // the bigram counts against the (much smaller) unigram counts
+      val t = col("t")
+      val withT = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      val big = withT.select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      val uc = withT.select(explode(t).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val bcAll = big.groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+      val nBig = bcAll.agg(sum(col("c_xy")).as("n_big"))
+      val nTok = uc.agg(sum(col("c")).as("n_tok"))
+      val dbl = (c: Column) => c.cast("double")
+      bcAll.filter(col("c_xy") >= 20)
+        .withColumn("x", split(col("bigram"), " ").getItem(0))
+        .withColumn("y", split(col("bigram"), " ").getItem(1))
+        .join(uc.select(col("w").as("x"), col("c").as("cx")), "x")
+        .join(uc.select(col("w").as("y"), col("c").as("cy")), "y")
+        .crossJoin(nBig).crossJoin(nTok)
+        .select(col("bigram"), col("c_xy"),
+          round(log((dbl(col("c_xy")) / dbl(col("n_big"))) /
+            ((dbl(col("cx")) / dbl(col("n_tok"))) * (dbl(col("cy")) / dbl(col("n_tok"))))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(50)
+    }),
+
+    // ---- TPC-H Q12 shape: priority counts by return flag ----
+    "q_tpch_q12" -> ((s, dir) => {
+      // shipdate predicate pushes to the lineitem scan before the join;
+      // conditional sums replace two separate filtered aggregates
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- TPC-H Q14 shape: promo revenue share ----
+    "q_tpch_q14" -> ((s, dir) => {
+      // one month of lineitem against the broadcast part dim; both sums
+      // accumulate exact decimals, the percentage division is the only
+      // floating-point step
+      val p = Tables.load(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      val term = revenueTerm(col("l_extendedprice"), col("l_discount"))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1997-09-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1997-10-01").cast("date"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", term)).cast("double") /
+          dsumExact(term), 6).as("promo_pct"))
+    }),
+
+    // ---- TPC-H Q18 shape: large-volume orders ----
+    "q_tpch_q18" -> ((s, dir) => {
+      // the HAVING aggregate runs first and survives as a tiny frame;
+      // orders join it, the customer dim broadcasts — no fact×fact
+      // shuffle beyond the one lineitem aggregation
+      val qty = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty_d"))
+        .filter(col("qty_d") > 150)
+        .select(col("l_orderkey"), col("qty_d").cast("double").as("sum_qty"))
+      val cust = Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      Tables.load(s, dir, "orders")
+        .join(qty, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // ---- per-group z-score anomalies ----
+    "q_anomaly_zscore" -> ((s, dir) => {
+      // classic outlier screen: standardize within event_type, keep
+      // |z| > 3. The filter compares the ROUNDED z on both engines so
+      // boundary rows cannot flip on last-ulp stddev differences.
+      val w = Window.partitionBy(col("event_type"))
+      val z = (col("value") - avg(col("value")).over(w)) /
+        stddev_samp(col("value")).over(w)
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(z, 4).as("z"))
+        .filter(abs(col("z")) > 3)
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- interval-overlap concurrency (sweep line) ----
+    "q_concurrency" -> ((s, dir) => {
+      // max concurrent sessions per day: sessionize (the q_sessionize
+      // islands), emit +1/-1 deltas at session start/end, pre-aggregate
+      // deltas per distinct second, then one running sum. The global
+      // window runs over the pre-aggregated delta stream — bounded by
+      // distinct event seconds, not events — which is what makes a
+      // sweep line feasible at scale before falling back to a
+      // partition-and-stitch prefix sum.
+      val wS = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+      val run = wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("es"))
+        .withColumn("new_s",
+          when(lag(col("es"), 1).over(wS).isNull ||
+            col("es") - lag(col("es"), 1).over(wS) > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("es")).as("t0"), max(col("es")).as("t1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deltas = sess.select(col("t0").as("es"), lit(1L).as("d"))
+        .unionByName(sess.select((col("t1") + 1).as("es"), lit(-1L).as("d")))
+      val wG = Window.orderBy(col("es"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.groupBy(col("es")).agg(sum(col("d")).as("d"))
+        .withColumn("c", sum(col("d")).over(wG))
+        .groupBy(floor(col("es") / 86400).cast("long").as("day_idx"))
+        .agg(max(col("c")).as("max_concurrent"))
+        .orderBy(col("day_idx"))
+    }),
+
+    // ---- hashing-trick feature buckets ----
+    "q_feature_hash" -> ((s, dir) => {
+      // the fixed-width feature map for text models: token → one of 256
+      // md5 buckets, counts per (doc, bucket). Bucket ids are md5
+      // substrings, so an independent engine reproduces the exact
+      // feature matrix — the same property the train/test split uses.
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .select(col("doc_id"),
+          substring(md5(col("token").cast("binary")), 1, 2).as("bucket"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"), col("bucket"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t FROM documents),
+         sh0 AS (
+           SELECT doc_id, UNNEST(list_distinct(list_transform(
+             range(1, GREATEST(LEN(t) - 3, 0) + 2),
+             i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+           FROM toks),
+         hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 50),
+         sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         co AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT ia, ib
+           FROM co JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+           WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.2),
+         edges AS (
+           SELECT ia AS src, ib AS dst FROM pairs
+           UNION SELECT ib, ia FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id
+         FROM reach GROUP BY src ORDER BY id""",
+    "q_group_topk" ->
+      """SELECT l_returnflag, rnk, l_partkey, revenue FROM (
+           SELECT l_returnflag, l_partkey, revenue,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+               ORDER BY revenue DESC, l_partkey) AS rnk
+           FROM (
+             SELECT l_returnflag, l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             FROM lineitem GROUP BY 1, 2))
+         WHERE rnk <= 3 ORDER BY l_returnflag, rnk""",
+    "q_heavy_hitters" ->
+      """SELECT event_type, user_id, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+         FROM (
+           SELECT event_type, user_id, n,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+           FROM (SELECT event_type, user_id, COUNT(*) AS n
+                 FROM events GROUP BY 1, 2))
+         WHERE CAST(n AS DOUBLE) / CAST(total AS DOUBLE) > 0.01
+         ORDER BY event_type, user_id""",
+    "q_sample_stratified" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+         WHERE CASE WHEN o_orderpriority = '1-URGENT'
+           THEN SUBSTR(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '80'
+           ELSE SUBSTR(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a' END
+         ORDER BY o_orderkey""",
+    "q_bigram_pmi" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t FROM documents),
+         big AS (
+           SELECT t[i] || ' ' || t[i + 1] AS bigram
+           FROM (SELECT t, UNNEST(generate_series(1, LEN(t) - 1)) AS i FROM toks)),
+         bc AS (SELECT bigram, COUNT(*) AS c_xy FROM big GROUP BY 1),
+         uc AS (SELECT UNNEST(t) AS w FROM toks),
+         ucc AS (SELECT w, COUNT(*) AS c FROM uc GROUP BY 1),
+         nb AS (SELECT SUM(c_xy) AS n_big FROM bc),
+         nt AS (SELECT SUM(c) AS n_tok FROM ucc)
+         SELECT bigram, c_xy,
+           ROUND(LN((CAST(c_xy AS DOUBLE) / CAST(n_big AS DOUBLE)) /
+             ((CAST(cx.c AS DOUBLE) / CAST(n_tok AS DOUBLE)) *
+              (CAST(cy.c AS DOUBLE) / CAST(n_tok AS DOUBLE)))), 6) AS pmi
+         FROM bc
+         JOIN ucc cx ON string_split(bigram, ' ')[1] = cx.w
+         JOIN ucc cy ON string_split(bigram, ' ')[2] = cy.w
+         CROSS JOIN nb CROSS JOIN nt
+         WHERE c_xy >= 20
+         ORDER BY pmi DESC, bigram LIMIT 50""",
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_tpch_q14" ->
+      """SELECT ROUND(100.0 *
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE) /
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1997-10-01'""",
+    "q_tpch_q18" ->
+      """WITH qty AS (
+           SELECT l_orderkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_d
+           FROM lineitem GROUP BY 1
+           HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(qty_d AS DOUBLE) AS sum_qty
+         FROM orders JOIN qty ON o_orderkey = l_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_anomaly_zscore" ->
+      """SELECT event_id, event_type, value, z FROM (
+           SELECT event_id, event_type, value,
+             ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4) AS z
+           FROM events WINDOW w AS (PARTITION BY event_type))
+         WHERE ABS(z) > 3 ORDER BY event_id""",
+    "q_concurrency" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+           FROM events),
+         f AS (
+           SELECT user_id, event_id, es,
+             CASE WHEN LAG(es) OVER w IS NULL OR es - LAG(es) OVER w > 1800
+               THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+         s AS (
+           SELECT user_id, es,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM f),
+         sess AS (
+           SELECT user_id, session_id, MIN(es) AS t0, MAX(es) AS t1
+           FROM s GROUP BY 1, 2),
+         deltas AS (
+           SELECT t0 AS es, 1 AS d FROM sess
+           UNION ALL SELECT t1 + 1, -1 FROM sess),
+         per_ts AS (SELECT es, SUM(d) AS d FROM deltas GROUP BY 1),
+         running AS (
+           SELECT es, SUM(d) OVER (ORDER BY es
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           FROM per_ts)
+         SELECT CAST(FLOOR(es / 86400) AS BIGINT) AS day_idx,
+           CAST(MAX(c) AS BIGINT) AS max_concurrent
+         FROM running GROUP BY 1 ORDER BY day_idx""",
+    "q_feature_hash" ->
+      """SELECT doc_id, bucket, COUNT(*) AS n FROM (
+           SELECT doc_id, SUBSTR(md5(token), 1, 2) AS bucket FROM (
+             SELECT doc_id,
+               UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS token
+             FROM documents))
+         GROUP BY 1, 2 ORDER BY doc_id, bucket"""
+  )
+}

@@ -1,0 +1,145 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 operator pack: connected-component clustering invariants,
+  * stratified-sample determinism, heavy-hitter thresholds, sweep-line
+  * conservation, feature-hash completeness, and the plan shapes that
+  * matter at scale for the new TPC-H-shaped queries.
+  */
+class Round4Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("connectedComponents: chain + triangle + isolated pair") {
+    import spark.implicits._
+    // chain 1-2-3-4 (transitivity past direct neighbors), triangle
+    // 10-11-12, pair 20-21; 2 reaches 1 only through the chain
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: long chain needs multiple propagation rounds") {
+    import spark.implicits._
+    val n = 12
+    val chain = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain).collect()
+    assert(labels.length === n)
+    assert(labels.forall(_.getLong(1) === 1L), "all chain nodes must reach label 1")
+  }
+
+  test("q_dedup_cluster: labels are component minima of the pair graph") {
+    val pairs = Dedup.ngramJaccardPairs(Tables.load(spark, sf, "documents"),
+      "doc_id", "text", n = 3, threshold = 0.2, maxShingleDf = 50)
+      .select(col("id_a"), col("id_b")).cache()
+    val clusters = SparkEntry.queries("q_dedup_cluster")(spark, sf).cache()
+    // every doc in a pair is labeled, label <= id, and both ends of
+    // every pair share a label (single-step consistency)
+    assert(clusters.filter(col("cluster_id") > col("id")).count() === 0)
+    val ids = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    assert(clusters.select("id").except(ids).count() === 0)
+    assert(ids.except(clusters.select("id")).count() === 0)
+    val la = clusters.select(col("id").as("id_a"), col("cluster_id").as("ca"))
+    val lb = clusters.select(col("id").as("id_b"), col("cluster_id").as("cb"))
+    assert(pairs.join(la, "id_a").join(lb, "id_b")
+      .filter(col("ca") =!= col("cb")).count() === 0,
+      "pair endpoints in different clusters")
+    pairs.unpersist(); clusters.unpersist()
+  }
+
+  test("q_sample_stratified: deterministic, stratum rates in band") {
+    val a = SparkEntry.queries("q_sample_stratified")(spark, sf)
+    val b = SparkEntry.queries("q_sample_stratified")(spark, sf)
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    val orders = Tables.load(spark, sf, "orders")
+    val rates = a.groupBy("o_orderpriority").count()
+      .join(orders.groupBy("o_orderpriority").count()
+        .withColumnRenamed("count", "total"), "o_orderpriority")
+      .select(col("o_orderpriority"),
+        (col("count").cast("double") / col("total").cast("double")).as("rate"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // 0x80/0x100 = 50%, 0x1a/0x100 ≈ 10.2%; wide bands for small strata
+    assert(rates("1-URGENT") > 0.35 && rates("1-URGENT") < 0.65, rates.toString)
+    rates.filterNot(_._1 == "1-URGENT").foreach { case (k, v) =>
+      assert(v > 0.04 && v < 0.20, s"$k rate $v")
+    }
+  }
+
+  test("q_heavy_hitters: every row exceeds the share threshold") {
+    val hh = SparkEntry.queries("q_heavy_hitters")(spark, sf).cache()
+    // the filter runs on the unrounded ratio; the reported share is
+    // rounded to 6 dp and may land exactly ON the threshold
+    assert(hh.filter(col("share") < 0.01).count() === 0)
+    // shares are fractions of the type total: per-type sum bounded by 1
+    // (up to 6-dp rounding of each term — at tiny SF every user passes
+    // the filter and the rounded shares sum to 1 ± n*5e-7)
+    val over = hh.groupBy("event_type").agg(sum("share").as("s"))
+      .filter(col("s") > 1.0 + 1e-4).count()
+    assert(over === 0)
+    hh.unpersist()
+  }
+
+  test("q_concurrency: sweep line conserves sessions") {
+    val daily = SparkEntry.queries("q_concurrency")(spark, sf).cache()
+    assert(daily.filter(col("max_concurrent") < 0).count() === 0)
+    assert(daily.agg(max("max_concurrent")).head().getLong(0) >= 1)
+    daily.unpersist()
+  }
+
+  test("q_feature_hash: bucket counts cover every token") {
+    val fh = SparkEntry.queries("q_feature_hash")(spark, sf)
+    val nTokens = Tables.load(spark, sf, "documents")
+      .select(size(graft.ops.TextAnalysis.tokens(col("text"))).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(fh.agg(sum("n")).head().getLong(0) === nTokens)
+    // bucket ids are 2 lowercase hex chars
+    assert(fh.filter(!col("bucket").rlike("^[0-9a-f]{2}$")).count() === 0)
+  }
+
+  test("q_bigram_pmi: bounded output, finite scores") {
+    val pmi = SparkEntry.queries("q_bigram_pmi")(spark, sf).cache()
+    assert(pmi.count() <= 50)
+    assert(pmi.filter(col("pmi").isNull || isnan(col("pmi"))).count() === 0)
+    pmi.unpersist()
+  }
+
+  test("q_anomaly_zscore: all rows are 3-sigma outliers") {
+    val z = SparkEntry.queries("q_anomaly_zscore")(spark, sf)
+    assert(z.filter(abs(col("z")) <= 3).count() === 0)
+  }
+
+  test("q_tpch_q14/q18: dims broadcast, date filters pushed") {
+    val p14 = plan("q_tpch_q14")
+    assert(p14.contains("BroadcastHashJoin"), p14)
+    assert(p14.contains("PushedFilters") && p14.contains("l_shipdate"), p14)
+    val p18 = plan("q_tpch_q18")
+    assert(p18.contains("BroadcastHashJoin"), p18)
+  }
+
+  test("q_tpch_q12: shipdate predicate reaches the lineitem scan") {
+    val p = plan("q_tpch_q12")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
+  }
+
+  test("q_group_topk: exactly k rows per group, ranks dense") {
+    val t = SparkEntry.queries("q_group_topk")(spark, sf).cache()
+    val perGroup = t.groupBy("l_returnflag").count().collect()
+    assert(perGroup.forall(_.getLong(1) === 3L))
+    assert(t.filter(col("rnk") < 1 || col("rnk") > 3).count() === 0)
+    t.unpersist()
+  }
+}
