@@ -29,7 +29,8 @@ object Bench {
     "q_emb_neardup", "q_ann_topk", "q_ann_ivf", "q_stream_session",
     "q_text_chunks", "q_train_split", "q_topk", "q_window_rank",
     "q_unpivot", "q_global_agg",
-    "q_tpch_q3", "q_tpch_q5", "q_sessionize", "q_tf_idf")
+    "q_tpch_q3", "q_tpch_q5", "q_sessionize", "q_tf_idf",
+    "q_dedup_cluster", "q_bigram_pmi", "q_concurrency", "q_tpch_q18")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

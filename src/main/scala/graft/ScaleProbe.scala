@@ -112,6 +112,20 @@ object ScaleProbe {
         n = 3, threshold = 0.2, maxShingleDf = 50).count()
     }
 
+    // duplicate clusters: every doc has 9 exact copies, so the pair
+    // graph is 50k nodes of 10-cliques — a dense worst case for the
+    // label-propagation loop (pairs built once outside the timer; the
+    // probe isolates the CC cost itself)
+    val ccPairs = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 64, bands = 16, threshold = 0.35)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe] cc input pairs: ${ccPairs.count()}")
+    time("connected components over the 50k-node dup-clique graph") {
+      graft.ops.Dedup.connectedComponents(ccPairs).count()
+    }
+    ccPairs.unpersist()
+
     // incremental ingest: 1/10 of the corpus as the "new batch" against
     // the other 9/10's stored signatures — the cost that matters daily
     val sigDir = s"$out/corpus_sig.parquet"
