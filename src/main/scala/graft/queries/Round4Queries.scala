@@ -227,6 +227,84 @@ object Round4Queries {
         .orderBy(col("day_idx"))
     }),
 
+    // ---- TPC-H Q10 shape: returned-item revenue by customer ----
+    "q_tpch_q10" -> ((s, dir) => {
+      // returnflag + orderdate predicates push to the scans; customer
+      // and nation broadcast; the only shuffle is lineitem⋈orders
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      val nat = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1997-04-01").cast("date"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(dsumExact(revenueTerm(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .limit(20)
+    }),
+
+    // ---- winsorization (feature clipping) ----
+    "q_winsorize" -> ((s, dir) => {
+      // clip a training feature at per-group exact percentiles: the
+      // percentile frame is one row per group (tiny at any scale) and
+      // broadcasts back onto the fact — the standard two-pass clip
+      val li = Tables.load(s, dir, "lineitem")
+      val pct = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(expr("percentile(l_extendedprice, 0.01)").as("p01"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"))
+      li.join(broadcast(pct), col("l_returnflag") === col("rf"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_extendedprice"),
+          round(least(greatest(col("l_extendedprice"), col("p01")), col("p99")), 6)
+            .as("clipped"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_extendedprice"), col("clipped"))
+    }),
+
+    // ---- 7-day rolling active users ----
+    "q_rolling_wau" -> ((s, dir) => {
+      // COUNT(DISTINCT) over a sliding window can't be a window frame;
+      // the scalable form is (day, user) distinct pairs range-joined to
+      // the (tiny, broadcast) day spine, then a distinct count per day
+      val du = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val days = du.select(col("d").as("spine_d")).distinct()
+      broadcast(days)
+        .join(du, col("d").between(date_sub(col("spine_d"), 6), col("spine_d")))
+        .groupBy(col("spine_d"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy(col("spine_d"))
+    }),
+
+    // ---- cohort analysis (first-seen week × week offset) ----
+    "q_cohort" -> ((s, dir) => {
+      // each user's cohort is their first active week; activity is
+      // distinct (user, week); the per-user cohort frame joins back on
+      // user_id — same shuffle key as the distinct, so AQE coalesces
+      val uw = Tables.load(s, dir, "events")
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fw = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      uw.join(fw, "user_id")
+        .select(col("cohort"),
+          floor(datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_offset"),
+          col("user_id"))
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("week_offset"))
+    }),
+
     // ---- hashing-trick feature buckets ----
     "q_feature_hash" -> ((s, dir) => {
       // the fixed-width feature map for text models: token → one of 256
@@ -381,6 +459,46 @@ object Round4Queries {
          SELECT CAST(FLOOR(es / 86400) AS BIGINT) AS day_idx,
            CAST(MAX(c) AS BIGINT) AS max_concurrent
          FROM running GROUP BY 1 ORDER BY day_idx""",
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+         FROM customer JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN nation ON c_nationkey = n_nationkey
+         WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_winsorize" ->
+      """WITH pct AS (
+           SELECT l_returnflag AS rf,
+             quantile_cont(l_extendedprice, 0.01) AS p01,
+             quantile_cont(l_extendedprice, 0.99) AS p99
+           FROM lineitem GROUP BY 1)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+           ROUND(LEAST(GREATEST(l_extendedprice, p01), p99), 6) AS clipped
+         FROM lineitem JOIN pct ON l_returnflag = rf
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice, clipped""",
+    "q_rolling_wau" ->
+      """WITH du AS (
+           SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+         days AS (SELECT DISTINCT d AS spine_d FROM du)
+         SELECT spine_d, COUNT(DISTINCT user_id) AS wau
+         FROM days JOIN du ON d BETWEEN spine_d - 6 AND spine_d
+         GROUP BY 1 ORDER BY 1""",
+    "q_cohort" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+           FROM events),
+         fw AS (SELECT user_id, MIN(wk) AS cohort FROM uw GROUP BY 1)
+         SELECT cohort,
+           CAST(FLOOR((wk - cohort) / 7) AS BIGINT) AS week_offset,
+           COUNT(DISTINCT uw.user_id) AS n_users
+         FROM uw JOIN fw USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort, week_offset""",
     "q_feature_hash" ->
       """SELECT doc_id, bucket, COUNT(*) AS n FROM (
            SELECT doc_id, SUBSTR(md5(token), 1, 2) AS bucket FROM (

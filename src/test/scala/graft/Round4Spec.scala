@@ -135,6 +135,51 @@ class Round4Spec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
   }
 
+  test("q_tpch_q10: dims broadcast, predicates pushed to both scans") {
+    val p = plan("q_tpch_q10")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters") && p.contains("l_returnflag"), p)
+  }
+
+  test("q_winsorize: clipped values inside the percentile band") {
+    val w = SparkEntry.queries("q_winsorize")(spark, sf).cache()
+    assert(w.count() === Tables.load(spark, sf, "lineitem").count())
+    // clipping never widens the range
+    assert(w.filter(col("clipped") > col("l_extendedprice") + 1e-9 &&
+      col("l_extendedprice") > col("clipped")).count() === 0)
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"), "percentile frame must broadcast: " + p)
+    w.unpersist()
+  }
+
+  test("q_rolling_wau: weekly actives bounded by user universe") {
+    val wau = SparkEntry.queries("q_rolling_wau")(spark, sf).cache()
+    val nUsers = Tables.load(spark, sf, "events")
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(wau.filter(col("wau") > nUsers).count() === 0)
+    // a 7-day window can only see more users than its final day alone
+    val daily = Tables.load(spark, sf, "events")
+      .groupBy(to_date(col("ts")).as("spine_d"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    assert(wau.join(daily, "spine_d").filter(col("wau") < col("dau")).count() === 0)
+    wau.unpersist()
+  }
+
+  test("q_cohort: offset-0 cell equals each cohort's size") {
+    val c = SparkEntry.queries("q_cohort")(spark, sf).cache()
+    // every user appears in their own cohort's week-0 cell
+    val wk0 = c.filter(col("week_offset") === 0)
+      .agg(sum("n_users")).head().getLong(0)
+    val nUsers = Tables.load(spark, sf, "events")
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(wk0 === nUsers)
+    // later offsets never exceed the cohort's week-0 population
+    val base = c.filter(col("week_offset") === 0)
+      .select(col("cohort"), col("n_users").as("n0"))
+    assert(c.join(base, "cohort").filter(col("n_users") > col("n0")).count() === 0)
+    c.unpersist()
+  }
+
   test("q_group_topk: exactly k rows per group, ranks dense") {
     val t = SparkEntry.queries("q_group_topk")(spark, sf).cache()
     val perGroup = t.groupBy("l_returnflag").count().collect()
