@@ -232,8 +232,13 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-      .unionByName(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+    // symmetrize via a single explode, NOT a self-union: a union would
+    // evaluate the (potentially expensive) pair subtree once per branch
+    // before the persist below ever sees a row
+    val edges = pairs.select(explode(array(
+        struct(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst")),
+        struct(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(MEMORY_AND_DISK)
     def labelSum(l: DataFrame): Long = {
