@@ -305,6 +305,47 @@ object Round4Queries {
         .orderBy(col("cohort"), col("week_offset"))
     }),
 
+    // ---- per-label embedding centroids ----
+    "q_label_centroid" -> ((s, dir) => {
+      // class prototypes: explode each vector with its position, average
+      // per (label, dim) — one map-side-combinable aggregation whose
+      // output is labels × dims rows regardless of corpus size. The
+      // same shape seeds IVF cells and powers nearest-centroid
+      // classification.
+      Tables.load(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("c"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
+    // ---- bigram language model (next-token argmax) ----
+    "q_ngram_lm" -> ((s, dir) => {
+      // the most likely next token per token with its conditional
+      // probability P(y|x) = c_xy / c_x: bigram counts (array-tail zip,
+      // as q_bigram_pmi), a window argmax per left token, and the
+      // unigram count attached by a join on the left token
+      val t = col("t")
+      val withT = Tables.load(s, dir, "documents")
+        .select(TextAnalysis.tokens(col("text")).as("t"))
+      val bc = withT.select(explode(zip_with(
+          slice(t, lit(1), size(t) - 1),
+          slice(t, lit(2), size(t) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+        .withColumn("x", split(col("bigram"), " ").getItem(0))
+        .withColumn("y", split(col("bigram"), " ").getItem(1))
+      val uc = withT.select(explode(t).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("c_x"))
+      val w = Window.partitionBy(col("x")).orderBy(col("c_xy").desc, col("y"))
+      bc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(uc, "x")
+        .select(col("x"), col("y"),
+          round(col("c_xy").cast("double") / col("c_x").cast("double"), 6).as("p"))
+        .orderBy(col("x"))
+    }),
+
     // ---- hashing-trick feature buckets ----
     "q_feature_hash" -> ((s, dir) => {
       // the fixed-width feature map for text models: token → one of 256
@@ -499,6 +540,27 @@ object Round4Queries {
            COUNT(DISTINCT uw.user_id) AS n_users
          FROM uw JOIN fw USING (user_id)
          GROUP BY 1, 2 ORDER BY cohort, week_offset""",
+    "q_label_centroid" ->
+      """SELECT label, i - 1 AS pos,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS c
+         FROM (SELECT label, embedding,
+                 UNNEST(generate_series(1, LEN(embedding))) AS i
+               FROM embeddings)
+         GROUP BY 1, 2 ORDER BY label, pos""",
+    "q_ngram_lm" ->
+      """WITH toks AS (
+           SELECT string_split_regex(LOWER(TRIM(text)), '\s+') AS t FROM documents),
+         big AS (
+           SELECT t[i] AS x, t[i + 1] AS y
+           FROM (SELECT t, UNNEST(generate_series(1, LEN(t) - 1)) AS i FROM toks)),
+         bc AS (SELECT x, y, COUNT(*) AS c_xy FROM big GROUP BY 1, 2),
+         ucc AS (SELECT x, COUNT(*) AS c_x FROM
+           (SELECT UNNEST(t) AS x FROM toks) GROUP BY 1),
+         r AS (SELECT x, y, c_xy,
+             ROW_NUMBER() OVER (PARTITION BY x ORDER BY c_xy DESC, y) AS rn
+           FROM bc)
+         SELECT x, y, ROUND(CAST(c_xy AS DOUBLE) / CAST(c_x AS DOUBLE), 6) AS p
+         FROM r JOIN ucc USING (x) WHERE rn = 1 ORDER BY x""",
     "q_feature_hash" ->
       """SELECT doc_id, bucket, COUNT(*) AS n FROM (
            SELECT doc_id, SUBSTR(md5(token), 1, 2) AS bucket FROM (

@@ -180,6 +180,26 @@ class Round4Spec extends AnyFunSuite {
     c.unpersist()
   }
 
+  test("q_label_centroid: one row per (label, dim), centroids bounded") {
+    val c = SparkEntry.queries("q_label_centroid")(spark, sf).cache()
+    val emb = Tables.load(spark, sf, "embeddings")
+    val nLabels = emb.select(countDistinct(col("label"))).head().getLong(0)
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    assert(c.count() === nLabels * dims)
+    // a mean is bounded by the member extremes
+    val mx = emb.select(posexplode(col("embedding")))
+      .agg(max(abs(col("col")))).head().getFloat(0)
+    assert(c.filter(abs(col("c")) > mx).count() === 0)
+    c.unpersist()
+  }
+
+  test("q_ngram_lm: one argmax row per left token, probabilities in (0,1]") {
+    val lm = SparkEntry.queries("q_ngram_lm")(spark, sf).cache()
+    assert(lm.groupBy("x").count().filter(col("count") > 1).count() === 0)
+    assert(lm.filter(col("p") <= 0 || col("p") > 1).count() === 0)
+    lm.unpersist()
+  }
+
   test("q_group_topk: exactly k rows per group, ranks dense") {
     val t = SparkEntry.queries("q_group_topk")(spark, sf).cache()
     val perGroup = t.groupBy("l_returnflag").count().collect()
