@@ -257,7 +257,11 @@ object Round4Queries {
     "q_winsorize" -> ((s, dir) => {
       // clip a training feature at per-group exact percentiles: the
       // percentile frame is one row per group (tiny at any scale) and
-      // broadcasts back onto the fact — the standard two-pass clip
+      // broadcasts back onto the fact — the standard two-pass clip.
+      // Exact percentile buffers each group's values, fine at bench SF
+      // and required for oracle parity; at 100 TB the same plan runs
+      // with approx_percentile (mergeable sketch, bounded memory) and
+      // everything downstream is unchanged.
       val li = Tables.load(s, dir, "lineitem")
       val pct = li.groupBy(col("l_returnflag").as("rf"))
         .agg(expr("percentile(l_extendedprice, 0.01)").as("p01"),
