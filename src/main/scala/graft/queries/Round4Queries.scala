@@ -309,6 +309,39 @@ object Round4Queries {
         .orderBy(col("cohort"), col("week_offset"))
     }),
 
+    // ---- TPC-H Q7 shape: two-nation trade volume by year ----
+    "q_tpch_q7" -> ((s, dir) => {
+      // the nation pair predicate collapses both dim chains to a
+      // handful of keys before they broadcast; the fact side shuffles
+      // once on orderkey. Disjunctive pair filters stay ABOVE the join
+      // (they reference both sides) but each leg's nation list is tiny.
+      val n1 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        .filter(col("supp_nation").isin("NATION_3", "NATION_7"))
+      val n2 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        .filter(col("cust_nation").isin("NATION_3", "NATION_7"))
+      val supp = Tables.load(s, dir, "supplier")
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = Tables.load(s, dir, "customer")
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate").cast("date")).as("l_year"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(dsumExact(revenueTerm(col("l_extendedprice"), col("l_discount"))).as("volume"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
     // ---- per-label embedding centroids ----
     "q_label_centroid" -> ((s, dir) => {
       // class prototypes: explode each vector with its position, average
@@ -544,6 +577,18 @@ object Round4Queries {
            COUNT(DISTINCT uw.user_id) AS n_users
          FROM uw JOIN fw USING (user_id)
          GROUP BY 1, 2 ORDER BY cohort, week_offset""",
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+         FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "q_label_centroid" ->
       """SELECT label, i - 1 AS pos,
            ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS c

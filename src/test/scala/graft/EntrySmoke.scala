@@ -6,8 +6,8 @@ class EntrySmoke extends AnyFunSuite {
     val n = df.count()
     info(s"entry rows: $n")
     assert(n > 0)
-    assert(SparkEntry.queries.size == 121)
-    assert(SparkEntry.oracleSql.size == 110)
+    assert(SparkEntry.queries.size == 122)
+    assert(SparkEntry.oracleSql.size == 111)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }

@@ -180,6 +180,16 @@ class Round4Spec extends AnyFunSuite {
     c.unpersist()
   }
 
+  test("q_tpch_q7: nation-filtered dims broadcast, one fact shuffle") {
+    val p = plan("q_tpch_q7")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // shuffle exchanges (formatted-plan detail headers "(n) Exchange",
+    // which excludes BroadcastExchange): the two fact-join sides, the
+    // aggregation, and the final sort — nothing else may shuffle
+    val shuffles = """\(\d+\) Exchange\b""".r.findAllIn(p).size
+    assert(shuffles <= 4, s"too many shuffle exchanges ($shuffles):\n$p")
+  }
+
   test("q_label_centroid: one row per (label, dim), centroids bounded") {
     val c = SparkEntry.queries("q_label_centroid")(spark, sf).cache()
     val emb = Tables.load(spark, sf, "embeddings")
