@@ -211,17 +211,21 @@ object Dedup {
     * turns pairwise dedup output into keep/drop decisions — keep one
     * representative per cluster, drop the rest.
     *
-    * Algorithm: iterative min-label propagation. Each round every node
-    * takes the min of its own label and its neighbors' labels — one
-    * equi-join on the edge list plus one hash aggregation per round,
-    * converging in O(component diameter) rounds. Near-dup components
-    * are shallow (stars and short chains), so this terminates in a
-    * handful of rounds on real corpora; `maxIter` bounds pathological
-    * chains. Each round materializes via `localCheckpoint` to truncate
-    * lineage (an unbounded iterative plan re-executes every prior round
-    * at every action). Convergence is certified by the label-sum:
-    * labels only ever decrease, so an unchanged sum means a fixpoint —
-    * one cheap aggregate instead of a change-count join.
+    * Algorithm: iterative min-label propagation with pointer jumping.
+    * Each round every node takes the min of its own label and its
+    * neighbors' labels (one equi-join on the edge list plus one hash
+    * aggregation), then resolves its label through the label's own
+    * label (one self-join). The neighbor step alone moves a component's
+    * minimum one hop per round — O(diameter) rounds, which a long
+    * path-shaped component would exhaust silently; the jumping step
+    * doubles the distance covered each round, making convergence
+    * O(log diameter). Each round materializes via `localCheckpoint` to
+    * truncate lineage (an unbounded iterative plan re-executes every
+    * prior round at every action). Convergence is certified by the
+    * label-sum: labels only ever decrease, so an unchanged sum means a
+    * fixpoint — one cheap aggregate instead of a change-count join.
+    * Exhausting `maxIter` without the certificate throws: wrong
+    * cluster ids must never be returned silently.
     *
     * Scale: state is (node, label) pairs — two longs per distinct doc
     * appearing in any pair — and each round is one shuffle bounded by
@@ -245,26 +249,46 @@ object Dedup {
       val r = l.agg(sum(col("label"))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
+    // materialize a round's labels AND mint fresh attribute ids: the
+    // loop re-joins each round's output against the edge list and
+    // itself, and reusing the same attributes across the union +
+    // self-join pattern trips Catalyst's Union constraint rewriting
+    def materialize(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint()
+      c.sparkSession.createDataFrame(c.rdd, c.schema)
+    }
     // seed: own id vs min direct neighbor (first propagation round for free)
-    var labels = edges.groupBy(col("src").as("node"))
+    var labels = materialize(edges.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("m"))
-      .select(col("node"), least(col("node"), col("m")).as("label"))
-      .localCheckpoint()
+      .select(col("node"), least(col("node"), col("m")).as("label")))
     var sum0 = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
-      val next = prop.unionByName(labels.select(col("node"), col("label")))
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      // materialized BEFORE the self-join below (fresh attributes, no
+      // Union left in the plan)
+      val viaNbr = materialize(
+        prop.unionByName(labels.select(col("node"), col("label")))
+          .groupBy(col("node")).agg(min(col("label")).as("label")))
+      // pointer jumping: label := label(label). Every label is itself a
+      // node of the graph (labels are node ids), so the lookup is a
+      // self-join; least() guards the round where the looked-up row
+      // still carries a larger label than the looker.
+      val next = materialize(viaNbr.as("l")
+        .join(viaNbr.select(col("node").as("label"), col("label").as("ll")).as("r"),
+          Seq("label"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
       val sum1 = labelSum(next)
       converged = sum1 == sum0
       sum0 = sum1
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("node").as("id"), col("label").as("cluster_id"))
   }
 

@@ -32,9 +32,11 @@ class Round4Spec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("connectedComponents: long chain needs multiple propagation rounds") {
+  test("connectedComponents: a 60-node path converges via pointer jumping") {
     import spark.implicits._
-    val n = 12
+    // without the label(label) jump this needs ~59 rounds — far past
+    // maxIter; with it, O(log n) rounds
+    val n = 60
     val chain = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
     val labels = Dedup.connectedComponents(chain).collect()
     assert(labels.length === n)
