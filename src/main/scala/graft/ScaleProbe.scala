@@ -112,6 +112,13 @@ object ScaleProbe {
         n = 3, threshold = 0.2, maxShingleDf = 50).count()
     }
 
+    time("winsorize 6M lineitem (per-group percentile clip)") {
+      SparkEntry.queries("q_winsorize")(spark, out).count()
+    }
+    time("rolling 7-day actives over 1M events") {
+      SparkEntry.queries("q_rolling_wau")(spark, out).count()
+    }
+
     // duplicate clusters: every doc has 9 exact copies, so the pair
     // graph is 50k nodes of 10-cliques — a dense worst case for the
     // label-propagation loop (pairs built once outside the timer; the
