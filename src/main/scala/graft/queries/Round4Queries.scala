@@ -383,6 +383,35 @@ object Round4Queries {
         .orderBy(col("x"))
     }),
 
+    // ---- chi-squared feature selection (token ↔ language) ----
+    "q_chi2_features" -> ((s, dir) => {
+      // which tokens are most associated with English documents: the
+      // 2×2 contingency χ² from four counts, all derived from ONE
+      // distinct (doc, token) aggregation plus a broadcast one-row
+      // totals frame. Arithmetic runs in doubles with the identical
+      // expression tree on both engines; tokens present in every doc
+      // are excluded exactly (n1 < N on integers) before the division.
+      val docs = Tables.load(s, dir, "documents")
+      val dt = docs.select(col("lang"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+      val tok = dt.groupBy(col("token"))
+        .agg(count(lit(1)).as("n1"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("e1"))
+      val tot = docs.agg(count(lit(1)).as("nn"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ee"))
+      val d = (c: Column) => c.cast("double")
+      val diff = d(col("e1")) * d(col("nn") - col("ee") - (col("n1") - col("e1"))) -
+        d(col("n1") - col("e1")) * d(col("ee") - col("e1"))
+      tok.crossJoin(tot)
+        .filter(col("n1") < col("nn") && col("n1") >= 5)
+        .select(col("token"), col("n1"), col("e1"),
+          round(d(col("nn")) * diff * diff /
+            (d(col("n1")) * d(col("nn") - col("n1")) * d(col("ee")) * d(col("nn") - col("ee"))), 4)
+            .as("chi2"))
+        .orderBy(col("chi2").desc, col("token"))
+        .limit(30)
+    }),
+
     // ---- hashing-trick feature buckets ----
     "q_feature_hash" -> ((s, dir) => {
       // the fixed-width feature map for text models: token → one of 256
@@ -610,6 +639,30 @@ object Round4Queries {
            FROM bc)
          SELECT x, y, ROUND(CAST(c_xy AS DOUBLE) / CAST(c_x AS DOUBLE), 6) AS p
          FROM r JOIN ucc USING (x) WHERE rn = 1 ORDER BY x""",
+    "q_chi2_features" ->
+      """WITH dt AS (
+           SELECT lang, UNNEST(list_distinct(
+             string_split_regex(LOWER(TRIM(text)), '\s+'))) AS token
+           FROM documents),
+         tok AS (
+           SELECT token, COUNT(*) AS n1,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS e1
+           FROM dt GROUP BY 1),
+         tot AS (
+           SELECT COUNT(*) AS nn,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ee
+           FROM documents)
+         SELECT token, n1, e1,
+           ROUND(CAST(nn AS DOUBLE) *
+             (CAST(e1 AS DOUBLE) * CAST(nn - ee - (n1 - e1) AS DOUBLE) -
+              CAST(n1 - e1 AS DOUBLE) * CAST(ee - e1 AS DOUBLE)) *
+             (CAST(e1 AS DOUBLE) * CAST(nn - ee - (n1 - e1) AS DOUBLE) -
+              CAST(n1 - e1 AS DOUBLE) * CAST(ee - e1 AS DOUBLE)) /
+             (CAST(n1 AS DOUBLE) * CAST(nn - n1 AS DOUBLE) *
+              CAST(ee AS DOUBLE) * CAST(nn - ee AS DOUBLE)), 4) AS chi2
+         FROM tok CROSS JOIN tot
+         WHERE n1 < nn AND n1 >= 5
+         ORDER BY chi2 DESC, token LIMIT 30""",
     "q_feature_hash" ->
       """SELECT doc_id, bucket, COUNT(*) AS n FROM (
            SELECT doc_id, SUBSTR(md5(token), 1, 2) AS bucket FROM (

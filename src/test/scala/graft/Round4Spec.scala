@@ -212,6 +212,15 @@ class Round4Spec extends AnyFunSuite {
     lm.unpersist()
   }
 
+  test("q_chi2_features: scores non-negative, counts consistent") {
+    val c = SparkEntry.queries("q_chi2_features")(spark, sf).cache()
+    assert(c.count() <= 30)
+    assert(c.filter(col("chi2") < 0 || col("chi2").isNull || isnan(col("chi2"))).count() === 0)
+    // the English doc-frequency can never exceed the total doc-frequency
+    assert(c.filter(col("e1") > col("n1")).count() === 0)
+    c.unpersist()
+  }
+
   test("q_group_topk: exactly k rows per group, ranks dense") {
     val t = SparkEntry.queries("q_group_topk")(spark, sf).cache()
     val perGroup = t.groupBy("l_returnflag").count().collect()
