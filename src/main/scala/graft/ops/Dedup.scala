@@ -289,6 +289,10 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
+    // labels are fully materialized (localCheckpoint), so the edge cache
+    // has no remaining consumer — release it rather than leaking a
+    // cached block per call in a long-lived session
+    edges.unpersist(blocking = false)
     labels.select(col("node").as("id"), col("label").as("cluster_id"))
   }
 

@@ -200,11 +200,14 @@ object Round4Queries {
     "q_concurrency" -> ((s, dir) => {
       // max concurrent sessions per day: sessionize (the q_sessionize
       // islands), emit +1/-1 deltas at session start/end, pre-aggregate
-      // deltas per distinct second, then one running sum. The global
-      // window runs over the pre-aggregated delta stream — bounded by
-      // distinct event seconds, not events — which is what makes a
-      // sweep line feasible at scale before falling back to a
-      // partition-and-stitch prefix sum.
+      // deltas per distinct second, then a partition-and-stitch prefix
+      // sum: the running sum within each day is a day-partitioned
+      // window (parallel across days, each task bounded by 86400
+      // seconds), and the carry-in from all prior days comes from the
+      // per-day total frame — one row per calendar day, so collecting
+      // it to compute the prefix is bounded the same way the IVF
+      // centroid fetch is, and it broadcasts back as an equi-join.
+      // No single-task stage anywhere, at any corpus size.
       val wS = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
       val run = wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val sess = Tables.load(s, dir, "events")
@@ -218,12 +221,26 @@ object Round4Queries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deltas = sess.select(col("t0").as("es"), lit(1L).as("d"))
         .unionByName(sess.select((col("t1") + 1).as("es"), lit(-1L).as("d")))
-      val wG = Window.orderBy(col("es"))
+      val perSec = deltas.groupBy(col("es")).agg(sum(col("d")).as("d"))
+        .withColumn("day_idx", floor(col("es") / 86400).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // carry(day) = sum of every prior day's net delta (sessions still
+      // open at midnight). A session spanning days contributes +1 on
+      // its start day and -1 after its end day, so the stitched count
+      // perSec.run + carry equals the global prefix sum exactly.
+      val dayTotals = perSec.groupBy(col("day_idx")).agg(sum(col("d")).as("dt"))
+        .orderBy(col("day_idx")).collect()
+      var acc = 0L
+      val carries = dayTotals.map { r =>
+        val row = (r.getLong(0), acc); acc += r.getLong(1); row
+      }.toSeq
+      import s.implicits._
+      val wDay = Window.partitionBy(col("day_idx")).orderBy(col("es"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      deltas.groupBy(col("es")).agg(sum(col("d")).as("d"))
-        .withColumn("c", sum(col("d")).over(wG))
-        .groupBy(floor(col("es") / 86400).cast("long").as("day_idx"))
-        .agg(max(col("c")).as("max_concurrent"))
+      perSec.withColumn("run", sum(col("d")).over(wDay))
+        .join(broadcast(carries.toDF("day_idx", "carry")), Seq("day_idx"))
+        .groupBy(col("day_idx"))
+        .agg(max(col("run") + col("carry")).as("max_concurrent"))
         .orderBy(col("day_idx"))
     }),
 
@@ -277,14 +294,20 @@ object Round4Queries {
 
     // ---- 7-day rolling active users ----
     "q_rolling_wau" -> ((s, dir) => {
-      // COUNT(DISTINCT) over a sliding window can't be a window frame;
-      // the scalable form is (day, user) distinct pairs range-joined to
-      // the (tiny, broadcast) day spine, then a distinct count per day
+      // COUNT(DISTINCT) over a sliding window can't be a window frame,
+      // and a day-spine range join plans as BroadcastNestedLoopJoin —
+      // every (day, user) row tested against every spine day, a 3650x
+      // blowup on a 10-year corpus. Scale-safe form: each distinct
+      // (day, user) pair covers AT MOST 7 spine days, so explode
+      // exactly those (bounded 7x expansion) and hash-semi-join against
+      // the observed-day spine to drop spine days past the data.
       val du = Tables.load(s, dir, "events")
         .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val days = du.select(col("d").as("spine_d")).distinct()
-      broadcast(days)
-        .join(du, col("d").between(date_sub(col("spine_d"), 6), col("spine_d")))
+      du.select(explode(sequence(col("d"), date_add(col("d"), 6))).as("spine_d"),
+          col("user_id"))
+        .join(broadcast(days), Seq("spine_d"), "left_semi")
         .groupBy(col("spine_d"))
         .agg(countDistinct(col("user_id")).as("wau"))
         .orderBy(col("spine_d"))

@@ -102,6 +102,27 @@ class Round4Spec extends AnyFunSuite {
     daily.unpersist()
   }
 
+  test("q_concurrency: stitched prefix sum leaves no single-task window") {
+    // the r4 form ran the running sum through Window.orderBy(es) with no
+    // partition key — one task over every distinct event-second. The
+    // stitched form must not plan ANY single-partition exchange: the
+    // within-day window hashes on day_idx and the carry joins broadcast.
+    val p = plan("q_concurrency")
+    assert(!p.contains("Exchange SinglePartition"),
+      "single-partition stage leaked back into the sweep line:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "carry frame must broadcast: " + p)
+  }
+
+  test("q_rolling_wau: day spine joins as a hash join, not BNL") {
+    // the r4 form range-joined the spine (d BETWEEN spine_d-6 AND
+    // spine_d) — a BroadcastNestedLoopJoin testing every (day, user)
+    // against every spine day. The explode form must plan an equi-join.
+    val p = plan("q_rolling_wau")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join leaked back into the day spine:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_feature_hash: bucket counts cover every token") {
     val fh = SparkEntry.queries("q_feature_hash")(spark, sf)
     val nTokens = Tables.load(spark, sf, "documents")
@@ -146,9 +167,26 @@ class Round4Spec extends AnyFunSuite {
   test("q_winsorize: clipped values inside the percentile band") {
     val w = SparkEntry.queries("q_winsorize")(spark, sf).cache()
     assert(w.count() === Tables.load(spark, sf, "lineitem").count())
-    // clipping never widens the range
-    assert(w.filter(col("clipped") > col("l_extendedprice") + 1e-9 &&
-      col("l_extendedprice") > col("clipped")).count() === 0)
+    // a clip may only move a value TO one of its group's two percentile
+    // bounds: raised values must land exactly on some p01, lowered
+    // values exactly on some p99 (rounded to the query's 6 dp). This is
+    // the real never-widens invariant — the r4 form AND-ed two mutually
+    // exclusive comparisons and was vacuous.
+    val pct = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.01)").as("p01"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99"))
+      .collect()
+    val p01s = pct.map(r => BigDecimal(r.getDouble(1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val p99s = pct.map(r => BigDecimal(r.getDouble(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(w.filter(col("clipped") > col("l_extendedprice") &&
+      !col("clipped").isin(p01s.toIndexedSeq: _*)).count() === 0,
+      "a raised value did not land on a group p01")
+    assert(w.filter(col("clipped") < col("l_extendedprice") &&
+      !col("clipped").isin(p99s.toIndexedSeq: _*)).count() === 0,
+      "a lowered value did not land on a group p99")
     val p = plan("q_winsorize")
     assert(p.contains("BroadcastHashJoin"), "percentile frame must broadcast: " + p)
     w.unpersist()
