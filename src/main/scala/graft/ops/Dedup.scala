@@ -296,6 +296,43 @@ object Dedup {
     labels.select(col("node").as("id"), col("label").as("cluster_id"))
   }
 
+  // ---- passage-level dedup ----
+
+  /** Substring/passage-level dedup: production corpora repeat PASSAGES
+    * (boilerplate, quoted paragraphs, licence blocks) across documents
+    * that are not near-duplicates as wholes, so document-granular dedup
+    * misses them. Splits each document into fixed-size token passages
+    * ([[TextAnalysis.chunkTokens]], overlap 0), keeps the globally
+    * FIRST occurrence of each distinct passage (ordered by doc id then
+    * passage index), and reassembles every document from its kept
+    * passages. Returns (id, n_passages, n_kept, dedup_text).
+    *
+    * Scale shape: one shuffle on the passage fingerprint (md5 — 128
+    * bits, collision-safe at web scale where a 64-bit key would start
+    * merging distinct passages), a row_number over each fingerprint's
+    * (tiny) duplicate group, then one aggregation back to documents.
+    * No joins, no all-pairs anything: cost is linear in total passages.
+    */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+      passageTokens: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pass = widen(df)
+      .select(col(idCol).as("id"),
+        posexplode(TextAnalysis.chunkTokens(col(textCol), passageTokens, 0)))
+      .select(col("id"), col("pos").cast("long").as("p_idx"), col("col").as("passage"))
+    val firstSeen = Window.partitionBy(col("fp")).orderBy(col("id"), col("p_idx"))
+    pass
+      .withColumn("fp", md5(col("passage").cast("binary")))
+      .withColumn("kept", row_number().over(firstSeen) === 1)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("p_idx"), col("passage"))))),
+          x => x.getField("passage")), " ").as("dedup_text"))
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash per document, computed entirely with higher-order

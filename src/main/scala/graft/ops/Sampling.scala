@@ -41,6 +41,25 @@ object Sampling {
     (df.filter(b < lit(thr)), df.filter(b >= lit(thr)))
   }
 
+  /** Multi-way deterministic split label (e.g. train/val/test) from md5
+    * bucket thresholds: cumulative percentages map to first-byte hex
+    * boundaries, so ANY engine with md5 recomputes the exact assignment
+    * ([[md5TrainTestSplit]] generalized past two ways). Percentages must
+    * sum to 100; granularity is 1/256 per boundary.
+    */
+  def md5SplitLabel(id: Column, splits: Seq[(String, Int)]): Column = {
+    require(splits.size >= 2 && splits.forall(_._2 > 0) && splits.map(_._2).sum == 100,
+      s"need >=2 positive percentages summing to 100, got $splits")
+    val b = substring(md5(id.cast("string").cast("binary")), 1, 2)
+    val cum = splits.init.scanLeft(0)(_ + _._2).tail
+    val cases = splits.init.zip(cum).map { case ((name, _), c) =>
+      (name, f"${(256 * c) / 100}%02x")
+    }
+    cases.tail.foldLeft(when(b < lit(cases.head._2), cases.head._1)) {
+      case (acc, (name, thr)) => acc.when(b < lit(thr), name)
+    }.otherwise(splits.last._1)
+  }
+
   /** Deterministic per-stratum downsampling: keep ~fraction of each
     * stratum, chosen by id hash (reproducible, unlike sampleBy's RNG).
     * Fractions are per stratum value; absent strata keep everything.

@@ -26,6 +26,19 @@ object PipelineQueries {
       .select(col("embedding")).head()
       .getSeq[Float](0).map(_.toDouble).toArray
 
+  /** Exact copies of every `modulo`-th row appended at id+`offset` —
+    * planted ground truth for the hash-family dedup operators. An exact
+    * copy produces an identical signature/fingerprint DETERMINISTICALLY
+    * (min over the same shingle hashes, the same ±1 votes, the same
+    * hyperplane signs), so "every planted pair surfaces, at the exact
+    * similarity ceiling" is a DuckDB-checkable recall statement about
+    * operators whose hash families no other engine can reproduce.
+    */
+  private def withPlantedCopies(df: DataFrame, idCol: String,
+      modulo: Int, offset: Long): DataFrame =
+    df.unionByName(df.filter(col(idCol) % modulo === 0)
+      .withColumn(idCol, col(idCol) + offset))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_analysis" -> ((s, dir) => {
       val t = col("text")
@@ -57,27 +70,48 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
-          k = 64, bands = 16, threshold = 0.35)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-    "q_dedup_incremental" -> ((s, dir) => {
-      // daily-ingest shape: new batch (doc_id % 5 == 0) deduped against
-      // the stored corpus signature table only — corpus docs untouched
+      // planted-recall form (r4 verdict item 4): every 20th doc gets an
+      // exact copy at id+10^6; identical text makes every one of the 64
+      // minhash components equal, so the pair MUST surface in every
+      // band with est_jaccard exactly 1.0 — LSH recall as an
+      // oracle-checked number. Organic-threshold behavior stays
+      // spec-verified against brute force in PipelineOpsSpec.
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id").as("id"), col("text"))
-      val corpusSig = Dedup.minhashSignature(
-        docs.filter(col("id") % 5 =!= 0), "id", "text", k = 64)
+      Dedup.minhashLshPairs(withPlantedCopies(docs, "id", 20, 1000000L),
+          "id", "text", k = 64, bands = 16, threshold = 0.35)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a"), col("id_b"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy(col("id_a"))
+    }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // daily-ingest shape with planted ground truth: the "new batch"
+      // is an exact copy of every 5th corpus doc at id+10^6, deduped
+      // against the stored corpus signature table only — each batch doc
+      // must band-join back to its source at est_jaccard exactly 1.0
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val corpusSig = Dedup.minhashSignature(docs, "id", "text", k = 64)
       val freshSig = Dedup.minhashSignature(
-        docs.filter(col("id") % 5 === 0), "id", "text", k = 64)
+        docs.filter(col("id") % 5 === 0).withColumn("id", col("id") + 1000000L),
+        "id", "text", k = 64)
       Dedup.minhashLshPairsIncremental(freshSig, corpusSig,
           k = 64, bands = 16, threshold = 0.35)
-        .orderBy(col("id_a"), col("id_b"))
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a"), col("id_b"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy(col("id_a"))
     }),
     "q_dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
-          maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))
+      // planted-recall form: identical text votes identically on all 64
+      // bits, so every planted pair must verify at Hamming distance 0
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      Dedup.simhashPairs(withPlantedCopies(docs, "id", 20, 1000000L),
+          "id", "text", maxHamming = 3)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .orderBy(col("id_a"))
     }),
     "q_ann_topk" -> ((s, dir) => {
       Similarity.bruteForceTopK(Tables.load(s, dir, "embeddings"),
@@ -99,10 +133,17 @@ object PipelineQueries {
         .withColumn("sim", round(col("sim"), 6))
     }),
     "q_emb_neardup" -> ((s, dir) => {
-      Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
+      // planted-recall form: every 20th vector copied at vec_id+10^6 —
+      // identical vectors sign every hyperplane identically (same LSH
+      // bucket) and verify at cosine 1.0 (to 6 dp; the denominator is
+      // sqrt(n)·sqrt(n) of the same sum, equal within ulps)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      Similarity.cosineNearDupPairs(withPlantedCopies(emb, "vec_id", 20, 1000000L),
           "vec_id", "embedding", threshold = 0.4, nBits = 6)
-        .withColumn("cos", round(col("cos"), 6))
-        .orderBy(col("id_a"), col("id_b"))
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id_a"))
     }),
     "q_text_chunks" -> ((s, dir) => {
       // pre-training windowing: 8-token chunks, 2-token overlap
@@ -122,11 +163,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
     "q_train_split" -> ((s, dir) => {
-      // deterministic hash split (rows-only: DuckDB's hash differs);
-      // disjointness/stability asserted in SamplingSpec
-      val (train, _) = Sampling.trainTestSplit(
-        Tables.load(s, dir, "documents"), "doc_id", 80)
-      train.select(col("doc_id")).orderBy(col("doc_id"))
+      // full train/val/test assignment via md5 bucket thresholds — the
+      // engine-portable split, so the exact membership of all three
+      // splits is oracle-checked (the xxhash64 two-way split remains in
+      // Sampling.trainTestSplit, spec-verified for disjointness and
+      // stability in SamplingSpec; it has no DuckDB equivalent)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          Sampling.md5SplitLabel(col("doc_id"),
+            Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+        .orderBy(col("doc_id"))
     }),
     "q_events_hourly" -> ((s, dir) => {
       Tables.load(s, dir, "events")
@@ -172,6 +218,28 @@ object PipelineQueries {
          FROM co JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
          WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.2
          ORDER BY id_a, id_b""",
+    "q_dedup_minhash" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS est_jaccard
+         FROM documents WHERE doc_id % 20 = 0 ORDER BY id_a""",
+    "q_dedup_incremental" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS est_jaccard
+         FROM documents WHERE doc_id % 5 = 0 ORDER BY id_a""",
+    "q_dedup_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+           CAST(0 AS INT) AS hamming
+         FROM documents WHERE doc_id % 20 = 0 ORDER BY id_a""",
+    "q_emb_neardup" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS cos
+         FROM embeddings WHERE vec_id % 20 = 0 ORDER BY id_a""",
+    "q_train_split" ->
+      """SELECT doc_id,
+           CASE WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
     "q_ann_topk" ->
       """SELECT vec_id,
            ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

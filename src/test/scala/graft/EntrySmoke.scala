@@ -7,7 +7,7 @@ class EntrySmoke extends AnyFunSuite {
     info(s"entry rows: $n")
     assert(n > 0)
     assert(SparkEntry.queries.size == 123)
-    assert(SparkEntry.oracleSql.size == 112)
+    assert(SparkEntry.oracleSql.size == 117)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }
