@@ -22,6 +22,25 @@ object Sketches {
       .agg(approx_count_distinct(col(column), rsd).as("approx_distinct"),
         count(lit(1)).as("n"))
 
+  /** Per-group HLL++ estimate audited against the exact count: emits
+    * (group, exact_distinct, n, within_rel_err) where the boolean
+    * states |approx − exact| ≤ relErr·exact. The estimate itself stays
+    * approximate (and deterministic — HLL++ is hash-based), but the
+    * bounded-error CLAIM is exact, so an independent engine that
+    * recomputes the exact counts can hash-check the whole row — the
+    * driver-oracle form of a sketch guarantee. The exact count rides
+    * the same single aggregation (Expand-based distinct rewrite).
+    */
+  def approxDistinctAudit(df: DataFrame, groupCol: String, column: String,
+      rsd: Double = 0.05, relErr: Double = 0.05): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(approx_count_distinct(col(column), rsd).as("_approx"),
+        countDistinct(col(column)).as("exact_distinct"),
+        count(lit(1)).as("n"))
+      .select(col(groupCol), col("exact_distinct"), col("n"),
+        (abs(col("_approx") - col("exact_distinct")).cast("double") <=
+          lit(relErr) * col("exact_distinct").cast("double")).as("within_rel_err"))
+
   /** Approximate quantiles via percentile_approx (t-digest style;
     * `accuracy` trades memory for error ≤ 1/accuracy).
     */

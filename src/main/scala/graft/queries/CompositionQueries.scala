@@ -6,9 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Composed operators: the end-to-end corpus-prep pipeline and sketch
-  * aggregates. Rows-only in the driver gate (MinHash/HLL aren't
-  * ANSI-SQL-reproducible); semantics covered by
-  * PipelineCompositionSpec against exact ground truth.
+  * aggregates. The pipeline stays rows-only in the driver gate
+  * (MinHash isn't ANSI-SQL-reproducible; stage-wise coverage in
+  * PipelineCompositionSpec); the sketch query ships a bounded-error
+  * oracle — DuckDB recomputes the exact counts and the within-bound
+  * boolean.
   */
 object CompositionQueries {
 
@@ -21,8 +23,15 @@ object CompositionQueries {
         .orderBy(col("doc_id"))
     }),
     "q_sketch_distinct" -> ((s, dir) => {
-      Sketches.approxDistinctBy(
-          Tables.load(s, dir, "orders"), "o_orderpriority", "o_custkey")
+      // bounded-error form (r5 verdict item 8): the HLL++ estimate is
+      // approximate by design, but the within-5% claim is exact and
+      // DuckDB recomputes it — a sketch regression breaks the hash.
+      // rsd 0.02 against a 5% audit band: the sketch's one-sigma error
+      // is 2%, so the 2.5-sigma claim holds with margin at every SF
+      // (the default 5% rsd missed the band in one sf0.01 group).
+      Sketches.approxDistinctAudit(
+          Tables.load(s, dir, "orders"), "o_orderpriority", "o_custkey",
+          rsd = 0.02, relErr = 0.05)
         .orderBy(col("o_orderpriority"))
     }),
     "q_asof_join" -> ((s, dir) => {
@@ -53,6 +62,11 @@ object CompositionQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_sketch_distinct" ->
+      """SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_distinct,
+           COUNT(*) AS n, TRUE AS within_rel_err
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q_asof_join" ->
       """SELECT l.event_id, l.ts, l.user_id, l.value, r.event_id AS asof_event_id
          FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value

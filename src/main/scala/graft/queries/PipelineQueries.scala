@@ -20,7 +20,7 @@ object PipelineQueries {
     * row to form the query literal is input preparation, not a data
     * path).
     */
-  private def queryVec(s: SparkSession, dir: String): Array[Double] =
+  private[queries] def queryVec(s: SparkSession, dir: String): Array[Double] =
     Tables.load(s, dir, "embeddings")
       .filter(col("vec_id") === 0)
       .select(col("embedding")).head()
@@ -35,9 +35,15 @@ object PipelineQueries {
     * operators whose hash families no other engine can reproduce.
     */
   private def withPlantedCopies(df: DataFrame, idCol: String,
-      modulo: Int, offset: Long): DataFrame =
-    df.unionByName(df.filter(col(idCol) % modulo === 0)
-      .withColumn(idCol, col(idCol) + offset))
+      modulo: Int): (DataFrame, Long) = {
+    // offset = max(id)+1, not a fixed 10^6: a corpus whose ids reach the
+    // constant would alias planted ids onto real ones and corrupt both
+    // the LSH join and the oracle's id_b arithmetic. One-row agg over a
+    // pruned scan — input preparation, same class as queryVec.
+    val offset = df.agg(max(col(idCol))).head().getAs[Number](0).longValue + 1L
+    (df.unionByName(df.filter(col(idCol) % modulo === 0)
+      .withColumn(idCol, col(idCol) + offset)), offset)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_analysis" -> ((s, dir) => {
@@ -78,9 +84,10 @@ object PipelineQueries {
       // spec-verified against brute force in PipelineOpsSpec.
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id").as("id"), col("text"))
-      Dedup.minhashLshPairs(withPlantedCopies(docs, "id", 20, 1000000L),
+      val (planted, off) = withPlantedCopies(docs, "id", 20)
+      Dedup.minhashLshPairs(planted,
           "id", "text", k = 64, bands = 16, threshold = 0.35)
-        .filter(col("id_b") === col("id_a") + 1000000L)
+        .filter(col("id_b") === col("id_a") + off)
         .select(col("id_a"), col("id_b"),
           round(col("est_jaccard"), 6).as("est_jaccard"))
         .orderBy(col("id_a"))
@@ -92,13 +99,14 @@ object PipelineQueries {
       // must band-join back to its source at est_jaccard exactly 1.0
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id").as("id"), col("text"))
+      val off = docs.agg(max(col("id"))).head().getAs[Number](0).longValue + 1L
       val corpusSig = Dedup.minhashSignature(docs, "id", "text", k = 64)
       val freshSig = Dedup.minhashSignature(
-        docs.filter(col("id") % 5 === 0).withColumn("id", col("id") + 1000000L),
+        docs.filter(col("id") % 5 === 0).withColumn("id", col("id") + off),
         "id", "text", k = 64)
       Dedup.minhashLshPairsIncremental(freshSig, corpusSig,
           k = 64, bands = 16, threshold = 0.35)
-        .filter(col("id_b") === col("id_a") + 1000000L)
+        .filter(col("id_b") === col("id_a") + off)
         .select(col("id_a"), col("id_b"),
           round(col("est_jaccard"), 6).as("est_jaccard"))
         .orderBy(col("id_a"))
@@ -108,9 +116,9 @@ object PipelineQueries {
       // bits, so every planted pair must verify at Hamming distance 0
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id").as("id"), col("text"))
-      Dedup.simhashPairs(withPlantedCopies(docs, "id", 20, 1000000L),
-          "id", "text", maxHamming = 3)
-        .filter(col("id_b") === col("id_a") + 1000000L)
+      val (planted, off) = withPlantedCopies(docs, "id", 20)
+      Dedup.simhashPairs(planted, "id", "text", maxHamming = 3)
+        .filter(col("id_b") === col("id_a") + off)
         .orderBy(col("id_a"))
     }),
     "q_ann_topk" -> ((s, dir) => {
@@ -139,9 +147,10 @@ object PipelineQueries {
       // sqrt(n)·sqrt(n) of the same sum, equal within ulps)
       val emb = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      Similarity.cosineNearDupPairs(withPlantedCopies(emb, "vec_id", 20, 1000000L),
+      val (planted, off) = withPlantedCopies(emb, "vec_id", 20)
+      Similarity.cosineNearDupPairs(planted,
           "vec_id", "embedding", threshold = 0.4, nBits = 6)
-        .filter(col("id_b") === col("id_a") + 1000000L)
+        .filter(col("id_b") === col("id_a") + off)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("id_a"))
     }),
@@ -173,6 +182,14 @@ object PipelineQueries {
           Sampling.md5SplitLabel(col("doc_id"),
             Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
         .orderBy(col("doc_id"))
+    }),
+    "q_dedup_passage" -> ((s, dir) => {
+      // substring-level dedup (r5 verdict item 1): repeated PASSAGES
+      // across non-duplicate documents are removed at first occurrence
+      // and each doc reassembled — linear in passages, no joins.
+      Dedup.passageDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
+          passageTokens = 10)
+        .orderBy(col("id"))
     }),
     "q_events_hourly" -> ((s, dir) => {
       Tables.load(s, dir, "events")
@@ -218,22 +235,64 @@ object PipelineQueries {
          FROM co JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
          WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.2
          ORDER BY id_a, id_b""",
+    // planted-pair oracles mirror the query-side offset (max(id)+1) and
+    // the operators' dropout conditions: a doc with zero non-empty
+    // tokens yields no shingles, so its planted MinHash pair cannot
+    // surface (SimHash keeps such docs — fingerprint 0 matches its
+    // copy); an all-zero vector has cosine 0 by convention and is cut
+    // by the threshold.
     "q_dedup_minhash" ->
-      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+      """SELECT doc_id AS id_a,
+           doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS id_b,
            CAST(1.0 AS DOUBLE) AS est_jaccard
-         FROM documents WHERE doc_id % 20 = 0 ORDER BY id_a""",
+         FROM documents WHERE doc_id % 20 = 0
+           AND LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                 t -> LENGTH(t) > 0)) > 0
+         ORDER BY id_a""",
     "q_dedup_incremental" ->
-      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+      """SELECT doc_id AS id_a,
+           doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS id_b,
            CAST(1.0 AS DOUBLE) AS est_jaccard
-         FROM documents WHERE doc_id % 5 = 0 ORDER BY id_a""",
+         FROM documents WHERE doc_id % 5 = 0
+           AND LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                 t -> LENGTH(t) > 0)) > 0
+         ORDER BY id_a""",
     "q_dedup_simhash" ->
-      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+      """SELECT doc_id AS id_a,
+           doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS id_b,
            CAST(0 AS INT) AS hamming
          FROM documents WHERE doc_id % 20 = 0 ORDER BY id_a""",
     "q_emb_neardup" ->
-      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+      """SELECT vec_id AS id_a,
+           vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS id_b,
            CAST(1.0 AS DOUBLE) AS cos
-         FROM embeddings WHERE vec_id % 20 = 0 ORDER BY id_a""",
+         FROM embeddings WHERE vec_id % 20 = 0
+           AND list_aggregate(list_transform(embedding, x -> ABS(x)), 'max') > 0
+         ORDER BY id_a""",
+    "q_dedup_passage" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+           FROM documents),
+         ch AS (
+           SELECT doc_id, list_filter(list_transform(
+             range(0, GREATEST(CAST(CEIL(LEN(t) / 10.0) AS BIGINT), 1)),
+             i -> array_to_string(t[i*10+1 : i*10+10], ' ')),
+             c -> LENGTH(c) > 0) AS chunks
+           FROM toks),
+         pass AS (
+           SELECT doc_id, UNNEST(range(LEN(chunks))) AS p_idx,
+             UNNEST(chunks) AS passage
+           FROM ch),
+         fp AS (
+           SELECT doc_id, p_idx, passage,
+             ROW_NUMBER() OVER (PARTITION BY passage ORDER BY doc_id, p_idx) AS rn
+           FROM pass)
+         SELECT doc_id AS id,
+           COUNT(*) AS n_passages,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN passage END, ' '
+             ORDER BY p_idx), '') AS dedup_text
+         FROM fp GROUP BY doc_id ORDER BY id""",
     "q_train_split" ->
       """SELECT doc_id,
            CASE WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'

@@ -283,9 +283,12 @@ object Round4Queries {
       val pct = li.groupBy(col("l_returnflag").as("rf"))
         .agg(expr("percentile(l_extendedprice, 0.01)").as("p01"),
           expr("percentile(l_extendedprice, 0.99)").as("p99"))
+      // l_returnflag rides along so the clip is auditable per group —
+      // (orderkey, linenumber) is not unique in this corpus, so the
+      // group cannot be re-derived by key join downstream
       li.join(broadcast(pct), col("l_returnflag") === col("rf"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_extendedprice"),
+          col("l_returnflag"), col("l_extendedprice"),
           round(least(greatest(col("l_extendedprice"), col("p01")), col("p99")), 6)
             .as("clipped"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
@@ -299,15 +302,21 @@ object Round4Queries {
       // every (day, user) row tested against every spine day, a 3650x
       // blowup on a 10-year corpus. Scale-safe form: each distinct
       // (day, user) pair covers AT MOST 7 spine days, so explode
-      // exactly those (bounded 7x expansion) and hash-semi-join against
-      // the observed-day spine to drop spine days past the data.
-      val du = Tables.load(s, dir, "events")
-        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val days = du.select(col("d").as("spine_d")).distinct()
-      du.select(explode(sequence(col("d"), date_add(col("d"), 6))).as("spine_d"),
+      // exactly those (bounded 7x expansion). The r5 variant bounded
+      // the spine with a days-distinct + broadcast semi-join — a second
+      // pass over the persisted pairs and an extra shuffle; the bound
+      // is really just the max observed date, a one-row column-pruned
+      // aggregate, so the spine tail is cut by a scalar filter instead
+      // and the (day, user) distinct is consumed exactly once (no
+      // persist, no join anywhere in the plan). A spine day appears iff
+      // some event day falls in its trailing week — identical to the
+      // BETWEEN-join semantics at any gap pattern.
+      val ev = Tables.load(s, dir, "events")
+      val maxD = ev.agg(max(to_date(col("ts")))).head().getDate(0)
+      ev.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("spine_d"),
           col("user_id"))
-        .join(broadcast(days), Seq("spine_d"), "left_semi")
+        .filter(col("spine_d") <= lit(maxD))
         .groupBy(col("spine_d"))
         .agg(countDistinct(col("user_id")).as("wau"))
         .orderBy(col("spine_d"))
@@ -607,16 +616,19 @@ object Round4Queries {
              quantile_cont(l_extendedprice, 0.01) AS p01,
              quantile_cont(l_extendedprice, 0.99) AS p99
            FROM lineitem GROUP BY 1)
-         SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+         SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag, l_extendedprice,
            ROUND(LEAST(GREATEST(l_extendedprice, p01), p99), 6) AS clipped
          FROM lineitem JOIN pct ON l_returnflag = rf
          ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice, clipped""",
     "q_rolling_wau" ->
       """WITH du AS (
            SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
-         days AS (SELECT DISTINCT d AS spine_d FROM du)
+         sp AS (
+           SELECT d + CAST(i AS INTEGER) AS spine_d, user_id
+           FROM du CROSS JOIN range(7) t(i))
          SELECT spine_d, COUNT(DISTINCT user_id) AS wau
-         FROM days JOIN du ON d BETWEEN spine_d - 6 AND spine_d
+         FROM sp
+         WHERE spine_d <= (SELECT MAX(CAST(ts AS DATE)) FROM events)
          GROUP BY 1 ORDER BY 1""",
     "q_cohort" ->
       """WITH uw AS (

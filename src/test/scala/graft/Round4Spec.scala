@@ -113,14 +113,17 @@ class Round4Spec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "carry frame must broadcast: " + p)
   }
 
-  test("q_rolling_wau: day spine joins as a hash join, not BNL") {
-    // the r4 form range-joined the spine (d BETWEEN spine_d-6 AND
-    // spine_d) — a BroadcastNestedLoopJoin testing every (day, user)
-    // against every spine day. The explode form must plan an equi-join.
+  test("q_rolling_wau: bounded explode + scalar cutoff — no join in the plan") {
+    // the r4 form range-joined the spine (a BroadcastNestedLoopJoin
+    // testing every (day, user) against every spine day); the r5 form
+    // equi-semi-joined a days-distinct. The r6 form needs NEITHER: the
+    // spine tail is cut by a max-date scalar filter, so any Join node
+    // is a regression.
     val p = plan("q_rolling_wau")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "range join leaked back into the day spine:\n" + p)
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Join"),
+      "the day-spine bound must be a scalar filter, not a join:\n" + p)
   }
 
   test("q_feature_hash: bucket counts cover every token") {
@@ -172,21 +175,21 @@ class Round4Spec extends AnyFunSuite {
     // values exactly on some p99 (rounded to the query's 6 dp). This is
     // the real never-widens invariant — the r4 form AND-ed two mutually
     // exclusive comparisons and was vacuous.
+    // per-group check (the r5 global-isin would admit a value clipped
+    // to ANOTHER group's percentile): the output carries its return
+    // flag, so join that group's OWN rounded bounds and require the
+    // clip to land exactly on them.
     val pct = Tables.load(spark, sf, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, 0.01)").as("p01"),
-        expr("percentile(l_extendedprice, 0.99)").as("p99"))
-      .collect()
-    val p01s = pct.map(r => BigDecimal(r.getDouble(1))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    val p99s = pct.map(r => BigDecimal(r.getDouble(2))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    assert(w.filter(col("clipped") > col("l_extendedprice") &&
-      !col("clipped").isin(p01s.toIndexedSeq: _*)).count() === 0,
-      "a raised value did not land on a group p01")
-    assert(w.filter(col("clipped") < col("l_extendedprice") &&
-      !col("clipped").isin(p99s.toIndexedSeq: _*)).count() === 0,
-      "a lowered value did not land on a group p99")
+      .agg(round(expr("percentile(l_extendedprice, 0.01)"), 6).as("p01r"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99r"))
+    val wg = w.join(pct, "l_returnflag")
+    assert(wg.filter(col("clipped") > col("l_extendedprice") &&
+      col("clipped") =!= col("p01r")).count() === 0,
+      "a raised value did not land on its own group's p01")
+    assert(wg.filter(col("clipped") < col("l_extendedprice") &&
+      col("clipped") =!= col("p99r")).count() === 0,
+      "a lowered value did not land on its own group's p99")
     val p = plan("q_winsorize")
     assert(p.contains("BroadcastHashJoin"), "percentile frame must broadcast: " + p)
     w.unpersist()

@@ -1,0 +1,96 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 pack: passage-level dedup semantics, the three new TPC-H
+  * plan shapes (Q4 semi-join, Q13 aggregate-before-outer-join, Q16
+  * broadcast dim + anti-join), the ANN recall audit, and the sketch
+  * bounded-error contract.
+  */
+class Round6Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("passageDedup: cross-document repeated passage removed exactly once") {
+    import spark.implicits._
+    val p1 = "a b c d e f g h i j"        // shared first passage
+    val p2 = "k l m n o p q r s t"
+    val p3 = "z y x w v u one two three four"
+    val df = Seq(
+      (1L, s"$p1 $p2"),
+      (2L, s"$p1 $p3")).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(df, "doc_id", "text", passageTokens = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 (smaller id) keeps everything; doc 2 loses only the shared
+    // passage and reassembles in original order
+    assert(out(1L) === ((2L, 2L, s"$p1 $p2")))
+    assert(out(2L) === ((2L, 1L, p3)))
+  }
+
+  test("passageDedup: within-document repeat also deduplicates") {
+    import spark.implicits._
+    val p = "a b c d e f g h i j"
+    val df = Seq((7L, s"$p $p")).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(df, "doc_id", "text", passageTokens = 10).head()
+    assert(out.getLong(1) === 2L && out.getLong(2) === 1L)
+    assert(out.getString(3) === p)
+  }
+
+  test("passageDedup: short tail passage kept, counts conserved") {
+    import spark.implicits._
+    // 13 tokens → one full passage + a 3-token tail
+    val df = Seq((1L, "a b c d e f g h i j tail one two")).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(df, "doc_id", "text", passageTokens = 10).head()
+    assert(out.getLong(1) === 2L && out.getLong(2) === 2L)
+    assert(out.getString(3) === "a b c d e f g h i j tail one two")
+  }
+
+  test("q_tpch_q4: EXISTS plans as a left-semi join with pushed date filter") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("q_tpch_q13: orders aggregate before the outer join, bounded shuffles") {
+    val p = plan("q_tpch_q13")
+    val finalTree = p.split("== Initial Plan ==").head
+    // the per-custkey count must run BELOW the join — at least a
+    // partial+final pair for it plus the distribution aggregate
+    assert("HashAggregate".r.findAllIn(finalTree).size >= 3, finalTree)
+    // no raw customer×orders shuffle beyond the aggregated frame: the
+    // final-plan shuffle headers stay ≤ 4 (agg, join sides, sort)
+    val shuffles = """\(\d+\) Exchange\b""".r.findAllIn(finalTree).size
+    assert(shuffles <= 4, s"too many shuffle exchanges ($shuffles):\n$finalTree")
+  }
+
+  test("q_tpch_q16: part dim broadcasts, supplier exclusion is an anti join") {
+    val p = plan("q_tpch_q16")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+    // the part-profile predicates prune the part scan
+    assert(p.contains("PushedFilters") && p.contains("p_size"), p)
+  }
+
+  test("q_ann_recall: both approximate paths at full planted recall") {
+    val r = SparkEntry.queries("q_ann_recall")(spark, sf)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r === Map("ivf" -> 1.0, "lsh" -> 1.0), r.toString)
+  }
+
+  test("q_sketch_distinct: every group inside the 5% audit band") {
+    val r = SparkEntry.queries("q_sketch_distinct")(spark, sf).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getBoolean(3)), r.mkString("; "))
+  }
+}
