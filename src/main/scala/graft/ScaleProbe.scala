@@ -115,6 +115,40 @@ object ScaleProbe {
     time("winsorize 6M lineitem (per-group percentile clip)") {
       SparkEntry.queries("q_winsorize")(spark, out).count()
     }
+    // the 100 TB drop-in the q_winsorize comment promises: same plan,
+    // approx_percentile (mergeable sketch, bounded memory) replacing the
+    // exact value-buffering percentile. Timed, and the bound drift is
+    // printed so BASELINE.md can record the exact-vs-approx delta.
+    time("winsorize 6M lineitem with approx_percentile (accuracy 10k)") {
+      val li = Tables.load(spark, out, "lineitem")
+      val pct = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(expr("approx_percentile(l_extendedprice, 0.01, 10000)").as("p01"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"))
+      li.join(broadcast(pct), col("l_returnflag") === col("rf"))
+        .select(col("l_orderkey"),
+          round(least(greatest(col("l_extendedprice"), col("p01")), col("p99")), 6)
+            .as("clipped"))
+        .count()
+    }
+    locally {
+      val li = Tables.load(spark, out, "lineitem")
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.01)").as("e01"),
+          expr("percentile(l_extendedprice, 0.99)").as("e99"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, 0.01, 10000)").as("a01"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("a99"))
+      val drift = exact.join(approx, "l_returnflag")
+        .select(greatest(
+          abs(col("a01") - col("e01")) / abs(col("e01")),
+          abs(col("a99") - col("e99")) / abs(col("e99"))).as("rel"))
+        .agg(max(col("rel"))).head().getDouble(0)
+      println(f"[probe] approx_percentile max relative bound drift vs exact: $drift%.6f")
+      spark.catalog.clearCache()
+    }
+    time("passage dedup over 50k docs (9 exact copies each)") {
+      graft.ops.Dedup.passageDedup(docs, "doc_id", "text", passageTokens = 10).count()
+    }
     time("rolling 7-day actives over 1M events") {
       SparkEntry.queries("q_rolling_wau")(spark, out).count()
     }

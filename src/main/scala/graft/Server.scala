@@ -13,8 +13,11 @@ import scala.jdk.CollectionConverters._
   * generated SQL when the NL path ran; `GET /api/tables`;
   * `POST /api/upload?table=T&format=csv|parquet` with the file as the
   * request body; conversation persistence (N6) as JSON files under
-  * `<db>/conversations`. JDK HttpServer — no extra dependencies; query
-  * execution itself is the same Engine the REPL uses.
+  * `<db>/conversations`. Also serves the static chat console (the
+  * reference's `web/index.html` + `web/static` asset surface, original
+  * implementation) from classpath resources under `graft/web`. JDK
+  * HttpServer — no extra dependencies; query execution itself is the
+  * same Engine the REPL uses.
   */
 final class Server(engine: Engine, port: Int) {
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -28,6 +31,10 @@ final class Server(engine: Engine, port: Int) {
     server.createContext("/api/tables", (ex: HttpExchange) => handle(ex, handleTables))
     server.createContext("/api/upload", (ex: HttpExchange) => handle(ex, handleUpload))
     server.createContext("/api/conversations", (ex: HttpExchange) => handle(ex, handleConversations))
+    // JDK HttpServer routes by longest prefix, so "/" catches only what
+    // the /api contexts don't — the static chat console (reference
+    // `web/index.html` + `web/static` assets, re-implemented)
+    server.createContext("/", (ex: HttpExchange) => handleStatic(ex))
     server.setExecutor(Executors.newFixedThreadPool(8))
     server.start()
   }
@@ -57,6 +64,42 @@ final class Server(engine: Engine, port: Int) {
       case b if b.length > maxBytes => throw graft.dialect.DialectException("body too large (64 MB max)")
       case b => b
     } finally in.close()
+  }
+
+  // ---- static console: GET / and GET /static/** from the classpath ----
+  private val staticTypes = Map(
+    "html" -> "text/html; charset=utf-8",
+    "css" -> "text/css; charset=utf-8",
+    "js" -> "application/javascript; charset=utf-8")
+
+  private def handleStatic(ex: HttpExchange): Unit = {
+    def send(status: Int, contentType: String, bytes: Array[Byte]): Unit = {
+      ex.getResponseHeaders.add("Content-Type", contentType)
+      ex.sendResponseHeaders(status, bytes.length)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+      ex.close()
+    }
+    if (ex.getRequestMethod != "GET")
+      return send(405, "application/json", jsonError("GET required").getBytes(StandardCharsets.UTF_8))
+    val path = ex.getRequestURI.getPath match {
+      case "/" | "" => "index.html"
+      case p => p.stripPrefix("/")
+    }
+    // classpath-only lookup with a traversal guard: the resource name is
+    // rebuilt from validated segments, never from the raw request path
+    val segs = path.split("/").toSeq
+    val safe = segs.nonEmpty && segs.forall(_.matches("[A-Za-z0-9._-]+")) &&
+      !segs.exists(s => s == ".." || s == ".")
+    val resource = if (safe) Option(getClass.getResourceAsStream(s"/graft/web/$path")) else None
+    resource match {
+      case Some(in) =>
+        val bytes = try in.readAllBytes() finally in.close()
+        val ext = path.substring(path.lastIndexOf('.') + 1)
+        send(200, staticTypes.getOrElse(ext, "application/octet-stream"), bytes)
+      case None =>
+        send(404, "application/json", jsonError("not found").getBytes(StandardCharsets.UTF_8))
+    }
   }
 
   // ---- POST /api/query ----

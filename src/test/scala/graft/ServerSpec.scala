@@ -91,6 +91,24 @@ class ServerSpec extends AnyFunSuite {
     assert(post("/api/query", """{"nope":1}""").statusCode() == 400)
   }
 
+  test("static console: index, assets, content types, traversal guard") {
+    val idx = get("/")
+    assert(idx.statusCode() == 200, idx.body())
+    assert(idx.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+    assert(idx.body().contains("<html") && idx.body().contains("graft"), idx.body().take(200))
+    val js = get("/static/js/app.js")
+    assert(js.statusCode() == 200)
+    assert(js.headers().firstValue("Content-Type").orElse("").startsWith("application/javascript"))
+    assert(js.body().contains("/api/query"))
+    val css = get("/static/css/style.css")
+    assert(css.statusCode() == 200)
+    assert(css.headers().firstValue("Content-Type").orElse("").startsWith("text/css"))
+    assert(get("/no-such-page").statusCode() == 404)
+    // traversal shapes must not escape the web resource root
+    assert(get("/../graft/Server.class").statusCode() == 404)
+    assert(get("/static/js/%2e%2e/%2e%2e/secret").statusCode() == 404)
+  }
+
   test("destructive NL requires confirmation; confirm:true executes") {
     q("CREATE TABLE victims (id INT, tag TEXT)")
     q("INSERT INTO victims (id, tag) VALUES (1, 'x')")
