@@ -85,8 +85,14 @@ object Bench {
     val errJson = errorNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":${toJson(results)},"errors":$errJson,"sf":"$sfDir"}"""
+    // the committed bench_full.json is the contractual FULL-suite sf0.1
+    // record — a smoke run at another SF (or a subset run) must not
+    // clobber it (this exact clobber shipped twice; see ADVICE r5). Off-
+    // contract runs land in bench_full_smoke.json instead.
+    val isContractRun = sfDir.endsWith("sf0.1") && args.isEmpty
+    val fullPath = if (isContractRun) "bench_full.json" else "bench_full_smoke.json"
     try {
-      val w = new java.io.PrintWriter("bench_full.json")
+      val w = new java.io.PrintWriter(fullPath)
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
     // errors surface in the JSON + stderr; exit stays 0 so the driver
