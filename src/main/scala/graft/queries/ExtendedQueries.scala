@@ -11,8 +11,8 @@ import org.apache.spark.sql.types.DecimalType
   * subqueries, grouping sets with GROUPING(), ntile/first/last/nth
   * windows, exact percentiles, moment statistics, full-outer join,
   * latest-row-per-key, JSON extraction, date arithmetic, and the
-  * hash-checked language-ID + quality oracle (upgrading lang/quality
-  * from the rows-only q_text_lang_quality check).
+  * hash-checked language-ID + quality oracle (since r6,
+  * q_text_lang_quality itself is also fully oracle-checked).
   *
   * Oracle-parity rules follow Relational: money sums through
   * DECIMAL(18,2) then DOUBLE; averages as exact-decimal-sum / count;

@@ -60,10 +60,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
     "q_text_lang_quality" -> ((s, dir) => {
-      // language-ID + quality + fingerprints: heuristic semantics, no
-      // clean ANSI equivalent → rows-only check; unit-tested in
-      // PipelineOpsSpec.
+      // language-ID + quality + md5 fingerprint, oracle-checked: every
+      // metric is a deterministic per-row expression DuckDB reproduces
+      // with the identical tree (r6 — previously rows-only). Only the
+      // xxhash64 rolling fingerprint has no DuckDB equivalent, so it
+      // stays out of the driver dump (the operator itself is covered in
+      // PipelineOpsSpec).
       TextAnalysis.analyze(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .drop("fp_rolling")
         .orderBy(col("doc_id"))
     }),
     "q_dedup_exact" -> ((s, dir) => {
@@ -215,6 +219,44 @@ object PipelineQueries {
       """SELECT md5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fp,
            MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY fp""",
+    "q_text_lang_quality" ->
+      """WITH d AS (
+           SELECT doc_id, text,
+             string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, text, toks,
+             LEN(list_filter(['the','a','of','and','to','in','is','that','it','for'],
+               w -> list_contains(toks, w))) AS en_n,
+             LEN(list_filter(['der','die','das','und','ist','nicht','ein','eine','zu','mit'],
+               w -> list_contains(toks, w))) AS de_n,
+             LEN(list_filter(['le','la','les','et','est','une','un','pas','pour','dans'],
+               w -> list_contains(toks, w))) AS fr_n,
+             LEN(list_filter(['el','los','las','y','es','una','uno','no','por','para'],
+               w -> list_contains(toks, w))) AS es_n,
+             CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9_\s]', '', 'g')) AS DOUBLE) /
+               GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS punct
+           FROM d)
+         SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS DOUBLE) /
+             GREATEST(CAST(LEN(toks) AS DOUBLE), 1.0) AS avg_token_len,
+           punct AS punct_ratio,
+           CAST(en_n AS DOUBLE) /
+             GREATEST(1.0, CAST(LEN(list_distinct(toks)) AS DOUBLE)) AS stopword_ratio,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT)
+             AS n_bpeish_tokens,
+           (LEAST(CAST(LEN(toks) AS DOUBLE) / 20.0, 1.0) +
+            (1.0 - LEAST(punct * 4.0, 1.0)) +
+            LEAST(CAST(en_n AS DOUBLE) / 3.0, 1.0)) / 3.0 AS quality,
+           CASE WHEN de_n = GREATEST(de_n, en_n, es_n, fr_n) AND de_n > 0 THEN 'de'
+                WHEN en_n = GREATEST(de_n, en_n, es_n, fr_n) AND en_n > 0 THEN 'en'
+                WHEN es_n = GREATEST(de_n, en_n, es_n, fr_n) AND es_n > 0 THEN 'es'
+                WHEN fr_n = GREATEST(de_n, en_n, es_n, fr_n) AND fr_n > 0 THEN 'fr'
+                ELSE 'und' END AS lang_pred,
+           md5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fp_md5
+         FROM m ORDER BY doc_id""",
     "q_dedup_ngram" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t FROM documents),

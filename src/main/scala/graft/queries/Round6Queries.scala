@@ -1,19 +1,36 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.Similarity
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{Similarity, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Round-6 additions: the remaining TPC-H shapes from the r5 brief
   * (Q4 EXISTS semi-join, Q13 left-outer count distribution, Q16
-  * NOT-IN + count-distinct over a dim join — adapted to this star
-  * schema, which has no commit/receipt dates and no partsupp, by
-  * predicates that keep the plan shapes identical) and the ANN
-  * recall@10 audit that turns approximate-search quality into a
-  * driver-hash-checked number.
+  * NOT-IN + count-distinct over a dim join), a second TPC-H batch
+  * (Q15 argmax-vs-aggregate, Q17 per-group-threshold filter, Q19
+  * disjunctive dim predicates, Q22 anti-join + scalar-subquery
+  * threshold) — all adapted to this star schema, which has no
+  * commit/receipt dates and no partsupp, by predicates that keep the
+  * plan shapes identical — the ANN recall@10 audit that turns
+  * approximate-search quality into a driver-hash-checked number, and
+  * the bigram-LM document scorer (the statistical quality filter a
+  * pre-training pipeline runs corpus-wide).
+  *
+  * Oracle-parity rules as the earlier packs: money/quantity sums
+  * accumulate in DECIMAL(18,2) and only then cast to double, scalar
+  * thresholds are computed with identical expression trees on both
+  * engines, ln is rounded per-row before any cross-row aggregate,
+  * and every row dump carries a total ORDER BY.
   */
 object Round6Queries {
+
+  private def dsumExact(c: Column): Column = sum(c).cast("double")
+
+  private def revenueTerm(price: Column, discount: Column): Column =
+    price.cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - discount.cast(DecimalType(18, 2)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -76,6 +93,133 @@ object Round6Queries {
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // ---- TPC-H Q15 shape: top supplier by quarterly revenue ----
+    "q_tpch_q15" -> ((s, dir) => {
+      // argmax over an aggregate: per-supplier revenue is one hash
+      // aggregation of the date-filtered fact; the max is a one-row
+      // frame that broadcasts back as a cross join (the scalar-subquery
+      // plan), and the supplier dim broadcasts onto the tiny result.
+      // Revenue doubles are bit-identical on both engines (exact
+      // decimal sum, one final cast), so the max-equality cut is safe.
+      val rev = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1997-04-01").cast("date"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsumExact(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      val supp = Tables.load(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- TPC-H Q17 shape: small-quantity revenue for a part profile ----
+    "q_tpch_q17" -> ((s, dir) => {
+      // the correlated avg-quantity subquery becomes aggregate + join:
+      // lineitem restricted to the (broadcast) filtered parts feeds one
+      // per-part threshold aggregate, which joins back onto the same
+      // restricted fact. The threshold is exact-decimal / count * 0.2
+      // with the identical tree on both engines, so boundary rows
+      // cannot flip on summation order.
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23" && col("p_size") < 10)
+        .select(col("p_partkey"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val thresh = li.groupBy(col("l_partkey").as("tk"))
+        .agg((sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1)) * 0.2).as("q_thresh"))
+      li.join(broadcast(thresh), col("l_partkey") === col("tk"))
+        .filter(col("l_quantity") < col("q_thresh"))
+        .agg(round(dsumExact(col("l_extendedprice").cast(DecimalType(18, 2))) / 7.0, 6)
+          .as("avg_yearly"))
+    }),
+
+    // ---- TPC-H Q19 shape: disjunctive dim-predicate revenue ----
+    "q_tpch_q19" -> ((s, dir) => {
+      // OR-of-ANDs across both sides of a broadcast dim join: the
+      // shared l_quantity bound pushes to the fact scan; the per-brand
+      // conjunctions run above the join (they reference both sides).
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity") <= 11) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity") >= 20))
+        .agg(dsumExact(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"))
+    }),
+
+    // ---- TPC-H Q22 shape: rich lapsed customers by nation ----
+    "q_tpch_q22" -> ((s, dir) => {
+      // anti-join (customers with no RECENT orders — every customer in
+      // this corpus has some order, so the date scope keeps the
+      // predicate non-vacuous) + a broadcast scalar threshold (average
+      // positive balance, exact-decimal / count so the comparison is
+      // engine-stable), rolled up per nation.
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1999-01-01").cast("date"))
+        .select(col("o_custkey"))
+      cust
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          dsumExact(col("c_acctbal").cast(DecimalType(18, 2))).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // ---- bigram-LM document scoring (statistical quality filter) ----
+    "q_lm_score" -> ((s, dir) => {
+      // score every document by its mean bigram log-likelihood under
+      // the corpus-wide MLE bigram model — the cheap statistical
+      // quality filter (gibberish and boilerplate land in the tails).
+      // Plan: one (doc, bigram) explode, the q_ngram_lm count tables,
+      // an equi-join on the bigram key, one aggregate back to docs —
+      // all token-level shuffles, nothing quadratic. Each ln is
+      // rounded to 6 dp per bigram BEFORE the mean (identical value
+      // sets on both engines; the mean then rounds to 4 dp so
+      // summation order cannot flip the result).
+      val t = col("t")
+      val withT = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val db = withT.select(col("doc_id"), explode(zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      val bc = db.groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+      val uc = withT.select(explode(t).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("c_x"))
+      db
+        .join(bc, "bigram")
+        .withColumn("x", split(col("bigram"), " ").getItem(0))
+        .join(uc, "x")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(round(log(col("c_xy").cast("double") / col("c_x").cast("double")), 6)), 4)
+            .as("lm_score"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- ANN recall@10 audit ----
@@ -143,6 +287,60 @@ object Round6Queries {
            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
          GROUP BY 1, 2, 3
          ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q_tpch_q15" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+           FROM lineitem
+           WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+             AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+         ORDER BY s_suppkey""",
+    "q_tpch_q17" ->
+      """WITH li AS (
+           SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#23' AND p_size < 10),
+         th AS (
+           SELECT l_partkey AS tk,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 0.2 AS q_thresh
+           FROM li GROUP BY 1)
+         SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+         FROM li JOIN th ON l_partkey = tk
+         WHERE l_quantity < q_thresh""",
+    "q_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_quantity >= 1 AND l_quantity <= 30
+           AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity <= 11)
+             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20))""",
+    "q_tpch_q22" ->
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                            FROM customer WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND CAST(o_orderdate AS DATE) >= DATE '1999-01-01')
+         GROUP BY 1 ORDER BY 1""",
+    "q_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+           FROM documents),
+         db AS (
+           SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram, t[i] AS x
+           FROM (SELECT doc_id, t, UNNEST(generate_series(1, LEN(t) - 1)) AS i FROM toks)),
+         bc AS (SELECT bigram, COUNT(*) AS c_xy FROM db GROUP BY 1),
+         ucc AS (SELECT x, COUNT(*) AS c_x FROM
+           (SELECT UNNEST(t) AS x FROM toks) GROUP BY 1)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(ROUND(LN(CAST(c_xy AS DOUBLE) / CAST(c_x AS DOUBLE)), 6)), 4) AS lm_score
+         FROM db JOIN bc USING (bigram) JOIN ucc USING (x)
+         GROUP BY doc_id ORDER BY doc_id""",
     // full recall is the analytic expectation, not an empirical fit:
     // the planted neighbors sit ~0.02 rad from the probe (P[≥2 of 12
     // hyperplane flips] < 1%), IVF clusters them into the first probed

@@ -6,8 +6,8 @@ class EntrySmoke extends AnyFunSuite {
     val n = df.count()
     info(s"entry rows: $n")
     assert(n > 0)
-    assert(SparkEntry.queries.size == 128)
-    assert(SparkEntry.oracleSql.size == 123)
+    assert(SparkEntry.queries.size == 133)
+    assert(SparkEntry.oracleSql.size == 129)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }

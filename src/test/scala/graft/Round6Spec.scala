@@ -82,6 +82,46 @@ class Round6Spec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("p_size"), p)
   }
 
+  test("q_tpch_q15: exact-revenue argmax with pushed date filter, dims broadcast") {
+    val p = plan("q_tpch_q15")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_tpch_q17: threshold aggregate joins back as a broadcast") {
+    val p = plan("q_tpch_q17")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("EqualTo(p_brand,Brand#23)"), p)
+  }
+
+  test("q_tpch_q19: shared quantity bound pushed to the fact scan") {
+    val p = plan("q_tpch_q19")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1"), p)
+    assert(p.contains("LessThanOrEqual(l_quantity,30"), p)
+  }
+
+  test("q_tpch_q22: recent-orders exclusion plans as an anti join") {
+    val p = plan("q_tpch_q22")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
+  }
+
+  test("q_lm_score: token-level joins only, documents scan pruned") {
+    val p = plan("q_lm_score")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("lang"), readSchema)
+  }
+
+  test("q_lm_score: every score is a mean of log-probabilities (≤ 0)") {
+    val r = SparkEntry.queries("q_lm_score")(spark, sf).cache()
+    assert(r.filter(col("lm_score") > 0).count() === 0)
+    assert(r.filter(col("n_bigrams") < 1).count() === 0)
+    r.unpersist()
+  }
+
   test("q_ann_recall: both approximate paths at full planted recall") {
     val r = SparkEntry.queries("q_ann_recall")(spark, sf)
       .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
