@@ -333,6 +333,32 @@ object Dedup {
           x => x.getField("passage")), " ").as("dedup_text"))
   }
 
+  /** Train→eval contamination screen (decontamination): for every
+    * document of `eval`, how many of its distinct token-n-grams appear
+    * anywhere in `train` — the standard benchmark-leakage check run
+    * before an evaluation set is trusted. Returns
+    * (id, n_ngrams, n_hit, contaminated) with contaminated = any hit.
+    *
+    * Scale shape: both corpora explode to 64-bit shingle hashes
+    * (injective stand-ins for the n-gram strings), the train side
+    * deduplicates to a distinct-shingle set, and one equi-join on the
+    * hash marks eval hits — the incremental-dedup join pattern, so
+    * cost scales with eval size × bucket hits, never train × eval.
+    * Docs with zero non-empty tokens have no n-grams and drop out.
+    */
+  def crossCorpusContamination(eval: DataFrame, train: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val evalSh = explodedShingleHashes(eval, idCol, textCol, n, distinct = true)
+    val trainSh = explodedShingleHashes(train, idCol, textCol, n, distinct = true)
+      .select(col("shingle")).dropDuplicates("shingle")
+      .withColumn("hit", lit(1L))
+    evalSh.join(trainSh, Seq("shingle"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("contaminated", col("n_hit") > 0)
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash per document, computed entirely with higher-order

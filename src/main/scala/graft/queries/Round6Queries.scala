@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Similarity, TextAnalysis}
+import graft.ops.{Dedup, Packing, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -189,6 +189,44 @@ object Round6Queries {
         .orderBy(col("c_nationkey"))
     }),
 
+    // ---- train→eval contamination screen (decontamination) ----
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark-leakage check: eval docs (every 10th) screened for
+      // 5-gram overlap with the train corpus — the decontamination
+      // pass run before an eval set is trusted. Shingle-hash equi-join
+      // (the incremental-dedup shape); counts equal string-n-gram
+      // counts because the 64-bit shingle hash is injective over
+      // space-joined token n-grams.
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.crossCorpusContamination(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", n = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- intra-document repetition (Gopher-style quality rule) ----
+    "q_repetition" -> ((s, dir) => {
+      // duplicate-3-gram fraction per document: pure per-row array
+      // expressions over pre-hashed shingles — no shuffle at all, the
+      // filter a 100 TB scan applies inline.
+      Tables.load(s, dir, "documents")
+        .select(Seq(col("doc_id")) ++ TextAnalysis.repetitionStats(col("text"), n = 3): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- sequence packing (concat-then-chunk batching) ----
+    "q_pack_sequences" -> ((s, dir) => {
+      // where each document's first token lands after the corpus is
+      // concatenated in doc_id order and cut into 512-token sequences.
+      // Two-level distributed prefix scan — no global single-task
+      // window (see ops.Packing).
+      Packing.packSequences(Tables.load(s, dir, "documents"),
+          "doc_id", "text", seqTokens = 512, blockSize = 1000)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- bigram-LM document scoring (statistical quality filter) ----
     "q_lm_score" -> ((s, dir) => {
       // score every document by its mean bigram log-likelihood under
@@ -327,6 +365,53 @@ object Round6Queries {
            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                            AND CAST(o_orderdate AS DATE) >= DATE '1999-01-01')
          GROUP BY 1 ORDER BY 1""",
+    "q_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, UNNEST(list_filter(list_distinct(list_transform(
+             range(1, GREATEST(LEN(t) - 5, 0) + 2),
+             i -> array_to_string(t[i:i+4], ' '))),
+             x -> LENGTH(x) > 0)) AS s
+           FROM toks),
+         tr AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 0),
+         ev AS (SELECT * FROM sh WHERE doc_id % 10 = 0)
+         SELECT doc_id, COUNT(*) AS n_ngrams,
+           CAST(SUM(CASE WHEN s IN (SELECT s FROM tr) THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           SUM(CASE WHEN s IN (SELECT s FROM tr) THEN 1 ELSE 0 END) > 0 AS contaminated
+         FROM ev GROUP BY 1 ORDER BY 1""",
+    "q_repetition" ->
+      """WITH sh AS (
+           SELECT doc_id, list_filter(list_transform(
+             range(1, GREATEST(LEN(t) - 3, 0) + 2),
+             i -> array_to_string(t[i:i+2], ' ')), x -> LENGTH(x) > 0) AS s
+           FROM (SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+                 FROM documents))
+         SELECT doc_id,
+           CAST(LEN(s) AS BIGINT) AS n_ngrams,
+           CAST(LEN(list_distinct(s)) AS BIGINT) AS n_distinct,
+           ROUND(CASE WHEN LEN(s) = 0 THEN 0.0
+             ELSE 1.0 - CAST(LEN(list_distinct(s)) AS DOUBLE) / CAST(LEN(s) AS DOUBLE) END, 6)
+             AS dup_ngram_ratio,
+           (CASE WHEN LEN(s) = 0 THEN 0.0
+             ELSE 1.0 - CAST(LEN(list_distinct(s)) AS DOUBLE) / CAST(LEN(s) AS DOUBLE) END) > 0.2
+             AS repetitious
+         FROM sh ORDER BY doc_id""",
+    "q_pack_sequences" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(LEN(string_split_regex(LOWER(TRIM(text)), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM d)
+         SELECT doc_id, n_tokens,
+           CAST(FLOOR(off / 512) AS BIGINT) AS seq_id,
+           CAST(off % 512 AS BIGINT) AS seq_offset
+         FROM o ORDER BY doc_id""",
     "q_lm_score" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t

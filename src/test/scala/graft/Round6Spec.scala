@@ -122,6 +122,49 @@ class Round6Spec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("crossCorpusContamination: planted copy flags, fresh text does not") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "prefix words alpha beta gamma delta epsilon zeta suffix"), // shares 5-grams
+      (11L, "completely unrelated fresh evaluation sentence tokens here")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.crossCorpusContamination(eval, train, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(10L)._2 === true && out(10L)._1 >= 1, out.toString)
+    assert(out(11L) === ((0L, false)), out.toString)
+  }
+
+  test("repetitionStats: exact dup ratio on a planted loop, zero when unique") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c a b c"),                     // 7 3-grams, 3 distinct
+      (2L, "u v w x y z q r s")).toDF("doc_id", "text")
+    val r = df.select(Seq(col("doc_id")) ++
+        graft.ops.TextAnalysis.repetitionStats(col("text"), 3): _*)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getBoolean(4)))).toMap
+    assert(r(1L) === ((7L, 3L, BigDecimal(1.0 - 3.0 / 7.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, true)), r.toString)
+    assert(r(2L) === ((7L, 7L, 0.0, false)), r.toString)
+  }
+
+  test("q_pack_sequences: two-level scan equals the sequential prefix sum") {
+    val out = SparkEntry.queries("q_pack_sequences")(spark, sf)
+      .orderBy(col("doc_id")).collect()
+    // reconstruct offsets and compare to a sequential fold
+    var off = 0L
+    out.foreach { r =>
+      val (n, seqId, seqOff) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(seqId === off / 512 && seqOff === off % 512,
+        s"doc ${r.getLong(0)}: expected offset $off, got seq=$seqId+$seqOff")
+      assert(seqOff >= 0 && seqOff < 512)
+      off += n
+    }
+    assert(out.nonEmpty)
+  }
+
   test("q_ann_recall: both approximate paths at full planted recall") {
     val r = SparkEntry.queries("q_ann_recall")(spark, sf)
       .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
