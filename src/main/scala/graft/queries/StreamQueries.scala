@@ -44,6 +44,20 @@ object StreamQueries {
         .select(col("window.start").as("window_start"), col("event_type"), col("n"))
         .orderBy(col("window_start"), col("event_type"))
     }),
+    "q_stream_dedup" -> ((s, dir) => {
+      // planted at-least-once feed: the event table unioned with
+      // itself; dedup must emit each event exactly once. This is the
+      // batch form (dropDuplicates) of Streams.dedupStream — Spark
+      // restricts dropDuplicatesWithinWatermark to streaming frames;
+      // StreamingSpec runs the real watermarked stream and matches.
+      // Duplicate rows are bit-identical, so the arbitrary-survivor
+      // semantics of dropDuplicates stay deterministic.
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      ev.unionAll(ev)
+        .dropDuplicates("event_id")
+        .orderBy(col("event_id"))
+    }),
     "q_stream_interval_join" -> ((s, dir) => {
       // stream-stream interval join in its batch form (StreamingSpec
       // runs the same plan as a dual readStream and gets equal output)
@@ -67,6 +81,9 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events ORDER BY event_id""",
     "q_stream_tumbling" ->
       """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
            COUNT(*) AS n,

@@ -57,6 +57,19 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Watermarked streaming dedup: at-least-once sources (Kafka
+    * replays, retried uploads) deliver duplicates; this emits each key
+    * once, keeping per-key state only for `watermark` of event time —
+    * the bounded-state streaming form of exact dedup. In batch the
+    * same semantics are plain `dropDuplicates(keys)` (Spark restricts
+    * dropDuplicatesWithinWatermark to streaming frames);
+    * StreamingSpec proves the two agree on a duplicated feed.
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Continuous ingestion: append each micro-batch of a stream into a
     * catalog table (foreachBatch → the same append path DML uses, so
     * partitioning and schema alignment apply). Returns the handle;

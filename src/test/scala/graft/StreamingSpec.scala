@@ -55,6 +55,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("streaming dedup over a duplicated file source emits each event once") {
+    val dir = Files.createTempDirectory("graftdedup")
+    // stage the feed TWICE — the at-least-once delivery shape
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    events.write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = Streams.dedupStream(stream, Seq("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dedup_out").groupBy("event_id").count()
+    assert(got.filter(col("count") =!= 1).count() === 0, "an event was emitted more than once")
+    assert(got.count() === events.count(), "an event was lost")
+    // and the batch form of the same semantics agrees
+    val batch = SparkEntry.queries("q_stream_dedup")(spark, "/root/testdata/sf0.001")
+    assert(batch.count() === events.count())
+  }
+
   test("sliding windows produce window/slide multiples per event") {
     val got = Streams.slidingAgg(events, "1 hour", "30 minutes")
       .agg(sum("n")).head().getLong(0)
