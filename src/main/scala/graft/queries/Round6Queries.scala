@@ -227,6 +227,26 @@ object Round6Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- source rebalancing (data-mixture downsampling) ----
+    "q_source_balance" -> ((s, dir) => {
+      // cap every source at 10 documents chosen by md5 rank — the
+      // deterministic mixture-rebalancing step (downsample
+      // over-represented sources before training). The rank filter
+      // compiles to WindowGroupLimit: each map task keeps only its
+      // per-source top rows BEFORE the shuffle, so the exchange moves
+      // ~cap×sources×tasks rows, not the corpus (the q_latest_event
+      // lesson). Any engine recomputes the identical sample.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- bigram-LM document scoring (statistical quality filter) ----
     "q_lm_score" -> ((s, dir) => {
       // score every document by its mean bigram log-likelihood under
@@ -412,6 +432,13 @@ object Round6Queries {
            CAST(FLOOR(off / 512) AS BIGINT) AS seq_id,
            CAST(off % 512 AS BIGINT) AS seq_offset
          FROM o ORDER BY doc_id""",
+    "q_source_balance" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 10 ORDER BY doc_id""",
     "q_lm_score" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t

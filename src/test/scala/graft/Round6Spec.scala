@@ -165,6 +165,22 @@ class Round6Spec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("q_source_balance: rank-limit pushed below the window shuffle, exact caps") {
+    val p = plan("q_source_balance")
+    val finalTree = p.split("== Initial Plan ==").head
+    assert(finalTree.contains("WindowGroupLimit"),
+      "per-source cap must apply map-side before the exchange:\n" + finalTree)
+    val out = SparkEntry.queries("q_source_balance")(spark, sf)
+    val counts = out.groupBy("source").count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(1) <= 10), counts.mkString(";"))
+  }
+
+  test("q_repetition / q_decontaminate plans: no nested-loop joins anywhere") {
+    assert(!plan("q_repetition").contains("Join"))
+    val pd = plan("q_decontaminate")
+    assert(!pd.contains("BroadcastNestedLoopJoin") && !pd.contains("CartesianProduct"), pd)
+  }
+
   test("q_ann_recall: both approximate paths at full planted recall") {
     val r = SparkEntry.queries("q_ann_recall")(spark, sf)
       .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
