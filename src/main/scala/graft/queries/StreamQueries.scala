@@ -64,6 +64,23 @@ object StreamQueries {
       Streams.viewClickJoin(Tables.load(s, dir, "events"))
         .orderBy(col("user_id"), col("view_id"), col("click_id"))
     }),
+    "q_multimodal_meta" -> ((s, dir) => {
+      // metadata-only media rollup: per (kind, format) counts and size/
+      // duration totals WITHOUT touching payload bytes — the projection
+      // drops the payload expression entirely (asserted: no unhex in
+      // the plan), which at 100 TB is the difference between scanning
+      // kilobytes of metadata and petabytes of media. Metadata is a
+      // deterministic function of the key, so DuckDB reproduces it.
+      val media = Multimodal.syntheticMedia(
+        Tables.load(s, dir, "documents"), "doc_id")
+      Multimodal.metadataOnly(media)
+        .groupBy(col("kind"), col("format"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("width").cast("long")).as("sum_width"),
+          sum(col("height").cast("long")).as("sum_height"),
+          sum(col("duration_ms")).as("sum_duration_ms"))
+        .orderBy(col("kind"), col("format"))
+    }),
     "q_multimodal_features" -> ((s, dir) => {
       // binary payload → per-partition stub decode → features; rows-only
       // (the stub is not SQL); plumbing validated in MultimodalSpec.
@@ -81,6 +98,19 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT kind, format, COUNT(*) AS n,
+           CAST(SUM(width) AS BIGINT) AS sum_width,
+           CAST(SUM(height) AS BIGINT) AS sum_height,
+           CAST(SUM(duration_ms) AS BIGINT) AS sum_duration_ms
+         FROM (
+           SELECT ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+             ['png','wav','mp4'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+             (doc_id % 64) * 16 + 16 AS width,
+             (doc_id % 48) * 16 + 16 AS height,
+             doc_id % 120 * 1000 AS duration_ms
+           FROM documents)
+         GROUP BY 1, 2 ORDER BY kind, format""",
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type, value
          FROM events ORDER BY event_id""",

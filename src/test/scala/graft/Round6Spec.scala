@@ -181,6 +181,16 @@ class Round6Spec extends AnyFunSuite {
     assert(!pd.contains("BroadcastNestedLoopJoin") && !pd.contains("CartesianProduct"), pd)
   }
 
+  test("q_multimodal_meta: payload expression pruned, documents scan minimal") {
+    val p = plan("q_multimodal_meta")
+    // the payload construction (unhex/repeat/md5 chain) must vanish
+    // from the metadata-only projection — at scale this is the
+    // difference between reading metadata and reading the media bytes
+    assert(!p.contains("unhex"), "payload expression survived pruning:\n" + p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("text"), readSchema)
+  }
+
   test("q_ann_recall: both approximate paths at full planted recall") {
     val r = SparkEntry.queries("q_ann_recall")(spark, sf)
       .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
