@@ -164,6 +164,98 @@ object Round6Queries {
           .as("revenue"))
     }),
 
+    // ---- TPC-H Q8 shape: national market share by year ----
+    "q_tpch_q8" -> ((s, dir) => {
+      // NATION_3 suppliers' share of the European customer market:
+      // every dim chain (region→nation→customer, nation→supplier)
+      // collapses to a broadcast before touching a fact; the only
+      // fact-fact shuffle is lineitem⋈orders on the order key. The
+      // share divides two exact-decimal sums per year, so the ratio is
+      // engine-stable.
+      val nat = Tables.load(s, dir, "nation")
+      val eurN = nat
+        .join(broadcast(Tables.load(s, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("eur_nk"))
+      val cust = Tables.load(s, dir, "customer")
+        .join(broadcast(eurN), col("c_nationkey") === col("eur_nk"))
+        .select(col("c_custkey"))
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1999-01-01").cast("date"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), year(col("o_orderdate").cast("date")).as("o_year"))
+      val suppNat = Tables.load(s, dir, "supplier")
+        .join(broadcast(nat.select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val term = revenueTerm(col("l_extendedprice"), col("l_discount"))
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(round(
+          sum(when(col("n_name") === "NATION_3", term)).cast("double") /
+            dsumExact(term), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // ---- TPC-H Q9 shape: net revenue by supplier nation and year ----
+    "q_tpch_q9" -> ((s, dir) => {
+      // profit-by-nation-year over a part-name pattern: the LIKE
+      // filter prunes the part dim before it broadcasts; the amount
+      // chains three DECIMAL(18,2) factors (price, discount, tax)
+      // before the single cast to double.
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"))
+      val suppNat = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val amount = revenueTerm(col("l_extendedprice"), col("l_discount")) *
+        (lit(1).cast(DecimalType(18, 2)) - col("l_tax").cast(DecimalType(18, 2)))
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("nation"), year(col("l_shipdate").cast("date")).as("o_year"))
+        .agg(dsumExact(amount).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // ---- TPC-H Q21 shape: sole-returning supplier on shared orders ----
+    "q_tpch_q21" -> ((s, dir) => {
+      // suppliers whose RETURNED lines sit on multi-supplier orders
+      // where no other supplier returned anything: one semi-join (some
+      // other supplier on the order) and one anti-join (no other
+      // supplier returned) — both equi-joins on the order key with a
+      // supplier inequality, the classic double-EXISTS shape.
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      val supp = Tables.load(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      l1
+        .join(l2, col("l_orderkey") === col("o2") && col("s2") =!= col("l_suppkey"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("o3") && col("s3") =!= col("l_suppkey"),
+          "left_anti")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // ---- TPC-H Q22 shape: rich lapsed customers by nation ----
     "q_tpch_q22" -> ((s, dir) => {
       // anti-join (customers with no RECENT orders — every customer in
@@ -376,6 +468,48 @@ object Round6Queries {
            AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity <= 11)
              OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
              OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20))""",
+    "q_tpch_q8" ->
+      """SELECT EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS o_year,
+           ROUND(
+             CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+               THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE) /
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+             6) AS mkt_share
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE r_name = 'EUROPE'
+           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+         GROUP BY 1 ORDER BY 1""",
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation,
+           EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+             * (1 - CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_profit
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%widget%'
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    "q_tpch_q21" ->
+      """SELECT s_name, COUNT(*) AS numwait
+         FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+         WHERE l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 20""",
     "q_tpch_q22" ->
       """SELECT c_nationkey, COUNT(*) AS numcust,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal

@@ -181,6 +181,29 @@ class Round6Spec extends AnyFunSuite {
     assert(!pd.contains("BroadcastNestedLoopJoin") && !pd.contains("CartesianProduct"), pd)
   }
 
+  test("q_tpch_q8: every dim chain broadcasts, date filter pushed") {
+    val p = plan("q_tpch_q8")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
+    // one fact-fact shuffle (lineitem⋈orders) + agg + sort at most
+    val finalTree = p.split("== Initial Plan ==").head
+    val shuffles = """\(\d+\) Exchange\b""".r.findAllIn(finalTree).size
+    assert(shuffles <= 4, s"too many shuffle exchanges ($shuffles):\n$finalTree")
+  }
+
+  test("q_tpch_q9: part LIKE filter prunes the dim before broadcast") {
+    val p = plan("q_tpch_q9")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("p_name") && p.contains("Contains"), p)
+  }
+
+  test("q_tpch_q21: double-EXISTS compiles to semi + anti joins") {
+    val p = plan("q_tpch_q21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_multimodal_meta: payload expression pruned, documents scan minimal") {
     val p = plan("q_multimodal_meta")
     // the payload construction (unhex/repeat/md5 chain) must vanish
