@@ -149,6 +149,16 @@ object ScaleProbe {
     time("passage dedup over 50k docs (9 exact copies each)") {
       graft.ops.Dedup.passageDedup(docs, "doc_id", "text", passageTokens = 10).count()
     }
+    time("decontamination: 5k eval docs screened against 45k train docs") {
+      graft.ops.Dedup.crossCorpusContamination(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", n = 5).count()
+    }
+    time("sequence packing offsets over 50k docs (two-level prefix scan)") {
+      graft.ops.Packing.packSequences(docs, "doc_id", "text",
+        seqTokens = 512, blockSize = 1000).count()
+    }
     time("rolling 7-day actives over 1M events") {
       SparkEntry.queries("q_rolling_wau")(spark, out).count()
     }
