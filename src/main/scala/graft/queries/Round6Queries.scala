@@ -227,6 +227,34 @@ object Round6Queries {
         .orderBy(col("nation"), col("o_year").desc)
     }),
 
+    // ---- TPC-H Q20 shape: dominant suppliers of a part family ----
+    "q_tpch_q20" -> ((s, dir) => {
+      // the nested-IN chain: suppliers who shipped more than 12% of
+      // some widget-part's total quantity. The (part, supplier)
+      // aggregate runs once; the per-part total is a window over that
+      // already-aggregated frame (same partition key — no extra
+      // shuffle); qualifying suppliers semi-join the supplier dim.
+      // The share compares two exact-decimal sums cast once to double.
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"))
+      val q = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq"))
+      val w = Window.partitionBy(col("l_partkey"))
+      val dominant = q
+        .withColumn("tot", sum(col("sq")).over(w))
+        .filter(col("sq").cast("double") > lit(0.12) * col("tot").cast("double"))
+        .select(col("l_suppkey"))
+      Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .orderBy(col("s_suppkey"))
+    }),
+
     // ---- TPC-H Q21 shape: sole-returning supplier on shared orders ----
     "q_tpch_q21" -> ((s, dir) => {
       // suppliers whose RETURNED lines sit on multi-supplier orders
@@ -316,6 +344,26 @@ object Round6Queries {
       // window (see ops.Packing).
       Packing.packSequences(Tables.load(s, dir, "documents"),
           "doc_id", "text", seqTokens = 512, blockSize = 1000)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- vocabulary coverage (OOV rate per document) ----
+    "q_oov_rate" -> ((s, dir) => {
+      // fraction of token occurrences outside the corpus's top-10
+      // vocabulary — the coverage statistic consulted when sizing a
+      // tokenizer. The vocab is a global top-k (TakeOrdered, k rows —
+      // broadcastable at ANY corpus size because k is fixed), then one
+      // token-level left join and a per-doc aggregate.
+      val dt = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val vocab = dt.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(10)
+        .select(col("w"), lit(1L).as("in_v"))
+      dt.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          round(lit(1.0) - sum(coalesce(col("in_v"), lit(0L))).cast("double") /
+            count(lit(1)).cast("double"), 6).as("oov_rate"))
         .orderBy(col("doc_id"))
     }),
 
@@ -497,6 +545,29 @@ object Round6Queries {
            JOIN nation ON s_nationkey = n_nationkey
          WHERE p_name LIKE '%widget%'
          GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    "q_tpch_q20" ->
+      """WITH q AS (
+           SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE '%widget%' GROUP BY 1, 2),
+         t AS (SELECT l_partkey, SUM(sq) AS tot FROM q GROUP BY 1)
+         SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM q JOIN t USING (l_partkey)
+           WHERE CAST(sq AS DOUBLE) > 0.12 * CAST(tot AS DOUBLE))
+         ORDER BY s_suppkey""",
+    "q_oov_rate" ->
+      """WITH dt AS (
+           SELECT doc_id, UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS w
+           FROM documents),
+         vc AS (SELECT w FROM (
+           SELECT w, COUNT(*) AS c FROM dt GROUP BY 1
+           ORDER BY c DESC, w LIMIT 10))
+         SELECT doc_id, COUNT(*) AS n_tok,
+           ROUND(1.0 - CAST(SUM(CASE WHEN w IN (SELECT w FROM vc) THEN 1 ELSE 0 END) AS DOUBLE) /
+             CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+         FROM dt GROUP BY 1 ORDER BY 1""",
     "q_tpch_q21" ->
       """SELECT s_name, COUNT(*) AS numwait
          FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey

@@ -197,6 +197,23 @@ class Round6Spec extends AnyFunSuite {
     assert(p.contains("p_name") && p.contains("Contains"), p)
   }
 
+  test("q_tpch_q20: per-part total is a window on the aggregate, semi-join out") {
+    val p = plan("q_tpch_q20")
+    assert(p.contains("LeftSemi"), p)
+    // the share window must run on the (part, supplier) AGGREGATE, so
+    // a Window node follows HashAggregates — and no second fact scan
+    assert(p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_oov_rate: fixed-k vocabulary broadcasts, rates in [0,1]") {
+    val p = plan("q_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), "vocab top-k must not global-sort: " + p)
+    val r = SparkEntry.queries("q_oov_rate")(spark, sf)
+    assert(r.filter(col("oov_rate") < 0 || col("oov_rate") > 1).count() === 0)
+  }
+
   test("q_tpch_q21: double-EXISTS compiles to semi + anti joins") {
     val p = plan("q_tpch_q21")
     assert(p.contains("LeftSemi"), p)
