@@ -164,6 +164,63 @@ object Round6Queries {
           .as("revenue"))
     }),
 
+    // ---- TPC-H Q2 shape: cheapest supplier per part profile ----
+    "q_tpch_q2" -> ((s, dir) => {
+      // the correlated-min shape: per-(part, supplier) unit cost over a
+      // filtered part family and region-filtered suppliers, the min
+      // resolved by a window over the SAME partition key as the
+      // aggregate (no re-shuffle), equality cut, dims re-attached by
+      // broadcast. Unit cost is a per-row division + MIN — identical
+      // IEEE steps on both engines, so the equality cut is stable.
+      import org.apache.spark.sql.expressions.Window
+      val eur = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .join(broadcast(Tables.load(s, dir, "region")
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_size") === 15 && col("p_type") === "SMALL")
+        .select(col("p_partkey"))
+      val cost = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eur.select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("unit")).as("unit_cost"))
+      val w = Window.partitionBy(col("l_partkey"))
+      cost.withColumn("mc", min(col("unit_cost")).over(w))
+        .filter(col("unit_cost") === col("mc"))
+        .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"), round(col("unit_cost"), 6).as("unit_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // ---- TPC-H Q11 shape: above-average-value parts ----
+    "q_tpch_q11" -> ((s, dir) => {
+      // group aggregate + scalar-subquery threshold: per-part shipped
+      // value against 1.2× the average part's value. The threshold is
+      // scale-free (selects the above-average tail at any SF) and both
+      // factors come from exact decimal sums, so the cut is
+      // engine-stable. One fact aggregation + a broadcast 1-row frame.
+      val term = revenueTerm(col("l_extendedprice"), col("l_discount"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      val pv = li.groupBy(col("l_partkey")).agg(dsumExact(term).as("value"))
+      val tot = li.agg(dsumExact(term).as("t"),
+        countDistinct(col("l_partkey")).as("np"))
+      pv.crossJoin(broadcast(tot))
+        .filter(col("value") > lit(1.2) * (col("t") / col("np")))
+        .select(col("l_partkey"), col("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
     // ---- TPC-H Q8 shape: national market share by year ----
     "q_tpch_q8" -> ((s, dir) => {
       // NATION_3 suppliers' share of the European customer market:
@@ -516,6 +573,36 @@ object Round6Queries {
            AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity <= 11)
              OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
              OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20))""",
+    "q_tpch_q2" ->
+      """WITH eur AS (
+           SELECT s_suppkey, s_name, s_acctbal, n_name
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+         cost AS (
+           SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_size = 15 AND p_type = 'SMALL'
+             AND l_suppkey IN (SELECT s_suppkey FROM eur)
+           GROUP BY 1, 2)
+         SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+           ROUND(unit_cost, 6) AS unit_cost
+         FROM cost JOIN eur ON l_suppkey = s_suppkey
+         WHERE unit_cost = (SELECT MIN(unit_cost) FROM cost c2
+                            WHERE c2.l_partkey = cost.l_partkey)
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "q_tpch_q11" ->
+      """WITH pv AS (
+           SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS value
+           FROM lineitem GROUP BY 1),
+         tot AS (
+           SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS t,
+             COUNT(DISTINCT l_partkey) AS np
+           FROM lineitem)
+         SELECT l_partkey, value FROM pv CROSS JOIN tot
+         WHERE value > 1.2 * (t / np)
+         ORDER BY value DESC, l_partkey""",
     "q_tpch_q8" ->
       """SELECT EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS o_year,
            ROUND(

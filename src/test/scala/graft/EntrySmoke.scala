@@ -6,8 +6,8 @@ class EntrySmoke extends AnyFunSuite {
     val n = df.count()
     info(s"entry rows: $n")
     assert(n > 0)
-    assert(SparkEntry.queries.size == 144)
-    assert(SparkEntry.oracleSql.size == 140)
+    assert(SparkEntry.queries.size == 146)
+    assert(SparkEntry.oracleSql.size == 142)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }

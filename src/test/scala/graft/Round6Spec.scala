@@ -181,6 +181,21 @@ class Round6Spec extends AnyFunSuite {
     assert(!pd.contains("BroadcastNestedLoopJoin") && !pd.contains("CartesianProduct"), pd)
   }
 
+  test("q_tpch_q2: min-per-part window rides the aggregate partitioning") {
+    val p = plan("q_tpch_q2")
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters") && p.contains("p_size"), p)
+  }
+
+  test("q_tpch_q11: one fact aggregation + broadcast scalar threshold") {
+    val p = plan("q_tpch_q11")
+    val finalTree = p.split("== Initial Plan ==").head
+    assert("HashAggregate".r.findAllIn(finalTree).size >= 2, finalTree)
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row threshold frame must broadcast:\n" + p)
+  }
+
   test("q_tpch_q8: every dim chain broadcasts, date filter pushed") {
     val p = plan("q_tpch_q8")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
