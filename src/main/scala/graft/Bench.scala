@@ -89,7 +89,10 @@ object Bench {
     // record — a smoke run at another SF (or a subset run) must not
     // clobber it (this exact clobber shipped twice; see ADVICE r5). Off-
     // contract runs land in bench_full_smoke.json instead.
-    val isContractRun = sfDir.endsWith("sf0.1") && args.isEmpty
+    // basename comparison, not endsWith: a trailing slash must not
+    // demote a real contract run, and ".../archive-sf0.1" must not be
+    // promoted into one
+    val isContractRun = new java.io.File(sfDir).getName == "sf0.1" && args.isEmpty
     val fullPath = if (isContractRun) "bench_full.json" else "bench_full_smoke.json"
     try {
       val w = new java.io.PrintWriter(fullPath)

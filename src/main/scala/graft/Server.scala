@@ -73,33 +73,41 @@ final class Server(engine: Engine, port: Int) {
     "js" -> "application/javascript; charset=utf-8")
 
   private def handleStatic(ex: HttpExchange): Unit = {
-    def send(status: Int, contentType: String, bytes: Array[Byte]): Unit = {
+    // same failure contract as the /api routes (handle()): an I/O or
+    // classpath error becomes a 500 JSON body, never a dropped exchange
+    val (status, contentType, bytes) = try {
+      if (ex.getRequestMethod != "GET")
+        (405, "application/json", jsonError("GET required").getBytes(StandardCharsets.UTF_8))
+      else {
+        val path = ex.getRequestURI.getPath match {
+          case "/" | "" => "index.html"
+          case p => p.stripPrefix("/")
+        }
+        // classpath-only lookup with a traversal guard: the resource name
+        // is rebuilt from validated segments, never the raw request path
+        val segs = path.split("/").toSeq
+        val safe = segs.nonEmpty && segs.forall(_.matches("[A-Za-z0-9._-]+")) &&
+          !segs.exists(s => s == ".." || s == ".")
+        (if (safe) Option(getClass.getResourceAsStream(s"/graft/web/$path")) else None) match {
+          case Some(in) =>
+            val body = try in.readAllBytes() finally in.close()
+            val ext = path.substring(path.lastIndexOf('.') + 1)
+            (200, staticTypes.getOrElse(ext, "application/octet-stream"), body)
+          case None =>
+            (404, "application/json", jsonError("not found").getBytes(StandardCharsets.UTF_8))
+        }
+      }
+    } catch {
+      case e: Exception =>
+        (500, "application/json",
+          jsonError(Option(e.getMessage).getOrElse(e.toString)).getBytes(StandardCharsets.UTF_8))
+    }
+    try {
       ex.getResponseHeaders.add("Content-Type", contentType)
       ex.sendResponseHeaders(status, bytes.length)
       val os = ex.getResponseBody
       try os.write(bytes) finally os.close()
-      ex.close()
-    }
-    if (ex.getRequestMethod != "GET")
-      return send(405, "application/json", jsonError("GET required").getBytes(StandardCharsets.UTF_8))
-    val path = ex.getRequestURI.getPath match {
-      case "/" | "" => "index.html"
-      case p => p.stripPrefix("/")
-    }
-    // classpath-only lookup with a traversal guard: the resource name is
-    // rebuilt from validated segments, never from the raw request path
-    val segs = path.split("/").toSeq
-    val safe = segs.nonEmpty && segs.forall(_.matches("[A-Za-z0-9._-]+")) &&
-      !segs.exists(s => s == ".." || s == ".")
-    val resource = if (safe) Option(getClass.getResourceAsStream(s"/graft/web/$path")) else None
-    resource match {
-      case Some(in) =>
-        val bytes = try in.readAllBytes() finally in.close()
-        val ext = path.substring(path.lastIndexOf('.') + 1)
-        send(200, staticTypes.getOrElse(ext, "application/octet-stream"), bytes)
-      case None =>
-        send(404, "application/json", jsonError("not found").getBytes(StandardCharsets.UTF_8))
-    }
+    } finally ex.close()
   }
 
   // ---- POST /api/query ----

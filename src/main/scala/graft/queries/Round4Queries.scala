@@ -292,7 +292,7 @@ object Round4Queries {
           round(least(greatest(col("l_extendedprice"), col("p01")), col("p99")), 6)
             .as("clipped"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_extendedprice"), col("clipped"))
+          col("l_returnflag"), col("l_extendedprice"), col("clipped"))
     }),
 
     // ---- 7-day rolling active users ----
@@ -308,9 +308,12 @@ object Round4Queries {
       // is really just the max observed date, a one-row column-pruned
       // aggregate, so the spine tail is cut by a scalar filter instead
       // and the (day, user) distinct is consumed exactly once (no
-      // persist, no join anywhere in the plan). A spine day appears iff
-      // some event day falls in its trailing week — identical to the
-      // BETWEEN-join semantics at any gap pattern.
+      // persist, no join anywhere in the plan). Semantics: a spine day
+      // appears iff some event day falls in its trailing week — on a
+      // calendar with multi-day gaps this also reports the up-to-6
+      // quiet days after a burst (deliberate: rolling actives are
+      // defined for those days too), where the r5 observed-days form
+      // dropped them. The oracle mirrors this definition exactly.
       val ev = Tables.load(s, dir, "events")
       val maxD = ev.agg(max(to_date(col("ts")))).head().getDate(0)
       ev.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
@@ -619,7 +622,8 @@ object Round4Queries {
          SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag, l_extendedprice,
            ROUND(LEAST(GREATEST(l_extendedprice, p01), p99), 6) AS clipped
          FROM lineitem JOIN pct ON l_returnflag = rf
-         ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice, clipped""",
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag,
+           l_extendedprice, clipped""",
     "q_rolling_wau" ->
       """WITH du AS (
            SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),

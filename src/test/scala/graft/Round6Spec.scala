@@ -192,8 +192,9 @@ class Round6Spec extends AnyFunSuite {
     val p = plan("q_tpch_q11")
     val finalTree = p.split("== Initial Plan ==").head
     assert("HashAggregate".r.findAllIn(finalTree).size >= 2, finalTree)
-    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
-      "the 1-row threshold frame must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row threshold frame must broadcast, not cartesian:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
   test("q_tpch_q8: every dim chain broadcasts, date filter pushed") {
