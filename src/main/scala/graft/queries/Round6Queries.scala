@@ -319,25 +319,31 @@ object Round6Queries {
       // other supplier on the order) and one anti-join (no other
       // supplier returned) — both equi-joins on the order key with a
       // supplier inequality, the classic double-EXISTS shape.
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val l1 = li.filter(col("l_returnflag") === "R")
+      // No persist: each branch is a column-pruned scan, two of them
+      // with the returnflag predicate pushed to parquet. At 100 TB a
+      // cluster-wide cache of the fact projection would churn TB of
+      // executor disk; stateless re-scans are cheaper.
+      def liR = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_suppkey"))
-      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
-      val l3 = li.filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      val l2 = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = liR.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
       val supp = Tables.load(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
-      l1
+      liR
         .join(l2, col("l_orderkey") === col("o2") && col("s2") =!= col("l_suppkey"),
           "left_semi")
         .join(l3, col("l_orderkey") === col("o3") && col("s3") =!= col("l_suppkey"),
           "left_anti")
+        // the aggregate keys on the supplier KEY; the name rides along
+        // after a broadcast join, and s_suppkey stays in the output and
+        // the sort so duplicate supplier names can neither merge rows
+        // nor make the limit nondeterministic
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("numwait"))
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_name"), col("numwait"))
-        .orderBy(col("numwait").desc, col("s_name"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"), col("s_suppkey"))
         .limit(20)
     }),
 
@@ -656,7 +662,7 @@ object Round6Queries {
              CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
          FROM dt GROUP BY 1 ORDER BY 1""",
     "q_tpch_q21" ->
-      """SELECT s_name, COUNT(*) AS numwait
+      """SELECT s_suppkey, s_name, COUNT(*) AS numwait
          FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
          WHERE l1.l_returnflag = 'R'
            AND EXISTS (SELECT 1 FROM lineitem l2
@@ -666,8 +672,8 @@ object Round6Queries {
                            WHERE l3.l_orderkey = l1.l_orderkey
                              AND l3.l_suppkey <> l1.l_suppkey
                              AND l3.l_returnflag = 'R')
-         GROUP BY s_name
-         ORDER BY numwait DESC, s_name LIMIT 20""",
+         GROUP BY s_suppkey, s_name
+         ORDER BY numwait DESC, s_name, s_suppkey LIMIT 20""",
     "q_tpch_q22" ->
       """SELECT c_nationkey, COUNT(*) AS numcust,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal

@@ -102,14 +102,32 @@ class Round4Spec extends AnyFunSuite {
     daily.unpersist()
   }
 
-  test("q_concurrency: stitched prefix sum leaves no single-task window") {
+  test("q_concurrency: single-task stages only on the day-total frame") {
     // the r4 form ran the running sum through Window.orderBy(es) with no
     // partition key — one task over every distinct event-second. The
-    // stitched form must not plan ANY single-partition exchange: the
-    // within-day window hashes on day_idx and the carry joins broadcast.
+    // stitched form keeps the event-scale frames day-partitioned; the
+    // ONLY single-partition exchange allowed is the carry window over
+    // the per-day total frame (one row per calendar day — bounded by
+    // the calendar, not the corpus).
+    // NOTE: formatted explain prints exchange arguments on a separate
+    // "Arguments:" line, so the executed-plan string (inline args) is
+    // what a SinglePartition count must run against.
+    val df = SparkEntry.queries("q_concurrency")(spark, sf)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    val lines = exec.linesIterator.toIndexedSeq
+    val singles = lines.indices.filter(i => lines(i).contains("Exchange SinglePartition"))
+    assert(singles.nonEmpty, "carry window vanished from the plan:\n" + exec)
+    // AQE may print a materialized query stage twice; every occurrence
+    // must sit directly on the day-total aggregate, never an event frame
+    singles.foreach { i =>
+      val child = lines.slice(i + 1, i + 4).mkString("\n")
+      assert(child.contains("HashAggregate(keys=[day_idx"),
+        s"single-partition exchange not on the day-total frame:\n$child\n$exec")
+    }
     val p = plan("q_concurrency")
-    assert(!p.contains("Exchange SinglePartition"),
-      "single-partition stage leaked back into the sweep line:\n" + p)
+    assert(p.contains("hashpartitioning(day_idx"),
+      "event-scale window lost its day partitioning:\n" + p)
     assert(p.contains("BroadcastHashJoin"), "carry frame must broadcast: " + p)
   }
 

@@ -235,6 +235,11 @@ class Round6Spec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // r7: the full-fact persist is gone — the R-filtered branches must
+    // be pushed-filter parquet re-scans, not cached-projection reads
+    assert(!p.contains("InMemoryTableScan"),
+      "fact projection cache leaked back into q21:\n" + p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
   }
 
   test("q_multimodal_meta: payload expression pruned, documents scan minimal") {
