@@ -31,15 +31,18 @@ class Round6PropertySpec extends AnyFunSuite {
       val corpus = corpusGen.pureApply(Gen.Parameters.default, seed)
       val blockSize = Gen.choose(1, 50).pureApply(Gen.Parameters.default, seed.next)
       val seqTokens = Gen.choose(1, 64).pureApply(Gen.Parameters.default, seed.next.next)
+      // exercise every recursion depth, including levels where
+      // blockSize^levels overshoots or undershoots the id range
+      val levels = Gen.choose(1, 3).pureApply(Gen.Parameters.default, seed.next.next.next)
       val out = Packing.packSequences(corpus.toDF("doc_id", "text"),
-          "doc_id", "text", seqTokens, blockSize)
+          "doc_id", "text", seqTokens, blockSize, levels)
         .orderBy(col("doc_id")).collect()
       var off = 0L
       corpus.sortBy(_._1).zip(out).foreach { case ((id, text), row) =>
         assert(row.getLong(0) === id)
         val n = row.getLong(1)
         assert(row.getLong(2) === off / seqTokens && row.getLong(3) === off % seqTokens,
-          s"doc $id (seqTokens=$seqTokens blockSize=$blockSize): expected offset $off")
+          s"doc $id (seqTokens=$seqTokens blockSize=$blockSize levels=$levels): expected offset $off")
         off += n
       }
       seed.next.next.next
