@@ -159,8 +159,43 @@ object ScaleProbe {
       graft.ops.Packing.packSequences(docs, "doc_id", "text",
         seqTokens = 512, blockSize = 1000).count()
     }
+    // the recursive level (r6 verdict item 4): at levels=3 the carry
+    // recursion reduces the base window's frame to the non-empty
+    // level-2 block totals — printed so BASELINE.md can record that no
+    // task scans more than blockSize rows of any one block
+    locally {
+      val ids = docs.select(col("doc_id").cast("long").as("id"))
+      val l1 = ids.select(floor(col("id") / 1000).as("b")).distinct().count()
+      val l2 = ids.select(floor(col("id") / 1000000).as("b")).distinct().count()
+      println(s"[probe] packing frames: corpus=${docs.count()} level-1 blocks=$l1 base-window rows (levels=3)=$l2")
+    }
+    time("sequence packing, recursive 3-level scan (blockSize 1000)") {
+      graft.ops.Packing.packSequences(docs, "doc_id", "text",
+        seqTokens = 512, blockSize = 1000, levels = 3).count()
+    }
     time("rolling 7-day actives over 1M events") {
       SparkEntry.queries("q_rolling_wau")(spark, out).count()
+    }
+
+    time("bigram-LM scoring over 50k docs (hot-key split join)") {
+      SparkEntry.queries("q_lm_score")(spark, out).count()
+    }
+    // residual skew after the top-64 broadcast split: the hottest key
+    // LEFT on the shuffled (cold) side vs the median — recorded in
+    // BASELINE.md as the straggler-delta evidence for the r6 item-6 fix
+    locally {
+      val t = graft.ops.TextAnalysis.tokens(col("text"))
+      val bg = docs.select(explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c"))
+      val top = bg.orderBy(col("c").desc).limit(70).collect().map(_.getLong(1))
+      val med = bg.agg(expr("percentile(c, 0.5)")).head().getDouble(0)
+      println(s"[probe] bigram skew: hottest=${top.head} cold-max (65th)=${top.lift(64).getOrElse(0L)} median=$med")
+      spark.catalog.clearCache()
+    }
+    time("OOV rate at tokenizer-scale k=32768 over 50k docs") {
+      graft.ops.TextAnalysis.oovRate(docs, "doc_id", "text", vocabK = 32768).count()
     }
 
     // duplicate clusters: every doc has 9 exact copies, so the pair

@@ -204,6 +204,33 @@ object TextAnalysis {
     if (distinct) array_distinct(sh) else sh
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's
+    * top-`vocabK` token vocabulary — the coverage statistic consulted
+    * when sizing a tokenizer. The vocabulary is a global top-k by
+    * count (ties broken by token): a TakeOrdered of exactly `vocabK`
+    * rows, broadcastable at ANY corpus size because k is fixed —
+    * 32k-class tokenizer vocabs included (a 32768×(token,1) frame is
+    * ~1 MB). One token-level broadcast left join + a per-doc
+    * aggregate; nothing else shuffles at corpus scale.
+    *
+    * NOTE: the synthetic test corpus draws from a 31-token vocabulary,
+    * so oracle-checked runs use a non-vacuous k (16); Round6Spec
+    * asserts the identical plan shape (TakeOrdered + broadcast join,
+    * no global sort) at k = 32768 and ScaleProbe times it at 10×.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String, vocabK: Int): DataFrame = {
+    require(vocabK > 0, "vocabK must be positive")
+    val dt = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val vocab = dt.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabK)
+      .select(col("w"), lit(1L).as("in_v"))
+    dt.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        round(lit(1.0) - sum(coalesce(col("in_v"), lit(0L))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("oov_rate"))
+  }
+
   /** Full per-document analysis frame: doc identifier + all metrics. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -412,21 +412,13 @@ object Round6Queries {
 
     // ---- vocabulary coverage (OOV rate per document) ----
     "q_oov_rate" -> ((s, dir) => {
-      // fraction of token occurrences outside the corpus's top-10
-      // vocabulary — the coverage statistic consulted when sizing a
-      // tokenizer. The vocab is a global top-k (TakeOrdered, k rows —
-      // broadcastable at ANY corpus size because k is fixed), then one
-      // token-level left join and a per-doc aggregate.
-      val dt = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
-      val vocab = dt.groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("w")).limit(10)
-        .select(col("w"), lit(1L).as("in_v"))
-      dt.join(broadcast(vocab), Seq("w"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tok"),
-          round(lit(1.0) - sum(coalesce(col("in_v"), lit(0L))).cast("double") /
-            count(lit(1)).cast("double"), 6).as("oov_rate"))
+      // fraction of token occurrences outside the corpus's top-k
+      // vocabulary (TextAnalysis.oovRate; r6 verdict item 7 made k a
+      // parameter). k=16 is non-vacuous against this corpus's 31-token
+      // vocabulary; the 32k tokenizer-scale plan shape is asserted in
+      // Round6Spec and timed at 10× in ScaleProbe.
+      TextAnalysis.oovRate(Tables.load(s, dir, "documents"),
+          "doc_id", "text", vocabK = 16)
         .orderBy(col("doc_id"))
     }),
 
@@ -469,11 +461,26 @@ object Round6Queries {
         slice(t, lit(1), size(t) - 1),
         slice(t, lit(2), size(t) - 1),
         (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      // the count table is a model table — sublinear in the corpus
+      // (distinct bigrams) and consumed three times (hot list + both
+      // join paths), so one persist beats three aggregation shuffles
       val bc = db.groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val uc = withT.select(explode(t).as("x"))
         .groupBy(col("x")).agg(count(lit(1)).as("c_x"))
-      db
-        .join(bc, "bigram")
+      // skew guard (r6 verdict item 6): the bigram key is Zipfian, so
+      // an unguarded equi-join lands the hottest bigram's expansion
+      // rows on one reducer. Split the probe: rows whose bigram is in
+      // the top-64 hot list take a broadcast join (map-side, no
+      // shuffle); the rest shuffle with the head of the distribution
+      // anti-joined away. Each row takes exactly one path to the same
+      // count, so the union is value-identical to the plain join.
+      val hot = bc.orderBy(col("c_xy").desc, col("bigram")).limit(64)
+      val dbHot = db.join(broadcast(hot), Seq("bigram"))
+      val dbCold = db
+        .join(broadcast(hot.select(col("bigram"))), Seq("bigram"), "left_anti")
+        .join(bc, Seq("bigram"))
+      dbHot.unionByName(dbCold)
         .withColumn("x", split(col("bigram"), " ").getItem(0))
         .join(uc, "x")
         .groupBy(col("doc_id"))
@@ -485,44 +492,57 @@ object Round6Queries {
 
     // ---- ANN recall@10 audit ----
     "q_ann_recall" -> ((s, dir) => {
-      // recall of both approximate paths against the exact brute-force
-      // top-k, on a corpus with PLANTED near neighbors (the planted-
-      // oracle technique, applied to vectors): 9 small deterministic
-      // perturbations of the probe vector join the corpus at fresh
-      // ids. They sit at cosine ≈ 0.999 while the isotropic corpus
-      // tops out near 0.4 at any SF, so the exact top-10 is the probe
-      // row plus the 9 planted rows — ground truth that is analytic,
-      // not empirical. Both the perturbations and the LSH hyperplanes
-      // are fixed-seed, so each method's recall is a stable number the
-      // driver hash-checks (and LSH's is corpus-independent: its hits
-      // depend only on planted-vs-hyperplane geometry).
-      import s.implicits._
-      val emb = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val q = PipelineQueries.queryVec(s, dir)
-      val off = emb.agg(max(col("vec_id"))).head().getAs[Number](0).longValue + 1L
-      val rnd = new scala.util.Random(123)
-      // noise scaled to the vector's per-dim RMS: ~0.02 rad of angle,
-      // far inside one hyperplane flip, whatever the embedding scale
-      val qRms = math.sqrt(q.map(x => x * x).sum / q.length)
-      val planted = (0 until 9).map { i =>
-        (off + i, q.map(x => (x + 0.02 * qRms * rnd.nextGaussian()).toFloat))
-      }.toDF("vec_id", "embedding")
-      val corpus = emb.unionByName(planted)
-      val truth = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, k = 10)
-        .select(col("vec_id"), lit(1L).as("hit"))
-      val lsh = Similarity.annTopK(corpus, "vec_id", "embedding", q, k = 10, nBits = 12)
-        .select(col("vec_id"), lit("lsh").as("method"))
-      val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding", q, k = 10,
-          nCentroids = 16, nProbe = 4)
-        .select(col("vec_id"), lit("ivf").as("method"))
-      lsh.unionByName(ivf)
-        .join(truth, Seq("vec_id"), "left")
-        .groupBy(col("method"))
-        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / 10.0).as("recall_at_10"))
+      // the driver dump gates on recall ≥ 0.9, not the raw number
+      // (ADVICE r6): LSH recall is corpus-independent by construction,
+      // but IVF's depends on the centroid layout, so at an untested SF
+      // or regenerated corpus a planted vector could in principle fall
+      // outside the probed cells without the operator being broken.
+      // The measured recall is 1.0 at sf0.001/0.01/0.1 — Round6Spec
+      // pins that exact value where it is verified.
+      annRecall(s, dir)
+        .select(col("method"), (col("recall_at_10") >= 0.9).as("recall_ok"))
         .orderBy(col("method"))
     })
   )
+
+  /** recall@10 of both approximate ANN paths against the exact
+    * brute-force top-k, on a corpus with PLANTED near neighbors (the
+    * planted-oracle technique, applied to vectors): 9 small
+    * deterministic perturbations of the probe vector join the corpus
+    * at fresh ids. They sit at cosine ≈ 0.999 while the isotropic
+    * corpus tops out near 0.4 at any SF, so the exact top-10 is the
+    * probe row plus the 9 planted rows — ground truth that is
+    * analytic, not empirical. Both the perturbations and the LSH
+    * hyperplanes are fixed-seed, so each method's recall is a stable
+    * number (and LSH's is corpus-independent: its hits depend only on
+    * planted-vs-hyperplane geometry).
+    */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val q = PipelineQueries.queryVec(s, dir)
+    val off = emb.agg(max(col("vec_id"))).head().getAs[Number](0).longValue + 1L
+    val rnd = new scala.util.Random(123)
+    // noise scaled to the vector's per-dim RMS: ~0.02 rad of angle,
+    // far inside one hyperplane flip, whatever the embedding scale
+    val qRms = math.sqrt(q.map(x => x * x).sum / q.length)
+    val planted = (0 until 9).map { i =>
+      (off + i, q.map(x => (x + 0.02 * qRms * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val corpus = emb.unionByName(planted)
+    val truth = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, k = 10)
+      .select(col("vec_id"), lit(1L).as("hit"))
+    val lsh = Similarity.annTopK(corpus, "vec_id", "embedding", q, k = 10, nBits = 12)
+      .select(col("vec_id"), lit("lsh").as("method"))
+    val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding", q, k = 10,
+        nCentroids = 16, nProbe = 4)
+      .select(col("vec_id"), lit("ivf").as("method"))
+    lsh.unionByName(ivf)
+      .join(truth, Seq("vec_id"), "left")
+      .groupBy(col("method"))
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / 10.0).as("recall_at_10"))
+  }
 
   def oracles: Map[String, String] = Map(
     "q_tpch_q4" ->
@@ -656,7 +676,7 @@ object Round6Queries {
            FROM documents),
          vc AS (SELECT w FROM (
            SELECT w, COUNT(*) AS c FROM dt GROUP BY 1
-           ORDER BY c DESC, w LIMIT 10))
+           ORDER BY c DESC, w LIMIT 16))
          SELECT doc_id, COUNT(*) AS n_tok,
            ROUND(1.0 - CAST(SUM(CASE WHEN w IN (SELECT w FROM vc) THEN 1 ELSE 0 END) AS DOUBLE) /
              CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
@@ -751,15 +771,15 @@ object Round6Queries {
            ROUND(AVG(ROUND(LN(CAST(c_xy AS DOUBLE) / CAST(c_x AS DOUBLE)), 6)), 4) AS lm_score
          FROM db JOIN bc USING (bigram) JOIN ucc USING (x)
          GROUP BY doc_id ORDER BY doc_id""",
-    // full recall is the analytic expectation, not an empirical fit:
-    // the planted neighbors sit ~0.02 rad from the probe (P[≥2 of 12
-    // hyperplane flips] < 1%), IVF clusters them into the first probed
-    // cell, and the isotropic corpus never enters the top-10. Verified
-    // at sf0.001 / sf0.01 / sf0.1.
+    // the ≥0.9 gate always holds analytically: the planted neighbors
+    // sit ~0.02 rad from the probe (P[≥2 of 12 hyperplane flips] < 1%),
+    // IVF clusters them into the first probed cell, and the isotropic
+    // corpus never enters the top-10. The exact 1.0 recall measured at
+    // sf0.001/0.01/0.1 is pinned in Round6Spec, where it is verified.
     "q_ann_recall" ->
-      """SELECT 'ivf' AS method, CAST(1.0 AS DOUBLE) AS recall_at_10
+      """SELECT 'ivf' AS method, TRUE AS recall_ok
          UNION ALL
-         SELECT 'lsh' AS method, CAST(1.0 AS DOUBLE) AS recall_at_10
+         SELECT 'lsh' AS method, TRUE AS recall_ok
          ORDER BY method"""
   )
 }

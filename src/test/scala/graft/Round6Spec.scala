@@ -113,6 +113,10 @@ class Round6Spec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(!readSchema.contains("lang"), readSchema)
+    // skew guard: the hot-bigram path must be a broadcast join and the
+    // cold path must anti-join the hot list away before shuffling
+    assert(p.contains("BroadcastHashJoin"), "hot-bigram broadcast path missing:\n" + p)
+    assert(p.contains("LeftAnti"), "hot-list anti-join missing from the cold path:\n" + p)
   }
 
   test("q_lm_score: every score is a mean of log-probabilities (≤ 0)") {
@@ -230,6 +234,23 @@ class Round6Spec extends AnyFunSuite {
     assert(r.filter(col("oov_rate") < 0 || col("oov_rate") > 1).count() === 0)
   }
 
+  test("oovRate at tokenizer-scale k=32768 keeps the TakeOrdered + broadcast plan") {
+    // the corpus vocabulary is 31 tokens, so the oracle-checked query
+    // runs at k=16; this pins the claim that a 32k vocab changes
+    // NOTHING about the plan shape — the vocab is still a TakeOrdered
+    // (never a global sort) and still broadcasts into the token join
+    val df = graft.ops.TextAnalysis.oovRate(
+      Tables.load(spark, sf, "documents"), "doc_id", "text", vocabK = 32768)
+    df.collect()
+    val p = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "32k vocab fell back to a shuffle join:\n" + p)
+    // with k past the whole vocabulary, every token is in-vocab
+    assert(df.filter(col("oov_rate") =!= 0.0).count() === 0)
+  }
+
   test("q_tpch_q21: double-EXISTS compiles to semi + anti joins") {
     val p = plan("q_tpch_q21")
     assert(p.contains("LeftSemi"), p)
@@ -253,9 +274,14 @@ class Round6Spec extends AnyFunSuite {
   }
 
   test("q_ann_recall: both approximate paths at full planted recall") {
-    val r = SparkEntry.queries("q_ann_recall")(spark, sf)
+    // the driver dump gates on the ≥0.9 boolean (corpus-robust); the
+    // exact 1.0 is pinned HERE, at the SFs where it is verified
+    val raw = graft.queries.Round6Queries.annRecall(spark, sf)
       .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
-    assert(r === Map("ivf" -> 1.0, "lsh" -> 1.0), r.toString)
+    assert(raw === Map("ivf" -> 1.0, "lsh" -> 1.0), raw.toString)
+    val gated = SparkEntry.queries("q_ann_recall")(spark, sf)
+      .collect().map(x => x.getString(0) -> x.getBoolean(1)).toMap
+    assert(gated === Map("ivf" -> true, "lsh" -> true), gated.toString)
   }
 
   test("q_sketch_distinct: every group inside the 5% audit band") {
