@@ -74,9 +74,14 @@ final class Server(engine: Engine, port: Int) {
 
   private def handleStatic(ex: HttpExchange): Unit = {
     // same failure contract as the /api routes (handle()): an I/O or
-    // classpath error becomes a 500 JSON body, never a dropped exchange
+    // classpath error becomes a 500 JSON body, never a dropped exchange.
+    // HEAD is served as GET without a body (ADVICE r6). Parity note:
+    // the reference console's /api/image-dir listing endpoint
+    // (cmd/server/main.go image-directory browse) is NOT mirrored —
+    // IMAGE columns resolve through functions/ImageResolver instead.
+    val isHead = ex.getRequestMethod == "HEAD"
     val (status, contentType, bytes) = try {
-      if (ex.getRequestMethod != "GET")
+      if (ex.getRequestMethod != "GET" && !isHead)
         (405, "application/json", jsonError("GET required").getBytes(StandardCharsets.UTF_8))
       else {
         val path = ex.getRequestURI.getPath match {
@@ -104,9 +109,14 @@ final class Server(engine: Engine, port: Int) {
     }
     try {
       ex.getResponseHeaders.add("Content-Type", contentType)
-      ex.sendResponseHeaders(status, bytes.length)
-      val os = ex.getResponseBody
-      try os.write(bytes) finally os.close()
+      if (isHead) {
+        // -1 = no response body (JDK HttpServer contract for HEAD)
+        ex.sendResponseHeaders(status, -1)
+      } else {
+        ex.sendResponseHeaders(status, bytes.length)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      }
     } finally ex.close()
   }
 

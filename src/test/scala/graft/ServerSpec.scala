@@ -109,6 +109,20 @@ class ServerSpec extends AnyFunSuite {
     assert(get("/static/js/%2e%2e/%2e%2e/secret").statusCode() == 404)
   }
 
+  test("static console: HEAD is GET without a body") {
+    val head = client.send(HttpRequest.newBuilder().uri(URI.create(s"$base/"))
+      .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(head.statusCode() == 200, head.body())
+    assert(head.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+    assert(head.body().isEmpty, head.body().take(100))
+    // non-GET/HEAD still rejected
+    val put = client.send(HttpRequest.newBuilder().uri(URI.create(s"$base/"))
+      .PUT(HttpRequest.BodyPublishers.ofString("x")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(put.statusCode() == 405)
+  }
+
   test("destructive NL requires confirmation; confirm:true executes") {
     q("CREATE TABLE victims (id INT, tag TEXT)")
     q("INSERT INTO victims (id, tag) VALUES (1, 'x')")
