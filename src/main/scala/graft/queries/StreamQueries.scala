@@ -51,7 +51,10 @@ object StreamQueries {
       // restricts dropDuplicatesWithinWatermark to streaming frames;
       // StreamingSpec runs the real watermarked stream and matches.
       // Duplicate rows are bit-identical, so the arbitrary-survivor
-      // semantics of dropDuplicates stay deterministic.
+      // semantics of dropDuplicates stay deterministic — which relies
+      // on event_id being unique in the BASE table; StreamingSpec
+      // asserts that precondition at both the test and gate SFs so a
+      // generator change fails loudly instead of flaking the hash.
       val ev = Tables.load(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       ev.unionAll(ev)

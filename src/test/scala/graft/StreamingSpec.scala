@@ -17,6 +17,20 @@ class StreamingSpec extends AnyFunSuite {
 
   private lazy val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
 
+  test("event_id is unique in the base events table (q_stream_dedup oracle precondition)") {
+    // q_stream_dedup's oracle (plain SELECT ... FROM events) and its
+    // dropDuplicates determinism both assume the generator never emits
+    // two different rows under one event_id — the non-unique-lineitem
+    // precedent (ADVICE r6). A generator change must fail HERE, loudly,
+    // not as a flaky hash mismatch in the driver gate — so check the
+    // gate SF (0.01) as well as the test SF.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val ev = Tables.load(spark, dir, "events")
+      val dups = ev.groupBy(col("event_id")).count().filter(col("count") > 1).count()
+      assert(dups === 0, s"$dir has $dups duplicated event_ids")
+    }
+  }
+
   test("streaming tumbling agg over a file source equals the batch result") {
     val dir = Files.createTempDirectory("graftstream")
     // stage the events (ns→us already handled by Tables.load) as the stream source
