@@ -136,18 +136,90 @@ object Dedup {
     // consuming results (Verify/Bench do so between queries).
     val sig = minhashSignature(df, idCol, textCol, k, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The band join shuffles only (id, band, band_hash) — 24 bytes/row —
-    // instead of dragging the k-element signature through a 16-way
-    // explode; signatures are re-attached to the (deduplicated, tiny)
-    // candidate pair set afterwards.
+    estJaccardOfPairs(lshCandidates(sig, k, bands), sig, k)
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Candidate pairs (id_a < id_b) whose signatures agree on at least
+    * one LSH band.
+    *
+    * The band join shuffles only (id, band, band_hash) — 24 bytes/row —
+    * instead of dragging the k-element signature through a 16-way
+    * explode; signatures are re-attached to the (deduplicated, tiny)
+    * candidate pair set afterwards.
+    */
+  private def lshCandidates(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val banded = bandedOf(sig, k, bands)
-    val cand = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    estJaccardOfPairs(cand, sig, k).filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Near-duplicate pairs as candidate generation + exact
+    * verification: banded LSH proposes candidates (any band equal),
+    * then each candidate's TRUE distinct-shingle Jaccard is computed
+    * by a candidate-bounded shingle join and thresholded — the
+    * web-scale dedup shape (MinHash recalls, exact similarity
+    * decides). Unlike `est_jaccard`, the verified score is a
+    * deterministic function of the two token streams, reproducible by
+    * any engine that can count n-grams — which is what makes the
+    * corpus-prep pipeline's survivor set oracle-checkable end to end
+    * (see Pipelines.prepareCorpus / CompositionQueries). A qualifying
+    * pair is missed only if every band misses:
+    * P ≤ (1 − θ^(k/bands))^bands ≈ 4e-8 per pair at θ = 0.9 with
+    * 16×4 banding — and exactly 0 for identical shingle sets, where
+    * every band matches.
+    *
+    * Scale: the verify join is bounded by candidates × shingles per
+    * document, never corpus²; everything upstream is the
+    * minhashLshPairs plan. No document-frequency cap on the verify
+    * universe — skew there is bounded by the candidate set, and the
+    * uncapped Jaccard is what external engines reproduce.
+    */
+  def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    require(bands > 0 && bands <= k && k % bands == 0,
+      s"need bands to divide k, got k=$k bands=$bands")
+    // ONE tokenize+shingle pass feeds everything: the signature build
+    // derives from the same persisted distinct-shingle table (min over
+    // the distinct set equals min over the multiset, so the signatures
+    // are bit-identical to minhashSignature's), and the table then
+    // serves the sizes aggregate and both sides of the intersection
+    // join. Rows are two longs, spillable.
+    val sh = explodedShingleHashes(df, idCol, textCol, n, distinct = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count() // materialize once, eagerly (the ngramJaccardPairs rule)
+    val mins: Seq[Column] = (0 until k).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    val sig = sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count() // consumed 4x (banded a/b, est attach a/b) in one action
+    // est-Jaccard pre-filter before the exact verify: band candidacy
+    // alone admits every random band collision and every low-J organic
+    // pair; the signature estimate (already in hand, one array zip per
+    // pair) cuts those before the intersection join. The 0.4 margin
+    // keeps the analytic guarantee: a pair with true J ≥ threshold has
+    // est < threshold − 0.4 with P ≤ exp(−2k·0.4²) ≈ 1.3e-9 at k=64
+    // (Hoeffding), the same order as the all-bands-miss bound.
+    val cand = estJaccardOfPairs(lshCandidates(sig, k, bands), sig, k)
+      .filter(col("est_jaccard") >= threshold - 0.4)
+      .select(col("id_a"), col("id_b"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("id").as("id_a"), col("shingle").as("sh")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle").as("sh")), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** (id, band, band_hash) rows: one per band per signature. */

@@ -7,18 +7,24 @@ import org.apache.spark.sql.functions._
   * pipeline actually runs, built from the individual operators:
   *
   *   quality filter → language filter → exact dedup → near-dedup
-  *   (MinHash-LSH) → per-document stats
+  *   (MinHash-LSH candidates + exact-Jaccard verification) →
+  *   per-document stats
   *
   * Plan shape at scale: the per-document stages are one pass with no
   * shuffle; exact dedup is one hash aggregation; near-dedup is the
-  * banded-LSH equality join. Nothing here is quadratic in corpus size.
+  * banded-LSH equality join plus a candidate-bounded verify join.
+  * Nothing here is quadratic in corpus size. The verification step
+  * (r7) is what makes the whole pipeline's survivor set reproducible
+  * by an external engine: the drop decision is the TRUE
+  * distinct-shingle Jaccard against `nearDupThreshold`, not the
+  * signature estimate (see Dedup.lshVerifiedPairs).
   */
 object Pipelines {
 
   final case class CorpusConfig(
       minQuality: Double = 0.3,
       keepLangs: Set[String] = Set.empty, // empty = keep all
-      nearDupThreshold: Double = 0.6,
+      nearDupThreshold: Double = 0.6, // TRUE distinct-shingle Jaccard
       minhashK: Int = 64,
       lshBands: Int = 16)
 
@@ -53,8 +59,9 @@ object Pipelines {
       .drop("keep_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 4: near-dedup — drop the larger id of every LSH-confirmed pair
-    val dropIds = Dedup.minhashLshPairs(keepExact, idCol, textCol,
+    // 4: near-dedup — drop the larger id of every pair whose exact
+    // Jaccard clears the threshold among the LSH candidates
+    val dropIds = Dedup.lshVerifiedPairs(keepExact, idCol, textCol,
         k = config.minhashK, bands = config.lshBands,
         threshold = config.nearDupThreshold)
       .select(col("id_b").as(idCol)).distinct()

@@ -7,7 +7,7 @@ class EntrySmoke extends AnyFunSuite {
     info(s"entry rows: $n")
     assert(n > 0)
     assert(SparkEntry.queries.size == 146)
-    assert(SparkEntry.oracleSql.size == 142)
+    assert(SparkEntry.oracleSql.size == 143)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }

@@ -14,6 +14,32 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  // ---- LSH + exact verification ----
+  test("lshVerifiedPairs: exact Jaccard decides; periodic pair verifies at exactly 1.0") {
+    // A and B are "p q" repeated 8 and 9 times: different strings,
+    // IDENTICAL distinct 3-gram sets → candidate with certainty (equal
+    // signatures) and true Jaccard exactly 1.0. C shares roughly half
+    // its shingles with D — a candidate the exact verify must CUT at
+    // θ=0.9 even when the est_jaccard path would have surfaced it at a
+    // lower threshold.
+    // C: 42 tokens → 40 distinct trigrams; D adds 10 tokens → 50, all
+    // 40 of C's shared → true J = 40/50 = 0.8 (candidacy certain:
+    // P[all 16 bands miss] = (1−0.8⁴)¹⁶ ≈ 2e-4, fixed seeds)
+    val base = (1 to 42).map("w" + _).mkString(" ")
+    val df = Seq(
+      (1L, ("p q " * 8).trim),
+      (2L, ("p q " * 9).trim),
+      (3L, base),
+      (4L, base + " " + (1 to 10).map("x" + _).mkString(" "))).toDF("id", "text")
+    val pairs = Dedup.lshVerifiedPairs(df, "id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)), pairs.mkString(";"))
+    // at a permissive threshold the C/D pair appears with its true J
+    val loose = Dedup.lshVerifiedPairs(df, "id", "text", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(loose === Set((1L, 2L, 1.0), (3L, 4L, 0.8)), loose.mkString(";"))
+  }
+
   // ---- text analysis ----
   test("token counts: whitespace and BPE-ish") {
     val df = Seq((1L, "Hello, world! It's 2024.")).toDF("id", "text")
