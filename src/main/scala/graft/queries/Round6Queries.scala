@@ -450,9 +450,11 @@ object Round6Queries {
       // Plan: one (doc, bigram) explode, the q_ngram_lm count tables,
       // an equi-join on the bigram key, one aggregate back to docs —
       // all token-level shuffles, nothing quadratic. Each ln is
-      // rounded to 6 dp per bigram BEFORE the mean (identical value
-      // sets on both engines; the mean then rounds to 4 dp so
-      // summation order cannot flip the result).
+      // rounded to 6 dp per bigram BEFORE the mean, and the mean runs
+      // as an exact DECIMAL(18,6) sum divided by the count (ADVICE r6:
+      // a double AVG is summation-order-dependent, so a mean landing
+      // on a 4-dp rounding boundary could flip between engines; the
+      // decimal sum cannot).
       val t = col("t")
       val withT = Tables.load(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
@@ -485,7 +487,10 @@ object Round6Queries {
         .join(uc, "x")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(round(log(col("c_xy").cast("double") / col("c_x").cast("double")), 6)), 4)
+          round(
+            sum(round(log(col("c_xy").cast("double") / col("c_x").cast("double")), 6)
+                .cast(DecimalType(18, 6))).cast("double") /
+              count(lit(1)).cast("double"), 4)
             .as("lm_score"))
         .orderBy(col("doc_id"))
     }),
@@ -768,7 +773,9 @@ object Round6Queries {
          ucc AS (SELECT x, COUNT(*) AS c_x FROM
            (SELECT UNNEST(t) AS x FROM toks) GROUP BY 1)
          SELECT doc_id, COUNT(*) AS n_bigrams,
-           ROUND(AVG(ROUND(LN(CAST(c_xy AS DOUBLE) / CAST(c_x AS DOUBLE)), 6)), 4) AS lm_score
+           ROUND(CAST(SUM(CAST(ROUND(LN(CAST(c_xy AS DOUBLE) / CAST(c_x AS DOUBLE)), 6)
+               AS DECIMAL(18,6))) AS DOUBLE) /
+             CAST(COUNT(*) AS DOUBLE), 4) AS lm_score
          FROM db JOIN bc USING (bigram) JOIN ucc USING (x)
          GROUP BY doc_id ORDER BY doc_id""",
     // the ≥0.9 gate always holds analytically: the planted neighbors
