@@ -125,6 +125,21 @@
     }).catch(function (e) { status.textContent = "failed: " + e; });
   });
 
+  document.getElementById("imagedir-form").addEventListener("submit", function (ev) {
+    ev.preventDefault();
+    var dir = document.getElementById("imagedir-input").value.trim();
+    var status = document.getElementById("imagedir-status");
+    if (!dir) return;
+    post("/api/image-dir", { directory: dir }).then(function (data) {
+      status.textContent = data.success ? "image directory set" : "failed: " + data.error;
+    }).catch(function (e) { status.textContent = "failed: " + e; });
+  });
+
+  fetch("/api/image-dir").then(function (r) { return r.json(); }).then(function (data) {
+    if (data.success && data.directory)
+      document.getElementById("imagedir-input").value = data.directory;
+  });
+
   post("/api/conversations", {}).then(function (data) {
     if (data.success) conversationId = data.conversationId;
   });

@@ -31,6 +31,7 @@ final class Server(engine: Engine, port: Int) {
     server.createContext("/api/tables", (ex: HttpExchange) => handle(ex, handleTables))
     server.createContext("/api/upload", (ex: HttpExchange) => handle(ex, handleUpload))
     server.createContext("/api/conversations", (ex: HttpExchange) => handle(ex, handleConversations))
+    server.createContext("/api/image-dir", (ex: HttpExchange) => handle(ex, handleImageDir))
     // JDK HttpServer routes by longest prefix, so "/" catches only what
     // the /api contexts don't — the static chat console (reference
     // `web/index.html` + `web/static` assets, re-implemented)
@@ -75,10 +76,7 @@ final class Server(engine: Engine, port: Int) {
   private def handleStatic(ex: HttpExchange): Unit = {
     // same failure contract as the /api routes (handle()): an I/O or
     // classpath error becomes a 500 JSON body, never a dropped exchange.
-    // HEAD is served as GET without a body (ADVICE r6). Parity note:
-    // the reference console's /api/image-dir listing endpoint
-    // (cmd/server/main.go image-directory browse) is NOT mirrored —
-    // IMAGE columns resolve through functions/ImageResolver instead.
+    // HEAD is served as GET without a body (ADVICE r6).
     val isHead = ex.getRequestMethod == "HEAD"
     val (status, contentType, bytes) = try {
       if (ex.getRequestMethod != "GET" && !isHead)
@@ -163,6 +161,28 @@ final class Server(engine: Engine, port: Int) {
   // ---- GET /api/tables ----
   private def handleTables(ex: HttpExchange): (Int, String) =
     (200, s"""{"success":true,"tables":${Json.strArr(engine.catalog.listTables)}}""")
+
+  // ---- GET/POST /api/image-dir ----
+  // the reference console's image-directory surface
+  // (WEB_FRONTEND_README.md:118, web/static/js/app.js:499-515; its
+  // server forgot to register the route — cmd/server/main.go:168-174 —
+  // so this closes the reference's own console/server gap): GET
+  // returns the session image directory, POST {directory} sets it via
+  // the same validation the REPL's SET IMAGE DIR uses
+  private def handleImageDir(ex: HttpExchange): (Int, String) =
+    ex.getRequestMethod match {
+      case "GET" =>
+        val dir = graft.functions.ImageResolver.getImageDir
+          .map(Json.str).getOrElse("\"\"")
+        (200, s"""{"success":true,"directory":$dir}""")
+      case "POST" =>
+        val body = new String(readBody(ex), StandardCharsets.UTF_8)
+        val dir = Json.getString(body, "directory").getOrElse(
+          return (400, jsonError("missing 'directory'")))
+        graft.functions.ImageResolver.setImageDir(dir) // invalid dir → DialectException → 400
+        (200, """{"success":true}""")
+      case _ => (405, jsonError("GET or POST required"))
+    }
 
   // ---- POST /api/upload?table=T&format=csv|parquet ----
   private def handleUpload(ex: HttpExchange): (Int, String) = {

@@ -109,6 +109,19 @@ class ServerSpec extends AnyFunSuite {
     assert(get("/static/js/%2e%2e/%2e%2e/secret").statusCode() == 404)
   }
 
+  test("image-dir endpoint: GET empty, POST sets, invalid dir is 400") {
+    val before = get("/api/image-dir")
+    assert(before.statusCode() == 200 && before.body().contains("\"success\":true"), before.body())
+    val dir = Files.createTempDirectory("graftimg").toString
+    val set = post("/api/image-dir", s"""{"directory":${Json.str(dir)}}""")
+    assert(set.statusCode() == 200 && set.body().contains("\"success\":true"), set.body())
+    val after = get("/api/image-dir")
+    assert(after.body().contains(Json.str(dir).drop(1).dropRight(1)), after.body())
+    val bad = post("/api/image-dir", """{"directory":"/no/such/dir/graft"}""")
+    assert(bad.statusCode() == 400, bad.body())
+    assert(post("/api/image-dir", """{"nope":1}""").statusCode() == 400)
+  }
+
   test("static console: HEAD is GET without a body") {
     val head = client.send(HttpRequest.newBuilder().uri(URI.create(s"$base/"))
       .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
