@@ -25,7 +25,8 @@ object SparkEntry {
     graft.queries.ExtendedQueries.queries ++
     graft.queries.Round3Queries.queries ++
     graft.queries.Round4Queries.queries ++
-    graft.queries.Round6Queries.queries
+    graft.queries.Round6Queries.queries ++
+    graft.queries.Round7Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
     graft.queries.ExtendedQueries.oracles ++
     graft.queries.Round3Queries.oracles ++
     graft.queries.Round4Queries.oracles ++
-    graft.queries.Round6Queries.oracles
+    graft.queries.Round6Queries.oracles ++
+    graft.queries.Round7Queries.oracles
 }

@@ -6,8 +6,8 @@ class EntrySmoke extends AnyFunSuite {
     val n = df.count()
     info(s"entry rows: $n")
     assert(n > 0)
-    assert(SparkEntry.queries.size == 146)
-    assert(SparkEntry.oracleSql.size == 143)
+    assert(SparkEntry.queries.size == 147)
+    assert(SparkEntry.oracleSql.size == 144)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }
