@@ -111,6 +111,14 @@ object ScaleProbe {
       graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.2, maxShingleDf = 50).count()
     }
+    time("LSH + exact-verified pairs, 50k docs (225k true pairs to verify)") {
+      // worst-case duplication: every doc's 9 exact copies make every
+      // candidate a TRUE pair, so the est pre-filter cuts nothing and
+      // the verify join runs at full candidate volume — the upper
+      // bound on verification cost at this corpus size
+      graft.ops.Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+        threshold = 0.9).count()
+    }
 
     time("winsorize 6M lineitem (per-group percentile clip)") {
       SparkEntry.queries("q_winsorize")(spark, out).count()
