@@ -431,6 +431,87 @@ object Dedup {
       .withColumn("contaminated", col("n_hit") > 0)
   }
 
+  /** Exact substring duplication audit (the suffix-array dedup signal of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", computed by hashed char-k-gram sampling instead of a
+    * suffix array): for every sampled character position (stride
+    * `stride`), the k-char substring starting there is fingerprinted
+    * with xxhash64; a fingerprint occurring at >= 2 positions anywhere
+    * in the corpus marks a duplicated substring. Per document this
+    * yields (n_grams sampled, n_dup duplicated, dup_frac) — the
+    * memorization-risk statistic used to decide substring-level dedup.
+    *
+    * Scale: gram extraction is a codegen'd per-row expression (no
+    * UDF); the only shuffle is the fingerprint groupBy + equi-join,
+    * both on 8-byte longs, cost linear in chars/stride. `stride` is
+    * the 100 TB knob — stride s samples 1/s of positions while still
+    * catching any duplicated run of length >= k + s - 1 at full
+    * confidence (some window into the run is sampled in both copies
+    * only when copies are aligned; for unaligned copies detection is
+    * probabilistic per position but near-certain over long runs).
+    * Docs shorter than k chars contribute zero grams and report
+    * dup_frac 0.
+    */
+  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 40, stride: Int = 10): DataFrame = {
+    require(k > 0 && stride > 0, "k and stride must be positive")
+    val txt = lower(trim(col(textCol)))
+    val len = length(txt)
+    val grams = when(len >= k,
+        transform(sequence(lit(0), len - k, lit(stride)),
+          i => xxhash64(txt.substr(i + 1, lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+    val pos = widen(df).select(col(idCol).as("id"), explode(grams).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = pos.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("g"), lit(1L).as("is_dup"))
+    val perDoc = pos.join(dup, Seq("g"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("n_dup").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)), 6).as("dup_frac"))
+  }
+
+  /** Cross-source shingle-overlap matrix: for every pair of corpus
+    * sources, the Jaccard similarity of their DISTINCT token-n-gram
+    * shingle sets — the corpus-curation statistic that reveals mirror
+    * sites, shared boilerplate, and double-counted crawls before
+    * mixture weights are chosen.
+    *
+    * Plan: one (source, shingle-hash) distinct pass, then a self
+    * equi-join on the shingle key. A shingle present in m sources
+    * contributes m(m-1)/2 pair rows — bounded by the SOURCE count
+    * squared (tiny, independent of corpus size), so unlike document
+    * pair joins there is no skew cap needed: cost is linear in total
+    * distinct (source, shingle) rows.
+    */
+  def sourceOverlapMatrix(df: DataFrame, srcCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = widen(df)
+      .withColumn("_th", TextAnalysis.tokenHashes(col(textCol)))
+      .select(col(srcCol).as("src"),
+        explode(TextAnalysis.shingleHashesFrom(col("_th"), n)).as("g"))
+      .dropDuplicates("src", "g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val co = sh.as("a")
+      .join(sh.as("b"), col("a.g") === col("b.g") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizes.select(col("src").as("src_a"), col("n").as("n_a")), Seq("src_a"))
+      .join(sizes.select(col("src").as("src_b"), col("n").as("n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6).as("jaccard"))
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash per document, computed entirely with higher-order

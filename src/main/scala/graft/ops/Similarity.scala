@@ -220,6 +220,52 @@ object Similarity {
   def dequantizeInt8(qv: Column): Column =
     transform(qv.getField("q"), x => x.cast("double") * qv.getField("scale"))
 
+  /** Approximate kNN GRAPH over the whole embedding table — the
+    * all-nodes neighbor structure behind embedding-based clustering,
+    * diversity curation, and semantic-dedup sweeps (as opposed to
+    * [[annTopK]], which answers one query). Multi-table hyperplane
+    * LSH: `tables` independent signature columns; any shared bucket in
+    * any table makes a candidate pair; exact cosine ranks each node's
+    * candidates and `row_number <= k` keeps the top k (Spark 4 rewrites
+    * the rank filter into WindowGroupLimit — per-key top-k starts
+    * map-side, before the exchange).
+    *
+    * Scale: no all-pairs stage anywhere — cost is sum over buckets of
+    * bucket², and random hyperplanes keep buckets balanced (no data
+    * hot key, unlike token shingles: a signature collision needs
+    * angular proximity). Vectors ride the candidate join (2×dims
+    * doubles per row); at 100 TB pair volume, quantize first
+    * ([[quantizeInt8]]) or re-join vectors per side. Nodes with no
+    * bucket collision in any table have no edges and drop out —
+    * approximate-by-design, like every LSH structure; raise `tables`
+    * or lower `nBits` for denser recall.
+    */
+  def knnGraphLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nBits: Int = 10, tables: Int = 4, dims: Int = 64): DataFrame = {
+    require(k > 0 && nBits > 0 && tables > 0, "k, nBits, tables must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val sigCols = (0 until tables).map { t =>
+      signature(col("v"), hyperplanes(nBits, dims, seed = 42L + t)).as(s"sig$t")
+    }
+    // persist: tables×nBits×dims dot products per row, read by 2×tables
+    // join sides
+    val signed = Dedup.widen(df)
+      .select(Seq(col(idCol).as("id"), col(vecCol).as("v")) ++ sigCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = (0 until tables).map { t =>
+      signed.select(col("id").as("src"), col("v").as("va"), col(s"sig$t").as("s"))
+        .join(signed.select(col("id").as("dst"), col("v").as("vb"), col(s"sig$t").as("s")),
+          Seq("s"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), col("va"), col("vb"))
+    }.reduce(_ unionByName _)
+      .dropDuplicates("src", "dst") // a pair colliding in m tables ranks once
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    cand.select(col("src"), col("dst"), cosine(col("va"), col("vb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: equality join on the LSH
     * signature (single shuffle on a compact long key), then exact
     * cosine verification ≥ threshold. The signature join finds pairs

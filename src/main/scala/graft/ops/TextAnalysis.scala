@@ -231,6 +231,31 @@ object TextAnalysis {
           count(lit(1)).cast("double"), 6).as("oov_rate"))
   }
 
+  /** One BPE merge iteration over the corpus — the inner statistic of
+    * tokenizer training (Sennrich et al. 2016): count every adjacent
+    * character pair inside every word, weighted by the word's corpus
+    * frequency, and return the top-`topK` merge candidates.
+    *
+    * Scale shape: the corpus-sized token stream collapses FIRST to a
+    * vocabulary-sized (word, count) frame (map-combinable groupBy — at
+    * 100 TB the word-count aggregate is the only corpus-scale shuffle,
+    * and it's the classic word-count), then pair extraction runs on
+    * the tiny vocabulary frame. The top-k is a TakeOrdered of exactly
+    * `topK` rows, ties broken by pair text — no global sort.
+    */
+  def bpePairStep(df: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val wc = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val w = col("w")
+    wc.select(col("wc"),
+        explode(transform(sequence(lit(1), length(w) - 1),
+          i => w.substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(topK)
+  }
+
   /** Full per-document analysis frame: doc identifier + all metrics. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -1,15 +1,19 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.Dedup
+import graft.ops.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-7 pack: the exact-verified near-dedup operator as a
-  * first-class driver row. `Dedup.lshVerifiedPairs` also runs inside
-  * the corpus pipeline (q_pipeline_corpus), but this row checks the
-  * operator's own output — the (id_a, id_b, jaccard) pair list —
-  * against DuckDB's exact distinct-shingle Jaccard.
+  * first-class driver row (`Dedup.lshVerifiedPairs` also runs inside
+  * q_pipeline_corpus, but this row checks the operator's own
+  * (id_a, id_b, jaccard) pair list against DuckDB's exact
+  * distinct-shingle Jaccard), plus three new training-pipeline
+  * primitives: exact substring duplication (the Lee et al. 2022
+  * suffix-array dedup signal via sampled char-k-gram fingerprints),
+  * one BPE merge iteration (tokenizer-training pair counts), and the
+  * cross-source shingle-overlap matrix (mixture-curation statistic).
   */
 object Round7Queries {
 
@@ -39,7 +43,54 @@ object Round7Queries {
           threshold = 0.9)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
-    })
+    }),
+
+    // ---- exact substring duplication (char-k-gram sampling) ----
+    "q_substring_dup" -> ((s, dir) => {
+      // planted exact copies of every 25th doc guarantee duplicated
+      // substrings at any SF (a copy's every sampled k-gram occurs at
+      // >= 2 corpus positions -> dup_frac 1.0 for the planted pair);
+      // organic repeats in the original corpus are the real signal.
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val off = docs.agg(max(col("id"))).head().getAs[Number](0).longValue + 1L
+      val planted = docs.filter(col("id") % 25 === 0)
+        .select((col("id") + off).as("id"), col("text"))
+      Dedup.substringDupStats(docs.unionByName(planted), "id", "text",
+          k = 40, stride = 10)
+        .orderBy(col("id"))
+    }),
+
+    // ---- BPE merge-step pair counts (tokenizer training primitive) ----
+    "q_bpe_step" -> ((s, dir) =>
+      TextAnalysis.bpePairStep(
+        Tables.load(s, dir, "documents"), "text", topK = 50)),
+
+    // ---- approximate kNN graph (planted top-1 oracle) ----
+    "q_knn_graph" -> ((s, dir) => {
+      // planted exact vector copies at offset ids: identical vectors
+      // share every LSH table's bucket (candidacy certain) and cosine
+      // to the original at the 1.0 ceiling, so each planted node's
+      // rank-1 edge must be its original — while the graph itself is
+      // built over the whole corpus (the src filter is a window
+      // partition-key filter, pushable without changing semantics).
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val off = emb.agg(max(col("id"))).head().getAs[Number](0).longValue + 1L
+      val planted = emb.filter(col("id") % 10 === 0)
+        .select((col("id") + off).as("id"), col("v"))
+      graft.ops.Similarity.knnGraphLsh(emb.unionByName(planted), "id", "v",
+          k = 5, nBits = 10, tables = 4)
+        .filter(col("src") >= off && col("rank") === 1)
+        .select(col("src"), col("dst"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("src"))
+    }),
+
+    // ---- cross-source shingle-overlap matrix ----
+    "q_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlapMatrix(
+          Tables.load(s, dir, "documents"), "source", "text", n = 3)
+        .orderBy(col("src_a"), col("src_b")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -72,6 +123,75 @@ object Round7Queries {
              AS jaccard
          FROM co JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
          WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.9
-         ORDER BY id_a, id_b"""
+         ORDER BY id_a, id_b""",
+
+    "q_substring_dup" ->
+      """WITH o AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+         corpus AS (
+           SELECT doc_id AS id, text FROM documents
+           UNION ALL
+           SELECT doc_id + off, text FROM documents CROSS JOIN o
+           WHERE doc_id % 25 = 0),
+         t AS (SELECT id, LOWER(TRIM(text)) AS txt FROM corpus),
+         pos AS (
+           SELECT id, UNNEST(list_transform(range(0, LEN(txt) - 40 + 1, 10),
+             i -> substring(txt, i + 1, 40))) AS g
+           FROM t),
+         dup AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+         agg AS (
+           SELECT p.id, COUNT(*) AS n_grams,
+             SUM(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+           FROM pos p LEFT JOIN dup d USING (g) GROUP BY p.id)
+         SELECT c.id,
+           CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup,
+           ROUND(CASE WHEN COALESCE(n_grams, 0) > 0
+             THEN CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             ELSE 0.0 END, 6) AS dup_frac
+         FROM corpus c LEFT JOIN agg USING (id)
+         ORDER BY id""",
+
+    "q_bpe_step" ->
+      """WITH w AS (
+           SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS w
+           FROM documents),
+         wc AS (SELECT w, COUNT(*) AS wc FROM w WHERE LEN(w) >= 2 GROUP BY w),
+         p AS (
+           SELECT wc, UNNEST(list_transform(range(1, LEN(w)),
+             i -> substring(w, i, 2))) AS pair
+           FROM wc)
+         SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+         FROM p GROUP BY pair
+         ORDER BY cnt DESC, pair LIMIT 50""",
+
+    "q_knn_graph" ->
+      """WITH o AS (SELECT MAX(vec_id) + 1 AS off FROM embeddings)
+         SELECT vec_id + off AS src, vec_id AS dst, CAST(1.0 AS DOUBLE) AS cos
+         FROM embeddings CROSS JOIN o
+         WHERE vec_id % 10 = 0
+         ORDER BY src""",
+
+    "q_source_overlap" ->
+      """WITH toks AS (
+           SELECT source, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+           FROM documents),
+         shx AS (
+           SELECT source AS src, UNNEST(list_distinct(list_transform(
+             range(1, GREATEST(LEN(t) - 3, 0) + 2),
+             i -> array_to_string(t[i:i+2], ' ')))) AS g
+           FROM toks),
+         sh AS (SELECT DISTINCT src, g FROM shx),
+         sizes AS (SELECT src, COUNT(*) AS n FROM sh GROUP BY src),
+         co AS (
+           SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS inter
+           FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src
+           GROUP BY 1, 2)
+         SELECT src_a, src_b, n_a, n_b, inter,
+           ROUND(CAST(inter AS DOUBLE) /
+             CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+         FROM co
+         JOIN (SELECT src AS src_a, n AS n_a FROM sizes) sa USING (src_a)
+         JOIN (SELECT src AS src_b, n AS n_b FROM sizes) sb USING (src_b)
+         ORDER BY src_a, src_b"""
   )
 }

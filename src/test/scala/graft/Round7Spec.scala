@@ -1,0 +1,163 @@
+package graft
+
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 pack: exact substring duplication (char-k-gram sampling),
+  * the BPE merge-step pair counts, and the cross-source shingle
+  * overlap matrix.
+  */
+class Round7Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // ---- substringDupStats ----
+
+  test("substringDupStats: exact copy pair reports dup_frac 1.0, unique doc 0.0") {
+    import spark.implicits._
+    val long = ("alpha beta gamma delta " * 6).trim // 137 chars, well past k
+    val other = ("zeta eta theta iota kappa " * 6).trim
+    val df = Seq((1L, long), (2L, long), (3L, other)).toDF("id", "text")
+    val out = Dedup.substringDupStats(df, "id", "text", k = 40, stride = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L)._1 > 0)
+    assert(out(1L) === out(2L))
+    assert(out(1L)._3 === 1.0) // every sampled gram occurs twice
+    assert(out(3L)._2 === 0L)
+    assert(out(3L)._3 === 0.0)
+  }
+
+  test("substringDupStats: doc shorter than k contributes zero grams") {
+    import spark.implicits._
+    val df = Seq((1L, "short text"), (2L, "also short")).toDF("id", "text")
+    val out = Dedup.substringDupStats(df, "id", "text", k = 40, stride = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("substringDupStats: within-document repetition counts as duplication") {
+    import spark.implicits._
+    // one doc whose text is the same 50-char run twice: the run's
+    // k-grams occur at two corpus positions -> duplicated
+    val run = "abcdefghij" * 5
+    val df = Seq((1L, run + run)).toDF("id", "text")
+    val out = Dedup.substringDupStats(df, "id", "text", k = 40, stride = 10)
+      .collect().head
+    assert(out.getLong(2) > 0) // n_dup
+  }
+
+  test("substringDupStats: stride samples the expected position count") {
+    import spark.implicits._
+    // len 100, k 40, stride 10 -> positions 0,10,...,60 -> 7 grams
+    val txt = "x" * 100
+    val df = Seq((1L, txt)).toDF("id", "text")
+    val n = Dedup.substringDupStats(df, "id", "text", k = 40, stride = 10)
+      .collect().head.getLong(1)
+    assert(n === 7L)
+  }
+
+  // ---- bpePairStep ----
+
+  test("bpePairStep: pair counts weighted by word frequency") {
+    import spark.implicits._
+    // "abab" x3 and "ab" x2: pairs of abab = ab,ba,ab; of ab = ab
+    // ab: 3*2 + 2*1 = 8; ba: 3*1 = 3
+    val df = Seq("abab abab ab", "abab ab").toDF("text")
+    val out = TextAnalysis.bpePairStep(df, "text", topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("ab" -> 8L, "ba" -> 3L))
+  }
+
+  test("bpePairStep: single-char words contribute nothing; topK truncates deterministically") {
+    import spark.implicits._
+    val df = Seq("a b c xy xz").toDF("text")
+    val out = TextAnalysis.bpePairStep(df, "text", topK = 1).collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "xy") // xy/xz tie on count 1 -> pair asc
+    assert(out.head.getLong(1) === 1L)
+  }
+
+  test("bpePairStep: plan collapses corpus to vocabulary before pair extraction") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val df = TextAnalysis.bpePairStep(docs, "text", topK = 50)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // top-k must be a TakeOrdered (no global Sort+CollectLimit), and the
+    // word-count aggregate must sit below the pair-explode generator
+    assert(plan.contains("TakeOrderedAndProject"))
+    val gen = plan.indexOf("Generate")
+    val agg = plan.indexOf("HashAggregate")
+    assert(gen >= 0 && agg >= 0)
+  }
+
+  // ---- knnGraphLsh ----
+
+  test("knnGraphLsh: exact-copy vector is its twin's rank-1 neighbor at cos ~1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val copies = base.filter(_._1 % 4 == 0).map { case (i, v) => (i + 100L, v) }
+    val df = (base ++ copies).toDF("id", "v")
+    val g = graft.ops.Similarity.knnGraphLsh(df, "id", "v",
+      k = 3, nBits = 6, tables = 4, dims = 8)
+    val top1 = g.filter(col("src") >= 100L && col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(top1.keySet === copies.map(_._1).toSet) // every copy has edges
+    top1.foreach { case (src, (dst, cos)) =>
+      assert(dst === src - 100L)
+      assert(math.abs(cos - 1.0) < 1e-9)
+    }
+  }
+
+  test("knnGraphLsh: no self edges, ranks within k, pairs deduped across tables") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "v")
+    val g = graft.ops.Similarity.knnGraphLsh(df, "id", "v",
+      k = 2, nBits = 4, tables = 3, dims = 8).collect()
+    assert(g.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(g.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 2))
+    val pairs = g.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length === pairs.length)
+  }
+
+  test("knnGraphLsh: per-node top-k compiles to WindowGroupLimit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val df = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "v")
+    val g = graft.ops.Similarity.knnGraphLsh(df, "id", "v",
+      k = 2, nBits = 4, tables = 2, dims = 8)
+    g.collect()
+    val plan = g.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
+  // ---- sourceOverlapMatrix ----
+
+  test("sourceOverlapMatrix: hand-computed Jaccard between two sources") {
+    import spark.implicits._
+    // srcA docs produce distinct 2-gram shingle sets {a b, b c} and
+    // {b c, c d}; union = {a b, b c, c d} (3). srcB: {b c, c d} (2).
+    // inter = 2, jaccard = 2 / (3 + 2 - 2) = 0.666667
+    val df = Seq(
+      ("A", "a b c"), ("A", "b c d"),
+      ("B", "b c d")).toDF("source", "text")
+    val out = Dedup.sourceOverlapMatrix(df, "source", "text", n = 2)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) === (("A", "B")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((3L, 2L, 2L)))
+    assert(r.getDouble(5) === 0.666667)
+  }
+
+  test("sourceOverlapMatrix: disjoint sources produce no pair row") {
+    import spark.implicits._
+    val df = Seq(("A", "a b c"), ("B", "x y z")).toDF("source", "text")
+    assert(Dedup.sourceOverlapMatrix(df, "source", "text", n = 2).count() === 0L)
+  }
+}
