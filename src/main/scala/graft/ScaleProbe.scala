@@ -120,6 +120,31 @@ object ScaleProbe {
         threshold = 0.9).count()
     }
 
+    time("substring-dup stats, 50k docs (char-40-gram stride 10)") {
+      // worst-case: 9 exact copies per doc make every sampled gram a
+      // duplicate, so the dup-gram set is as large as it can get
+      graft.ops.Dedup.substringDupStats(docs, "doc_id", "text",
+        k = 40, stride = 10).count()
+    }
+    time("BPE merge-step pair counts, 50k docs") {
+      graft.ops.TextAnalysis.bpePairStep(docs, "text", topK = 50).count()
+    }
+    time("source-overlap matrix, 50k docs") {
+      graft.ops.Dedup.sourceOverlapMatrix(docs, "source", "text", n = 3).count()
+    }
+    if (!Files.exists(Paths.get(s"$out/embeddings.parquet/_SUCCESS"))) {
+      val e = Tables.load(spark, base, "embeddings")
+      (0 until 10).map(i => e.withColumn("vec_id",
+          col("vec_id") + lit(i * 10000000L)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    time("kNN graph (k=5, 4 LSH tables), 50k vectors, 9 exact copies each") {
+      graft.ops.Similarity.knnGraphLsh(
+        Tables.load(spark, out, "embeddings"), "vec_id", "embedding",
+        k = 5, nBits = 10, tables = 4).count()
+    }
+
     time("winsorize 6M lineitem (per-group percentile clip)") {
       SparkEntry.queries("q_winsorize")(spark, out).count()
     }
