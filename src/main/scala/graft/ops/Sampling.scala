@@ -85,4 +85,45 @@ object Sampling {
       df.filter(b < w)
     }.reduce(_ unionByName _)
   }
+
+  /** Temperature-based mixture sampling (the GPT-3/PaLM data-mixture
+    * rule): source s is kept at a rate making its share of the output
+    * proportional to n_s^alpha — alpha < 1 upweights rare sources,
+    * alpha = 1 is plain uniform downsampling to `targetFraction`.
+    * rate_s = n_s^alpha / Σ n^alpha × N × targetFraction / n_s,
+    * capped at 1 (a rare source whose quota exceeds its size keeps
+    * everything; the output is then slightly under target — the
+    * standard behavior).
+    *
+    * Fully in-plan and cross-engine deterministic: per-source counts
+    * are a tiny map-combinable aggregate, rates broadcast back, and
+    * membership is an md5-prefix threshold (16-bit granularity via the
+    * first 4 hex chars) — no RNG state, no collect, and the corpus is
+    * never shuffled: the plan is scan → broadcast-join → filter, so a
+    * 100 TB mixture job is two scans of the fact (one count, one
+    * filter) and nothing else.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, srcCol: String,
+      alpha: Double, targetFraction: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha out of (0,1]")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction $targetFraction out of (0,1]")
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("_n_src"))
+    val tots = counts.agg(
+      sum(col("_n_src")).cast("double").as("_n_total"),
+      sum(pow(col("_n_src").cast("double"), lit(alpha))).as("_w_total"))
+    val rates = counts.crossJoin(broadcast(tots))
+      .withColumn("_rate",
+        pow(col("_n_src").cast("double"), lit(alpha)) / col("_w_total") *
+          col("_n_total") * lit(targetFraction) / col("_n_src").cast("double"))
+      .select(col(srcCol), col("_rate"))
+    // membership: first 16 bits of md5(id) vs the rate as a 4-hex-digit
+    // threshold — lowercase-hex string compare ≡ numeric compare, and
+    // any engine with md5 recomputes the exact sample
+    val thr = lpad(lower(hex(floor(col("_rate") * 65536).cast("long"))), 4, "0")
+    val u = substring(md5(col(idCol).cast("string").cast("binary")), 1, 4)
+    df.join(broadcast(rates), Seq(srcCol))
+      .filter(col("_rate") >= 1.0 || u < thr)
+      .drop("_rate")
+  }
 }

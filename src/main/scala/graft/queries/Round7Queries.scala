@@ -86,6 +86,19 @@ object Round7Queries {
         .orderBy(col("src"))
     }),
 
+    // ---- temperature-based mixture sampling ----
+    "q_mixture_sample" -> ((s, dir) => {
+      // per-source kept counts under alpha=0.5 temperature at 30%
+      // target — integers, so the oracle is exact (the md5 threshold
+      // is a 16-bit cut; pow/ulp drift between engines cannot move a
+      // doc across it, see Sampling.temperatureSample)
+      graft.ops.Sampling.temperatureSample(
+          Tables.load(s, dir, "documents"), "doc_id", "source",
+          alpha = 0.5, targetFraction = 0.3)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // ---- cross-source shingle-overlap matrix ----
     "q_source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlapMatrix(
@@ -170,6 +183,21 @@ object Round7Queries {
          FROM embeddings CROSS JOIN o
          WHERE vec_id % 10 = 0
          ORDER BY src""",
+
+    "q_mixture_sample" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+         t AS (SELECT CAST(SUM(n) AS DOUBLE) AS n_total,
+                      SUM(POW(CAST(n AS DOUBLE), 0.5)) AS w_total FROM c),
+         r AS (SELECT source,
+                 POW(CAST(n AS DOUBLE), 0.5) / w_total * n_total * 0.3
+                   / CAST(n AS DOUBLE) AS rate
+               FROM c CROSS JOIN t)
+         SELECT d.source, COUNT(*) AS n_kept
+         FROM documents d JOIN r ON d.source = r.source
+         WHERE rate >= 1.0 OR
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+             lpad(lower(to_hex(CAST(FLOOR(rate * 65536) AS BIGINT))), 4, '0')
+         GROUP BY 1 ORDER BY 1""",
 
     "q_source_overlap" ->
       """WITH toks AS (

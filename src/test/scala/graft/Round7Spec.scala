@@ -91,6 +91,53 @@ class Round7Spec extends AnyFunSuite {
     assert(gen >= 0 && agg >= 0)
   }
 
+  // ---- temperatureSample ----
+
+  test("temperatureSample: rare source keeps everything when its quota exceeds its size") {
+    import spark.implicits._
+    // sources sized 100 and 4, alpha 0.5, target 0.3:
+    // weights 10 and 2; rate_small = (2/12)*104*0.3/4 = 1.3 -> capped,
+    // every small-source row survives; rate_big = (10/12)*104*0.3/100 = 0.26
+    val df = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 104).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val out = graft.ops.Sampling.temperatureSample(df, "id", "src",
+      alpha = 0.5, targetFraction = 0.3)
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("small") === 4L)
+    assert(bySrc("big") > 10L && bySrc("big") < 45L) // ~26 expected
+  }
+
+  test("temperatureSample: alpha=1 is uniform downsampling at targetFraction") {
+    import spark.implicits._
+    val df = ((0 until 200).map(i => (i.toLong, "a")) ++
+      (200 until 600).map(i => (i.toLong, "b"))).toDF("id", "src")
+    val out = graft.ops.Sampling.temperatureSample(df, "id", "src",
+      alpha = 1.0, targetFraction = 0.5)
+    // every source's rate is exactly 0.5; the md5 16-bit cut keeps
+    // close to half of each (binomial tolerance)
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(bySrc("a") - 100.0) < 30)
+    assert(math.abs(bySrc("b") - 200.0) < 45)
+    // determinism: a second run keeps the identical id set
+    val again = graft.ops.Sampling.temperatureSample(df, "id", "src",
+      alpha = 1.0, targetFraction = 0.5)
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("temperatureSample: corpus meets rates through a broadcast join (no fact shuffle)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.ops.Sampling.temperatureSample(docs, "doc_id", "source",
+      alpha = 0.5, targetFraction = 0.3)
+    out.collect()
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   // ---- knnGraphLsh ----
 
   test("knnGraphLsh: exact-copy vector is its twin's rank-1 neighbor at cos ~1") {
