@@ -132,6 +132,10 @@ object ScaleProbe {
     time("source-overlap matrix, 50k docs") {
       graft.ops.Dedup.sourceOverlapMatrix(docs, "source", "text", n = 3).count()
     }
+    time("temperature mixture sample (alpha 0.5, target 0.3), 50k docs") {
+      graft.ops.Sampling.temperatureSample(docs, "doc_id", "source",
+        alpha = 0.5, targetFraction = 0.3).count()
+    }
     if (!Files.exists(Paths.get(s"$out/embeddings.parquet/_SUCCESS"))) {
       val e = Tables.load(spark, base, "embeddings")
       (0 until 10).map(i => e.withColumn("vec_id",
