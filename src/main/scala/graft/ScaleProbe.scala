@@ -148,6 +148,15 @@ object ScaleProbe {
         Tables.load(spark, out, "embeddings"), "vec_id", "embedding",
         k = 5, nBits = 10, tables = 4).count()
     }
+    time("incremental kNN update: 5k new vectors vs 50k stored signatures") {
+      val emb10 = Tables.load(spark, out, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val stored = graft.ops.Similarity.withLshSignatures(emb10, "id", "v")
+      val batch = graft.ops.Similarity.withLshSignatures(
+        emb10.filter(col("id") % 10 === 0)
+          .select((col("id") + lit(1000000000L)).as("id"), col("v")), "id", "v")
+      graft.ops.Similarity.knnGraphIncrement(batch, stored, k = 5).count()
+    }
 
     time("winsorize 6M lineitem (per-group percentile clip)") {
       SparkEntry.queries("q_winsorize")(spark, out).count()

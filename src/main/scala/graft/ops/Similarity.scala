@@ -243,17 +243,27 @@ object Similarity {
     * approximate-by-design, like every LSH structure; raise `tables`
     * or lower `nBits` for denser recall.
     */
+  /** (id, v, sig0..sigN) — the multi-table LSH signature frame shared
+    * by [[knnGraphLsh]] and [[knnGraphIncrement]]. At 100 TB this is
+    * the persisted "index": write it once (optionally bucketed by a
+    * signature column) and daily batches join against it without
+    * re-signing the corpus.
+    */
+  def withLshSignatures(df: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 10, tables: Int = 4, dims: Int = 64): DataFrame = {
+    val sigCols = (0 until tables).map { t =>
+      signature(col(vecCol), hyperplanes(nBits, dims, seed = 42L + t)).as(s"sig$t")
+    }
+    df.select(Seq(col(idCol).as("id"), col(vecCol).as("v")) ++ sigCols: _*)
+  }
+
   def knnGraphLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
       nBits: Int = 10, tables: Int = 4, dims: Int = 64): DataFrame = {
     require(k > 0 && nBits > 0 && tables > 0, "k, nBits, tables must be positive")
     import org.apache.spark.sql.expressions.Window
-    val sigCols = (0 until tables).map { t =>
-      signature(col(vecCol), hyperplanes(nBits, dims, seed = 42L + t)).as(s"sig$t")
-    }
     // persist: tables×nBits×dims dot products per row, read by 2×tables
     // slim join sides plus the two vector-attach sides
-    val signed = Dedup.widen(df)
-      .select(Seq(col(idCol).as("id"), col(vecCol).as("v")) ++ sigCols: _*)
+    val signed = withLshSignatures(Dedup.widen(df), idCol, vecCol, nBits, tables, dims)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = (0 until tables).map { t =>
       val slim = signed.select(col("id"), col(s"sig$t").as("s"))
@@ -267,6 +277,39 @@ object Similarity {
     cand
       .join(signed.select(col("id").as("src"), col("v").as("va")), Seq("src"))
       .join(signed.select(col("id").as("dst"), col("v").as("vb")), Seq("dst"))
+      .select(col("src"), col("dst"), cosine(col("va"), col("vb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Incremental kNN-graph update — the daily-ingest path: edges for a
+    * NEW batch of vectors against a stored corpus signature frame
+    * (a [[withLshSignatures]] result, persisted as the index at scale),
+    * plus within-batch edges. Cost scales with batch × bucket hits,
+    * never corpus² — the [[Dedup.minhashLshPairsIncremental]] shape
+    * for embeddings. Returns (src, dst, cos, rank) for batch ids only;
+    * stored nodes gaining a new neighbor appear as that edge's dst
+    * (merge reversed edges into the stored graph downstream).
+    */
+  def knnGraphIncrement(newSigned: DataFrame, corpusSigned: DataFrame,
+      k: Int, tables: Int = 4): DataFrame = {
+    require(k > 0 && tables > 0, "k and tables must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val batch = newSigned
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the batch joins the corpus AND itself (within-batch duplicates)
+    val all = corpusSigned.unionByName(batch)
+    val cand = (0 until tables).map { t =>
+      batch.select(col("id").as("src"), col(s"sig$t").as("s"))
+        .join(all.select(col("id").as("dst"), col(s"sig$t").as("s")), Seq("s"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+    }.reduce(_ unionByName _)
+      .dropDuplicates("src", "dst")
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    cand
+      .join(batch.select(col("id").as("src"), col("v").as("va")), Seq("src"))
+      .join(all.select(col("id").as("dst"), col("v").as("vb")), Seq("dst"))
       .select(col("src"), col("dst"), cosine(col("va"), col("vb")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -86,6 +86,30 @@ object Round7Queries {
         .orderBy(col("src"))
     }),
 
+    // ---- incremental kNN-graph update (daily-ingest path) ----
+    "q_knn_increment" -> ((s, dir) => {
+      // the batch is planted exact copies of every 10th stored vector:
+      // identical signatures in every LSH table make candidacy against
+      // the stored original certain, and its cosine sits at the 1.0
+      // ceiling, so each batch node's rank-1 edge is pinned — while
+      // the operator exercises the real batch×bucket join against the
+      // stored signature frame (never corpus²).
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val off = emb.agg(max(col("id"))).head().getAs[Number](0).longValue + 1L
+      val corpusSigned = graft.ops.Similarity.withLshSignatures(
+        emb, "id", "v", nBits = 10, tables = 4)
+      val batchSigned = graft.ops.Similarity.withLshSignatures(
+        emb.filter(col("id") % 10 === 0)
+          .select((col("id") + off).as("id"), col("v")),
+        "id", "v", nBits = 10, tables = 4)
+      graft.ops.Similarity.knnGraphIncrement(batchSigned, corpusSigned,
+          k = 5, tables = 4)
+        .filter(col("rank") === 1)
+        .select(col("src"), col("dst"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("src"))
+    }),
+
     // ---- temperature-based mixture sampling ----
     "q_mixture_sample" -> ((s, dir) => {
       // per-source kept counts under alpha=0.5 temperature at 30%
@@ -178,6 +202,13 @@ object Round7Queries {
          ORDER BY cnt DESC, pair LIMIT 50""",
 
     "q_knn_graph" ->
+      """WITH o AS (SELECT MAX(vec_id) + 1 AS off FROM embeddings)
+         SELECT vec_id + off AS src, vec_id AS dst, CAST(1.0 AS DOUBLE) AS cos
+         FROM embeddings CROSS JOIN o
+         WHERE vec_id % 10 = 0
+         ORDER BY src""",
+
+    "q_knn_increment" ->
       """WITH o AS (SELECT MAX(vec_id) + 1 AS off FROM embeddings)
          SELECT vec_id + off AS src, vec_id AS dst, CAST(1.0 AS DOUBLE) AS cos
          FROM embeddings CROSS JOIN o

@@ -6,8 +6,8 @@ class EntrySmoke extends AnyFunSuite {
     val n = df.count()
     info(s"entry rows: $n")
     assert(n > 0)
-    assert(SparkEntry.queries.size == 152)
-    assert(SparkEntry.oracleSql.size == 149)
+    assert(SparkEntry.queries.size == 153)
+    assert(SparkEntry.oracleSql.size == 150)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }

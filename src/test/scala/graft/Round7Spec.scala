@@ -183,6 +183,30 @@ class Round7Spec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  // ---- knnGraphIncrement ----
+
+  test("knnGraphIncrement: batch copies find their stored originals; within-batch edges exist") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val stored = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    // batch: copies of vectors 0 and 4, plus an exact within-batch dup pair
+    val shared = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val batch = Seq((100L, stored(0)._2), (104L, stored(4)._2),
+      (110L, shared), (111L, shared))
+    val sig = (df: org.apache.spark.sql.DataFrame) =>
+      graft.ops.Similarity.withLshSignatures(df, "id", "v", nBits = 6, tables = 4, dims = 8)
+    val g = graft.ops.Similarity.knnGraphIncrement(
+      sig(batch.toDF("id", "v")), sig(stored.toDF("id", "v")), k = 3, tables = 4)
+    val top1 = g.filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1(100L) === 0L)
+    assert(top1(104L) === 4L)
+    assert(top1(110L) === 111L) // within-batch duplicate found
+    assert(top1(111L) === 110L)
+    // only batch ids appear as src
+    assert(g.select("src").collect().forall(_.getLong(0) >= 100L))
+  }
+
   // ---- sourceOverlapMatrix ----
 
   test("sourceOverlapMatrix: hand-computed Jaccard between two sources") {
