@@ -231,6 +231,34 @@ object TextAnalysis {
           count(lit(1)).cast("double"), 6).as("oov_rate"))
   }
 
+  /** C4/Gopher-style quality filter with REASON CODES: every rule is a
+    * boolean column (too_short / too_long / high_punct / repetitious)
+    * plus the composite `keep`, so a pipeline can both filter and
+    * audit WHY documents drop — the per-source reason histogram is
+    * what mixture curation actually consumes. All rules are pure
+    * per-row codegen'd expressions (token counts, punctuation ratio,
+    * duplicate-3-gram fraction over pre-hashed shingles): zero
+    * shuffle, applied inline by a 100 TB scan.
+    */
+  def qualityFilterReasons(df: DataFrame, textCol: String,
+      minTokens: Int = 10, maxTokens: Int = 5000,
+      maxPunctRatio: Double = 0.1, maxDupNgramRatio: Double = 0.2): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    val punct = length(regexp_replace(t, "[A-Za-z0-9_\\s]", "")).cast("double") /
+      greatest(length(t).cast("double"), lit(1.0))
+    val sh = shingleHashesFrom(tokenHashes(t), 3, distinct = false)
+    val tot = size(sh)
+    val dupRatio = when(tot === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / tot.cast("double"))
+    df.withColumn("too_short", nTok < minTokens)
+      .withColumn("too_long", nTok > maxTokens)
+      .withColumn("high_punct", punct > maxPunctRatio)
+      .withColumn("repetitious", dupRatio > maxDupNgramRatio)
+      .withColumn("keep",
+        !(col("too_short") || col("too_long") || col("high_punct") || col("repetitious")))
+  }
+
   /** One BPE merge iteration over the corpus — the inner statistic of
     * tokenizer training (Sennrich et al. 2016): count every adjacent
     * character pair inside every word, weighted by the word's corpus

@@ -86,6 +86,34 @@ object Round7Queries {
         .orderBy(col("src"))
     }),
 
+    // ---- quality-filter audit with reason codes ----
+    "q_quality_audit" -> ((s, dir) => {
+      // the synthetic corpus is uniformly clean (no doc trips any
+      // rule), so every 50th doc spawns three planted junk variants —
+      // too-short, punctuation junk, repetition junk — carrying the
+      // original's source; the per-source audit must attribute each
+      // planted doc to exactly its reason and keep all organic docs.
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text"), col("source"))
+      val off = docs.agg(max(col("id"))).head().getAs[Number](0).longValue + 1L
+      val seed = docs.filter(col("id") % 50 === 0)
+      val junk = seed.select((col("id") + off).as("id"),
+          lit("tiny doc").as("text"), col("source"))
+        .unionByName(seed.select((col("id") + 2 * off).as("id"),
+          lit("!!! ??? *** %%% ((( ))) ;;; ::: === +++").as("text"), col("source")))
+        .unionByName(seed.select((col("id") + 3 * off).as("id"),
+          rtrim(repeat(lit("spark "), 30)).as("text"), col("source")))
+      TextAnalysis.qualityFilterReasons(docs.unionByName(junk), "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("too_short").cast("long")).as("n_too_short"),
+          sum(col("too_long").cast("long")).as("n_too_long"),
+          sum(col("high_punct").cast("long")).as("n_high_punct"),
+          sum(col("repetitious").cast("long")).as("n_repetitious"),
+          sum(col("keep").cast("long")).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // ---- incremental kNN-graph update (daily-ingest path) ----
     "q_knn_increment" -> ((s, dir) => {
       // the batch is planted exact copies of every 10th stored vector:
@@ -207,6 +235,47 @@ object Round7Queries {
          FROM embeddings CROSS JOIN o
          WHERE vec_id % 10 = 0
          ORDER BY src""",
+
+    "q_quality_audit" ->
+      """WITH o AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+         corpus AS (
+           SELECT doc_id AS id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id + off, 'tiny doc', source
+           FROM documents CROSS JOIN o WHERE doc_id % 50 = 0
+           UNION ALL
+           SELECT doc_id + 2 * off, '!!! ??? *** %%% ((( ))) ;;; ::: === +++', source
+           FROM documents CROSS JOIN o WHERE doc_id % 50 = 0
+           UNION ALL
+           SELECT doc_id + 3 * off, rtrim(repeat('spark ', 30)), source
+           FROM documents CROSS JOIN o WHERE doc_id % 50 = 0),
+         m AS (
+           SELECT source,
+             LEN(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tok,
+             CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9_\s]', '', 'g')) AS DOUBLE) /
+               GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS punct,
+             list_filter(list_transform(
+               range(1, GREATEST(LEN(string_split_regex(LOWER(TRIM(text)), '\s+')) - 3, 0) + 2),
+               i -> array_to_string((string_split_regex(LOWER(TRIM(text)), '\s+'))[i:i+2], ' ')),
+               x -> LENGTH(x) > 0) AS s
+           FROM corpus),
+         r AS (
+           SELECT source,
+             n_tok < 10 AS too_short,
+             n_tok > 5000 AS too_long,
+             punct > 0.1 AS high_punct,
+             (CASE WHEN LEN(s) = 0 THEN 0.0
+               ELSE 1.0 - CAST(LEN(list_distinct(s)) AS DOUBLE) / CAST(LEN(s) AS DOUBLE) END)
+               > 0.2 AS repetitious
+           FROM m)
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN too_short THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+           CAST(SUM(CASE WHEN too_long THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long,
+           CAST(SUM(CASE WHEN high_punct THEN 1 ELSE 0 END) AS BIGINT) AS n_high_punct,
+           CAST(SUM(CASE WHEN repetitious THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitious,
+           CAST(SUM(CASE WHEN NOT (too_short OR too_long OR high_punct OR repetitious)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM r GROUP BY 1 ORDER BY 1""",
 
     "q_knn_increment" ->
       """WITH o AS (SELECT MAX(vec_id) + 1 AS off FROM embeddings)

@@ -91,6 +91,34 @@ class Round7Spec extends AnyFunSuite {
     assert(gen >= 0 && agg >= 0)
   }
 
+  // ---- qualityFilterReasons ----
+
+  test("qualityFilterReasons: each junk class trips exactly its rule; clean doc keeps") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "tiny doc"),
+      (3L, "!!! ??? *** %%% ((( ))) ;;; ::: === +++"),
+      (4L, ("spark " * 30).trim)).toDF("id", "text")
+    val out = graft.ops.TextAnalysis.qualityFilterReasons(df, "text")
+      .select("id", "too_short", "too_long", "high_punct", "repetitious", "keep")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out(1L) === ((false, false, false, false, true)))
+    assert(out(2L) === ((true, false, false, false, false)))
+    assert(out(3L) === ((false, false, true, false, false)))
+    assert(out(4L) === ((false, false, false, true, false)))
+  }
+
+  test("qualityFilterReasons: per-row only — no shuffle in the plan") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.ops.TextAnalysis.qualityFilterReasons(docs, "text")
+    out.collect()
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"))
+  }
+
   // ---- temperatureSample ----
 
   test("temperatureSample: rare source keeps everything when its quota exceeds its size") {
