@@ -143,12 +143,17 @@ object ScaleProbe {
         .reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     }
-    time("kNN graph (k=5, 4 LSH tables), 50k vectors, 9 exact copies each") {
+    time("kNN graph (k=5, 4 LSH tables), 20k vectors, 9 exact copies each") {
       graft.ops.Similarity.knnGraphLsh(
         Tables.load(spark, out, "embeddings"), "vec_id", "embedding",
         k = 5, nBits = 10, tables = 4).count()
     }
-    time("incremental kNN update: 5k new vectors vs 50k stored signatures") {
+    time("semantic dedup sweep, 20k vectors (9-copy clusters -> keep min)") {
+      graft.ops.Similarity.semanticDedup(
+        Tables.load(spark, out, "embeddings"), "vec_id", "embedding",
+        threshold = 0.95).filter(!col("keep")).count()
+    }
+    time("incremental kNN update: 2k new vectors vs 20k stored signatures") {
       val emb10 = Tables.load(spark, out, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("v"))
       val stored = graft.ops.Similarity.withLshSignatures(emb10, "id", "v")

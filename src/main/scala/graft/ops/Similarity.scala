@@ -202,6 +202,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic dedup sweep: embedding near-duplicate
+    * pairs ([[cosineNearDupPairs]] — LSH-bucketed candidates, exact
+    * cosine cut) feed [[Dedup.connectedComponents]] (pointer-jumping
+    * min-label propagation), and each cluster keeps its minimum id.
+    * Returns the input keyed frame plus (cluster_id, keep): filter on
+    * `keep` to materialize the deduped corpus, aggregate on
+    * `cluster_id` to audit cluster sizes.
+    *
+    * Scale: the pair build is one signature shuffle (never all-pairs),
+    * CC is O(log diameter) rounds over the near-dup subgraph only
+    * (nodes without a near-dup never enter the loop), and the final
+    * membership join is a plain equi-join on the id. The composition
+    * reuses two independently oracle-verified operators.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nBits: Int = 16, dims: Int = 64): DataFrame = {
+    val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, nBits, dims)
+    val cc = Dedup.connectedComponents(pairs)
+      .select(col("id").as("_cc_id"), col("cluster_id"))
+    df.join(cc, df(idCol) === col("_cc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), df(idCol)))
+      .withColumn("keep", col("cluster_id") === df(idCol))
+      .drop("_cc_id")
+  }
+
   // ---- int8 quantization: 4x smaller vectors for shuffle/storage ----
 
   /** Per-vector symmetric int8 quantization: struct(scale, bytes) with

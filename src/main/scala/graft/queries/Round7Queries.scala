@@ -86,6 +86,27 @@ object Round7Queries {
         .orderBy(col("src"))
     }),
 
+    // ---- semantic dedup sweep (near-dup graph -> cluster min) ----
+    "q_semantic_dedup" -> ((s, dir) => {
+      // planted exact vector copies of every 10th embedding: each copy
+      // forms a 2-node cluster with its original (candidacy and
+      // cosine 1.0 certain), the original is the cluster min and
+      // keeps, the copy drops. The organic corpus has no pair at the
+      // 0.95 cut (the oracle would catch one as an extra row), so the
+      // dropped set is exactly the planted ids, each labeled by its
+      // original.
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val off = emb.agg(max(col("id"))).head().getAs[Number](0).longValue + 1L
+      val planted = emb.filter(col("id") % 10 === 0)
+        .select((col("id") + off).as("id"), col("v"))
+      graft.ops.Similarity.semanticDedup(emb.unionByName(planted), "id", "v",
+          threshold = 0.95)
+        .filter(!col("keep"))
+        .select(col("id"), col("cluster_id"))
+        .orderBy(col("id"))
+    }),
+
     // ---- quality-filter audit with reason codes ----
     "q_quality_audit" -> ((s, dir) => {
       // the synthetic corpus is uniformly clean (no doc trips any
@@ -235,6 +256,13 @@ object Round7Queries {
          FROM embeddings CROSS JOIN o
          WHERE vec_id % 10 = 0
          ORDER BY src""",
+
+    "q_semantic_dedup" ->
+      """WITH o AS (SELECT MAX(vec_id) + 1 AS off FROM embeddings)
+         SELECT vec_id + off AS id, vec_id AS cluster_id
+         FROM embeddings CROSS JOIN o
+         WHERE vec_id % 10 = 0
+         ORDER BY id""",
 
     "q_quality_audit" ->
       """WITH o AS (SELECT MAX(doc_id) + 1 AS off FROM documents),

@@ -6,8 +6,8 @@ class EntrySmoke extends AnyFunSuite {
     val n = df.count()
     info(s"entry rows: $n")
     assert(n > 0)
-    assert(SparkEntry.queries.size == 154)
-    assert(SparkEntry.oracleSql.size == 151)
+    assert(SparkEntry.queries.size == 155)
+    assert(SparkEntry.oracleSql.size == 152)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }

@@ -91,6 +91,24 @@ class Round7Spec extends AnyFunSuite {
     assert(gen >= 0 && agg >= 0)
   }
 
+  // ---- semanticDedup ----
+
+  test("semanticDedup: clusters keep their minimum; singletons keep themselves") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    // a 3-node cluster: two exact copies of vector 5
+    val df = (base ++ Seq((100L, base(5)._2), (101L, base(5)._2))).toDF("id", "v")
+    val out = graft.ops.Similarity.semanticDedup(df, "id", "v",
+      threshold = 0.95, nBits = 8, dims = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(5L) === ((5L, true)))
+    assert(out(100L) === ((5L, false)))
+    assert(out(101L) === ((5L, false)))
+    // everything else is a singleton cluster of itself
+    assert(out.filterNot(k => Set(100L, 101L)(k._1)).forall { case (id, (c, keep)) => c == id && keep })
+  }
+
   // ---- qualityFilterReasons ----
 
   test("qualityFilterReasons: each junk class trips exactly its rule; clean doc keeps") {
