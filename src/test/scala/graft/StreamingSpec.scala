@@ -53,6 +53,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("streaming windowed approx-distinct over a file source equals the batch result") {
+    val dir = Files.createTempDirectory("grafthll")
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = Streams.windowedApproxDistinct(stream, "1 hour", "event_type", "user_id")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hll_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = Streams.windowedApproxDistinct(events, "1 hour", "event_type", "user_id")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want && want.nonEmpty) // HLL++ is hash-based: identical in stream and batch
+  }
+
   test("stream-stream interval join over file sources equals the batch result") {
     val dir = Files.createTempDirectory("graftssj")
     events.write.mode("overwrite").parquet(s"$dir/in")
