@@ -461,20 +461,21 @@ object Dedup {
         transform(sequence(lit(0), len - k, lit(stride)),
           i => xxhash64(txt.substr(i + 1, lit(k)))))
       .otherwise(array().cast("array<bigint>"))
-    val pos = widen(df).select(col(idCol).as("id"), explode(grams).as("g"))
+    // explode_outer keeps sub-k docs as a single null-gram row, so the
+    // per-doc aggregate covers every document in one pass (no third
+    // scan + re-join to restore them); the null gram groups once in
+    // the occurrence count and joins nothing (null never equi-matches)
+    val pos = widen(df).select(col(idCol).as("id"), explode_outer(grams).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dup = pos.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+    val dup = pos.filter(col("g").isNotNull)
+      .groupBy(col("g")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select(col("g"), lit(1L).as("is_dup"))
-    val perDoc = pos.join(dup, Seq("g"), "left")
+    pos.join(dup, Seq("g"), "left")
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_grams"),
+      .agg(count(col("g")).as("n_grams"),
         sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
-    df.select(col(idCol).as("id")).distinct()
-      .join(perDoc, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        round(when(coalesce(col("n_grams"), lit(0L)) > 0,
+      .select(col("id"), col("n_grams"), col("n_dup"),
+        round(when(col("n_grams") > 0,
           col("n_dup").cast("double") / col("n_grams").cast("double"))
           .otherwise(lit(0.0)), 6).as("dup_frac"))
   }

@@ -317,8 +317,20 @@ object Similarity {
     * (merge reversed edges into the stored graph downstream).
     */
   def knnGraphIncrement(newSigned: DataFrame, corpusSigned: DataFrame,
-      k: Int, tables: Int = 4): DataFrame = {
-    require(k > 0 && tables > 0, "k and tables must be positive")
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    // the table count comes from the frames themselves, and both sides
+    // must carry the SAME signature columns: two withLshSignatures
+    // frames built with different nBits/tables would still join
+    // column-wise but (almost) never match bucket-wise, yielding a
+    // silently near-empty graph — fail loudly instead. (Differing
+    // nBits/seed with equal column sets cannot be detected from the
+    // schema; persist index parameters alongside the index.)
+    val sigCols = (df: DataFrame) =>
+      df.columns.filter(_.startsWith("sig")).sorted.toSeq
+    val tables = sigCols(newSigned).size
+    require(tables > 0 && sigCols(newSigned) == sigCols(corpusSigned),
+      s"signature columns differ: batch=${sigCols(newSigned)} corpus=${sigCols(corpusSigned)}")
     import org.apache.spark.sql.expressions.Window
     val batch = newSigned
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

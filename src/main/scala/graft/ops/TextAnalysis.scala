@@ -31,6 +31,24 @@ object TextAnalysis {
     * stopword ratios) — the standard cheap quality filters applied
     * before training-data selection.
     */
+  /** Punctuation fraction of the text's characters — shared by
+    * [[qualityMetrics]], [[qualityScore]], and
+    * [[qualityFilterReasons]] so the rule has exactly one definition.
+    */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9_\\s]", "")).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+
+  /** Duplicate-n-gram fraction (0 for empty docs) — the raw ratio
+    * behind [[repetitionStats]] and [[qualityFilterReasons]].
+    */
+  def dupNgramRatio(text: Column, n: Int = 3): Column = {
+    val sh = shingleHashesFrom(tokenHashes(text), n, distinct = false)
+    val tot = size(sh)
+    when(tot === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / tot.cast("double"))
+  }
+
   def qualityMetrics(text: Column): Seq[Column] = {
     val toks = tokens(text)
     val nTok = size(toks).cast("double")
@@ -38,8 +56,7 @@ object TextAnalysis {
       length(text).cast("long").as("n_chars"),
       size(toks).cast("long").as("n_tokens"),
       (length(regexp_replace(text, "\\s", "")).cast("double") / greatest(nTok, lit(1.0))).as("avg_token_len"),
-      (length(regexp_replace(text, "[A-Za-z0-9_\\s]", "")).cast("double") /
-        greatest(length(text).cast("double"), lit(1.0))).as("punct_ratio"),
+      punctRatio(text).as("punct_ratio"),
       (size(array_intersect(toks, lit(stopwordsEn.toArray))).cast("double") /
         greatest(lit(1.0), size(array_distinct(toks)).cast("double"))).as("stopword_ratio"))
   }
@@ -50,9 +67,7 @@ object TextAnalysis {
   def qualityScore(text: Column): Column = {
     val nTok = size(tokens(text)).cast("double")
     val lengthScore = least(nTok / lit(20.0), lit(1.0)) // ramps to 1 at 20 tokens
-    val punct = length(regexp_replace(text, "[A-Za-z0-9_\\s]", "")).cast("double") /
-      greatest(length(text).cast("double"), lit(1.0))
-    val punctScore = lit(1.0) - least(punct * lit(4.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
     val stop = size(array_intersect(tokens(text), lit(stopwordsEn.toArray))).cast("double")
     val stopScore = least(stop / lit(3.0), lit(1.0))
     ((lengthScore + punctScore + stopScore) / lit(3.0)).as("quality")
@@ -93,11 +108,9 @@ object TextAnalysis {
     */
   def repetitionStats(text: Column, n: Int = 3): Seq[Column] = {
     val sh = shingleHashesFrom(tokenHashes(text), n, distinct = false)
-    val tot = size(sh).cast("long")
-    val dis = size(array_distinct(sh)).cast("long")
-    val ratio = when(tot === 0, lit(0.0))
-      .otherwise(lit(1.0) - dis.cast("double") / tot.cast("double"))
-    Seq(tot.as("n_ngrams"), dis.as("n_distinct"),
+    val ratio = dupNgramRatio(text, n)
+    Seq(size(sh).cast("long").as("n_ngrams"),
+      size(array_distinct(sh)).cast("long").as("n_distinct"),
       round(ratio, 6).as("dup_ngram_ratio"),
       (ratio > 0.2).as("repetitious"))
   }
@@ -245,16 +258,10 @@ object TextAnalysis {
       maxPunctRatio: Double = 0.1, maxDupNgramRatio: Double = 0.2): DataFrame = {
     val t = col(textCol)
     val nTok = tokenCount(t)
-    val punct = length(regexp_replace(t, "[A-Za-z0-9_\\s]", "")).cast("double") /
-      greatest(length(t).cast("double"), lit(1.0))
-    val sh = shingleHashesFrom(tokenHashes(t), 3, distinct = false)
-    val tot = size(sh)
-    val dupRatio = when(tot === 0, lit(0.0))
-      .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / tot.cast("double"))
     df.withColumn("too_short", nTok < minTokens)
       .withColumn("too_long", nTok > maxTokens)
-      .withColumn("high_punct", punct > maxPunctRatio)
-      .withColumn("repetitious", dupRatio > maxDupNgramRatio)
+      .withColumn("high_punct", punctRatio(t) > maxPunctRatio)
+      .withColumn("repetitious", dupNgramRatio(t, 3) > maxDupNgramRatio)
       .withColumn("keep",
         !(col("too_short") || col("too_long") || col("high_punct") || col("repetitious")))
   }

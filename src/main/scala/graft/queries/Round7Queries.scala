@@ -152,8 +152,7 @@ object Round7Queries {
         emb.filter(col("id") % 10 === 0)
           .select((col("id") + off).as("id"), col("v")),
         "id", "v", nBits = 10, tables = 4)
-      graft.ops.Similarity.knnGraphIncrement(batchSigned, corpusSigned,
-          k = 5, tables = 4)
+      graft.ops.Similarity.knnGraphIncrement(batchSigned, corpusSigned, k = 5)
         .filter(col("rank") === 1)
         .select(col("src"), col("dst"), round(col("cos"), 6).as("cos"))
         .orderBy(col("src"))
@@ -332,9 +331,9 @@ object Round7Queries {
            SELECT source, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
            FROM documents),
          shx AS (
-           SELECT source AS src, UNNEST(list_distinct(list_transform(
+           SELECT source AS src, UNNEST(list_filter(list_distinct(list_transform(
              range(1, GREATEST(LEN(t) - 3, 0) + 2),
-             i -> array_to_string(t[i:i+2], ' ')))) AS g
+             i -> array_to_string(t[i:i+2], ' '))), x -> LENGTH(x) > 0)) AS g
            FROM toks),
          sh AS (SELECT DISTINCT src, g FROM shx),
          sizes AS (SELECT src, COUNT(*) AS n FROM sh GROUP BY src),

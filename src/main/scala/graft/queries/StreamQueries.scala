@@ -27,8 +27,10 @@ object StreamQueries {
     "q_stream_hll" -> ((s, dir) => {
       // batch form of Streams.windowedApproxDistinct plus the exact
       // audit (the q_sketch_distinct bounded-error pattern): the HLL++
-      // estimate is approximate by design, the bounded-error claim is
-      // exact and DuckDB recomputes it. The band is absolute-OR-
+      // estimate is approximate by design; DuckDB recomputes the EXACT
+      // counts and pins the claimed band boolean, so a Spark-side band
+      // violation (within_band=false) breaks the hash — the band
+      // itself is asserted, not independently re-derived. The band is absolute-OR-
       // relative — |approx − exact| ≤ max(3, 10%·exact) — because a
       // relative-only band is vacuously unfair at the tiny window
       // cardinalities this slicing produces (exact=4 off by 1 is 25%

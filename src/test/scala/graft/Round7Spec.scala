@@ -84,11 +84,14 @@ class Round7Spec extends AnyFunSuite {
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     // top-k must be a TakeOrdered (no global Sort+CollectLimit), and the
-    // word-count aggregate must sit below the pair-explode generator
+    // word-count aggregate must sit BELOW the pair-explode generator —
+    // in formatted-explain text, deeper operators print after their
+    // parents, so an aggregate must appear in the text following the
+    // first Generate (exploding pairs over the raw corpus instead of
+    // the word-count frame is the scale-killer this pins)
     assert(plan.contains("TakeOrderedAndProject"))
     val gen = plan.indexOf("Generate")
-    val agg = plan.indexOf("HashAggregate")
-    assert(gen >= 0 && agg >= 0)
+    assert(gen >= 0 && plan.substring(gen).contains("HashAggregate"))
   }
 
   // ---- semanticDedup ----
@@ -242,7 +245,7 @@ class Round7Spec extends AnyFunSuite {
     val sig = (df: org.apache.spark.sql.DataFrame) =>
       graft.ops.Similarity.withLshSignatures(df, "id", "v", nBits = 6, tables = 4, dims = 8)
     val g = graft.ops.Similarity.knnGraphIncrement(
-      sig(batch.toDF("id", "v")), sig(stored.toDF("id", "v")), k = 3, tables = 4)
+      sig(batch.toDF("id", "v")), sig(stored.toDF("id", "v")), k = 3)
     val top1 = g.filter(col("rank") === 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(top1(100L) === 0L)
@@ -251,6 +254,16 @@ class Round7Spec extends AnyFunSuite {
     assert(top1(111L) === 110L)
     // only batch ids appear as src
     assert(g.select("src").collect().forall(_.getLong(0) >= 100L))
+  }
+
+  test("knnGraphIncrement: mismatched signature frames fail loudly") {
+    import spark.implicits._
+    val df = Seq((1L, Array.fill(8)(0.5f))).toDF("id", "v")
+    val a = graft.ops.Similarity.withLshSignatures(df, "id", "v", nBits = 6, tables = 4, dims = 8)
+    val b = graft.ops.Similarity.withLshSignatures(df, "id", "v", nBits = 6, tables = 2, dims = 8)
+    assertThrows[IllegalArgumentException] {
+      graft.ops.Similarity.knnGraphIncrement(a, b, k = 3)
+    }
   }
 
   // ---- sourceOverlapMatrix ----
