@@ -86,6 +86,41 @@ object Round7Queries {
         .orderBy(col("src"))
     }),
 
+    // ---- curation pipeline: quality filter -> temperature sample ----
+    "q_pipeline_curation" -> ((s, dir) => {
+      // end-to-end composition of two round-7 stages, both exactly
+      // deterministic, so unlike q_pipeline_corpus (whose near-dedup
+      // stage needs a planted oracle) the WHOLE pipeline is
+      // DuckDB-recomputable: plant the q_quality_audit junk (the
+      // organic corpus is uniformly clean), drop by reason, then
+      // temperature-sample the survivors with rates computed from the
+      // POST-FILTER source counts. Integer outputs only.
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text"), col("source"))
+      val off = docs.agg(max(col("id"))).head().getAs[Number](0).longValue + 1L
+      val seed = docs.filter(col("id") % 50 === 0)
+      val junk = seed.select((col("id") + off).as("id"),
+          lit("tiny doc").as("text"), col("source"))
+        .unionByName(seed.select((col("id") + 2 * off).as("id"),
+          lit("!!! ??? *** %%% ((( ))) ;;; ::: === +++").as("text"), col("source")))
+        .unionByName(seed.select((col("id") + 3 * off).as("id"),
+          rtrim(repeat(lit("spark "), 30)).as("text"), col("source")))
+      val audited = TextAnalysis.qualityFilterReasons(
+        docs.unionByName(junk), "text")
+      val kept = audited.filter(col("keep"))
+        .select(col("id"), col("source"))
+      val sampled = graft.ops.Sampling.temperatureSample(kept, "id", "source",
+        alpha = 0.7, targetFraction = 0.5)
+      audited.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep").cast("long")).as("n_kept"))
+        .join(sampled.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled")), Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy(col("source"))
+    }),
+
     // ---- semantic dedup sweep (near-dup graph -> cluster min) ----
     "q_semantic_dedup" -> ((s, dir) => {
       // planted exact vector copies of every 10th embedding: each copy
@@ -255,6 +290,57 @@ object Round7Queries {
          FROM embeddings CROSS JOIN o
          WHERE vec_id % 10 = 0
          ORDER BY src""",
+
+    "q_pipeline_curation" ->
+      """WITH o AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+         corpus AS (
+           SELECT doc_id AS id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id + off, 'tiny doc', source
+           FROM documents CROSS JOIN o WHERE doc_id % 50 = 0
+           UNION ALL
+           SELECT doc_id + 2 * off, '!!! ??? *** %%% ((( ))) ;;; ::: === +++', source
+           FROM documents CROSS JOIN o WHERE doc_id % 50 = 0
+           UNION ALL
+           SELECT doc_id + 3 * off, rtrim(repeat('spark ', 30)), source
+           FROM documents CROSS JOIN o WHERE doc_id % 50 = 0),
+         m AS (
+           SELECT id, source,
+             LEN(string_split_regex(LOWER(TRIM(text)), '\s+')) AS n_tok,
+             CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9_\s]', '', 'g')) AS DOUBLE) /
+               GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS punct,
+             list_filter(list_transform(
+               range(1, GREATEST(LEN(string_split_regex(LOWER(TRIM(text)), '\s+')) - 3, 0) + 2),
+               i -> array_to_string((string_split_regex(LOWER(TRIM(text)), '\s+'))[i:i+2], ' ')),
+               x -> LENGTH(x) > 0) AS s
+           FROM corpus),
+         r AS (
+           SELECT id, source,
+             NOT (n_tok < 10 OR n_tok > 5000 OR punct > 0.1 OR
+               (CASE WHEN LEN(s) = 0 THEN 0.0
+                 ELSE 1.0 - CAST(LEN(list_distinct(s)) AS DOUBLE) / CAST(LEN(s) AS DOUBLE) END)
+                 > 0.2) AS keep
+           FROM m),
+         kept AS (SELECT id, source FROM r WHERE keep),
+         kc AS (SELECT source, COUNT(*) AS n FROM kept GROUP BY 1),
+         kt AS (SELECT CAST(SUM(n) AS DOUBLE) AS n_total,
+                       SUM(POW(CAST(n AS DOUBLE), 0.7)) AS w_total FROM kc),
+         rates AS (SELECT source,
+             POW(CAST(n AS DOUBLE), 0.7) / w_total * n_total * 0.5
+               / CAST(n AS DOUBLE) AS rate
+           FROM kc CROSS JOIN kt),
+         sampled AS (
+           SELECT k.source, COUNT(*) AS n_sampled
+           FROM kept k JOIN rates USING (source)
+           WHERE rate >= 1.0 OR
+             substr(md5(CAST(id AS VARCHAR)), 1, 4) <
+               lpad(lower(to_hex(CAST(FLOOR(rate * 65536) AS BIGINT))), 4, '0')
+           GROUP BY 1)
+         SELECT r.source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(COALESCE(ANY_VALUE(n_sampled), 0) AS BIGINT) AS n_sampled
+         FROM r LEFT JOIN sampled ON r.source = sampled.source
+         GROUP BY 1 ORDER BY 1""",
 
     "q_semantic_dedup" ->
       """WITH o AS (SELECT MAX(vec_id) + 1 AS off FROM embeddings)
