@@ -136,6 +136,14 @@ object ScaleProbe {
       graft.ops.Sampling.temperatureSample(docs, "doc_id", "source",
         alpha = 0.5, targetFraction = 0.3).count()
     }
+    time("curation pipeline (quality filter -> temperature sample), 50k docs") {
+      // unpersisted by design — see the q_pipeline_curation comment
+      val base = docs.select(col("doc_id").as("id"), col("text"), col("source"))
+      val kept = graft.ops.TextAnalysis.qualityFilterReasons(base, "text")
+        .filter(col("keep")).select(col("id"), col("source"))
+      graft.ops.Sampling.temperatureSample(kept, "id", "source",
+        alpha = 0.7, targetFraction = 0.5).count()
+    }
     if (!Files.exists(Paths.get(s"$out/embeddings.parquet/_SUCCESS"))) {
       val e = Tables.load(spark, base, "embeddings")
       (0 until 10).map(i => e.withColumn("vec_id",

@@ -39,11 +39,38 @@ object TextAnalysis {
     length(regexp_replace(text, "[A-Za-z0-9_\\s]", "")).cast("double") /
       greatest(length(text).cast("double"), lit(1.0))
 
+  /** n-gram hash array for PER-ROW consumers (no explode), computed in
+    * O(tokens) per row: [[shingleHashesFrom]]'s getItem lambda re-
+    * evaluates its token-hash argument per n-gram unless the caller
+    * materializes it behind a Generate barrier (see its docstring) —
+    * fine for the exploded dedup paths, O(tokens²) when inlined in a
+    * plain projection or filter (measured 45 s vs 3 s over the 10×
+    * corpus). Here the n-gram hash is a fold of zip_with over shifted
+    * slices: every array argument is evaluated once, the lambdas see
+    * scalars. The hash value differs from shingleHashesFrom's
+    * (chained 2-arg xxhash64 vs one n-arg xxhash64) but consumers of
+    * this form use COUNTS (total vs distinct), which are hash-
+    * agnostic modulo 64-bit collisions.
+    */
+  private def ngramHashesLinear(text: Column, n: Int): Column = {
+    val th = tokenHashes(text)
+    val sz = size(th)
+    val chained = (2 to n).foldLeft(th) { (acc, j) =>
+      zip_with(acc, slice(th, lit(j), greatest(sz - (j - 1), lit(0))),
+        (a, b) => xxhash64(a, b))
+    }
+    // zip_with pads the shorter side with nulls, so entries past
+    // sz - n + 1 hash a partial window — slice keeps the real n-grams
+    when(sz >= n, slice(chained, lit(1), greatest(sz - (n - 1), lit(0))))
+      .when(sz > 0, array(xxhash64(th))) // short doc: one whole-array gram
+      .when(sz === 0, array().cast("array<bigint>"))
+  }
+
   /** Duplicate-n-gram fraction (0 for empty docs) — the raw ratio
     * behind [[repetitionStats]] and [[qualityFilterReasons]].
     */
   def dupNgramRatio(text: Column, n: Int = 3): Column = {
-    val sh = shingleHashesFrom(tokenHashes(text), n, distinct = false)
+    val sh = ngramHashesLinear(text, n)
     val tot = size(sh)
     when(tot === 0, lit(0.0))
       .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / tot.cast("double"))
@@ -107,7 +134,7 @@ object TextAnalysis {
     * 100 TB corpus filters on this during the scan.
     */
   def repetitionStats(text: Column, n: Int = 3): Seq[Column] = {
-    val sh = shingleHashesFrom(tokenHashes(text), n, distinct = false)
+    val sh = ngramHashesLinear(text, n)
     val ratio = dupNgramRatio(text, n)
     Seq(size(sh).cast("long").as("n_ngrams"),
       size(array_distinct(sh)).cast("long").as("n_distinct"),

@@ -17,6 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object Round7Queries {
 
+  /** Planted quality junk for q_quality_audit and q_pipeline_curation
+    * (ONE definition — the two oracles must stay byte-identical on
+    * these texts): every 50th doc spawns a too-short, a punctuation,
+    * and a repetition variant carrying the original's source. `docs`
+    * must have (id, text, source); `off` = max(id) + 1.
+    */
+  private def plantedJunk(docs: DataFrame, off: Long): DataFrame = {
+    val seed = docs.filter(col("id") % 50 === 0)
+    seed.select((col("id") + off).as("id"),
+        lit("tiny doc").as("text"), col("source"))
+      .unionByName(seed.select((col("id") + 2 * off).as("id"),
+        lit("!!! ??? *** %%% ((( ))) ;;; ::: === +++").as("text"), col("source")))
+      .unionByName(seed.select((col("id") + 3 * off).as("id"),
+        rtrim(repeat(lit("spark "), 30)).as("text"), col("source")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- LSH-candidate + exact-Jaccard-verified near-dup pairs ----
     "q_dedup_verified" -> ((s, dir) => {
@@ -98,15 +114,14 @@ object Round7Queries {
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id").as("id"), col("text"), col("source"))
       val off = docs.agg(max(col("id"))).head().getAs[Number](0).longValue + 1L
-      val seed = docs.filter(col("id") % 50 === 0)
-      val junk = seed.select((col("id") + off).as("id"),
-          lit("tiny doc").as("text"), col("source"))
-        .unionByName(seed.select((col("id") + 2 * off).as("id"),
-          lit("!!! ??? *** %%% ((( ))) ;;; ::: === +++").as("text"), col("source")))
-        .unionByName(seed.select((col("id") + 3 * off).as("id"),
-          rtrim(repeat(lit("spark "), 30)).as("text"), col("source")))
+      // deliberately NOT persisted: the per-row quality expressions
+      // are linear since ngramHashesLinear (~2.5 s per pass over the
+      // 10× corpus), so re-evaluating them per consumer beats paying
+      // an InMemoryRelation materialization of a lambda-heavy
+      // projection
       val audited = TextAnalysis.qualityFilterReasons(
-        docs.unionByName(junk), "text")
+          docs.unionByName(plantedJunk(docs, off)), "text")
+        .select(col("id"), col("source"), col("keep"))
       val kept = audited.filter(col("keep"))
         .select(col("id"), col("source"))
       val sampled = graft.ops.Sampling.temperatureSample(kept, "id", "source",
@@ -152,14 +167,8 @@ object Round7Queries {
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id").as("id"), col("text"), col("source"))
       val off = docs.agg(max(col("id"))).head().getAs[Number](0).longValue + 1L
-      val seed = docs.filter(col("id") % 50 === 0)
-      val junk = seed.select((col("id") + off).as("id"),
-          lit("tiny doc").as("text"), col("source"))
-        .unionByName(seed.select((col("id") + 2 * off).as("id"),
-          lit("!!! ??? *** %%% ((( ))) ;;; ::: === +++").as("text"), col("source")))
-        .unionByName(seed.select((col("id") + 3 * off).as("id"),
-          rtrim(repeat(lit("spark "), 30)).as("text"), col("source")))
-      TextAnalysis.qualityFilterReasons(docs.unionByName(junk), "text")
+      TextAnalysis.qualityFilterReasons(
+          docs.unionByName(plantedJunk(docs, off)), "text")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("too_short").cast("long")).as("n_too_short"),

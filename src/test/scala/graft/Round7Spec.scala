@@ -94,6 +94,30 @@ class Round7Spec extends AnyFunSuite {
     assert(gen >= 0 && plan.substring(gen).contains("HashAggregate"))
   }
 
+  // ---- curation pipeline composition ----
+
+  test("curation pipeline: sampler rates derive from POST-filter source counts") {
+    import spark.implicits._
+    // source "a": 100 clean docs; source "b": 4 clean + 200 junk (all
+    // dropped by the quality filter). If the sampler saw PRE-filter
+    // counts, b (204 docs) would get a sub-1 rate; with post-filter
+    // counts b's quota exceeds its 4 survivors (same arithmetic as the
+    // temperatureSample spec) so ALL 4 must survive sampling.
+    val clean = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = ((0 until 100).map(i => (i.toLong, clean, "a")) ++
+      (100 until 104).map(i => (i.toLong, clean, "b")) ++
+      (200 until 400).map(i => (i.toLong, "tiny doc", "b")))
+      .toDF("id", "text", "src")
+    val audited = graft.ops.TextAnalysis.qualityFilterReasons(df, "text")
+    val kept = audited.filter(col("keep")).select(col("id"), col("src"))
+    val sampled = graft.ops.Sampling.temperatureSample(kept, "id", "src",
+      alpha = 0.5, targetFraction = 0.3)
+    val bySrc = sampled.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("b") === 4L) // post-filter rate >= 1 keeps every survivor
+    assert(bySrc("a") > 10L && bySrc("a") < 45L)
+  }
+
   // ---- semanticDedup ----
 
   test("semanticDedup: clusters keep their minimum; singletons keep themselves") {
