@@ -108,7 +108,12 @@ object Sampling {
     require(alpha > 0 && alpha <= 1, s"alpha $alpha out of (0,1]")
     require(targetFraction > 0 && targetFraction <= 1,
       s"targetFraction $targetFraction out of (0,1]")
+    // persist: this source-cardinality-sized frame is read by the
+    // total aggregate AND the rates build — without the cache each
+    // broadcast subtree re-evaluates it, i.e. re-scans the corpus,
+    // making the job 3 fact scans instead of the 2 documented above
     val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("_n_src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tots = counts.agg(
       sum(col("_n_src")).cast("double").as("_n_total"),
       sum(pow(col("_n_src").cast("double"), lit(alpha))).as("_w_total"))
