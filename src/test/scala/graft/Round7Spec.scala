@@ -280,6 +280,35 @@ class Round7Spec extends AnyFunSuite {
     assert(g.select("src").collect().forall(_.getLong(0) >= 100L))
   }
 
+  test("knnGraphLsh: recall climbs with table count on the hardest (uniform) corpus") {
+    import spark.implicits._
+    // uniformly random vectors are LSH's worst case (no angular
+    // clustering to exploit), so this pins the documented recall knob
+    // rather than a planted certainty: more tables → monotonically
+    // more of the true top-3 edges. Fixed seed → deterministic
+    // (measured 0.04 / 0.31 / 0.72 at tables 1/4/12).
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "v")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val truth = vecs.flatMap { case (i, vi) =>
+      vecs.filter(_._1 != i).map { case (j, vj) => (j, cos(vi, vj)) }
+        .sortBy { case (j, c) => (-c, j) }.take(3).map(p => (i, p._1))
+    }.toSet
+    val recalls = Seq(1, 4, 12).map { t =>
+      val g = graft.ops.Similarity.knnGraphLsh(df, "id", "v",
+        k = 3, nBits = 6, tables = t, dims = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (g & truth).size.toDouble / truth.size
+    }
+    assert(recalls(0) < recalls(1) && recalls(1) < recalls(2))
+    assert(recalls(2) >= 0.6)
+  }
+
   test("knnGraphIncrement: mismatched signature frames fail loudly") {
     import spark.implicits._
     val df = Seq((1L, Array.fill(8)(0.5f))).toDF("id", "v")
