@@ -6,10 +6,23 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line.
   *
   * Methodology (recorded in BASELINE.md): one untimed warmup pass runs
-  * every query first so the timed pass measures steady-state plan
+  * every query first so the timed passes measure steady-state plan
   * execution, not Janino/JIT compilation of each query's codegen —
   * the regime a long-running cluster actually operates in. Disable
   * with SPARK_GRAFT_WARMUP=0.
+  *
+  * Contention tolerance (r8, per the r7 verdict): the timed
+  * measurement is the PER-QUERY MEDIAN across SPARK_GRAFT_PASSES
+  * full-suite passes (default 3). A single timed pass absorbs
+  * co-tenant CPU bursts wholesale — the r7 driver record carried a
+  * 47× environmental spike on one query that the artifact could not
+  * distinguish from a regression. Passes run suite-major (pass 1 runs
+  * every query, then pass 2, ...), so a burst localized in time lands
+  * in at most one of a query's samples and the median discards it.
+  * The full per-pass spread is recorded in bench_full.json
+  * ("spread": query -> [t_pass1, t_pass2, ...]) so a contaminated run
+  * is self-evident from the artifact alone. SPARK_GRAFT_PASSES=1
+  * restores the old single-pass behavior for quick local smokes.
   *
   * The stdout JSON line reports the full-suite total plus per-query
   * timings for a fixed headline set (and the slowest stragglers) —
@@ -55,23 +68,40 @@ object Bench {
       catch { case _: Throwable => () }
       spark.catalog.clearCache() // operators persist signature tables
     }
-    val errors = Seq.newBuilder[String]
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case e: Throwable =>
-        // a failing query must be VISIBLE, not recorded as a fast run
-        errors += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
+    val errors = scala.collection.mutable.LinkedHashSet[String]()
+    // suite-major: pass p times every query once, so a co-tenant burst
+    // localized in time contaminates at most one of a query's samples
+    val samples: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case e: Throwable =>
+          // a failing query must be VISIBLE, not recorded as a fast run
+          errors += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        name -> t
       }
-      val t = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> t
     }
-    val errorNames = errors.result()
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      // even counts take the LOWER middle: with 2 passes a single
+      // contaminated sample must not average into the record
+      s((s.size - 1) / 2)
+    }
+    val byName: Map[String, Seq[Double]] =
+      samples.flatten.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val results = names.map(n => n -> median(byName(n)))
+    val errorNames = errors.toSeq
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
+    val spreadJson = names.map { n =>
+      "\"" + n + "\":[" + byName(n).map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // stdout line: headline set + up to 6 slowest non-headline queries,
     // so a regression anywhere is still visible in the bounded tail
@@ -84,7 +114,7 @@ object Bench {
       }
     val errJson = errorNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":${toJson(results)},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":${toJson(results)},"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}"""
     // the committed bench_full.json is the contractual FULL-suite sf0.1
     // record — a smoke run at another SF (or a subset run) must not
     // clobber it (this exact clobber shipped twice; see ADVICE r5). Off-
@@ -100,7 +130,7 @@ object Bench {
     } catch { case _: Throwable => () }
     // errors surface in the JSON + stderr; exit stays 0 so the driver
     // still collects the line
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":${toJson(reported)},"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":${toJson(reported)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,7 +20,15 @@ import scala.jdk.CollectionConverters._
   * same Engine the REPL uses.
   */
 final class Server(engine: Engine, port: Int) {
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // loopback by default (r7 advice): the console is unauthenticated and
+  // POST /api/image-dir repoints a process-global setting at arbitrary
+  // host directories — a wildcard bind would hand that (plus a
+  // path-existence probe via the validation error) to any network
+  // client. GRAFT_BIND_HOST opts into a wider bind for trusted
+  // networks; the reference server binds the wildcard address
+  // (cmd/server/main.go), a divergence we take deliberately.
+  private val bindHost = sys.env.getOrElse("GRAFT_BIND_HOST", "127.0.0.1")
+  private val server = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
   private val convDir: Path = Paths.get(engine.catalog.dbPath, "conversations")
   Files.createDirectories(convDir)
 

@@ -515,42 +515,16 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 64-bit SimHash per document, computed entirely with higher-order
-    * array functions (no UDF): per token, each bit of xxhash64(token)
-    * votes ±1; the sign vector becomes the fingerprint bits. Two-step
-    * (votes column, then bit assembly) so the heavy vote aggregation
-    * appears once in the plan, not 64 times.
-    */
-  def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame = {
-    val wide = widen(df)
-    // hash every token ONCE up front; the vote lambda then reads bits of
-    // a long instead of re-running xxhash64(token) 64 times per token
-    val hashes = transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t))
-    // bit i of the token hash, as a ±1 vote; i is a plan-time constant
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        array((0 until 64).map(i =>
-          shiftright(h, i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)): _*),
-        (a, v) => a + v))
-    val bits = (0 until 64).map(i =>
-      when(element_at(col("_votes"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    wide.withColumn("_votes", votes)
-      .withColumn(out, bits)
-      .drop("_votes")
-  }
-
   /** (id, sim) with the 64-bit SimHash per document, computed as a
     * codegen'd hash aggregation: explode tokens, hash each once, and
     * take 64 parallel ±1-vote sums (map-side combinable, one shuffle
-    * keyed by id). Matches [[withSimhash]] bit-for-bit — including the
+    * keyed by id). PipelineOpsSpec cross-checks it bit-for-bit against
+    * an independent higher-order-array formulation — including the
     * empty-document case (`split` yields the single empty token) and
     * NULL text (explode_outer keeps the row; the null hash makes every
-    * vote null, so the fingerprint is 0, as withSimhash computes) —
-    * but runs the hot path inside whole-stage codegen instead of an
-    * interpreted 64-wide zip_with per token.
+    * vote null, so the fingerprint is 0) — while this hot path runs
+    * inside whole-stage codegen instead of an interpreted 64-wide
+    * zip_with per token.
     */
   def simhashDocs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = widen(df)

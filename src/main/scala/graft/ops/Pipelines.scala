@@ -73,14 +73,21 @@ object Pipelines {
       .withColumn("n_bpeish_tokens", TextAnalysis.bpeishTokenCount(text))
   }
 
-  /** Corpus-level report of what the pipeline kept/dropped. */
+  /** Corpus-level report of what the pipeline kept/dropped. `after`'s
+    * lineage is typically the whole pipeline, so it is read by exactly
+    * ONE aggregate action (count and token sum fused) — the r7 review
+    * found the earlier two-action form re-executed an unpersisted
+    * pipeline end to end per action. `before` is the raw input scan;
+    * its count is a second, cheap action.
+    */
   def corpusStats(before: DataFrame, after: DataFrame, idCol: String): DataFrame = {
     val spark = before.sparkSession
     import spark.implicits._
     val nBefore = before.count()
-    val nAfter = after.count()
     // sum over zero rows is NULL — an all-filtered corpus must report 0
-    val tokens = after.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+    val row = after.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("tok")).head()
+    val (nAfter, tokens) = (row.getLong(0), row.getLong(1))
     Seq((nBefore, nAfter, nBefore - nAfter, tokens))
       .toDF("docs_in", "docs_kept", "docs_dropped", "tokens_kept")
   }

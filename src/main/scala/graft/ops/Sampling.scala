@@ -73,19 +73,6 @@ object Sampling {
     df.filter(keepExpr)
   }
 
-  /** Weighted interleave of corpora: deterministically thin each source
-    * to its weight then union — the "data mixture" step. Weights in
-    * (0,1] are keep-fractions per source.
-    */
-  def mixture(sources: Seq[(DataFrame, Double)], idCol: String, salt: Int = 0): DataFrame = {
-    require(sources.nonEmpty)
-    sources.zipWithIndex.map { case ((df, w), i) =>
-      require(w > 0 && w <= 1.0, s"weight $w out of (0,1]")
-      val b = pmod(xxhash64(col(idCol), lit(salt + i)), lit(10000)).cast("double") / 10000.0
-      df.filter(b < w)
-    }.reduce(_ unionByName _)
-  }
-
   /** Temperature-based mixture sampling (the GPT-3/PaLM data-mixture
     * rule): source s is kept at a rate making its share of the output
     * proportional to n_s^alpha — alpha < 1 upweights rare sources,
@@ -124,7 +111,13 @@ object Sampling {
       .select(col(srcCol), col("_rate"))
     // membership: first 16 bits of md5(id) vs the rate as a 4-hex-digit
     // threshold — lowercase-hex string compare ≡ numeric compare, and
-    // any engine with md5 recomputes the exact sample
+    // any engine with md5 recomputes the sample. Near-exact, not
+    // absolute (r7 advice): pow/ulp drift between engines cannot move
+    // a doc's md5 hash, but when rate*65536 lands within an ulp of an
+    // integer the floor itself can flip by 1, shifting the 16-bit
+    // threshold for that whole source — probability ~2^-40 per source
+    // for independent drift, zero when both engines' pow agree
+    // bit-for-bit (they do on every tested SF).
     val thr = lpad(lower(hex(floor(col("_rate") * 65536).cast("long"))), 4, "0")
     val u = substring(md5(col(idCol).cast("string").cast("binary")), 1, 4)
     df.join(broadcast(rates), Seq(srcCol))

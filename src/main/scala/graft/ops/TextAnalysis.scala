@@ -63,7 +63,13 @@ object TextAnalysis {
     // sz - n + 1 hash a partial window — slice keeps the real n-grams
     when(sz >= n, slice(chained, lit(1), greatest(sz - (n - 1), lit(0))))
       .when(sz > 0, array(xxhash64(th))) // short doc: one whole-array gram
-      .when(sz === 0, array().cast("array<bigint>"))
+      // otherwise covers BOTH sz = 0 and NULL text (sz null): without
+      // it a NULL-text row yields NULL grams, which turns the
+      // qualityFilterReasons booleans (and `keep`) NULL — counted in
+      // n_docs but skipped by every sum(reason), silently desyncing
+      // the audit from its oracle (r7 advice). NULL text degrades to
+      // the empty-doc path: zero grams, dup ratio 0.
+      .otherwise(array().cast("array<bigint>"))
   }
 
   /** Duplicate-n-gram fraction (0 for empty docs) — the raw ratio
@@ -283,7 +289,10 @@ object TextAnalysis {
   def qualityFilterReasons(df: DataFrame, textCol: String,
       minTokens: Int = 10, maxTokens: Int = 5000,
       maxPunctRatio: Double = 0.1, maxDupNgramRatio: Double = 0.2): DataFrame = {
-    val t = col(textCol)
+    // NULL text must degrade to the empty-doc path (too_short = true),
+    // not NULL booleans: a NULL `keep` row counts in n_docs but skips
+    // every sum(reason) aggregate, desyncing the audit (r7 advice)
+    val t = coalesce(col(textCol), lit(""))
     val nTok = tokenCount(t)
     df.withColumn("too_short", nTok < minTokens)
       .withColumn("too_long", nTok > maxTokens)

@@ -205,9 +205,11 @@ object Round7Queries {
     // ---- temperature-based mixture sampling ----
     "q_mixture_sample" -> ((s, dir) => {
       // per-source kept counts under alpha=0.5 temperature at 30%
-      // target — integers, so the oracle is exact (the md5 threshold
-      // is a 16-bit cut; pow/ulp drift between engines cannot move a
-      // doc across it, see Sampling.temperatureSample)
+      // target — integers, so the oracle is exact up to the 16-bit
+      // threshold grid (pow/ulp drift between engines cannot move a
+      // doc's md5 hash, and flips the floor'd threshold only when
+      // rate*65536 lands within an ulp of an integer, ~2^-40 per
+      // source; see Sampling.temperatureSample)
       graft.ops.Sampling.temperatureSample(
           Tables.load(s, dir, "documents"), "doc_id", "source",
           alpha = 0.5, targetFraction = 0.3)
@@ -238,9 +240,14 @@ object Round7Queries {
          toks AS (SELECT id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
                   FROM corpus),
          sh AS (
-           SELECT id, UNNEST(list_distinct(list_transform(
+           -- LENGTH(x) > 0 mirrors the engine's empty-token dropout
+           -- (tokenHashes filters '' before shingling, so a
+           -- whitespace-only doc has NO shingles): without it two empty
+           -- docs would pair here at J=1.0 but never in the engine —
+           -- the r7-advice convention now shared with q_source_overlap
+           SELECT id, UNNEST(list_filter(list_distinct(list_transform(
              range(1, GREATEST(LEN(t) - 3, 0) + 2),
-             i -> array_to_string(t[i:i+2], ' ')))) AS s
+             i -> array_to_string(t[i:i+2], ' '))), x -> LENGTH(x) > 0)) AS s
            FROM toks),
          sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
          co AS (

@@ -29,6 +29,43 @@ class PipelineCompositionSpec extends AnyFunSuite {
     assert(stats.getLong(0) == 5 && stats.getLong(1) == 2 && stats.getLong(2) == 3)
   }
 
+  test("corpusStats reads the pipeline lineage with exactly one action") {
+    // r7 verdict finding 2: the old two-action form (count + sum) re-
+    // executed an unpersisted pipeline per action. Count Spark jobs
+    // whose traced lineage is `after`: the fused aggregate must submit
+    // exactly one job over it (plus one for the cheap `before` count).
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and it is a very fine day"),
+      (2L, "completely different words entirely unrelated to all other documents here today my friend")
+    ).toDF("doc_id", "text")
+    val after = Pipelines.prepareCorpus(docs, "doc_id", "text")
+    // count ACTIONS (query executions), not Spark jobs — AQE submits a
+    // job per materialized shuffle stage, making job counts noisy
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Pipelines.corpusStats(docs, after, "doc_id").collect()
+      // listener delivery is async: wait until the count is stable for
+      // 500 ms so a late 4th action can't slip past the assertion
+      var last = -1
+      var stable = 0
+      while (stable < 5) {
+        Thread.sleep(100)
+        if (actions.get() == last) stable += 1 else { stable = 0; last = actions.get() }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    // exactly: before.count + ONE fused aggregate over `after` + the
+    // 1-row toDF collect — the old two-action form measured 4 here
+    assert(actions.get() <= 3, s"corpusStats ran ${actions.get()} actions")
+  }
+
   test("corpus pipeline on real documents keeps the planted near-dup survivors") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val cleaned = Pipelines.prepareCorpus(docs, "doc_id", "text",

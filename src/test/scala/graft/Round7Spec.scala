@@ -155,6 +155,21 @@ class Round7Spec extends AnyFunSuite {
     assert(out(4L) === ((false, false, false, true, false)))
   }
 
+  test("qualityFilterReasons: NULL text degrades to the empty-doc path, never NULL booleans") {
+    // r7 advice: a NULL-text row must not carry NULL reason booleans —
+    // it would count in n_docs but vanish from every sum(reason),
+    // silently desyncing the audit from its oracle
+    import spark.implicits._
+    val df = Seq((1L, null: String), (2L, "")).toDF("id", "text")
+    val rows = graft.ops.TextAnalysis.qualityFilterReasons(df, "text")
+      .select("id", "too_short", "too_long", "high_punct", "repetitious", "keep")
+      .collect()
+    rows.foreach { r =>
+      (1 to 5).foreach(i => assert(!r.isNullAt(i), s"col $i NULL for id ${r.getLong(0)}"))
+      assert(r.getBoolean(1) && !r.getBoolean(5)) // too_short, dropped
+    }
+  }
+
   test("qualityFilterReasons: per-row only — no shuffle in the plan") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = graft.ops.TextAnalysis.qualityFilterReasons(docs, "text")
@@ -342,5 +357,24 @@ class Round7Spec extends AnyFunSuite {
     import spark.implicits._
     val df = Seq(("A", "a b c"), ("B", "x y z")).toDF("source", "text")
     assert(Dedup.sourceOverlapMatrix(df, "source", "text", n = 2).count() === 0L)
+  }
+
+  test("empty/whitespace docs contribute no shingles to overlap or verified pairs") {
+    // r7 advice: the empty-token convention must be ONE convention —
+    // a doc with zero non-empty tokens has NO shingles (tokenHashes
+    // filters '' before shingling), so an empty doc shared by two
+    // sources must not create an intersection row, and two empty docs
+    // must not become a J=1.0 verified pair. Both oracles now filter
+    // LENGTH(x) > 0 to match.
+    import spark.implicits._
+    val overlap = Dedup.sourceOverlapMatrix(
+      Seq(("A", ""), ("B", "   "), ("A", "a b c"), ("B", "x y z"))
+        .toDF("source", "text"), "source", "text", n = 2)
+    assert(overlap.count() === 0L)
+    val pairs = Dedup.lshVerifiedPairs(
+      Seq((1L, ""), (2L, "  "), (3L, "p q r s t u v w"), (4L, "p q r s t u v w"))
+        .toDF("id", "text"), "id", "text", threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((3L, 4L)), s"got $pairs")
   }
 }
