@@ -10,9 +10,10 @@ import org.apache.spark.sql.types.DecimalType
   * `embeddings`: text analysis, dedup (exact / n-gram Jaccard /
   * MinHash-LSH / SimHash), similarity search, and the time-bucketed
   * events rollup. DuckDB oracles cover everything ANSI-SQL can express
-  * (including the full n-gram Jaccard join); LSH/SimHash variants are
-  * rows-only here and covered against brute-force ground truth in
-  * PipelineOpsSpec.
+  * (including the full n-gram Jaccard join); the LSH/SimHash/IVF
+  * variants use planted-certainty forms (exact probe copies pin the
+  * approximate top-k analytically) and are additionally covered
+  * against brute-force ground truth in PipelineOpsSpec.
   */
 object PipelineQueries {
 
@@ -25,6 +26,23 @@ object PipelineQueries {
       .filter(col("vec_id") === 0)
       .select(col("embedding")).head()
       .getSeq[Float](0).map(_.toDouble).toArray
+
+  /** The embeddings table plus `n` exact copies of the probe vector
+    * (vec_id 0) planted at max(vec_id)+1 .. +n: an exact copy signs
+    * every hyperplane like the probe and has cosine at the 1.0
+    * ceiling, so ANN top-(n+1) results become analytic — the r7
+    * planted-certainty recipe applied to the two approximate top-k
+    * rows the r7 verdict flagged as no_oracle.
+    */
+  private def withProbeCopies(s: SparkSession, dir: String, n: Int): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val off = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val copies = emb.filter(col("vec_id") === 0)
+      .crossJoin(s.range(0, n))
+      .select((col("id") + off).as("vec_id"), col("embedding"))
+    emb.unionByName(copies)
+  }
 
   /** Exact copies of every `modulo`-th row appended at id+`offset` —
     * planted ground truth for the hash-family dedup operators. An exact
@@ -131,18 +149,32 @@ object PipelineQueries {
         .withColumn("sim", round(col("sim"), 6))
     }),
     "q_ann_lsh" -> ((s, dir) => {
-      // LSH-bucketed variant; recall vs brute force asserted in spec.
-      Similarity.annTopK(Tables.load(s, dir, "embeddings"),
+      // LSH-bucketed variant, planted-certainty form (r8, the
+      // q_knn_graph technique): 9 exact copies of the probe vector at
+      // off..off+8 share the probe's sign on EVERY hyperplane (same
+      // signature bucket — candidacy certain, no multiprobe needed)
+      // and sit at the cosine 1.0 ceiling, so the approximate top-10
+      // is exactly {0, off..off+8} — while signatures are still
+      // computed over the whole corpus and the bucket filter still
+      // does the real probing work. Recall on non-degenerate
+      // neighbors stays covered by q_ann_recall and the spec.
+      Similarity.annTopK(withProbeCopies(s, dir, 9),
           "vec_id", "embedding", queryVec(s, dir), k = 10, nBits = 12)
         .withColumn("sim", round(col("sim"), 6))
+        .orderBy(col("vec_id"))
     }),
     "q_ann_ivf" -> ((s, dir) => {
-      // IVF cell-probed variant (the partition-pruned scale path);
-      // recall vs brute force asserted in spec.
-      Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
+      // IVF cell-probed variant (the partition-pruned scale path),
+      // planted-certainty form: copies of the probe assign to the
+      // probe's own argmax-cosine cell, which is by construction the
+      // first cell nearestCentroids probes — wherever Lloyd's
+      // iterations put the centroids — so the top-10 is pinned while
+      // centroid training and cell probing run over the full corpus.
+      Similarity.ivfTopK(withProbeCopies(s, dir, 9),
           "vec_id", "embedding", queryVec(s, dir), k = 10,
           nCentroids = 16, nProbe = 4)
         .withColumn("sim", round(col("sim"), 6))
+        .orderBy(col("vec_id"))
     }),
     "q_emb_neardup" -> ((s, dir) => {
       // planted-recall form: every 20th vector copied at vec_id+10^6 —
@@ -349,6 +381,22 @@ object PipelineQueries {
          ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
              (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
          LIMIT 10""",
+    "q_ann_lsh" ->
+      """WITH o AS (SELECT MAX(vec_id) + 1 AS off FROM embeddings)
+         SELECT CAST(0 AS BIGINT) AS vec_id, CAST(1.0 AS DOUBLE) AS sim
+         FROM embeddings WHERE vec_id = 0
+         UNION ALL
+         SELECT off + i, CAST(1.0 AS DOUBLE)
+         FROM o CROSS JOIN (SELECT UNNEST(range(0, 9)) AS i)
+         ORDER BY vec_id""",
+    "q_ann_ivf" ->
+      """WITH o AS (SELECT MAX(vec_id) + 1 AS off FROM embeddings)
+         SELECT CAST(0 AS BIGINT) AS vec_id, CAST(1.0 AS DOUBLE) AS sim
+         FROM embeddings WHERE vec_id = 0
+         UNION ALL
+         SELECT off + i, CAST(1.0 AS DOUBLE)
+         FROM o CROSS JOIN (SELECT UNNEST(range(0, 9)) AS i)
+         ORDER BY vec_id""",
     "q_text_chunks" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t FROM documents),
