@@ -26,7 +26,8 @@ object SparkEntry {
     graft.queries.Round3Queries.queries ++
     graft.queries.Round4Queries.queries ++
     graft.queries.Round6Queries.queries ++
-    graft.queries.Round7Queries.queries
+    graft.queries.Round7Queries.queries ++
+    graft.queries.Round8Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
     graft.queries.Round3Queries.oracles ++
     graft.queries.Round4Queries.oracles ++
     graft.queries.Round6Queries.oracles ++
-    graft.queries.Round7Queries.oracles
+    graft.queries.Round7Queries.oracles ++
+    graft.queries.Round8Queries.oracles
 }

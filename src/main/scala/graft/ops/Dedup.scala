@@ -480,6 +480,67 @@ object Dedup {
           .otherwise(lit(0.0)), 6).as("dup_frac"))
   }
 
+  /** Substring-duplication REMOVAL (the cut [[substringDupStats]] only
+    * reports — Lee et al. 2022's actual operation, at token
+    * granularity): every token-`k`-gram occurrence that is not the
+    * globally FIRST occurrence of that gram (ordered by (id, position),
+    * the same first-wins rule as [[passageDedup]]) marks its k covered
+    * token positions for removal; surviving tokens reassemble into
+    * `dedup_text`. A repeated span of length L ≥ k in a later document
+    * is covered end to end by its k-grams' removal windows, so the
+    * whole span disappears while the first occurrence keeps it.
+    * Returns (id, n_tokens, n_kept, dedup_text); text is canonical
+    * (lowercased, single-spaced), the [[TextAnalysis.fingerprintMd5]]
+    * granularity. Docs under k tokens are never cut.
+    *
+    * Scale shape: gram extraction is the codegen'd sliding-hash
+    * expression; duplicated grams are found with a map-combinable
+    * min/count aggregate on the 8-byte gram key (NOT a row_number
+    * window — a viral boilerplate gram at 100 TB would funnel its
+    * whole occurrence list through one window task, whereas min+count
+    * partials combine map-side), removal positions come from one
+    * bounded explode (k rows per duplicated occurrence), and
+    * reassembly is one aggregation keyed by id. Nothing is quadratic;
+    * both persisted frames are spillable.
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    import org.apache.spark.storage.StorageLevel
+    // one tokenization feeds BOTH the gram side and the reassembly
+    // side, so gram positions and token positions index the same
+    // (empty-token-filtered) array
+    val base = widen(df).select(col(idCol).as("id"),
+        filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0).as("_tok"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val grams = base
+      .withColumn("_th", transform(col("_tok"), t => xxhash64(t)))
+      .select(col("id"), posexplode(
+        when(size(col("_th")) >= k,
+          TextAnalysis.shingleHashesFrom(col("_th"), k, distinct = false))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(col("id"), col("pos").cast("long").as("p"), col("col").as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dupFirsts = grams.groupBy(col("g"))
+      .agg(min(struct(col("id"), col("p"))).as("_first"), count(lit(1)).as("_occ"))
+      .filter(col("_occ") >= 2)
+      .select(col("g"), col("_first"))
+    val removed = grams.join(dupFirsts, Seq("g"))
+      .filter(struct(col("id"), col("p")) =!= col("_first"))
+      .select(col("id"), explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
+      .dropDuplicates("id", "pos") // overlapping windows cover a position many times
+      .withColumn("_rm", lit(1))
+    base.select(col("id"), posexplode_outer(col("_tok")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+      .join(removed, Seq("id", "pos"), "left")
+      .groupBy(col("id"))
+      .agg(count(col("tok")).as("n_tokens"),
+        sum(when(col("tok").isNotNull && col("_rm").isNull, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("_rm").isNull, struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")), " ").as("dedup_text"))
+  }
+
   /** Cross-source shingle-overlap matrix: for every pair of corpus
     * sources, the Jaccard similarity of their DISTINCT token-n-gram
     * shingle sets — the corpus-curation statistic that reveals mirror

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.{Dedup, Packing, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 operators: substring-duplication removal, materialized
+  * packed sequences, iterated BPE training, embedding k-means.
+  */
+class Round8Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- substringDedup ----
+
+  test("substringDedup: an exact copy with >= k tokens is cut to nothing, the original kept") {
+    val text = "a b c d e f g h i j k l" // 12 tokens, k = 10
+    val df = Seq((1L, text), (2L, text)).toDF("id", "text")
+    val out = Dedup.substringDedup(df, "id", "text", k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((12L, 12L, text)))
+    // doc 2's grams at p=0,1,2 are all non-first occurrences; their
+    // windows [0,9],[1,10],[2,11] cover every position
+    assert(out(2L) === ((12L, 0L, "")))
+  }
+
+  test("substringDedup: an intra-document repeated span loses its second occurrence") {
+    val run = "p q r s t u v w x y" // 10 tokens
+    val df = Seq((1L, s"$run mid $run")).toDF("id", "text")
+    val out = Dedup.substringDedup(df, "id", "text", k = 10).collect().head
+    // gram at p=11 equals gram at p=0 → remove [11,20]; boundary grams
+    // p=1..10 are unique and cut nothing
+    assert(out.getLong(1) === 21L)
+    assert(out.getLong(2) === 11L)
+    assert(out.getString(3) === s"$run mid")
+  }
+
+  test("substringDedup: sub-k docs are never cut; empty docs survive as empty") {
+    val df = Seq(
+      (1L, "tiny duplicated doc"), (2L, "tiny duplicated doc"),
+      (3L, ""), (4L, "   ")).toDF("id", "text")
+    val out = Dedup.substringDedup(df, "id", "text", k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((3L, 3L, "tiny duplicated doc")))
+    assert(out(2L) === ((3L, 3L, "tiny duplicated doc"))) // exact dedup's job, not this cut's
+    assert(out(3L) === ((0L, 0L, "")))
+    assert(out(4L) === ((0L, 0L, "")))
+  }
+
+  test("substringDedup: dup detection is a map-combinable aggregate, not a window") {
+    // a viral boilerplate gram at 100 TB must not funnel its whole
+    // occurrence list through one window task
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").as("id"), col("text"))
+    val out = Dedup.substringDedup(docs, "id", "text", k = 10)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "expected no window operator in the plan")
+  }
+}
