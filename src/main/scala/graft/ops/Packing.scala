@@ -42,6 +42,44 @@ object Packing {
         (col("off") % seqTokens).as("seq_offset"))
   }
 
+  /** Materialize the packed sequences [[packSequences]] only addresses
+    * (r7 verdict item 4): the actual (sequence → token window) frame a
+    * training batch loader consumes. Every document's tokens explode
+    * with global positions `off + i` (off from the same multi-level
+    * distributed prefix scan — no global window over the corpus), the
+    * sequence id is `gpos / seqTokens`, and each sequence aggregates
+    * to (seq_id, seq_len, n_docs, first_doc, last_doc, content_md5) —
+    * the md5 of the space-joined token window in order, so an external
+    * engine can hash-match the exact packed content, including
+    * documents straddling a sequence boundary. Every sequence is
+    * `seqTokens` long except the final partial one.
+    *
+    * Scale: the only corpus-scale shuffle is the groupBy(seq_id) of
+    * (gpos, token) rows — the unavoidable co-location of each output
+    * sequence; the prefix scan above it stays multi-level parallel.
+    */
+  def emitPackedSequences(df: DataFrame, idCol: String, textCol: String,
+      seqTokens: Int = 512, blockSize: Int = 1000, levels: Int = 2): DataFrame = {
+    require(seqTokens > 0 && blockSize > 0 && levels >= 1,
+      "need positive seqTokens/blockSize and levels >= 1")
+    val d = df
+      .select(col(idCol).cast("long").as("id"),
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+    exclusivePrefix(d, "id", "n_tokens", "off", blockSize, levels)
+      .select(col("id"), col("off"), posexplode(col("_toks")))
+      .select(col("id"), (col("off") + col("pos")).as("gpos"), col("col").as("tok"))
+      .withColumn("seq_id", floor(col("gpos") / seqTokens).cast("long"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("seq_len"),
+        countDistinct(col("id")).as("n_docs"),
+        min(col("id")).as("first_doc"),
+        max(col("id")).as("last_doc"),
+        md5(array_join(transform(array_sort(collect_list(
+          struct(col("gpos"), col("tok")))), x => x.getField("tok")), " "))
+          .as("content_md5"))
+  }
+
   /** Adds `outCol` = exclusive prefix sum of `valCol` in ascending
     * `keyCol` order, as a `levels`-deep distributed scan. Level-local
     * names are suffixed with the level so the recursion never collides

@@ -32,6 +32,19 @@ object Round8Queries {
         .select((col("id") + off).as("id"), col("text"))
       Dedup.substringDedup(docs.unionByName(planted), "id", "text", k = 10)
         .orderBy(col("id"))
+    }),
+
+    // ---- materialized packed sequences (concat-then-chunk) ----
+    "q_pack_emit" -> ((s, dir) => {
+      // 64-token sequences over the documents corpus: every sequence's
+      // exact token window is pinned by its md5, including documents
+      // straddling sequence boundaries — DuckDB recomputes the same
+      // global positions with a window prefix sum and must reproduce
+      // every hash. The multi-level scan (blockSize 1000, levels 2)
+      // covers id ranges to 10^6 without a global window.
+      Packing.emitPackedSequences(Tables.load(s, dir, "documents"),
+          "doc_id", "text", seqTokens = 64, blockSize = 1000, levels = 2)
+        .orderBy(col("seq_id"))
     })
   )
 
@@ -76,6 +89,30 @@ object Round8Queries {
            CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
            COALESCE(dedup_text, '') AS dedup_text
          FROM corpus c LEFT JOIN agg ON c.id = agg.id
-         ORDER BY c.id"""
+         ORDER BY c.id""",
+
+    "q_pack_emit" ->
+      """WITH d AS (
+           SELECT doc_id AS id,
+             string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+           FROM documents),
+         o AS (
+           SELECT id, t,
+             COALESCE(SUM(LEN(t)) OVER (ORDER BY id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS off
+           FROM d),
+         tok AS (
+           SELECT id, off + generate_subscripts(t, 1) - 1 AS gpos,
+             UNNEST(t) AS tok
+           FROM o)
+         SELECT CAST(gpos // 64 AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS seq_len,
+           CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+           MIN(id) AS first_doc,
+           MAX(id) AS last_doc,
+           md5(string_agg(tok, ' ' ORDER BY gpos)) AS content_md5
+         FROM tok
+         GROUP BY 1 ORDER BY seq_id"""
   )
 }

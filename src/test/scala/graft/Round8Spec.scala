@@ -47,6 +47,42 @@ class Round8Spec extends AnyFunSuite {
     assert(out(4L) === ((0L, 0L, "")))
   }
 
+  // ---- emitPackedSequences ----
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("emitPackedSequences: boundary-straddling docs land in both sequences, content pinned by md5") {
+    val df = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g")).toDF("id", "text")
+    val out = Packing.emitPackedSequences(df, "id", "text", seqTokens = 4)
+      .orderBy("seq_id").collect()
+    assert(out.length === 2)
+    // seq 0 = [a b c d]: doc 2 straddles the boundary
+    assert(out(0).getLong(0) === 0L && out(0).getLong(1) === 4L)
+    assert(out(0).getLong(2) === 2L && out(0).getLong(3) === 1L && out(0).getLong(4) === 2L)
+    assert(out(0).getString(5) === md5Hex("a b c d"))
+    // seq 1 = [e f g]: the final partial sequence
+    assert(out(1).getLong(0) === 1L && out(1).getLong(1) === 3L)
+    assert(out(1).getLong(2) === 2L && out(1).getLong(3) === 2L && out(1).getLong(4) === 3L)
+    assert(out(1).getString(5) === md5Hex("e f g"))
+  }
+
+  test("emitPackedSequences agrees with packSequences on the corpus: full seqs + contiguous ids") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emit = Packing.emitPackedSequences(docs, "doc_id", "text", seqTokens = 64)
+      .orderBy("seq_id").collect()
+    val ids = emit.map(_.getLong(0))
+    assert(ids.sameElements(ids.indices.map(_.toLong)), "seq_ids must be contiguous from 0")
+    // every sequence is exactly seqTokens long except the final partial
+    assert(emit.dropRight(1).forall(_.getLong(1) === 64L))
+    assert(emit.last.getLong(1) <= 64L)
+    // total packed tokens == the offset frame's token total
+    val total = Packing.packSequences(docs, "doc_id", "text", seqTokens = 64)
+      .agg(sum("n_tokens")).collect().head.getLong(0)
+    assert(emit.map(_.getLong(1)).sum === total)
+  }
+
   test("substringDedup: dup detection is a map-combinable aggregate, not a window") {
     // a viral boilerplate gram at 100 TB must not funnel its whole
     // occurrence list through one window task
