@@ -327,6 +327,62 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair")).limit(topK)
   }
 
+  /** Iterated BPE training (Sennrich et al. 2016): run `iterations`
+    * merge rounds, each picking the most frequent adjacent symbol pair
+    * (ties broken by pair text) and applying it greedily left-to-right
+    * to the whole vocabulary before recounting. Returns the exact
+    * deterministic merge sequence as (iter, lhs, rhs, cnt).
+    *
+    * Representation: each vocab word is an angle-bracketed symbol
+    * string (`"the"` → `"<t><h><e>"`), so applying merge (l, r) is a
+    * plain `replace(s, "<l><r>", "<lr>")` — string replace is
+    * non-overlapping left-to-right in Spark and DuckDB alike, which is
+    * exactly BPE's greedy merge order (`<a><a><a>` → `<aa><a>`), and
+    * the brackets stop a pair from matching across symbol boundaries
+    * (`<ab><c>` never matches `<b><c>`). Words containing the bracket
+    * characters are excluded (mirrored by the oracle).
+    *
+    * Scale shape: the ONLY corpus-scale job is the initial word-count
+    * shuffle, persisted once; each iteration is then two vocab-sized
+    * jobs (pair-count top-1 + lineage-chained replace). The per-
+    * iteration collect is a single row — the merge decision has to
+    * reach the driver because it parameterizes the next plan.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, iterations: Int = 5): DataFrame = {
+    require(iterations > 0, "iterations must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wc = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2 &&
+        !col("w").contains("<") && !col("w").contains(">"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(regexp_replace(col("w"), "(.)", "<$1>").as("s"), col("wc"))
+      .persist()
+    try {
+      var vocab = wc
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (it <- 1 to iterations) {
+        val syms = split(regexp_replace(col("s"), "^<|>$", ""), "><")
+        val top = vocab
+          .select(col("wc"), explode(zip_with(
+            slice(syms, lit(1), size(syms) - 1),
+            slice(syms, lit(2), size(syms) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+          .agg(sum(col("wc")).as("cnt"))
+          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()
+        require(top.nonEmpty, s"vocabulary exhausted at iteration $it")
+        val (l, r, cnt) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        merges += ((it.toLong, l, r, cnt))
+        vocab = vocab.select(
+          replace(col("s"), lit(s"<$l><$r>"), lit(s"<$l$r>")).as("s"), col("wc"))
+      }
+      merges.result().toDF("iter", "lhs", "rhs", "cnt")
+    } finally wc.unpersist()
+  }
+
   /** Full per-document analysis frame: doc identifier + all metrics. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -45,7 +45,18 @@ object Round8Queries {
       Packing.emitPackedSequences(Tables.load(s, dir, "documents"),
           "doc_id", "text", seqTokens = 64, blockSize = 1000, levels = 2)
         .orderBy(col("seq_id"))
-    })
+    }),
+
+    // ---- iterated BPE training (merge sequence) ----
+    "q_bpe_train" -> ((s, dir) =>
+      // 5 merge rounds over the documents vocabulary; the merge
+      // sequence is exactly deterministic (count desc, pair text
+      // tie-break), and the oracle replays the identical loop as a
+      // chain of top-1 + REPLACE CTEs — both engines' string replace
+      // is greedy left-to-right, which IS the BPE merge order.
+      TextAnalysis.bpeTrain(Tables.load(s, dir, "documents"), "text",
+          iterations = 5)
+        .orderBy(col("iter")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -113,6 +124,44 @@ object Round8Queries {
            MAX(id) AS last_doc,
            md5(string_agg(tok, ' ' ORDER BY gpos)) AS content_md5
          FROM tok
-         GROUP BY 1 ORDER BY seq_id"""
+         GROUP BY 1 ORDER BY seq_id""",
+
+    "q_bpe_train" -> bpeTrainOracle(5)
   )
+
+  /** The q_bpe_train oracle: the same N-round merge loop as
+    * [[TextAnalysis.bpeTrain]], unrolled into a chain of (top-1 pair,
+    * REPLACE) CTE pairs — iteration i's winning merge is a one-row CTE
+    * cross-joined into the next vocabulary frame.
+    */
+  private def bpeTrainOracle(n: Int): String = {
+    def pairCte(src: String): String =
+      s"""SELECT a[i] AS lhs, a[i+1] AS rhs, CAST(SUM(wc) AS BIGINT) AS cnt
+         FROM (SELECT string_split(trim(s, '<>'), '><') AS a, wc FROM $src) t,
+              UNNEST(range(1, len(a))) AS u(i)
+         GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1"""
+    val ctes = (1 to n).map { i =>
+      val src = if (i == 1) "wc" else s"v${i - 1}"
+      val p = s"p$i AS (${pairCte(src)})"
+      if (i == n) p
+      else p + s""",
+         v$i AS (SELECT REPLACE(s, '<'||lhs||'><'||rhs||'>',
+                   '<'||lhs||rhs||'>') AS s, wc
+                 FROM $src CROSS JOIN p$i)"""
+    }.mkString(",\n         ")
+    val union = (1 to n)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS iter, lhs, rhs, cnt FROM p$i")
+      .mkString("\n         UNION ALL ")
+    s"""WITH w AS (
+           SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS w
+           FROM documents),
+         wc AS (
+           SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS s, COUNT(*) AS wc
+           FROM w
+           WHERE LEN(w) >= 2 AND w NOT LIKE '%<%' AND w NOT LIKE '%>%'
+           GROUP BY 1),
+         $ctes
+         $union
+         ORDER BY iter"""
+  }
 }

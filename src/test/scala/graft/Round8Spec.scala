@@ -83,6 +83,20 @@ class Round8Spec extends AnyFunSuite {
     assert(emit.map(_.getLong(1)).sum === total)
   }
 
+  // ---- bpeTrain ----
+
+  test("bpeTrain: deterministic merge sequence with greedy overlap and tie-breaks") {
+    // words: aaa x1, low x3 ("x" is sub-length and ignored)
+    val df = Seq((1L, "aaa low low x"), (2L, "low")).toDF("id", "text")
+    val out = TextAnalysis.bpeTrain(df, "text", iterations = 4)
+      .orderBy("iter").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out(0) === ((1L, "l", "o", 3L)))  // ties (l,o)=(o,w)=3 → lhs text wins
+    assert(out(1) === ((2L, "lo", "w", 3L)))
+    assert(out(2) === ((3L, "a", "a", 2L)))  // aaa has TWO overlapping (a,a) pairs
+    assert(out(3) === ((4L, "aa", "a", 1L))) // greedy cut aaa -> <aa><a>, not <a><aa>
+  }
+
   test("substringDedup: dup detection is a map-combinable aggregate, not a window") {
     // a viral boilerplate gram at 100 TB must not funnel its whole
     // occurrence list through one window task
