@@ -88,28 +88,79 @@ object Similarity {
       .select(col(vecCol).cast("array<double>").as("v"), xxhash64(col(idCol)).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var centroids: Array[Array[Double]] = vecs
+      val seeds: Array[Array[Double]] = vecs
         .orderBy(col("h")).limit(nCentroids)
         .collect().map(_.getSeq[Double](0).toArray)
-      for (_ <- 0 until lloydIters) {
-        val assigned = withIvfCid(vecs.select(col("v")), "v", centroids, "cid")
-        val means = assigned
-          .select(col("cid"), posexplode(col("v")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(avg(col("col")).as("m"))
-          .collect()
-        val byCid = means.groupBy(_.getInt(0))
-        centroids = centroids.indices.map { c =>
-          byCid.get(c) match {
-            case Some(rows) =>
-              val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).sortBy(_._1)
-              dims.map(_._2).toArray
-            case None => centroids(c) // empty cell keeps its seed
-          }
-        }.toArray
-      }
-      centroids
+      lloydRefine(vecs.select(col("v")), seeds, lloydIters)
     } finally vecs.unpersist(blocking = false)
+  }
+
+  /** `iters` distributed Lloyd steps from `init`: one assignment pass
+    * (nCentroids codegen'd cosines per row) plus one per-dimension mean
+    * per step — computed distributed via explode + groupBy(cid, dim),
+    * then collected (nCentroids × dims values, tiny). Empty cells keep
+    * their previous centroid.
+    */
+  private def lloydRefine(vecs: DataFrame, init: Array[Array[Double]],
+      iters: Int): Array[Array[Double]] = {
+    var centroids = init
+    for (_ <- 0 until iters) {
+      val assigned = withIvfCid(vecs, "v", centroids, "cid")
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byCid = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCid.get(c) match {
+          case Some(rows) =>
+            val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).sortBy(_._1)
+            dims.map(_._2).toArray
+          case None => centroids(c) // empty cell keeps its seed
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** First-class embedding k-means (r7 verdict item 6): Lloyd
+    * clustering exposed as a frame — (id, cid, cos_to_centroid) — not
+    * just the IVF internals. Seeding is the same deterministic
+    * hash-ordered sample as [[ivfCentroids]] unless explicit `init`
+    * centroids are passed (the sklearn `init=array` shape; also what
+    * makes a planted oracle analytic: from fixed init, wide-margin
+    * clusters converge identically on any engine).
+    *
+    * Scale shape: lloydIters + 1 passes over a persisted (vector, hash)
+    * projection; each pass is nClusters codegen'd cosines per row with
+    * no shuffle, the per-step means are one explode + groupBy(cid, dim)
+    * whose result is nClusters × dims rows (tiny collect — the merge
+    * decision parameterizes the next plan, as in bpeTrain). At 100 TB
+    * seed/refine on a sample, then the final assignment pass is the
+    * only corpus-scale job.
+    */
+  def clusterEmbeddings(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, lloydIters: Int = 2,
+      init: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(nClusters > 0, "need nClusters > 0")
+    init.foreach(c => require(c.length == nClusters,
+      s"init has ${c.length} centroids, expected $nClusters"))
+    val vecs = df
+      .select(col(vecCol).cast("array<double>").as("v"), xxhash64(col(idCol)).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = try {
+      val c0 = init.getOrElse(vecs.orderBy(col("h")).limit(nClusters)
+        .collect().map(_.getSeq[Double](0).toArray))
+      lloydRefine(vecs.select(col("v")), c0, lloydIters)
+    } finally vecs.unpersist(blocking = false)
+    val sims = array(cents.map(c => cosine(col("_cv"), typedlit(c))): _*)
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("_cv"))
+      .withColumn("_sims", sims)
+      .select(col(idCol),
+        (array_position(col("_sims"), array_max(col("_sims"))) - 1)
+          .cast("int").as("cid"),
+        array_max(col("_sims")).as("cos_to_centroid"))
   }
 
   /** Attach the nearest-centroid id (argmax cosine). The sims are

@@ -56,7 +56,35 @@ object Round8Queries {
       // is greedy left-to-right, which IS the BPE merge order.
       TextAnalysis.bpeTrain(Tables.load(s, dir, "documents"), "text",
           iterations = 5)
-        .orderBy(col("iter")))
+        .orderBy(col("iter"))),
+
+    // ---- embedding k-means (planted analytic clusters) ----
+    "q_cluster_kmeans" -> ((s, dir) => {
+      // planted geometry makes the whole Lloyd run analytic: vector for
+      // id = e_g + delta * e_{8+g} with g = id % 8 and delta an exact
+      // dyadic (id % 5 + 1)/1024, so cross-group cosines are EXACTLY
+      // zero (disjoint support), assignments are certain from the
+      // one-hot init, and every per-dim mean is a sum of exact dyadic
+      // rationals — bit-identical in any engine / summation order. The
+      // operator still runs its full generic machinery (64-dim native
+      // cosines, distributed means, argmax) over the planted frame.
+      val K = 8
+      val ids = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("id"))
+      val g = col("id") % K
+      val d = ((col("id") % 5) + 1).cast("double") / 1024.0
+      val v = array((0 until 64).map { dim =>
+        when(g === dim, lit(1.0)).when(g === (dim - 8), d).otherwise(lit(0.0))
+      }: _*)
+      val planted = ids.select(col("id"), v.as("v"))
+      val init = (0 until K).map(gi =>
+        Array.tabulate(64)(dd => if (dd == gi) 1.0 else 0.0)).toArray
+      Similarity.clusterEmbeddings(planted, "id", "v",
+          nClusters = K, lloydIters = 2, init = Some(init))
+        .select(col("id"), col("cid"),
+          round(col("cos_to_centroid"), 6).as("cos_to_centroid"))
+        .orderBy(col("id"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -126,7 +154,26 @@ object Round8Queries {
          FROM tok
          GROUP BY 1 ORDER BY seq_id""",
 
-    "q_bpe_train" -> bpeTrainOracle(5)
+    "q_bpe_train" -> bpeTrainOracle(5),
+
+    "q_cluster_kmeans" ->
+      // the analytic replay: cid = id % 8 (certain assignment), and the
+      // learned centroid's only nonzero dims are g (mean of 1.0 = 1.0)
+      // and 8+g (mean of the group's exact-dyadic deltas), so the
+      // cosine collapses to the same op sequence the fused Spark
+      // expression runs: dot / (sqrt(na) * sqrt(nb))
+      """WITH d AS (
+           SELECT CAST(vec_id AS BIGINT) AS id,
+             vec_id % 8 AS g,
+             (vec_id % 5 + 1) / 1024.0 AS dlt
+           FROM embeddings),
+         c AS (SELECT g, AVG(dlt) AS c2 FROM d GROUP BY g)
+         SELECT id, CAST(d.g AS INTEGER) AS cid,
+           ROUND((1.0 + dlt * c2) /
+             (SQRT(1.0 + dlt * dlt) * SQRT(1.0 + c2 * c2)), 6)
+             AS cos_to_centroid
+         FROM d JOIN c ON d.g = c.g
+         ORDER BY id"""
   )
 
   /** The q_bpe_train oracle: the same N-round merge loop as

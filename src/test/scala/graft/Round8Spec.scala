@@ -97,6 +97,41 @@ class Round8Spec extends AnyFunSuite {
     assert(out(3) === ((4L, "aa", "a", 1L))) // greedy cut aaa -> <aa><a>, not <a><aa>
   }
 
+  // ---- clusterEmbeddings ----
+
+  private def plantedVec(id: Long, k: Int, dims: Int): Array[Double] = {
+    val v = Array.fill(dims)(0.0)
+    v((id % k).toInt) = 1.0
+    v((k + id % k).toInt) = (id % 5 + 1) / 1024.0
+    v
+  }
+
+  test("clusterEmbeddings with explicit init: planted groups assign analytically") {
+    val k = 4
+    val df = (0L until 40L).map(i => (i, plantedVec(i, k, 16).toSeq))
+      .toDF("id", "v")
+    val init = (0 until k).map(g =>
+      Array.tabulate(16)(d => if (d == g) 1.0 else 0.0)).toArray
+    val out = Similarity.clusterEmbeddings(df, "id", "v", k,
+        lloydIters = 2, init = Some(init))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(out.length === 40)
+    assert(out.forall { case (id, cid, _) => cid === (id % k).toInt })
+    assert(out.forall(_._3 > 0.999)) // tight cones: members hug their centroid
+  }
+
+  test("clusterEmbeddings hash-seeded: total assignment, valid cids, deterministic") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    def run() = Similarity.clusterEmbeddings(emb, "id", "v", nClusters = 8)
+      .orderBy("id").collect().map(r => (r.get(0), r.getInt(1), r.getDouble(2)))
+    val a = run()
+    assert(a.length === emb.count())
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8))
+    assert(a.map(_._2).distinct.length > 1, "degenerate single-cluster outcome")
+    assert(a.sameElements(run()), "fixed seeds must make reruns identical")
+  }
+
   test("substringDedup: dup detection is a map-combinable aggregate, not a window") {
     // a viral boilerplate gram at 100 TB must not funnel its whole
     // occurrence list through one window task
