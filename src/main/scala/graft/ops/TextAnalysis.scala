@@ -349,38 +349,94 @@ object TextAnalysis {
     * reach the driver because it parameterizes the next plan.
     */
   def bpeTrain(df: DataFrame, textCol: String, iterations: Int = 5): DataFrame = {
-    require(iterations > 0, "iterations must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val wc = df.select(explode(tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) >= 2 &&
-        !col("w").contains("<") && !col("w").contains(">"))
+    val (merges, _, wc) = bpeLoop(df, textCol, iterations)
+    wc.unpersist() // merges are collected; nothing else reads the vocab
+    merges.toDF("iter", "lhs", "rhs", "cnt")
+  }
+
+  /** The words [[bpeTrain]]/[[bpeEncodeStats]] train on: length >= 2
+    * (a 1-char word has no pair to merge) and free of the angle-bracket
+    * delimiter characters.
+    */
+  def bpeTrainableWords(text: Column): Column =
+    filter(tokens(text), w =>
+      length(w) >= 2 && !w.contains("<") && !w.contains(">"))
+
+  /** Shared BPE training loop: returns (merge sequence, final
+    * vocabulary frame (w, s, wc) with all merges applied to the
+    * bracketed symbol string `s`, the PERSISTED word-count root the
+    * vocab frame's lineage reads). The caller owns the root's
+    * unpersist: the merge chain on top of it is `iterations` string
+    * replaces over a vocabulary-sized cached frame — cheap to replay
+    * per consumer, so the final vocab itself is not re-persisted.
+    */
+  private def bpeLoop(df: DataFrame, textCol: String, iterations: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame, DataFrame) = {
+    require(iterations > 0, "iterations must be positive")
+    val wc = df.select(explode(bpeTrainableWords(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-      .select(regexp_replace(col("w"), "(.)", "<$1>").as("s"), col("wc"))
+      .select(col("w"), regexp_replace(col("w"), "(.)", "<$1>").as("s"), col("wc"))
       .persist()
-    try {
-      var vocab = wc
-      val merges = Seq.newBuilder[(Long, String, String, Long)]
-      for (it <- 1 to iterations) {
-        val syms = split(regexp_replace(col("s"), "^<|>$", ""), "><")
-        val top = vocab
-          .select(col("wc"), explode(zip_with(
-            slice(syms, lit(1), size(syms) - 1),
-            slice(syms, lit(2), size(syms) - 1),
-            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-          .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
-          .agg(sum(col("wc")).as("cnt"))
-          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
-          .limit(1).collect()
-        require(top.nonEmpty, s"vocabulary exhausted at iteration $it")
-        val (l, r, cnt) = (top.head.getString(0), top.head.getString(1),
-          top.head.getLong(2))
-        merges += ((it.toLong, l, r, cnt))
-        vocab = vocab.select(
-          replace(col("s"), lit(s"<$l><$r>"), lit(s"<$l$r>")).as("s"), col("wc"))
-      }
-      merges.result().toDF("iter", "lhs", "rhs", "cnt")
-    } finally wc.unpersist()
+    var vocab = wc
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (it <- 1 to iterations) {
+      val syms = split(regexp_replace(col("s"), "^<|>$", ""), "><")
+      val top = vocab
+        .select(col("wc"), explode(zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"vocabulary exhausted at iteration $it")
+      val (l, r, cnt) = (top.head.getString(0), top.head.getString(1),
+        top.head.getLong(2))
+      merges += ((it.toLong, l, r, cnt))
+      vocab = vocab.select(col("w"),
+        replace(col("s"), lit(s"<$l><$r>"), lit(s"<$l$r>")).as("s"), col("wc"))
+    }
+    (merges.result(), vocab, wc)
+  }
+
+  /** Apply a freshly trained BPE merge sequence back to the corpus —
+    * the encode half of tokenizer training: per corpus source, how many
+    * words were encoded and how many BPE symbols they produced after
+    * `iterations` merges (the compression curve a tokenizer team
+    * tracks). Only trainable words ([[bpeTrainableWords]]) count, as in
+    * training.
+    *
+    * Scale shape: encoding is computed per DISTINCT word on the
+    * vocabulary frame (symbol count = split length — never per corpus
+    * row), then the per-(source, word) count frame joins it on the
+    * word key. Corpus-scale shuffles: the (source, word) groupBy and
+    * that equi-join; both are the word-count shape. The merge loop
+    * itself is [[bpeLoop]]: one corpus word count + 2 vocab-sized jobs
+    * per iteration.
+    */
+  def bpeEncodeStats(df: DataFrame, textCol: String, srcCol: String,
+      iterations: Int = 5): DataFrame = {
+    // the word-count root stays persisted: the returned frame's lineage
+    // reads it (the driver's cache-clear between queries releases it;
+    // it is vocabulary-sized, not corpus-sized)
+    val (_, vocab, _) = bpeLoop(df, textCol, iterations)
+    val nSym = vocab.select(col("w"),
+      size(split(regexp_replace(col("s"), "^<|>$", ""), "><")).cast("long")
+        .as("n_sym"))
+    val perSrcWord = df
+      .select(col(srcCol).as("source"),
+        explode(bpeTrainableWords(col(textCol))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    perSrcWord.join(nSym, Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("n_sym")).as("n_bpe_tokens"))
+      .withColumn("avg_symbols",
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double"), 6))
   }
 
   /** Full per-document analysis frame: doc identifier + all metrics. */

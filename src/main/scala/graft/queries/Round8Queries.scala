@@ -84,7 +84,18 @@ object Round8Queries {
         .select(col("id"), col("cid"),
           round(col("cos_to_centroid"), 6).as("cos_to_centroid"))
         .orderBy(col("id"))
-    })
+    }),
+
+    // ---- BPE encode: apply the trained merges back to the corpus ----
+    "q_bpe_encode" -> ((s, dir) =>
+      // the encode half of tokenizer training: 5 merges trained on the
+      // full corpus, then per-source word + BPE-symbol counts — the
+      // compression curve. Encoding is computed per DISTINCT word on
+      // the vocab frame; the oracle replays the identical merge chain
+      // and the same per-source join.
+      TextAnalysis.bpeEncodeStats(Tables.load(s, dir, "documents"),
+          "text", "source", iterations = 5)
+        .orderBy(col("source")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -173,8 +184,16 @@ object Round8Queries {
              (SQRT(1.0 + dlt * dlt) * SQRT(1.0 + c2 * c2)), 6)
              AS cos_to_centroid
          FROM d JOIN c ON d.g = c.g
-         ORDER BY id"""
+         ORDER BY id""",
+
+    "q_bpe_encode" -> bpeEncodeOracle(5)
   )
+
+  private def bpePairCte(src: String): String =
+    s"""SELECT a[i] AS lhs, a[i+1] AS rhs, CAST(SUM(wc) AS BIGINT) AS cnt
+         FROM (SELECT string_split(trim(s, '<>'), '><') AS a, wc FROM $src) t,
+              UNNEST(range(1, len(a))) AS u(i)
+         GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1"""
 
   /** The q_bpe_train oracle: the same N-round merge loop as
     * [[TextAnalysis.bpeTrain]], unrolled into a chain of (top-1 pair,
@@ -182,11 +201,7 @@ object Round8Queries {
     * cross-joined into the next vocabulary frame.
     */
   private def bpeTrainOracle(n: Int): String = {
-    def pairCte(src: String): String =
-      s"""SELECT a[i] AS lhs, a[i+1] AS rhs, CAST(SUM(wc) AS BIGINT) AS cnt
-         FROM (SELECT string_split(trim(s, '<>'), '><') AS a, wc FROM $src) t,
-              UNNEST(range(1, len(a))) AS u(i)
-         GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1"""
+    def pairCte(src: String): String = bpePairCte(src)
     val ctes = (1 to n).map { i =>
       val src = if (i == 1) "wc" else s"v${i - 1}"
       val p = s"p$i AS (${pairCte(src)})"
@@ -210,5 +225,43 @@ object Round8Queries {
          $ctes
          $union
          ORDER BY iter"""
+  }
+
+  /** The q_bpe_encode oracle: the same merge chain as q_bpe_train but
+    * carrying the original word through (and APPLYING the final merge),
+    * then the per-source (word count × per-word symbol count) join
+    * [[TextAnalysis.bpeEncodeStats]] runs.
+    */
+  private def bpeEncodeOracle(n: Int): String = {
+    val ctes = (1 to n).map { i =>
+      val src = if (i == 1) "wc" else s"v${i - 1}"
+      s"""p$i AS (${bpePairCte(src)}),
+         v$i AS (SELECT w, REPLACE(s, '<'||lhs||'><'||rhs||'>',
+                   '<'||lhs||rhs||'>') AS s, wc
+                 FROM $src CROSS JOIN p$i)"""
+    }.mkString(",\n         ")
+    s"""WITH wd AS (
+           SELECT source,
+             UNNEST(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS w
+           FROM documents),
+         wf AS (
+           SELECT source, w FROM wd
+           WHERE LEN(w) >= 2 AND w NOT LIKE '%<%' AND w NOT LIKE '%>%'),
+         wc AS (
+           SELECT w, regexp_replace(w, '(.)', '<\\1>', 'g') AS s,
+             COUNT(*) AS wc
+           FROM wf GROUP BY 1, 2),
+         $ctes,
+         nsym AS (
+           SELECT w, LEN(string_split(trim(s, '<>'), '><')) AS n_sym
+           FROM v$n),
+         sw AS (SELECT source, w, COUNT(*) AS c FROM wf GROUP BY 1, 2)
+         SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(SUM(c * n_sym) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(SUM(c * n_sym) AS DOUBLE) /
+             CAST(SUM(c) AS DOUBLE), 6) AS avg_symbols
+         FROM sw JOIN nsym USING (w)
+         GROUP BY source ORDER BY source"""
   }
 }

@@ -97,6 +97,17 @@ class Round8Spec extends AnyFunSuite {
     assert(out(3) === ((4L, "aa", "a", 1L))) // greedy cut aaa -> <aa><a>, not <a><aa>
   }
 
+  test("bpeEncodeStats: trained merges compress per-source counts as hand-computed") {
+    // 2 iterations over {low x3, aaa x1}: merges (l,o) then (lo,w) →
+    // low = 1 symbol, aaa = 3 symbols; "x" is sub-length and excluded
+    val df = Seq(("a", "low low aaa x"), ("b", "low")).toDF("source", "text")
+    val out = TextAnalysis.bpeEncodeStats(df, "text", "source", iterations = 2)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) === (("a", 3L, 5L, math.rint(5.0 / 3.0 * 1e6) / 1e6)))
+    assert(out(1) === (("b", 1L, 1L, 1.0)))
+  }
+
   // ---- clusterEmbeddings ----
 
   private def plantedVec(id: Long, k: Int, dims: Int): Array[Double] = {
