@@ -80,6 +80,62 @@ object Packing {
           .as("content_md5"))
   }
 
+  /** The per-sequence document span map for [[emitPackedSequences]]'
+    * packing — the input a training loader needs to build block-
+    * diagonal attention masks over packed sequences: one row per
+    * (sequence, document) pair with the document's start offset and
+    * token count INSIDE that sequence (a boundary-straddling document
+    * produces one row per sequence it touches).
+    *
+    * Same plan shape as emitPackedSequences: multi-level prefix scan,
+    * explode, then a groupBy((seq_id, id)) whose key is finer than the
+    * sequence — skew-free even if one doc spans many sequences.
+    */
+  def packedDocSpans(df: DataFrame, idCol: String, textCol: String,
+      seqTokens: Int = 512, blockSize: Int = 1000, levels: Int = 2): DataFrame = {
+    require(seqTokens > 0 && blockSize > 0 && levels >= 1,
+      "need positive seqTokens/blockSize and levels >= 1")
+    val d = df
+      .select(col(idCol).cast("long").as("id"),
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+    exclusivePrefix(d, "id", "n_tokens", "off", blockSize, levels)
+      .select(col("id"), col("off"), posexplode(col("_toks")))
+      .select(col("id"), (col("off") + col("pos")).as("gpos"))
+      .withColumn("seq_id", floor(col("gpos") / seqTokens).cast("long"))
+      .groupBy(col("seq_id"), col("id").as("doc_id"))
+      .agg((min(col("gpos")) - col("seq_id") * seqTokens).as("start_in_seq"),
+        count(lit(1)).as("n_tokens_in_seq"))
+  }
+
+  /** Length-bucketed batching stats: each document lands in the
+    * smallest power-of-two token bucket that holds it (clamped to
+    * `maxSeq` with truncation), and each bucket reports document count,
+    * real tokens, padding waste (bucket width minus real length, the
+    * cost of batching by bucket) and truncated tokens. The bucket is
+    * computed with integer bit arithmetic (`1 << bitlength(n-1)`), not
+    * float log2 — exact on any engine. One shuffle: the ~log2(maxSeq)-
+    * row groupBy.
+    */
+  def lengthBuckets(df: DataFrame, idCol: String, textCol: String,
+      maxSeq: Int = 1024): DataFrame = {
+    require(maxSeq >= 1, "need maxSeq >= 1")
+    val n = TextAnalysis.tokenCount(col(textCol))
+    val eff = least(n, lit(maxSeq.toLong))
+    val bucket = when(eff <= 1, lit(1L))
+      .otherwise(call_function("shiftleft", lit(1L),
+        length(bin(eff - 1)).cast("int")))
+    df.select(col(idCol), n.as("n_tok"), eff.as("n_eff"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_eff")).as("n_tokens"),
+        sum(col("bucket") - col("n_eff")).as("n_padding"),
+        sum(col("n_tok") - col("n_eff")).as("n_truncated"))
+      .withColumn("utilization",
+        round(col("n_tokens").cast("double") /
+          (col("n_tokens") + col("n_padding")).cast("double"), 6))
+  }
+
   /** Adds `outCol` = exclusive prefix sum of `valCol` in ascending
     * `keyCol` order, as a `levels`-deep distributed scan. Level-local
     * names are suffixed with the level so the recursion never collides

@@ -95,7 +95,21 @@ object Round8Queries {
       // and the same per-source join.
       TextAnalysis.bpeEncodeStats(Tables.load(s, dir, "documents"),
           "text", "source", iterations = 5)
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // ---- packed-sequence doc-span map (attention-mask input) ----
+    "q_pack_spans" -> ((s, dir) =>
+      Packing.packedDocSpans(Tables.load(s, dir, "documents"),
+          "doc_id", "text", seqTokens = 64, blockSize = 1000, levels = 2)
+        .orderBy(col("seq_id"), col("doc_id"))),
+
+    // ---- length-bucketed batching stats ----
+    "q_length_buckets" -> ((s, dir) =>
+      // maxSeq 256 sits inside the synthetic doc-length range, so both
+      // padding waste and truncation are exercised
+      Packing.lengthBuckets(Tables.load(s, dir, "documents"),
+          "doc_id", "text", maxSeq = 256)
+        .orderBy(col("bucket")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -186,7 +200,48 @@ object Round8Queries {
          FROM d JOIN c ON d.g = c.g
          ORDER BY id""",
 
-    "q_bpe_encode" -> bpeEncodeOracle(5)
+    "q_bpe_encode" -> bpeEncodeOracle(5),
+
+    "q_pack_spans" ->
+      """WITH d AS (
+           SELECT doc_id AS id,
+             string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+           FROM documents),
+         o AS (
+           SELECT id, t,
+             COALESCE(SUM(LEN(t)) OVER (ORDER BY id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS off
+           FROM d),
+         tok AS (
+           SELECT id, CAST(gpos // 64 AS BIGINT) AS seq_id, gpos
+           FROM (SELECT id, off + generate_subscripts(t, 1) - 1 AS gpos
+                 FROM o))
+         SELECT seq_id, id AS doc_id,
+           CAST(MIN(gpos) - seq_id * 64 AS BIGINT) AS start_in_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens_in_seq
+         FROM tok GROUP BY 1, 2 ORDER BY seq_id, doc_id""",
+
+    "q_length_buckets" ->
+      """WITH e AS (
+           SELECT CAST(LEN(string_split_regex(LOWER(TRIM(text)), '\s+'))
+               AS BIGINT) AS n_tok,
+             CAST(LEAST(LEN(string_split_regex(LOWER(TRIM(text)), '\s+')),
+               256) AS BIGINT) AS n_eff
+           FROM documents),
+         b AS (
+           SELECT n_tok, n_eff,
+             CASE WHEN n_eff <= 1 THEN CAST(1 AS BIGINT)
+               ELSE CAST(1 AS BIGINT) << LENGTH(bin(n_eff - 1)) END AS bucket
+           FROM e)
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_eff) AS BIGINT) AS n_tokens,
+           CAST(SUM(bucket - n_eff) AS BIGINT) AS n_padding,
+           CAST(SUM(n_tok - n_eff) AS BIGINT) AS n_truncated,
+           ROUND(CAST(SUM(n_eff) AS DOUBLE) /
+             CAST(SUM(n_eff) + SUM(bucket - n_eff) AS DOUBLE), 6)
+             AS utilization
+         FROM b GROUP BY 1 ORDER BY bucket"""
   )
 
   private def bpePairCte(src: String): String =

@@ -97,6 +97,30 @@ class Round8Spec extends AnyFunSuite {
     assert(out(3) === ((4L, "aa", "a", 1L))) // greedy cut aaa -> <aa><a>, not <a><aa>
   }
 
+  test("packedDocSpans: per-sequence doc spans, straddler split across sequences") {
+    val df = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g")).toDF("id", "text")
+    val out = Packing.packedDocSpans(df, "id", "text", seqTokens = 4)
+      .orderBy("seq_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Array(
+      (0L, 1L, 0L, 3L), (0L, 2L, 3L, 1L),  // doc 2: 1 token in seq 0...
+      (1L, 2L, 0L, 2L), (1L, 3L, 2L, 1L))) // ...and 2 in seq 1
+  }
+
+  test("lengthBuckets: power-of-two buckets, padding waste, truncation at maxSeq") {
+    val texts = Seq(1, 2, 3, 5, 300).map(n => Seq.fill(n)("t").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = Packing.lengthBuckets(df, "id", "text", maxSeq = 256)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out === Array(
+      (1L, 1L, 1L, 0L, 0L),
+      (2L, 1L, 2L, 0L, 0L),
+      (4L, 1L, 3L, 1L, 0L),
+      (8L, 1L, 5L, 3L, 0L),
+      (256L, 1L, 256L, 0L, 44L))) // 300 tokens clamp to 256, 44 truncated
+  }
+
   test("bpeEncodeStats: trained merges compress per-source counts as hand-computed") {
     // 2 iterations over {low x3, aaa x1}: merges (l,o) then (lo,w) →
     // low = 1 symbol, aaa = 3 symbols; "x" is sub-length and excluded
