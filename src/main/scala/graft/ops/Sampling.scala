@@ -13,6 +13,44 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Per-source sampling plan against a token budget: given an INTEGER
+    * mixture weight per source (`weightExpr`, evaluated against the
+    * per-source aggregate row) and a total token budget, compute each
+    * source's target tokens — `budget * w DIV sum(w)`, exact integer
+    * arithmetic so any engine reproduces it bit-for-bit — plus the
+    * sampling rate (< 1 = downsample), epoch count (> 1 = the source
+    * must repeat to fill its share, the multi-epoch regime of
+    * under-resourced sources in LLM mixtures) and the unfillable
+    * deficit beyond `maxEpochs`.
+    *
+    * Scale shape: ONE corpus scan (groupBy source + token sum); the
+    * plan math runs on the sources-sized frame against a broadcast
+    * one-row total. Nothing else touches corpus rows.
+    */
+  def tokenBudgetPlan(df: DataFrame, srcCol: String, textCol: String,
+      weightExpr: Column, budgetTokens: Long, maxEpochs: Double = 4.0): DataFrame = {
+    require(budgetTokens > 0, "need budgetTokens > 0")
+    require(maxEpochs > 0, "need maxEpochs > 0")
+    val per = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol))).as("avail_tokens"))
+      .withColumn("weight", weightExpr.cast("long"))
+    val tot = per.agg(sum(col("weight")).as("_w_total"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr(s"${budgetTokens}L * weight DIV _w_total"))
+      .withColumn("sample_rate",
+        round(least(lit(1.0), col("target_tokens").cast("double") /
+          col("avail_tokens").cast("double")), 6))
+      .withColumn("epochs",
+        round(least(lit(maxEpochs), col("target_tokens").cast("double") /
+          col("avail_tokens").cast("double")), 6))
+      .withColumn("deficit_tokens",
+        greatest(lit(0L), col("target_tokens") -
+          expr(s"CAST(floor(avail_tokens * ${maxEpochs}d) AS BIGINT)")))
+      .drop("_w_total")
+  }
+
   /** Stable per-row bucket in [0, buckets): pmod(xxhash64(id, salt)). */
   def hashBucket(id: Column, buckets: Int, salt: Int = 0): Column =
     pmod(xxhash64(id, lit(salt)), lit(buckets)).cast("int")

@@ -163,6 +163,32 @@ object Similarity {
         array_max(col("_sims")).as("cos_to_centroid"))
   }
 
+  /** Cluster-based diversity pruning (the SemDeDup / SSL-prototypes
+    * curation shape): k-means the embeddings, then keep only the
+    * `keepPerCluster` most prototypical members of each cluster —
+    * highest cosine to the learned centroid, ties broken by id. (The
+    * anti-prototype variant — DROP the most typical to diversify — is
+    * the same frame with the rank filter flipped by the caller, so the
+    * rank column is returned.)
+    *
+    * Scale shape: everything [[clusterEmbeddings]] does plus ONE
+    * per-cluster top-k — rank over (cid) partitions compiles to
+    * WindowGroupLimit, so each cluster's scan carries at most
+    * keepPerCluster rows past the filter; no global sort.
+    */
+  def clusterPrune(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, keepPerCluster: Int, lloydIters: Int = 2,
+      init: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(keepPerCluster > 0, "need keepPerCluster > 0")
+    val clustered = clusterEmbeddings(df, idCol, vecCol, nClusters,
+      lloydIters, init)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid"))
+      .orderBy(col("cos_to_centroid").desc, col(idCol))
+    clustered.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= keepPerCluster)
+  }
+
   /** Attach the nearest-centroid id (argmax cosine). The sims are
     * staged as one array column so each native cosine is evaluated
     * exactly once per row; argmax over the nCentroids-long array is a

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Packing, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -109,7 +109,48 @@ object Round8Queries {
       // padding waste and truncation are exercised
       Packing.lengthBuckets(Tables.load(s, dir, "documents"),
           "doc_id", "text", maxSeq = 256)
-        .orderBy(col("bucket")))
+        .orderBy(col("bucket"))),
+
+    // ---- cluster-based diversity pruning (planted analytic) ----
+    "q_cluster_prune" -> ((s, dir) => {
+      // the q_cluster_kmeans planted geometry with FINE dyadic jitter
+      // ((id % 251 + 1)/1024 — 251 distinct values per group) so the
+      // per-cluster prototypicality ranking has real order to cut;
+      // remaining cos ties (ids sharing id%8 and id%251) break by id,
+      // which DuckDB replays exactly since the cosines are
+      // bit-identical dyadic-rational arithmetic.
+      val K = 8
+      val ids = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("id"))
+      val g = col("id") % K
+      val d = ((col("id") % 251) + 1).cast("double") / 1024.0
+      val v = array((0 until 64).map { dim =>
+        when(g === dim, lit(1.0)).when(g === (dim - 8), d).otherwise(lit(0.0))
+      }: _*)
+      val planted = ids.select(col("id"), v.as("v"))
+      val init = (0 until K).map(gi =>
+        Array.tabulate(64)(dd => if (dd == gi) 1.0 else 0.0)).toArray
+      Similarity.clusterPrune(planted, "id", "v", nClusters = K,
+          keepPerCluster = 40, lloydIters = 2, init = Some(init))
+        .select(col("id"), col("cid"),
+          round(col("cos_to_centroid"), 6).as("cos_to_centroid"),
+          col("rk").cast("long").as("rk"))
+        .orderBy(col("id"))
+    }),
+
+    // ---- token-budget mixture plan ----
+    "q_token_budget" -> ((s, dir) =>
+      // integer weights derived from the source name (1 + length % 7)
+      // normalize inside the operator: target = budget * w DIV sum(w),
+      // all exact integer arithmetic, so the whole plan is engine-
+      // independent. Budget is ~half the corpus tokens at every SF via
+      // a per-source clamp: small sources land in the multi-epoch
+      // regime, big ones downsample.
+      Sampling.tokenBudgetPlan(Tables.load(s, dir, "documents"),
+          "source", "text",
+          weightExpr = lit(1L) + length(col("source")).cast("long") % 7L,
+          budgetTokens = 3000000L, maxEpochs = 4.0)
+        .orderBy(col("source")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -241,7 +282,49 @@ object Round8Queries {
            ROUND(CAST(SUM(n_eff) AS DOUBLE) /
              CAST(SUM(n_eff) + SUM(bucket - n_eff) AS DOUBLE), 6)
              AS utilization
-         FROM b GROUP BY 1 ORDER BY bucket"""
+         FROM b GROUP BY 1 ORDER BY bucket""",
+
+    "q_cluster_prune" ->
+      """WITH d AS (
+           SELECT CAST(vec_id AS BIGINT) AS id,
+             vec_id % 8 AS g,
+             (vec_id % 251 + 1) / 1024.0 AS dlt
+           FROM embeddings),
+         c AS (SELECT g, AVG(dlt) AS c2 FROM d GROUP BY g),
+         cosr AS (
+           SELECT id, CAST(d.g AS INTEGER) AS cid,
+             (1.0 + dlt * c2) /
+               (SQRT(1.0 + dlt * dlt) * SQRT(1.0 + c2 * c2)) AS cos_raw
+           FROM d JOIN c ON d.g = c.g),
+         rk AS (
+           SELECT id, cid, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY cid
+               ORDER BY cos_raw DESC, id) AS rk
+           FROM cosr)
+         SELECT id, cid, ROUND(cos_raw, 6) AS cos_to_centroid,
+           CAST(rk AS BIGINT) AS rk
+         FROM rk WHERE rk <= 40 ORDER BY id""",
+
+    "q_token_budget" ->
+      """WITH per AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(LEN(string_split_regex(LOWER(TRIM(text)), '\s+')))
+               AS BIGINT) AS avail_tokens,
+             CAST(1 + LENGTH(source) % 7 AS BIGINT) AS weight
+           FROM documents GROUP BY source),
+         tot AS (SELECT SUM(weight) AS w_total FROM per)
+         SELECT source, n_docs, avail_tokens, weight,
+           CAST(3000000 * weight // w_total AS BIGINT) AS target_tokens,
+           ROUND(LEAST(1.0,
+             CAST(3000000 * weight // w_total AS DOUBLE) /
+             CAST(avail_tokens AS DOUBLE)), 6) AS sample_rate,
+           ROUND(LEAST(4.0,
+             CAST(3000000 * weight // w_total AS DOUBLE) /
+             CAST(avail_tokens AS DOUBLE)), 6) AS epochs,
+           GREATEST(CAST(0 AS BIGINT),
+             CAST(3000000 * weight // w_total AS BIGINT) -
+             CAST(FLOOR(avail_tokens * 4.0) AS BIGINT)) AS deficit_tokens
+         FROM per CROSS JOIN tot ORDER BY source"""
   )
 
   private def bpePairCte(src: String): String =

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Packing, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -165,6 +165,45 @@ class Round8Spec extends AnyFunSuite {
     assert(a.forall(r => r._2 >= 0 && r._2 < 8))
     assert(a.map(_._2).distinct.length > 1, "degenerate single-cluster outcome")
     assert(a.sameElements(run()), "fixed seeds must make reruns identical")
+  }
+
+  test("clusterPrune: top-m per cluster with id tie-break; per-key limit pushed into the window") {
+    val k = 4
+    val df = (0L until 40L).map(i => (i, plantedVec(i, k, 16).toSeq))
+      .toDF("id", "v")
+    val init = (0 until k).map(g =>
+      Array.tabulate(16)(d => if (d == g) 1.0 else 0.0)).toArray
+    val out = Similarity.clusterPrune(df, "id", "v", k, keepPerCluster = 3,
+      lloydIters = 2, init = Some(init))
+    val rows = out.collect()
+    assert(rows.length === k * 3)
+    assert(rows.groupBy(_.getInt(1)).forall(_._2.length === 3))
+    // identical-jitter members tie on cos; rank must break by id
+    val perCid = rows.groupBy(_.getInt(1)).view.mapValues(
+      _.sortBy(_.getInt(3)).map(_.getLong(0)).toSeq).toMap
+    perCid.values.foreach { ids =>
+      val ties = ids.groupBy(_ % 5) // same id%5 → same jitter → same cos
+      ties.values.foreach(t => assert(t == t.sorted))
+    }
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "per-cluster top-k must compile to WindowGroupLimit, not a full rank")
+  }
+
+  test("tokenBudgetPlan: integer targets, downsample and multi-epoch regimes, deficit") {
+    // source a: 10 tokens, weight 1; source bb: 2 tokens, weight 3
+    val df = Seq(
+      ("a", Seq.fill(10)("t").mkString(" ")),
+      ("bb", "t t")).toDF("source", "text")
+    val out = Sampling.tokenBudgetPlan(df, "source", "text",
+        weightExpr = length(col("source")).cast("long"),
+        budgetTokens = 40L, maxEpochs = 4.0)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getLong(7)))
+    // W = 3; a: target 40*1/3 = 13 → rate 1.0? no: 13 > 10 avail → rate 1, epochs 1.3
+    assert(out(0) === (("a", 1L, 10L, 1L, 13L, 1.0, 1.3, 0L)))
+    // bb: target 40*2/3 = 26, avail 2 → rate 1, epochs capped 4.0, deficit 26-8=18
+    assert(out(1) === (("bb", 1L, 2L, 2L, 26L, 1.0, 4.0, 18L)))
   }
 
   test("substringDedup: dup detection is a map-combinable aggregate, not a window") {
