@@ -327,6 +327,27 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair")).limit(topK)
   }
 
+  /** Canonical Unicode text cleanup — the normalization pass a crawl
+    * corpus runs before any dedup/quality stage (CCNet/OSCAR shape):
+    * NFC composition (so visually identical strings hash identically),
+    * control/format character strip (zero-widths, bidi marks, raw
+    * control bytes), whitespace collapse, trim. All four stages are
+    * engine-reproducible: NFC is stability-guaranteed across Unicode
+    * versions, and the regex classes (`\p{Cc}`, `\p{Cf}`, ASCII `\s`)
+    * mean the same thing to Java regex and RE2. Pure per-row codegen'd
+    * work — the NFC step is a native Catalyst expression
+    * ([[graft.functions.NfcNormalize]]) with an isNormalized fast path,
+    * not a UDF — so the pass stays inside whole-stage codegen with
+    * zero shuffle.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        graft.functions.StringExpressions.nfc_normalize(
+          coalesce(text, lit(""))),
+        "[\\p{Cc}\\p{Cf}]", ""),
+      "\\s+", " "))
+
   /** Iterated BPE training (Sennrich et al. 2016): run `iterations`
     * merge rounds, each picking the most frequent adjacent symbol pair
     * (ties broken by pair text) and applying it greedily left-to-right

@@ -150,7 +150,29 @@ object Round8Queries {
           "source", "text",
           weightExpr = lit(1L) + length(col("source")).cast("long") % 7L,
           budgetTokens = 3000000L, maxEpochs = 4.0)
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // ---- Unicode text normalization (NFC + strip + collapse) ----
+    "q_text_normalize" -> ((s, dir) => {
+      // planted denormalized docs: decomposed accents (NFC must
+      // compose), zero-width space, BEL control, tab runs, LRM bidi
+      // mark, pad spaces — on top of every 10th organic doc. The
+      // oracle rebuilds the identical plant with chr() codes and
+      // replays the same 4-stage normalization.
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val off = docs.agg(max(col("id"))).head().getAs[Number](0).longValue + 1L
+      val planted = docs.filter(col("id") % 10 === 0)
+        .select((col("id") + off).as("id"),
+          concat(lit("  Cafe\u0301 du\u200B monde\u0007 \t "),
+            col("text"), lit("  tail\u200E  ")).as("text"))
+      val corpus = docs.unionByName(planted)
+      corpus.select(col("id"),
+          TextAnalysis.normalizeText(col("text")).as("norm_text"),
+          (TextAnalysis.normalizeText(col("text")) =!=
+            coalesce(col("text"), lit(""))).as("changed"))
+        .orderBy(col("id"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -324,7 +346,26 @@ object Round8Queries {
            GREATEST(CAST(0 AS BIGINT),
              CAST(3000000 * weight // w_total AS BIGINT) -
              CAST(FLOOR(avail_tokens * 4.0) AS BIGINT)) AS deficit_tokens
-         FROM per CROSS JOIN tot ORDER BY source"""
+         FROM per CROSS JOIN tot ORDER BY source""",
+
+    "q_text_normalize" ->
+      """WITH o AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+         corpus AS (
+           SELECT doc_id AS id, text FROM documents
+           UNION ALL
+           SELECT doc_id + off,
+             '  Cafe' || chr(769) || ' du' || chr(8203) || ' monde' ||
+             chr(7) || ' ' || chr(9) || ' ' || text ||
+             '  tail' || chr(8206) || '  '
+           FROM documents CROSS JOIN o WHERE doc_id % 10 = 0),
+         n AS (
+           SELECT id, COALESCE(text, '') AS text,
+             TRIM(regexp_replace(regexp_replace(
+               nfc_normalize(COALESCE(text, '')),
+               '[\p{Cc}\p{Cf}]', '', 'g'), '\s+', ' ', 'g')) AS norm_text
+           FROM corpus)
+         SELECT id, norm_text, (norm_text <> text) AS changed
+         FROM n ORDER BY id"""
   )
 
   private def bpePairCte(src: String): String =

@@ -132,6 +132,23 @@ class Round8Spec extends AnyFunSuite {
     assert(out(1) === (("b", 1L, 1L, 1.0)))
   }
 
+  test("normalizeText: NFC composes, invisibles strip, whitespace collapses, null degrades") {
+    val df = Seq(
+      (1L, "  Café du​ monde \t x  "),
+      (2L, "already clean"),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "Café du monde x") // composed single codepoint
+    assert(out(2L) === "already clean")
+    assert(out(3L) === "")
+    // the NFC step is a native expression, not a UDF — the projection
+    // must stay inside whole-stage codegen
+    val plan = df.select(TextAnalysis.normalizeText(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
   // ---- clusterEmbeddings ----
 
   private def plantedVec(id: Long, k: Int, dims: Int): Array[Double] = {
