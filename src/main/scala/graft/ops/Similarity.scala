@@ -154,13 +154,22 @@ object Similarity {
         .collect().map(_.getSeq[Double](0).toArray))
       lloydRefine(vecs.select(col("v")), c0, lloydIters)
     } finally vecs.unpersist(blocking = false)
+    // ONE evaluation of the nClusters cosines per row: the argmax is a
+    // max over (sim, -idx) structs (ties → first index, matching
+    // withIvfCid's array_position semantics), and the explode of the
+    // 1-element array is a Generate barrier — without it,
+    // ProjectCollapse inlines the struct into both output columns and
+    // the cosine array is computed twice per row (measured 2x on the
+    // k=64 probe).
     val sims = array(cents.map(c => cosine(col("_cv"), typedlit(c))): _*)
+    val best = array_max(zip_with(sims,
+      sequence(lit(0), lit(cents.length - 1)),
+      (s, i) => struct(s.as("sim"), (-i).as("negidx"))))
     df.select(col(idCol), col(vecCol).cast("array<double>").as("_cv"))
-      .withColumn("_sims", sims)
+      .select(col(idCol), explode(array(best)).as("_b"))
       .select(col(idCol),
-        (array_position(col("_sims"), array_max(col("_sims"))) - 1)
-          .cast("int").as("cid"),
-        array_max(col("_sims")).as("cos_to_centroid"))
+        (-col("_b.negidx")).cast("int").as("cid"),
+        col("_b.sim").as("cos_to_centroid"))
   }
 
   /** Cluster-based diversity pruning (the SemDeDup / SSL-prototypes
@@ -189,19 +198,26 @@ object Similarity {
       .filter(col("rk") <= keepPerCluster)
   }
 
-  /** Attach the nearest-centroid id (argmax cosine). The sims are
-    * staged as one array column so each native cosine is evaluated
-    * exactly once per row; argmax over the nCentroids-long array is a
-    * cheap interpreted pass. At scale, WRITE the table partitioned by
-    * this column — a probe then reads only nProbe directories.
+  /** Attach the nearest-centroid id (argmax cosine). The argmax is a
+    * single max over (sim, -idx) structs behind a Generate barrier
+    * (explode of a 1-element array), so the nCentroids native cosines
+    * are evaluated EXACTLY once per row — the earlier
+    * array_position(x, array_max(x)) form let ProjectCollapse inline
+    * the staged array into both consumers, doubling the per-row cosine
+    * work (the r7-documented HOF-inlining trap, caught on the k=64
+    * probe). Ties keep first-index semantics: max of -idx is min idx.
+    * At scale, WRITE the table partitioned by this column — a probe
+    * then reads only nProbe directories.
     */
   def withIvfCid(df: DataFrame, vecCol: String,
       centroids: Array[Array[Double]], out: String): DataFrame = {
     val sims = array(centroids.map(c => cosine(col(vecCol), typedlit(c))): _*)
-    df.withColumn("_sims", sims)
-      .withColumn(out,
-        (array_position(col("_sims"), array_max(col("_sims"))) - 1).cast("int"))
-      .drop("_sims")
+    val best = array_max(zip_with(sims,
+      sequence(lit(0), lit(centroids.length - 1)),
+      (s, i) => struct(s.as("sim"), (-i).as("negidx"))))
+    df.select(col("*"), explode(array(best)).as("_b"))
+      .withColumn(out, (-col("_b.negidx")).cast("int"))
+      .drop("_b")
   }
 
   /** IVF approximate top-k: probe the nProbe centroid cells nearest the
