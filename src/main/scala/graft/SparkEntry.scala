@@ -27,7 +27,8 @@ object SparkEntry {
     graft.queries.Round4Queries.queries ++
     graft.queries.Round6Queries.queries ++
     graft.queries.Round7Queries.queries ++
-    graft.queries.Round8Queries.queries
+    graft.queries.Round8Queries.queries ++
+    graft.queries.Round8bQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
     graft.queries.Round4Queries.oracles ++
     graft.queries.Round6Queries.oracles ++
     graft.queries.Round7Queries.oracles ++
-    graft.queries.Round8Queries.oracles
+    graft.queries.Round8Queries.oracles ++
+    graft.queries.Round8bQueries.oracles
 }

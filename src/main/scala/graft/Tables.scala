@@ -17,17 +17,28 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, dir) else spark.read.parquet(path(dir, name))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and convert with
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (rounds
+    * ≤7), which Spark's vectorized reader rejects without the legacy
+    * nanos-as-long conf, and TIMESTAMP(MICROS) (round 8 regeneration).
+    * Handle both: set the legacy conf (a no-op for micros files), then
+    * branch on the type that actually materialized. Nanos convert with
     * integer division — going through a double would lose precision at
-    * ~1.7e18 ns. DuckDB's CAST(ts AS TIMESTAMP) truncates ns→us the same
-    * way, so oracle parity holds.
+    * ~1.7e18 ns; DuckDB's CAST(ts AS TIMESTAMP) truncates ns→us the
+    * same way. Micros (TIMESTAMP_NTZ in Spark 4) cast to session-tz
+    * TimestampType, a no-shift rename under the UTC session the
+    * engine pins everywhere, keeping every downstream comparison and
+    * window identical across both layouts.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.read.parquet(path(dir, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` works too. */

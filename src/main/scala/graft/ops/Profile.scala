@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-quality / data-versioning operators: whole-table column
+  * profiling, order-independent corpus fingerprinting, and snapshot
+  * diffing. The reference engine exposes none of this; it belongs to
+  * the beyond-reference pipeline layer — at 100 TB you never re-read a
+  * corpus to answer "did anything change?", you compare fingerprints,
+  * and you gate every ingest behind a profile (null explosions, type
+  * drift, cardinality collapse are cheaper to catch in one aggregate
+  * than in a failed training run).
+  */
+object Profile {
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  /** One-pass column profile: for every column, row/null/distinct
+    * counts plus min/max (numeric columns as exact doubles, timestamps
+    * as epoch micros, strings by binary collation). Exact
+    * `count(distinct)` makes Catalyst plan an Expand (input × ncols)
+    * before the single shuffle — right for a profile you hash-verify;
+    * [[profileApprox]] is the 100 TB variant (one pass, no Expand,
+    * HLL++ distinct).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val schema = df.schema
+    val aggs = cols.flatMap { c =>
+      val dt = schema(c).dataType
+      val (minNum, maxNum) = dt match {
+        case t if isNumeric(t) =>
+          (min(col(c)).cast("double"), max(col(c)).cast("double"))
+        case _: TimestampType | _: TimestampNTZType =>
+          // NTZ casts to session-tz timestamp first (no shift under the
+          // engine's pinned UTC session); epoch micros are exact i64
+          (min(unix_micros(col(c).cast("timestamp"))).cast("double"),
+            max(unix_micros(col(c).cast("timestamp"))).cast("double"))
+        case _ => (lit(null).cast("double"), lit(null).cast("double"))
+      }
+      val (minStr, maxStr) = dt match {
+        case _: StringType => (min(col(c)), max(col(c)))
+        case _ => (lit(null).cast("string"), lit(null).cast("string"))
+      }
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        minNum.as(s"__mn_$c"), maxNum.as(s"__mx_$c"),
+        minStr.as(s"__ms_$c"), maxStr.as(s"__xs_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single stats row into one output row per column
+    val perCol = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        lit(schema(c).dataType.simpleString).as("dtype"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_num"), col(s"__mx_$c").as("max_num"),
+        col(s"__ms_$c").as("min_str"), col(s"__xs_$c").as("max_str"))
+    }
+    row.select(explode(array(perCol: _*)).as("p")).select("p.*")
+  }
+
+  /** The profile a 100 TB table actually gets: identical shape but
+    * `approx_count_distinct` — single pass, no Expand, mergeable
+    * sketches instead of exact distinct shuffles.
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    val schema = df.schema
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__nd_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        lit(schema(c).dataType.simpleString).as("dtype"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"))
+    }
+    row.select(explode(array(perCol: _*)).as("p")).select("p.*")
+  }
+
+  /** Per-document 60-bit content hash both engines can recompute:
+    * md5(id ':' text), first 15 hex chars parsed base-16. 60 bits keeps
+    * the value non-negative in an i64 and leaves xor-combination exact.
+    */
+  private def docHash(idCol: String, textCol: String) =
+    conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+      coalesce(col(textCol), lit("")))), 1, 15), 16, 10).cast("long")
+
+  /** Order-independent corpus fingerprint per group: doc count, token
+    * count, and the XOR of per-doc content hashes. XOR is commutative/
+    * associative and closed over 64 bits, so the fingerprint is
+    * independent of partitioning, task order, and merge order — the
+    * property that makes it usable as a distributed content checksum
+    * (sum would need overflow bookkeeping; float anything would need
+    * ordering). One scan, one small shuffle on the group key; two
+    * corpora are equal-content iff every (group, fp, n_docs) row
+    * matches, up to 2^-60-scale collision odds per group.
+    */
+  def corpusFingerprint(df: DataFrame, idCol: String, textCol: String,
+                        groupCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        docHash(idCol, textCol).as("h"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        expr("bit_xor(h)").as("fingerprint"))
+
+  /** Snapshot diff: classify every doc id across two corpus versions as
+    * added / removed / changed / unchanged by comparing content hashes,
+    * and aggregate counts per group. One co-partitioned full-outer join
+    * on the id — the 100 TB shape (both sides shuffle once on the same
+    * key; with both snapshots bucketed by id it's shuffle-free).
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+                   textCol: String, groupCol: String): DataFrame = {
+    def prep(df: DataFrame) =
+      df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        docHash(idCol, textCol).as("h"))
+    val j = prep(v1).alias("a")
+      .join(prep(v2).alias("b"), col("a.id") === col("b.id"), "full_outer")
+    val status = when(col("a.id").isNull, "added")
+      .when(col("b.id").isNull, "removed")
+      .when(col("a.h") === col("b.h"), "unchanged")
+      .otherwise("changed")
+    j.select(coalesce(col("b.grp"), col("a.grp")).as("grp"),
+        status.as("status"))
+      .groupBy("grp", "status")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+}

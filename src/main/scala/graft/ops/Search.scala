@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance search over a document corpus: an explicit
+  * inverted index (postings list) plus a deterministic BM25-style
+  * ranker on top of it.
+  *
+  * The reference engine has no text-search surface; this is part of the
+  * beyond-reference training-pipeline layer (SURVEY §2.11): a corpus
+  * catalog at 100 TB needs "find the documents about X" as a first-
+  * class operator, and the scalable shape is index-once / search-many —
+  * the postings frame is built in one shuffle, persisted (or written
+  * bucketed by term), and every query afterwards touches only the
+  * postings of its own terms (a pushed-down `term IN (...)` filter that
+  * prunes to a few million rows no matter how big the corpus is).
+  *
+  * Determinism note (the whole file follows the repo's oracle
+  * discipline): scoring uses only IEEE-exact double ops (divide,
+  * multiply, add) evaluated in a FIXED fold order over the query terms
+  * — per-doc term frequencies are aggregated as exact integers first,
+  * then combined in one projection, so there is no floating-point
+  * aggregation across an unordered shuffle anywhere. The classic BM25
+  * log-idf is replaced by the rational idf N/df (log is monotone in it,
+  * so single-term ranking is identical and multi-term ranking is the
+  * same family up to idf weighting) because `ln` is not correctly
+  * rounded and would differ across engines in the last ulp.
+  */
+object Search {
+
+  /** Postings list: one row per (term, doc) with the term frequency.
+    * One wide shuffle on (term, doc_id) with map-side partial
+    * aggregation; at 100 TB this is the index-build job you run once
+    * and write out partitioned/bucketed by `term`.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-term saturated-tf × rational-idf contribution, built from
+    * exact-integer tf/df/N so the double arithmetic is a fixed op
+    * sequence: (tf/(tf+k1)) * (N/df).
+    */
+  private def contribution(tf: Column, df: Column, n: Column, k1: Double): Column =
+    when(tf > 0 && df > 0,
+      (tf.cast("double") / (tf.cast("double") + lit(k1))) *
+        (n.cast("double") / df.cast("double")))
+      .otherwise(lit(0.0))
+
+  /** Top-k relevance search over a prebuilt postings frame.
+    *
+    * Plan shape: filter postings to the query terms (pushed to the
+    * scan), pivot the ≤|terms| surviving rows per doc into integer tf
+    * columns (one small shuffle keyed by doc_id), broadcast the one-row
+    * df frame, score in a single projection with a fixed left-to-right
+    * fold over the term order, and take the global top-k
+    * (TakeOrderedAndProject — no full sort). Nothing in the plan scales
+    * with corpus size except the pruned postings scan.
+    *
+    * @param nDocs corpus size as a 1-row/1-col frame (cross-joined in
+    *              plan, so no driver-side action is forced here)
+    */
+  def searchIndex(postings: DataFrame, terms: Seq[String], k: Int,
+                  nDocs: DataFrame, k1: Double = 1.5): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "query terms must be non-empty and distinct")
+    val hit = postings.filter(col("term").isin(terms: _*))
+    // one row: df per term (document frequency), exact integers
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, lit(1L)).otherwise(lit(0L))).as(s"df_$i")
+    }
+    val dfRow = hit.groupBy().agg(dfAggs.head, dfAggs.tail: _*)
+    // per doc: tf per term, exact integers
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf")).otherwise(lit(0L))).as(s"tf_$i")
+    }
+    val tfs = hit.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+    val n = nDocs.select(col(nDocs.columns.head).cast("long").as("n_corpus"))
+    val scored = tfs.crossJoin(broadcast(dfRow)).crossJoin(broadcast(n))
+    val score = terms.indices.foldLeft(lit(0.0)) { (acc, i) =>
+      acc + contribution(col(s"tf_$i"), col(s"df_$i"), col("n_corpus"), k1)
+    }
+    val nHit = terms.indices.foldLeft(lit(0L)) { (acc, i) =>
+      acc + when(col(s"tf_$i") > 0, lit(1L)).otherwise(lit(0L))
+    }
+    scored.select(col("doc_id"), nHit.as("n_hit"), score.as("score_raw"))
+      .orderBy(col("score_raw").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_hit"),
+        round(col("score_raw"), 6).as("score"))
+  }
+
+  /** Convenience one-shot: build the index in-plan and search it.
+    * Two passes over the corpus (postings + the corpus-size count);
+    * at scale you'd persist the postings frame and reuse it.
+    */
+  def searchDocs(df: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k: Int, k1: Double = 1.5): DataFrame =
+    searchIndex(invertedIndex(df, idCol, textCol), terms, k,
+      df.groupBy().agg(count(lit(1)).as("n")), k1)
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Profile, Search}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 part 2: catalog-grade operators the pipeline layer was still
+  * missing — full-text relevance search over an inverted index, one-
+  * pass whole-table column profiling, order-independent corpus
+  * fingerprinting, and snapshot diffing. Every query is deterministic
+  * and recomputed end to end by its DuckDB oracle.
+  */
+object Round8bQueries {
+
+  private val searchTerms = Seq("spark", "query", "join", "filter")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- inverted-index relevance search (BM25-style, rational idf) ----
+    "q_text_search" -> ((s, dir) => {
+      // scoring is exact-integer tf/df/N combined with IEEE-exact
+      // double ops in a fixed fold order, so both engines produce
+      // bit-identical scores; ties (docs with identical tf vectors)
+      // break by doc_id
+      Search.searchDocs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", searchTerms, k = 20)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ---- one-pass column profile (orders: 3 dtypes, 6 columns) ----
+    "q_profile" -> ((s, dir) =>
+      Profile.profile(Tables.load(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+        .orderBy(col("col_name"))),
+
+    // ---- order-independent corpus fingerprint per source ----
+    "q_fingerprint" -> ((s, dir) =>
+      Profile.corpusFingerprint(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source")
+        .orderBy(col("grp"))),
+
+    // ---- snapshot diff (planted v2: drops, edits, adds) ----
+    "q_snapshot_diff" -> ((s, dir) => {
+      // v2 derived from v1 by exact integer rules: every 31st doc
+      // dropped, every 17th surviving doc edited (text + ' v2'),
+      // every 41st doc re-added as a new id past the v1 range — the
+      // diff must classify all four ways via content hashes alone
+      val v1 = Tables.load(s, dir, "documents")
+      val off = v1.agg(max(col("doc_id"))).head().getAs[Number](0).longValue + 1L
+      val kept = v1.filter(col("doc_id") % 31 =!= 0)
+      val edited = kept.withColumn("text",
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      val added = v1.filter(col("doc_id") % 41 === 0)
+        .withColumn("doc_id", col("doc_id") + off)
+      val v2 = edited.unionByName(added)
+      Profile.snapshotDiff(v1, v2, "doc_id", "text", "source")
+        .orderBy(col("grp"), col("status"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q_text_search" -> {
+      val tf = searchTerms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf_$i"
+      }.mkString(", ")
+      val df = searchTerms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+        .mkString(", ")
+      val contrib = searchTerms.indices.map(i =>
+        s"""(CASE WHEN tf_$i > 0 AND df_$i > 0
+            THEN (CAST(tf_$i AS DOUBLE) / (CAST(tf_$i AS DOUBLE) + 1.5)) *
+                 (CAST(n_corpus AS DOUBLE) / CAST(df_$i AS DOUBLE))
+            ELSE 0.0 END)""").mkString(" + ")
+      val nHit = searchTerms.indices.map(i =>
+        s"(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH d AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+               x -> LENGTH(x) > 0) AS t
+           FROM documents),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM documents),
+         tf AS (SELECT doc_id, $tf FROM d),
+         dfr AS (SELECT $df FROM tf),
+         s AS (
+           SELECT doc_id,
+             CAST($nHit AS BIGINT) AS n_hit,
+             0.0 + $contrib AS score_raw
+           FROM tf CROSS JOIN dfr CROSS JOIN n)
+         SELECT doc_id, n_hit, ROUND(score_raw, 6) AS score
+         FROM s WHERE n_hit > 0 ORDER BY score_raw DESC, doc_id LIMIT 20"""
+    },
+
+    "q_profile" -> {
+      val cols = Seq(
+        ("o_orderkey", "bigint", "num"), ("o_custkey", "bigint", "num"),
+        ("o_orderstatus", "string", "str"), ("o_totalprice", "double", "num"),
+        ("o_orderdate", "timestamp_ntz", "ts"), ("o_orderpriority", "string", "str"))
+      cols.map { case (c, dt, kind) =>
+        val (mn, mx) = kind match {
+          case "num" => (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)")
+          case "ts" => (s"CAST(epoch_us(MIN($c)) AS DOUBLE)",
+            s"CAST(epoch_us(MAX($c)) AS DOUBLE)")
+          case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+        }
+        val (ms, xs) =
+          if (kind == "str") (s"MIN($c)", s"MAX($c)")
+          else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        s"""SELECT '$c' AS col_name, '$dt' AS dtype,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+             CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             $mn AS min_num, $mx AS max_num,
+             $ms AS min_str, $xs AS max_str
+           FROM orders"""
+      }.mkString("", "\n         UNION ALL ", "\n         ORDER BY col_name")
+    },
+
+    "q_fingerprint" ->
+      """SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(string_split_regex(LOWER(TRIM(text)), '\s+')))
+             AS BIGINT) AS n_tokens,
+           bit_xor(CAST(('0x' || substr(md5(
+             CAST(doc_id AS VARCHAR) || ':' || COALESCE(text, '')), 1, 15))
+             AS BIGINT)) AS fingerprint
+         FROM documents GROUP BY source ORDER BY grp""",
+
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+         v1 AS (
+           SELECT doc_id AS id, source AS grp,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+               COALESCE(text, '')), 1, 15)) AS BIGINT) AS h
+           FROM documents),
+         v2raw AS (
+           SELECT doc_id AS id, source AS grp,
+             CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 31 <> 0
+           UNION ALL
+           SELECT doc_id + off, source, text
+           FROM documents CROSS JOIN o WHERE doc_id % 41 = 0),
+         v2 AS (
+           SELECT id, grp,
+             CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' ||
+               COALESCE(text, '')), 1, 15)) AS BIGINT) AS h
+           FROM v2raw),
+         j AS (
+           SELECT COALESCE(b.grp, a.grp) AS grp,
+             CASE WHEN a.id IS NULL THEN 'added'
+               WHEN b.id IS NULL THEN 'removed'
+               WHEN a.h = b.h THEN 'unchanged'
+               ELSE 'changed' END AS status
+           FROM v1 a FULL OUTER JOIN v2 b ON a.id = b.id)
+         SELECT grp, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM j GROUP BY grp, status ORDER BY grp, status"""
+  )
+}

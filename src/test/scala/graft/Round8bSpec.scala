@@ -1,0 +1,129 @@
+package graft
+
+import graft.ops.{Profile, Search}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 part 2: inverted-index relevance search, column profiling,
+  * corpus fingerprinting, snapshot diffing.
+  */
+class Round8bSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- invertedIndex / searchIndex ----
+
+  test("invertedIndex: one row per (term, doc) with the term frequency") {
+    val df = Seq((1L, "a b a"), (2L, "b b c"), (3L, "")).toDF("id", "text")
+    val idx = Search.invertedIndex(df, "id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(idx === Map(("a", 1L) -> 2L, ("b", 1L) -> 1L,
+      ("b", 2L) -> 2L, ("c", 2L) -> 1L))
+  }
+
+  test("searchDocs: rarer terms rank higher via rational idf; ties break by id") {
+    // "rare" appears in 1 of 4 docs, "common" in all 4: one rare hit
+    // must outscore one common hit (idf 4/1 vs 4/4)
+    val df = Seq(
+      (1L, "common x y"), (2L, "common rare y"),
+      (3L, "common y z"), (4L, "common z z")).toDF("id", "text")
+    val out = Search.searchDocs(df, "id", "text", Seq("rare", "common"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.head._1 === 2L && out.head._2 === 2L) // both terms hit
+    // remaining three docs have identical tf vectors → id order
+    assert(out.drop(1).map(_._1).toSeq === Seq(1L, 3L, 4L))
+    // common-only score: (1/2.5) * (4/4) = 0.4 exactly
+    assert(out(1)._3 === 0.4)
+  }
+
+  test("searchDocs: tf saturation — 10x repetition does not 10x the score") {
+    val df = Seq((1L, Seq.fill(10)("t").mkString(" ")), (2L, "t once"))
+      .toDF("id", "text")
+    val out = Search.searchDocs(df, "id", "text", Seq("t"), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // tf=10 → 10/11.5 = 0.869565 vs tf=1 → 1/2.5 = 0.4 (idf = 1)
+    assert(out(1L) > out(2L) && out(1L) < out(2L) * 2.5)
+  }
+
+  test("searchDocs: docs matching no term are absent; k caps the result") {
+    val df = Seq((1L, "a b"), (2L, "c d"), (3L, "a a"), (4L, "a c"))
+      .toDF("id", "text")
+    val out = Search.searchDocs(df, "id", "text", Seq("a"), k = 2).collect()
+    assert(out.length === 2)
+    assert(out.map(_.getLong(0)).toSet === Set(3L, 1L)) // tf 2 then tf 1 (id tie-break vs 4)
+  }
+
+  test("searchIndex plan: postings filter is pushed, df/n sides broadcast") {
+    val df = Seq((1L, "a b"), (2L, "b c")).toDF("id", "text")
+    val plan = Search.searchDocs(df, "id", "text", Seq("b"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  // ---- profile ----
+
+  test("profile: nulls, distincts, numeric/string/timestamp min-max per column") {
+    val df = Seq(
+      (Some(1L), Some("b"), Some(2.5), Some(java.sql.Timestamp.valueOf("2024-01-02 03:04:05"))),
+      (Some(3L), None, Some(1.5), None),
+      (None, Some("a"), Some(2.5), Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))
+      .toDF("k", "s", "v", "ts")
+    val out = Profile.profile(df, Seq("k", "s", "v", "ts"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getString(1) === "bigint" && k.getLong(2) === 3L &&
+      k.getLong(3) === 1L && k.getLong(4) === 2L &&
+      k.getDouble(5) === 1.0 && k.getDouble(6) === 3.0 && k.isNullAt(7))
+    val s = out("s")
+    assert(s.getLong(3) === 1L && s.getLong(4) === 2L &&
+      s.isNullAt(5) && s.getString(7) === "a" && s.getString(8) === "b")
+    val v = out("v")
+    assert(v.getLong(3) === 0L && v.getLong(4) === 2L &&
+      v.getDouble(5) === 1.5 && v.getDouble(6) === 2.5)
+    val ts = out("ts")
+    assert(ts.getLong(3) === 1L && ts.getLong(4) === 2L && ts.getDouble(5) > 0)
+  }
+
+  test("profileApprox: same counts, approximate distincts within rsd") {
+    val df = spark.range(0, 10000).select(col("id"), (col("id") % 100).as("m"))
+    val out = Profile.profileApprox(df, Seq("id", "m"), rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("id").getLong(3) === 0L)
+    val ndM = out("m").getLong(4).toDouble
+    assert(ndM > 80 && ndM < 120) // 100 ± rsd slack
+    // single pass: no Expand in the plan (the exact profile has one)
+    val approxPlan = Profile.profileApprox(df, Seq("id", "m"))
+      .queryExecution.executedPlan.toString
+    val exactPlan = Profile.profile(df, Seq("id", "m"))
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand") && exactPlan.contains("Expand"))
+  }
+
+  // ---- corpusFingerprint / snapshotDiff ----
+
+  test("corpusFingerprint: partitioning-invariant, content-sensitive") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i body", s"src${i % 3}"))
+    val a = docs.toDF("id", "text", "src")
+    val b = spark.createDataFrame(spark.sparkContext
+      .parallelize(scala.util.Random.shuffle(docs), 7))
+      .toDF("id", "text", "src")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Profile.corpusFingerprint(df, "id", "text", "src")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(fp(a) === fp(b)) // order/partitioning independent
+    val mutated = a.withColumn("text",
+      when(col("id") === 42L, lit("tampered")).otherwise(col("text")))
+    val fa = fp(a); val fm = fp(mutated)
+    assert(fa("src0") !== fm("src0")) // 42 % 3 = 0
+    assert(fa("src1") === fm("src1") && fa("src2") === fm("src2"))
+  }
+
+  test("snapshotDiff: classifies added/removed/changed/unchanged") {
+    val v1 = Seq((1L, "a", "s"), (2L, "b", "s"), (3L, "c", "s")).toDF("id", "text", "src")
+    val v2 = Seq((1L, "a", "s"), (2L, "B2", "s"), (4L, "d", "s")).toDF("id", "text", "src")
+    val out = Profile.snapshotDiff(v1, v2, "id", "text", "src")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+}
