@@ -313,6 +313,44 @@ object ScaleProbe {
       graft.ops.Similarity.bruteForceTopK(emb10, "vec_id", "embedding",
         query, k = 10).count()
     }
+
+    // round-8b probes: search / profile / fingerprint / diff over the
+    // 10x corpus — the index-once / search-many split is the part that
+    // matters at 100 TB, so build and search are timed separately
+    val pIdxDir = s"$out/postings_idx"
+    if (!Files.exists(Paths.get(s"$pIdxDir/_SUCCESS"))) {
+      val t0 = System.nanoTime()
+      graft.ops.Search.invertedIndex(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(pIdxDir)
+      println(f"[probe] one-off inverted-index build over 10x docs: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    time("top-20 relevance search over the PERSISTED postings index") {
+      graft.ops.Search.searchIndex(spark.read.parquet(pIdxDir),
+        Seq("spark", "query", "join", "filter"), k = 20,
+        docs.groupBy().agg(count(lit(1)).as("n"))).count()
+    }
+    time("phrase search (in-plan positional index, 10x docs)") {
+      graft.ops.Search.phraseSearch(
+        graft.ops.Search.positionalIndex(docs, "doc_id", "text"),
+        Seq("query", "join"), k = 20).count()
+    }
+    time("exact column profile of 6M-row lineitem (6 cols)") {
+      graft.ops.Profile.profile(li, Seq("l_orderkey", "l_partkey",
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")).count()
+    }
+    time("approx column profile of 6M-row lineitem (same cols)") {
+      graft.ops.Profile.profileApprox(li, Seq("l_orderkey", "l_partkey",
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")).count()
+    }
+    time("corpus fingerprint over 10x docs") {
+      graft.ops.Profile.corpusFingerprint(docs, "doc_id", "text", "source").count()
+    }
+    time("snapshot diff: 10x docs vs mutated v2 (drops/edits/adds)") {
+      val v2 = docs.filter(col("doc_id") % 31 =!= 0)
+        .withColumn("text", when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.ops.Profile.snapshotDiff(docs, v2, "doc_id", "text", "source").count()
+    }
     spark.stop()
   }
 }

@@ -24,7 +24,11 @@ object Dedup {
     */
   private[ops] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // read the planned partitioning instead of df.rdd.getNumPartitions:
+    // instantiating the RDD graph per operator call materializes the
+    // whole physical-plan-to-RDD translation just to read one int
+    val planned = df.queryExecution.executedPlan.outputPartitioning.numPartitions
+    if (planned < target) df.repartition(target) else df
   }
 
   /** (id, shingle) with shingles as 64-bit hashes — the shared input of

@@ -87,13 +87,17 @@ object Profile {
     row.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }
 
-  /** Per-document 60-bit content hash both engines can recompute:
-    * md5(id ':' text), first 15 hex chars parsed base-16. 60 bits keeps
+  /** 60-bit content hash both engines can recompute: md5 of the
+    * ':'-joined parts, first 15 hex chars parsed base-16. 60 bits keeps
     * the value non-negative in an i64 and leaves xor-combination exact.
+    * Shared by the corpus fingerprint, snapshot diff, and the streaming
+    * windowed fingerprint.
     */
+  def contentHash60(parts: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    conv(substring(md5(concat_ws(":", parts: _*)), 1, 15), 16, 10).cast("long")
+
   private def docHash(idCol: String, textCol: String) =
-    conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
-      coalesce(col(textCol), lit("")))), 1, 15), 16, 10).cast("long")
+    contentHash60(col(idCol).cast("string"), coalesce(col(textCol), lit("")))
 
   /** Order-independent corpus fingerprint per group: doc count, token
     * count, and the XOR of per-doc content hashes. XOR is commutative/

@@ -94,6 +94,40 @@ object Search {
         round(col("score_raw"), 6).as("score"))
   }
 
+  /** Positional postings: one row per (term, doc, position), 0-based.
+    * The index shape phrase and proximity queries need; same one-
+    * shuffle build cost as [[invertedIndex]] plus the position column.
+    */
+  def positionalIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(length(col("term")) > 0)
+      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** Exact-phrase search over a positional index: classic postings
+    * intersection — the i-th phrase token's postings join the first
+    * token's on (doc, start+i). Every join is an equi-join on
+    * (doc_id, adjusted pos); each side is a `term = <literal>` pruned
+    * scan of the index, so cost scales with the phrase terms' postings
+    * sizes, never the corpus. Returns per-doc match counts, ranked.
+    */
+  def phraseSearch(index: DataFrame, phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least two tokens")
+    val first = index.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos").as("start"))
+    val matches = phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (t, i)) =>
+      val next = index.filter(col("term") === t)
+        .select(col("doc_id").as(s"_d$i"), col("pos").as(s"_p$i"))
+      acc.join(next, acc("doc_id") === col(s"_d$i") &&
+          col(s"_p$i") === acc("start") + i)
+        .select(acc("doc_id"), acc("start"))
+    }
+    matches.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
+      .orderBy(col("n_matches").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Convenience one-shot: build the index in-plan and search it.
     * Two passes over the corpus (postings + the corpus-size count);
     * at scale you'd persist the postings frame and reuse it.

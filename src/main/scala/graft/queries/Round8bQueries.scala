@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Profile, Search}
+import graft.streaming.Streams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,6 +41,30 @@ object Round8bQueries {
       Profile.corpusFingerprint(Tables.load(s, dir, "documents"),
           "doc_id", "text", "source")
         .orderBy(col("grp"))),
+
+    // ---- the inverted index itself, as a queryable artifact ----
+    "q_postings" -> ((s, dir) =>
+      // postings of the four standing query terms: the index structure
+      // (term, doc_id, tf) is itself the oracle-checked output here —
+      // q_text_search checks the ranking computed FROM it
+      Search.invertedIndex(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .filter(col("term").isin(searchTerms: _*))
+        .orderBy(col("term"), col("doc_id"))),
+
+    // ---- exact-phrase search over the positional index ----
+    "q_phrase_search" -> ((s, dir) =>
+      Search.phraseSearch(
+        Search.positionalIndex(Tables.load(s, dir, "documents"), "doc_id", "text"),
+        Seq("query", "join"), k = 20)
+        .orderBy(col("n_matches").desc, col("doc_id"))),
+
+    // ---- streaming windowed content fingerprint (batch form) ----
+    "q_stream_fingerprint" -> ((s, dir) =>
+      // identical plan serves readStream (StreamingSpec proves
+      // stream/batch equality); the oracle recomputes each hour's
+      // xor-combined event hashes from scratch
+      Streams.windowedFingerprint(Tables.load(s, dir, "events"), "1 hour")
+        .orderBy(col("window_start"))),
 
     // ---- snapshot diff (planted v2: drops, edits, adds) ----
     "q_snapshot_diff" -> ((s, dir) => {
@@ -118,6 +143,46 @@ object Round8bQueries {
            FROM orders"""
       }.mkString("", "\n         UNION ALL ", "\n         ORDER BY col_name")
     },
+
+    "q_postings" -> {
+      val inList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+               x -> LENGTH(x) > 0) AS t
+           FROM documents),
+         p AS (SELECT doc_id, UNNEST(t) AS term FROM d)
+         SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+         FROM p WHERE term IN ($inList)
+         GROUP BY term, doc_id ORDER BY term, doc_id"""
+    },
+
+    "q_phrase_search" ->
+      """WITH d AS (
+           SELECT doc_id,
+             string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+           FROM documents),
+         p AS (
+           SELECT doc_id, UNNEST(t) AS term,
+             generate_subscripts(t, 1) AS pos
+           FROM d),
+         a AS (SELECT doc_id, pos FROM p WHERE term = 'query'),
+         b AS (SELECT doc_id, pos FROM p WHERE term = 'join')
+         SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(a.pos) - 1 AS BIGINT) AS first_pos
+         FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         GROUP BY a.doc_id
+         ORDER BY n_matches DESC, a.doc_id LIMIT 20""",
+
+    "q_stream_fingerprint" ->
+      """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           bit_xor(CAST(('0x' || substr(md5(
+             CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR) ||
+             ':' || COALESCE(event_type, '') || ':' || COALESCE(props, '')),
+             1, 15)) AS BIGINT)) AS fingerprint
+         FROM events GROUP BY 1 ORDER BY window_start""",
 
     "q_fingerprint" ->
       """SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,

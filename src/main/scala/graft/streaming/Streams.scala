@@ -55,6 +55,26 @@ object Streams {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("approx_distinct"), col("n"))
 
+  /** Tumbling-window content fingerprint — streaming data versioning:
+    * each closed window carries an order-independent 60-bit checksum
+    * (xor of per-event content hashes) so a replayed/backfilled window
+    * can be compared to the original without storing the events.
+    * bit_xor is a tiny commutative aggregate: one i64 of state per open
+    * window, stream/batch identical (see [[graft.ops.Profile]] for the
+    * batch corpus form of the same idea).
+    */
+  def windowedFingerprint(events: DataFrame, window: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("__h", graft.ops.Profile.contentHash60(
+        col("event_id").cast("string"), col("user_id").cast("string"),
+        coalesce(col("event_type"), lit("")), coalesce(col("props"), lit(""))))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(count(lit(1)).as("n_events"), expr("bit_xor(__h)").as("fingerprint"))
+      .select(col("window.start").as("window_start"), col("n_events"),
+        col("fingerprint"))
+
   /** Sliding-window aggregation. */
   def slidingAgg(events: DataFrame, window: String, slide: String,
       watermark: String = "10 minutes"): DataFrame =

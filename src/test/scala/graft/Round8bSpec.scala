@@ -60,6 +60,30 @@ class Round8bSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
   }
 
+  // ---- positionalIndex / phraseSearch ----
+
+  test("phraseSearch: counts adjacent occurrences only, in order") {
+    val df = Seq(
+      (1L, "x query join y query join"), // 2 matches
+      (2L, "join query"),                // reversed — no match
+      (3L, "query x join"),              // gap — no match
+      (4L, "query join")                 // 1 match at pos 0
+    ).toDF("id", "text")
+    val idx = Search.positionalIndex(df, "id", "text")
+    val out = Search.phraseSearch(idx, Seq("query", "join"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 1L), (4L, 1L, 0L)))
+  }
+
+  test("phraseSearch: three-token phrase requires full adjacency") {
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b x c"), (3L, "b c d a b c")).toDF("id", "text")
+    val out = Search.phraseSearch(
+      Search.positionalIndex(df, "id", "text"), Seq("a", "b", "c"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 3L -> 1L))
+  }
+
   // ---- profile ----
 
   test("profile: nulls, distincts, numeric/string/timestamp min-max per column") {

@@ -69,6 +69,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty) // HLL++ is hash-based: identical in stream and batch
   }
 
+  test("streaming windowed fingerprint over a file source equals the batch result") {
+    val dir = Files.createTempDirectory("graftfp")
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = Streams.windowedFingerprint(stream, "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("fp_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("fp_out")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Streams.windowedFingerprint(events, "1 hour")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && want.nonEmpty)
+    // the checksum is content-sensitive: perturbing one event's props
+    // flips exactly that window's fingerprint
+    val perturbed = Streams.windowedFingerprint(
+      events.withColumn("props",
+        when(col("event_id") === 0L, lit("tampered")).otherwise(col("props"))),
+      "1 hour")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(perturbed != want && (want -- perturbed).size == 1)
+  }
+
   test("stream-stream interval join over file sources equals the batch result") {
     val dir = Files.createTempDirectory("graftssj")
     events.write.mode("overwrite").parquet(s"$dir/in")
