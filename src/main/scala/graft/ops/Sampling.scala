@@ -162,4 +162,52 @@ object Sampling {
       .filter(col("_rate") >= 1.0 || u < thr)
       .drop("_rate")
   }
+
+  /** DSIR-flavored importance scoring (Xie et al. 2023's hashed-n-gram
+    * shape): score every document by how target-like its token
+    * distribution is, using hashed unigram buckets, Laplace-smoothed
+    * target/background bucket ratios, and a per-doc count-weighted sum.
+    * Data selection then keeps the top-scoring documents.
+    *
+    * Determinism: the classic formulation sums log-likelihood ratios,
+    * but `ln` is not correctly rounded and drifts across engines, so
+    * the ratio is quantized to an exact integer first —
+    * floor((p_b / q_b) * scale) with p/q built from exact integer
+    * counts via IEEE-exact divides — and the per-doc score is then an
+    * INTEGER sum, immune to aggregation order. (Monotone per bucket;
+    * linear-space rather than log-space weighting, documented, not
+    * hidden.) Same floor-grid caveat as [[temperatureSample]].
+    *
+    * Plan shape: one token explode feeding both the bucket-stats
+    * aggregate (`buckets` rows) and the per-doc bucket counts; the
+    * ratio table broadcasts; the only corpus-scale shuffles key on
+    * (doc, bucket). The corpus itself is scanned, never collected.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 256, scale: Long = 1000L): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), isTarget.as("is_t"),
+        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("b",
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % buckets)
+    val stats = tok.groupBy(col("b")).agg(
+      sum(when(col("is_t"), lit(1L)).otherwise(lit(0L))).as("tcnt"),
+      count(lit(1)).as("bcnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tots = stats.agg(sum(col("tcnt")).as("ttot"), sum(col("bcnt")).as("btot"))
+    val pT = (col("tcnt") + lit(1L)).cast("double") /
+      (col("ttot").cast("double") + lit(buckets.toDouble))
+    val pB = (col("bcnt") + lit(1L)).cast("double") /
+      (col("btot").cast("double") + lit(buckets.toDouble))
+    val ratio = stats.crossJoin(broadcast(tots))
+      .select(col("b"), floor(pT / pB * lit(scale.toDouble)).cast("long").as("r"))
+    val perDoc = tok.groupBy(col("id"), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("r")).as("score"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Profile, Search}
+import graft.ops.{Profile, Sampling, Search}
 import graft.streaming.Streams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -65,6 +65,15 @@ object Round8bQueries {
       // xor-combined event hashes from scratch
       Streams.windowedFingerprint(Tables.load(s, dir, "events"), "1 hour")
         .orderBy(col("window_start"))),
+
+    // ---- DSIR-flavored hashed-n-gram importance scoring ----
+    "q_importance" -> ((s, dir) =>
+      // target distribution = the 'src0' slice; every doc scored by
+      // integer-quantized target/background bucket ratios — exact
+      // integer sums, so the full frame is hash-comparable
+      Sampling.importanceWeights(Tables.load(s, dir, "documents"),
+          "doc_id", "text", isTarget = col("source") === "src0")
+        .orderBy(col("id"))),
 
     // ---- snapshot diff (planted v2: drops, edits, adds) ----
     "q_snapshot_diff" -> ((s, dir) => {
@@ -143,6 +152,38 @@ object Round8bQueries {
            FROM orders"""
       }.mkString("", "\n         UNION ALL ", "\n         ORDER BY col_name")
     },
+
+    "q_importance" ->
+      """WITH tok AS (
+           SELECT doc_id AS id, (source = 'src0') AS is_t,
+             UNNEST(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+               x -> LENGTH(x) > 0)) AS w
+           FROM documents),
+         bk AS (
+           SELECT id, is_t,
+             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b
+           FROM tok),
+         bs AS (
+           SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tcnt,
+             COUNT(*) AS bcnt
+           FROM bk GROUP BY b),
+         tot AS (SELECT SUM(tcnt) AS ttot, SUM(bcnt) AS btot FROM bs),
+         r AS (
+           SELECT b, CAST(FLOOR(
+             (CAST(tcnt + 1 AS DOUBLE) / (CAST(ttot AS DOUBLE) + 256.0)) /
+             (CAST(bcnt + 1 AS DOUBLE) / (CAST(btot AS DOUBLE) + 256.0)) *
+             1000.0) AS BIGINT) AS r
+           FROM bs CROSS JOIN tot),
+         db AS (SELECT id, b, COUNT(*) AS c FROM bk GROUP BY id, b),
+         s AS (
+           SELECT id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(SUM(c * r) AS BIGINT) AS score
+           FROM db JOIN r USING (b) GROUP BY id)
+         SELECT d.doc_id AS id,
+           COALESCE(n_tokens, 0) AS n_tokens,
+           COALESCE(score, 0) AS score
+         FROM documents d LEFT JOIN s ON d.doc_id = s.id
+         ORDER BY id""",
 
     "q_postings" -> {
       val inList = searchTerms.map(t => s"'$t'").mkString(", ")

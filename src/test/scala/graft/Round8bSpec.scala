@@ -123,6 +123,27 @@ class Round8bSpec extends AnyFunSuite {
     assert(!approxPlan.contains("Expand") && exactPlan.contains("Expand"))
   }
 
+  // ---- importanceWeights ----
+
+  test("importanceWeights: target-vocabulary docs outscore background docs") {
+    val target = (1L to 20L).map(i => (i, "alpha beta gamma alpha", "t"))
+    val backgr = (21L to 60L).map(i => (i, "delta epsilon zeta delta", "b"))
+    val probe = Seq((61L, "alpha beta", "b"), (62L, "delta epsilon", "b"),
+      (63L, "", "b"))
+    val df = (target ++ backgr ++ probe).toDF("id", "text", "src")
+    val out = graft.ops.Sampling.importanceWeights(df, "id", "text",
+        isTarget = col("src") === "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size === 63)
+    // target-vocab probe must outscore the background-vocab probe of
+    // equal length; an empty doc scores 0
+    assert(out(61L)._1 === 2L && out(62L)._1 === 2L)
+    assert(out(61L)._2 > out(62L)._2)
+    assert(out(63L) === ((0L, 0L)))
+    // scores are exact integers: identical docs score identically
+    assert((1L to 20L).map(out(_)._2).toSet.size === 1)
+  }
+
   // ---- corpusFingerprint / snapshotDiff ----
 
   test("corpusFingerprint: partitioning-invariant, content-sensitive") {
