@@ -128,6 +128,47 @@ object Search {
       .limit(k)
   }
 
+  /** Proximity search: documents where `t1` and `t2` occur within
+    * `slop` tokens of each other, ranked by co-occurring pair count.
+    * Per-term position lists are compacted to one array per doc (each
+    * bounded by doc length), the two sides equi-join on doc_id, and the
+    * pair count is a nested HOF filter — O(|a|·|b|) per doc on arrays
+    * that fit in a row, never a corpus-scale position self-join.
+    */
+  def proximitySearch(index: DataFrame, t1: String, t2: String,
+                      slop: Int, k: Int): DataFrame = {
+    def positions(t: String, out: String) =
+      index.filter(col("term") === t)
+        .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as(out))
+    val joined = positions(t1, "pa").join(positions(t2, "pb"), "doc_id")
+    val nPairs = aggregate(col("pa"), lit(0L), (acc, p) =>
+      acc + size(filter(col("pb"), q => abs(q - p) <= slop)).cast("long"))
+    joined.select(col("doc_id"), nPairs.as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+      .orderBy(col("n_pairs").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Top-k docs for a single term with a ±`context`-token snippet
+    * around the FIRST occurrence — the result-highlighting half of a
+    * search surface. Pure per-row array ops after a `array_contains`
+    * scan filter; ranking is (tf desc, doc_id).
+    */
+  def searchSnippets(df: DataFrame, idCol: String, textCol: String,
+                     term: String, k: Int, context: Int = 4): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val firstPos = array_position(toks, term) // 1-based, 0 when absent
+    val tf = size(filter(toks, t => t === term)).cast("long")
+    df.select(col(idCol).as("doc_id"), toks.as("t"), firstPos.as("p"), tf.as("tf"))
+      .filter(col("p") > 0)
+      .select(col("doc_id"), col("tf"),
+        (col("p") - 1).cast("long").as("first_pos"),
+        array_join(slice(col("t"), greatest(col("p") - context, lit(1L)).cast("int"),
+          lit(2 * context + 1)), " ").as("snippet"))
+      .orderBy(col("tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Convenience one-shot: build the index in-plan and search it.
     * Two passes over the corpus (postings + the corpus-size count);
     * at scale you'd persist the postings frame and reuse it.

@@ -58,6 +58,19 @@ object Round8bQueries {
         Seq("query", "join"), k = 20)
         .orderBy(col("n_matches").desc, col("doc_id"))),
 
+    // ---- proximity search (terms within a slop window) ----
+    "q_near_search" -> ((s, dir) =>
+      Search.proximitySearch(
+        Search.positionalIndex(Tables.load(s, dir, "documents"), "doc_id", "text"),
+        "query", "join", slop = 3, k = 20)
+        .orderBy(col("n_pairs").desc, col("doc_id"))),
+
+    // ---- snippet extraction around the first hit ----
+    "q_search_snippets" -> ((s, dir) =>
+      Search.searchSnippets(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "spark", k = 20)
+        .orderBy(col("tf").desc, col("doc_id"))),
+
     // ---- streaming windowed content fingerprint (batch form) ----
     "q_stream_fingerprint" -> ((s, dir) =>
       // identical plan serves readStream (StreamingSpec proves
@@ -215,6 +228,39 @@ object Round8bQueries {
          FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
          GROUP BY a.doc_id
          ORDER BY n_matches DESC, a.doc_id LIMIT 20""",
+
+    "q_near_search" ->
+      """WITH d AS (
+           SELECT doc_id,
+             string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+           FROM documents),
+         p AS (
+           SELECT doc_id, UNNEST(t) AS term,
+             generate_subscripts(t, 1) AS pos
+           FROM d),
+         a AS (SELECT doc_id, pos FROM p WHERE term = 'query'),
+         b AS (SELECT doc_id, pos FROM p WHERE term = 'join')
+         SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         FROM a JOIN b ON a.doc_id = b.doc_id AND ABS(b.pos - a.pos) <= 3
+         GROUP BY a.doc_id
+         ORDER BY n_pairs DESC, a.doc_id LIMIT 20""",
+
+    "q_search_snippets" ->
+      """WITH d AS (
+           SELECT doc_id,
+             string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+           FROM documents),
+         m AS (
+           SELECT doc_id, t,
+             COALESCE(list_position(t, 'spark'), 0) AS p,
+             CAST(LEN(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf
+           FROM d)
+         SELECT doc_id, tf,
+           CAST(p - 1 AS BIGINT) AS first_pos,
+           array_to_string(t[GREATEST(p - 4, 1) : GREATEST(p - 4, 1) + 8], ' ')
+             AS snippet
+         FROM m WHERE p > 0
+         ORDER BY tf DESC, doc_id LIMIT 20""",
 
     "q_stream_fingerprint" ->
       """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,

@@ -123,6 +123,54 @@ class Round8bSpec extends AnyFunSuite {
     assert(!approxPlan.contains("Expand") && exactPlan.contains("Expand"))
   }
 
+  // ---- proximitySearch / searchSnippets ----
+
+  test("proximitySearch: counts pairs within slop, either order") {
+    val df = Seq(
+      (1L, "a x b"),       // |1-3|=2 <= 2 → 1 pair
+      (2L, "b a"),         // reversed, adjacent → 1 pair
+      (3L, "a x y z b"),   // distance 4 > 2 → no pair
+      (4L, "a b a")        // pairs: (1,2),(3,2) → 2 pairs
+    ).toDF("id", "text")
+    val out = Search.proximitySearch(
+      Search.positionalIndex(df, "id", "text"), "a", "b", slop = 2, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 4L -> 2L))
+  }
+
+  test("proximitySearch plan: doc-level equi-join, no nested-loop join") {
+    val df = Seq((1L, "a b")).toDF("id", "text")
+    val plan = Search.proximitySearch(
+      Search.positionalIndex(df, "id", "text"), "a", "b", slop = 2, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("searchSnippets: window clamps at doc edges, tf ranks") {
+    val df = Seq(
+      (1L, "hit a b c d e f g h i j"),          // hit at pos 0 → snippet = first 9
+      (2L, "a b c d e hit f g h i j"),          // centered window
+      (3L, "x y z"),                            // no hit → absent
+      (4L, "hit hit")                           // tf 2 → ranks first
+    ).toDF("id", "text")
+    val out = Search.searchSnippets(df, "id", "text", "hit", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.map(_._1).toSeq === Seq(4L, 1L, 2L))
+    assert(out.find(_._1 == 1L).get._4 === "hit a b c d e f g h")
+    assert(out.find(_._1 == 2L).get._4 === "b c d e hit f g h i")
+    assert(out.find(_._1 == 2L).get._3 === 5L) // 0-based first_pos
+  }
+
+  test("phraseSearch plan: postings intersection is an equi-join") {
+    val df = Seq((1L, "a b")).toDF("id", "text")
+    val plan = Search.phraseSearch(
+      Search.positionalIndex(df, "id", "text"), Seq("a", "b"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   // ---- importanceWeights ----
 
   test("importanceWeights: target-vocabulary docs outscore background docs") {
