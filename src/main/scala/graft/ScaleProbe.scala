@@ -345,6 +345,25 @@ object ScaleProbe {
     time("corpus fingerprint over 10x docs") {
       graft.ops.Profile.corpusFingerprint(docs, "doc_id", "text", "source").count()
     }
+    time("proximity search (slop 3) over 10x docs") {
+      graft.ops.Search.proximitySearch(
+        graft.ops.Search.positionalIndex(docs, "doc_id", "text"),
+        "query", "join", slop = 3, k = 20).count()
+    }
+    time("snippet extraction top-20 over 10x docs") {
+      graft.ops.Search.searchSnippets(docs, "doc_id", "text", "spark", k = 20).count()
+    }
+    time("importance scoring (256 hashed buckets) over 10x docs") {
+      graft.ops.Sampling.importanceWeights(docs, "doc_id", "text",
+        isTarget = col("source") === "src0").count()
+    }
+    time("incremental index update: ~8% churn batch vs stored 10x postings") {
+      val edits = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" updated")).as("text"))
+      val deletes = docs.filter(col("doc_id") % 31 === 0).select(col("doc_id"))
+      graft.ops.Search.updateIndex(spark.read.parquet(pIdxDir),
+        edits, deletes, "doc_id", "text").count()
+    }
     time("snapshot diff: 10x docs vs mutated v2 (drops/edits/adds)") {
       val v2 = docs.filter(col("doc_id") % 31 =!= 0)
         .withColumn("text", when(col("doc_id") % 17 === 0,

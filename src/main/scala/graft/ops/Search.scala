@@ -169,6 +169,31 @@ object Search {
       .limit(k)
   }
 
+  /** Incremental index maintenance: apply a batch of upserts (new or
+    * changed docs) and deletes to an existing postings frame without
+    * rebuilding it. Affected doc_ids anti-join out of the old index,
+    * fresh postings for the upserted docs union in — cost scales with
+    * the BATCH (plus one pass over the stored index), not the corpus.
+    * The oracle proves incremental ≡ from-scratch rebuild.
+    *
+    * 100 TB honesty note: a search-optimized index is laid out by term,
+    * so the doc-keyed anti-join here is a full index pass. Real
+    * deployments amortize it — tombstone the affected doc_ids (a
+    * broadcast-able set per batch, filtered at read time) and fold
+    * tombstones into the periodic compaction instead of rewriting per
+    * batch. The algebra below is exactly what that compaction runs.
+    */
+  def updateIndex(postings: DataFrame, upserts: DataFrame,
+                  deletes: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val affected = upserts.select(col(idCol).cast("long").as("doc_id"))
+      .unionByName(deletes.select(col(deletes.columns.head).cast("long").as("doc_id")))
+      .distinct()
+    val kept = postings.join(broadcast(affected), Seq("doc_id"), "left_anti")
+    kept.unionByName(invertedIndex(upserts, idCol, textCol)
+      .select(col("doc_id"), col("term"), col("tf")))
+      .select(col("term"), col("doc_id"), col("tf"))
+  }
+
   /** Convenience one-shot: build the index in-plan and search it.
     * Two passes over the corpus (postings + the corpus-size count);
     * at scale you'd persist the postings frame and reuse it.

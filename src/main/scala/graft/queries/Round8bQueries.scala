@@ -58,6 +58,27 @@ object Round8bQueries {
         Seq("query", "join"), k = 20)
         .orderBy(col("n_matches").desc, col("doc_id"))),
 
+    // ---- incremental index maintenance (≡ rebuild, oracle-proven) ----
+    "q_index_update" -> ((s, dir) => {
+      // planted delta against the v1 corpus: every 17th doc edited,
+      // every 41st re-added as a new id, every 31st deleted. The
+      // output is the UPDATED index (restricted to the standing terms);
+      // the oracle builds the v2 corpus from scratch and indexes it —
+      // the incremental path must reproduce the rebuild exactly
+      val v1 = Tables.load(s, dir, "documents")
+      val off = v1.agg(max(col("doc_id"))).head().getAs[Number](0).longValue + 1L
+      val edits = v1.filter(col("doc_id") % 17 === 0 && col("doc_id") % 31 =!= 0)
+        .select(col("doc_id"), concat(col("text"), lit(" updated spark query")).as("text"))
+      val adds = v1.filter(col("doc_id") % 41 === 0)
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
+      val deletes = v1.filter(col("doc_id") % 31 === 0).select(col("doc_id"))
+      Search.updateIndex(
+          Search.invertedIndex(v1, "doc_id", "text"),
+          edits.unionByName(adds), deletes, "doc_id", "text")
+        .filter(col("term").isin(searchTerms: _*))
+        .orderBy(col("term"), col("doc_id"))
+    }),
+
     // ---- proximity search (terms within a slop window) ----
     "q_near_search" -> ((s, dir) =>
       Search.proximitySearch(
@@ -228,6 +249,28 @@ object Round8bQueries {
          FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
          GROUP BY a.doc_id
          ORDER BY n_matches DESC, a.doc_id LIMIT 20""",
+
+    "q_index_update" -> {
+      val inList = searchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH o AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0
+               THEN text || ' updated spark query' ELSE text END AS text
+           FROM documents WHERE doc_id % 31 <> 0
+           UNION ALL
+           SELECT doc_id + off, text
+           FROM documents CROSS JOIN o WHERE doc_id % 41 = 0),
+         d AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+               x -> LENGTH(x) > 0) AS t
+           FROM v2),
+         p AS (SELECT doc_id, UNNEST(t) AS term FROM d)
+         SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+         FROM p WHERE term IN ($inList)
+         GROUP BY term, doc_id ORDER BY term, doc_id"""
+    },
 
     "q_near_search" ->
       """WITH d AS (

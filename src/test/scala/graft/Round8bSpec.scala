@@ -123,6 +123,21 @@ class Round8bSpec extends AnyFunSuite {
     assert(!approxPlan.contains("Expand") && exactPlan.contains("Expand"))
   }
 
+  // ---- updateIndex ----
+
+  test("updateIndex: upserts replace, deletes drop, untouched rows survive — equals rebuild") {
+    val v1 = Seq((1L, "a b"), (2L, "b c"), (3L, "c d")).toDF("id", "text")
+    val upserts = Seq((2L, "x y"), (4L, "a x")).toDF("id", "text") // edit 2, add 4
+    val deletes = Seq(Tuple1(3L)).toDF("id")
+    val got = Search.updateIndex(
+      Search.invertedIndex(v1, "id", "text"), upserts, deletes, "id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val v2 = Seq((1L, "a b"), (2L, "x y"), (4L, "a x")).toDF("id", "text")
+    val want = Search.invertedIndex(v2, "id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
   // ---- proximitySearch / searchSnippets ----
 
   test("proximitySearch: counts pairs within slop, either order") {
