@@ -24,11 +24,14 @@ object Dedup {
     */
   private[ops] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // read the planned partitioning instead of df.rdd.getNumPartitions:
-    // instantiating the RDD graph per operator call materializes the
-    // whole physical-plan-to-RDD translation just to read one int
-    val planned = df.queryExecution.executedPlan.outputPartitioning.numPartitions
-    if (planned < target) df.repartition(target) else df
+    // df.rdd.getNumPartitions is deliberate: it costs one driver-side
+    // plan→RDD translation per operator call, but it is the only
+    // pre-execution partition count that is CORRECT — the seemingly
+    // cheaper executedPlan.outputPartitioning is UnknownPartitioning(0)
+    // for AQE roots and non-bucketed scans (empirically: a 16-partition
+    // frame reports 0), which would turn this guard into an
+    // unconditional repartition that can even NARROW wide frames
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   /** (id, shingle) with shingles as 64-bit hashes — the shared input of

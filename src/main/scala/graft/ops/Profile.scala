@@ -66,9 +66,10 @@ object Profile {
     row.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }
 
-  /** The profile a 100 TB table actually gets: identical shape but
-    * `approx_count_distinct` — single pass, no Expand, mergeable
-    * sketches instead of exact distinct shuffles.
+  /** The profile a 100 TB table actually gets: the count columns of
+    * [[profile]] (col_name, dtype, n_rows, n_null, n_distinct — no
+    * min/max columns) with `approx_count_distinct` — single pass, no
+    * Expand, mergeable sketches instead of exact distinct shuffles.
     */
   def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
     val schema = df.schema

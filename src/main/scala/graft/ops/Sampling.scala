@@ -188,8 +188,9 @@ object Sampling {
     val tok = df.select(col(idCol).as("id"), isTarget.as("is_t"),
         explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
-      .withColumn("b",
-        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % buckets)
+      // the 60-bit md5 hash contract lives in ONE place (oracles mirror
+      // it byte-for-byte); concat_ws over a single column is identity
+      .withColumn("b", Profile.contentHash60(col("w")) % buckets)
     val stats = tok.groupBy(col("b")).agg(
       sum(when(col("is_t"), lit(1L)).otherwise(lit(0L))).as("tcnt"),
       count(lit(1)).as("bcnt"))

@@ -137,6 +137,8 @@ object Search {
     */
   def proximitySearch(index: DataFrame, t1: String, t2: String,
                       slop: Int, k: Int): DataFrame = {
+    require(t1 != t2,
+      "proximity terms must differ (a term self-paired counts every position against itself)")
     def positions(t: String, out: String) =
       index.filter(col("term") === t)
         .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as(out))

@@ -27,9 +27,11 @@ object Round8Queries {
       // deterministic first-occurrence rule the oracle recomputes.
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id").as("id"), col("text"))
-      val off = docs.agg(max(col("id"))).head().getAs[Number](0).longValue + 1L
-      val planted = docs.filter(col("id") % 25 === 0)
-        .select((col("id") + off).as("id"), col("text"))
+      // in-plan offset (broadcast 1-row cross join) — mirrors the
+      // oracle's CROSS JOIN o and avoids an eager extra table scan
+      val off = broadcast(docs.agg((max(col("id")) + 1L).as("_off")))
+      val planted = docs.filter(col("id") % 25 === 0).crossJoin(off)
+        .select((col("id") + col("_off")).as("id"), col("text"))
       Dedup.substringDedup(docs.unionByName(planted), "id", "text", k = 10)
         .orderBy(col("id"))
     }),
@@ -161,9 +163,9 @@ object Round8Queries {
       // replays the same 4-stage normalization.
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id").as("id"), col("text"))
-      val off = docs.agg(max(col("id"))).head().getAs[Number](0).longValue + 1L
-      val planted = docs.filter(col("id") % 10 === 0)
-        .select((col("id") + off).as("id"),
+      val off = broadcast(docs.agg((max(col("id")) + 1L).as("_off")))
+      val planted = docs.filter(col("id") % 10 === 0).crossJoin(off)
+        .select((col("id") + col("_off")).as("id"),
           concat(lit("  Cafe\u0301 du\u200B monde\u0007 \t "),
             col("text"), lit("  tail\u200E  ")).as("text"))
       val corpus = docs.unionByName(planted)
