@@ -91,4 +91,28 @@ object Pipelines {
     Seq((nBefore, nAfter, nBefore - nAfter, tokens))
       .toDF("docs_in", "docs_kept", "docs_dropped", "tokens_kept")
   }
+
+  /** Per-source data card: size, content checksum, and target-affinity
+    * in one frame — the catalog entry a corpus registry keeps per
+    * source. Composes two oracle-verified operators:
+    * [[Profile.corpusFingerprint]] (docs/tokens/xor-checksum) and
+    * [[Sampling.importanceWeights]] (per-doc integer importance),
+    * rolled up to a per-token affinity — integer sums with ONE final
+    * IEEE division, so the whole row is deterministic cross-engine.
+    * Both inputs group on the same source key, so the final join is
+    * co-partitioned; everything upstream is scan + broadcast.
+    */
+  def sourceCatalog(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val fp = Profile.corpusFingerprint(docs, idCol, textCol, srcCol)
+    val imp = Sampling.importanceWeights(docs, idCol, textCol, isTarget)
+      .join(docs.select(col(idCol).as("id"), col(srcCol).as("grp")), Seq("id"))
+      .groupBy("grp")
+      .agg(sum(col("score")).as("_score"), sum(col("n_tokens")).as("_tok"))
+      .select(col("grp"),
+        when(col("_tok") > 0,
+          round(col("_score").cast("double") / col("_tok").cast("double"), 6))
+          .otherwise(lit(0.0)).as("affinity_per_token"))
+    fp.join(imp, Seq("grp"))
+  }
 }

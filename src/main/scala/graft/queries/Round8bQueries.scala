@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Profile, Sampling, Search}
+import graft.ops.{Pipelines, Profile, Sampling, Search}
 import graft.streaming.Streams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -62,6 +62,12 @@ object Round8bQueries {
         Search.positionalIndex(Tables.load(s, dir, "documents"), "doc_id", "text"),
         Seq("query", "join"), k = 20)
         .orderBy(col("n_matches").desc, col("doc_id"))),
+
+    // ---- per-source data card (fingerprint × importance rollup) ----
+    "q_pipeline_catalog" -> ((s, dir) =>
+      Pipelines.sourceCatalog(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source", isTarget = col("source") === "src0")
+        .orderBy(col("grp"))),
 
     // ---- incremental index maintenance (≡ rebuild, oracle-proven) ----
     "q_index_update" -> ((s, dir) => {
@@ -260,6 +266,52 @@ object Round8bQueries {
          FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
          GROUP BY a.doc_id
          ORDER BY n_matches DESC, a.doc_id LIMIT 20""",
+
+    "q_pipeline_catalog" ->
+      """WITH tok AS (
+           SELECT doc_id AS id, (source = 'src0') AS is_t,
+             UNNEST(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+               x -> LENGTH(x) > 0)) AS w
+           FROM documents),
+         bk AS (
+           SELECT id, is_t,
+             CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS b
+           FROM tok),
+         bs AS (
+           SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tcnt,
+             COUNT(*) AS bcnt
+           FROM bk GROUP BY b),
+         tot AS (SELECT SUM(tcnt) AS ttot, SUM(bcnt) AS btot FROM bs),
+         r AS (
+           SELECT b, CAST(FLOOR(
+             (CAST(tcnt + 1 AS DOUBLE) / (CAST(ttot AS DOUBLE) + 256.0)) /
+             (CAST(bcnt + 1 AS DOUBLE) / (CAST(btot AS DOUBLE) + 256.0)) *
+             1000.0) AS BIGINT) AS r
+           FROM bs CROSS JOIN tot),
+         db AS (SELECT id, b, COUNT(*) AS c FROM bk GROUP BY id, b),
+         s AS (
+           SELECT id, SUM(c) AS n_tokens, SUM(c * r) AS score
+           FROM db JOIN r USING (b) GROUP BY id),
+         imp AS (
+           SELECT d.source AS grp,
+             SUM(COALESCE(s.score, 0)) AS sc,
+             SUM(COALESCE(s.n_tokens, 0)) AS tk
+           FROM documents d LEFT JOIN s ON d.doc_id = s.id
+           GROUP BY 1),
+         fp AS (
+           SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(LEN(string_split_regex(LOWER(TRIM(text)), '\s+')))
+               AS BIGINT) AS n_tokens,
+             bit_xor(CAST(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || ':' || COALESCE(text, '')), 1, 15))
+               AS BIGINT)) AS fingerprint
+           FROM documents GROUP BY source)
+         SELECT fp.grp, n_docs, n_tokens, fingerprint,
+           CASE WHEN tk > 0
+             THEN ROUND(CAST(sc AS DOUBLE) / CAST(tk AS DOUBLE), 6)
+             ELSE 0.0 END AS affinity_per_token
+         FROM fp JOIN imp ON fp.grp = imp.grp
+         ORDER BY fp.grp""",
 
     "q_index_update" -> {
       val inList = searchTerms.map(t => s"'$t'").mkString(", ")

@@ -207,6 +207,22 @@ class Round8bSpec extends AnyFunSuite {
     assert((1L to 20L).map(out(_)._2).toSet.size === 1)
   }
 
+  // ---- sourceCatalog ----
+
+  test("sourceCatalog: one row per source; target source has the highest affinity") {
+    val docs = ((1L to 30L).map(i => (i, "alpha beta gamma", "t")) ++
+      (31L to 60L).map(i => (i, "delta epsilon zeta", "b")) ++
+      Seq((61L, "", "empty"))).toDF("id", "text", "src")
+    val out = graft.ops.Pipelines.sourceCatalog(docs, "id", "text", "src",
+        isTarget = col("src") === "t")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(out.keySet === Set("t", "b", "empty"))
+    assert(out("t")._1 === 30L && out("t")._2 === 90L)
+    assert(out("t")._3 > out("b")._3) // target vocab scores higher per token
+    assert(out("empty")._3 === 0.0)   // zero-token source → affinity 0
+  }
+
   // ---- corpusFingerprint / snapshotDiff ----
 
   test("corpusFingerprint: partitioning-invariant, content-sensitive") {
