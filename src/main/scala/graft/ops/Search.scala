@@ -171,6 +171,45 @@ object Search {
       .limit(k)
   }
 
+  /** Containment (quote) search: rank corpus documents by what
+    * fraction of the QUERY's distinct n-gram shingles they contain —
+    * the asymmetric signal (|A∩B| / |A|, A = query) that finds
+    * supersets, quotes, and wrappers, which symmetric Jaccard near-dup
+    * misses when the containing doc is much longer. The query's
+    * shingle set derives from a literal in-plan (a corpus-size-
+    * independent broadcast of at most |query| rows); the corpus side
+    * is one shingle explode feeding a broadcast semi-style join, so
+    * the only corpus-scale shuffle is the per-doc count aggregation.
+    */
+  def containmentSearch(df: DataFrame, idCol: String, textCol: String,
+                        queryText: String, n: Int = 3, k: Int = 20): DataFrame = {
+    require(queryText.trim.nonEmpty, "query text must be non-empty")
+    containmentSearchDoc(df, idCol, textCol,
+      df.sparkSession.range(1).select(lit(queryText).as(textCol)), n, k)
+  }
+
+  /** [[containmentSearch]] with the query passage supplied as a 1-row
+    * frame (e.g. a corpus doc selected by id) — everything stays
+    * in-plan; the query's shingle set broadcasts.
+    */
+  def containmentSearchDoc(df: DataFrame, idCol: String, textCol: String,
+                           queryDoc: DataFrame, n: Int = 3, k: Int = 20): DataFrame = {
+    val q = queryDoc
+      .select(explode(TextAnalysis.shingles(col(textCol), n)).as("sh"))
+    val nq = broadcast(q.agg(count(lit(1)).as("_nq")))
+    val docSh = df.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.shingles(col(textCol), n)).as("sh"))
+    docSh.join(broadcast(q), Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contained"))
+      .crossJoin(nq)
+      .select(col("doc_id"), col("n_contained"),
+        round(col("n_contained").cast("double") / col("_nq").cast("double"), 6)
+          .as("containment"))
+      .orderBy(col("n_contained").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Incremental index maintenance: apply a batch of upserts (new or
     * changed docs) and deletes to an existing postings frame without
     * rebuilding it. Affected doc_ids anti-join out of the old index,

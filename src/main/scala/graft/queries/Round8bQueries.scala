@@ -63,6 +63,17 @@ object Round8bQueries {
         Seq("query", "join"), k = 20)
         .orderBy(col("n_matches").desc, col("doc_id"))),
 
+    // ---- containment / quote search (asymmetric shingle coverage) ----
+    "q_quote_search" -> ((s, dir) => {
+      // query passage = doc 0's text, selected IN-PLAN: doc 0 itself
+      // must come back at containment 1.0, everything else ranks by
+      // how much of the passage's 3-gram set it carries
+      val docs = Tables.load(s, dir, "documents")
+      Search.containmentSearchDoc(docs, "doc_id", "text",
+          docs.filter(col("doc_id") === 0L).select(col("text")), n = 3, k = 20)
+        .orderBy(col("n_contained").desc, col("doc_id"))
+    }),
+
     // ---- per-source data card (fingerprint × importance rollup) ----
     "q_pipeline_catalog" -> ((s, dir) =>
       Pipelines.sourceCatalog(Tables.load(s, dir, "documents"),
@@ -266,6 +277,29 @@ object Round8bQueries {
          FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
          GROUP BY a.doc_id
          ORDER BY n_matches DESC, a.doc_id LIMIT 20""",
+
+    "q_quote_search" ->
+      """WITH qt AS (
+           SELECT string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+           FROM documents WHERE doc_id = 0),
+         qs AS (
+           SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS sh
+           FROM qt, UNNEST(range(1, GREATEST(LEN(t) - 3, 0) + 2)) AS u(i)
+           WHERE LENGTH(array_to_string(t[i:i+2], ' ')) > 0),
+         nq AS (SELECT COUNT(*) AS nq FROM qs),
+         dt AS (
+           SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+           FROM documents),
+         ds AS (
+           SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+           FROM dt, UNNEST(range(1, GREATEST(LEN(t) - 3, 0) + 2)) AS u(i)
+           WHERE LENGTH(array_to_string(t[i:i+2], ' ')) > 0)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contained,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(nq) AS DOUBLE), 6)
+             AS containment
+         FROM ds JOIN qs USING (sh) CROSS JOIN nq
+         GROUP BY doc_id
+         ORDER BY n_contained DESC, doc_id LIMIT 20""",
 
     "q_pipeline_catalog" ->
       """WITH tok AS (

@@ -123,6 +123,31 @@ class Round8bSpec extends AnyFunSuite {
     assert(!approxPlan.contains("Expand") && exactPlan.contains("Expand"))
   }
 
+  // ---- containmentSearch ----
+
+  test("containmentSearch: supersets score 1.0, partial quotes score their coverage") {
+    val df = Seq(
+      (1L, "p q r s"),                 // the query itself: containment 1.0
+      (2L, "x p q r s y z"),           // superset: all query grams present → 1.0
+      (3L, "p q r junk junk"),         // carries 1 of 2 query 3-grams
+      (4L, "no overlap here at all")).toDF("id", "text")
+    val out = Search.containmentSearch(df, "id", "text", "p q r s", n = 3, k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // query "p q r s" has 2 distinct 3-grams: "p q r", "q r s"
+    assert(out(1L) === ((2L, 1.0)) && out(2L) === ((2L, 1.0)))
+    assert(out(3L) === ((1L, 0.5)))
+    assert(!out.contains(4L)) // zero overlap → absent
+  }
+
+  test("containmentSearch is asymmetric: a long superset still scores 1.0") {
+    val quote = (1 to 10).map(i => s"t$i").mkString(" ")
+    val container = s"head $quote tail more words beyond the quote"
+    val df = Seq((1L, container), (2L, "unrelated text entirely")).toDF("id", "text")
+    val out = Search.containmentSearch(df, "id", "text", quote, n = 3, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) === 1.0)
+  }
+
   // ---- updateIndex ----
 
   test("updateIndex: upserts replace, deletes drop, untouched rows survive — equals rebuild") {
