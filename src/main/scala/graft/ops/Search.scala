@@ -194,11 +194,17 @@ object Search {
     */
   def containmentSearchDoc(df: DataFrame, idCol: String, textCol: String,
                            queryDoc: DataFrame, n: Int = 3, k: Int = 20): DataFrame = {
+    // tokens bind to a real column under the Generate so the shingle
+    // lambda reads a materialized array — inlining tokens() into the
+    // explode re-evaluates split() per shingle index, O(tokens²)
     val q = queryDoc
-      .select(explode(TextAnalysis.shingles(col(textCol), n)).as("sh"))
+      .select(TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(explode(TextAnalysis.shinglesFromTokens(col("_t"), n)).as("sh"))
     val nq = broadcast(q.agg(count(lit(1)).as("_nq")))
-    val docSh = df.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.shingles(col(textCol), n)).as("sh"))
+    val docSh = df
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.shinglesFromTokens(col("_t"), n)).as("sh"))
     docSh.join(broadcast(q), Seq("sh"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_contained"))

@@ -200,14 +200,24 @@ object TextAnalysis {
     * throws on sub-n-token docs); consumers persist the exploded
     * shingle table so this expression evaluates once per corpus pass.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** [[shingles]] over an already-materialized token array column.
+    * Callers that explode the result should bind the token array to a
+    * real column first (`select(..., tokens.as("_t"))` then build from
+    * `col("_t")` under the Generate): the transform lambda reads its
+    * array argument once per slice, so an INLINED `split()` argument
+    * is re-evaluated per shingle index — the same O(tokens²) trap
+    * [[ngramHashesLinear]] documents (measured 3.8 s → 0.6 s on the
+    * sf0.1 containment scan).
+    */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column =
     array_distinct(
       filter(
         transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
           i => array_join(slice(toks, i + 1, lit(n)), " ")),
         s => length(s) > 0))
-  }
 
   /** Per-token 64-bit hashes (empty tokens dropped). Feeds
     * [[shingleHashesFrom]]: hashing each token string ONCE here and
