@@ -364,6 +364,17 @@ object ScaleProbe {
       graft.ops.Search.updateIndex(spark.read.parquet(pIdxDir),
         edits, deletes, "doc_id", "text").count()
     }
+    time("line dedup (boilerplate removal) over 10x docs") {
+      // 9 exact copies per doc → EVERY line is cross-doc boilerplate:
+      // worst case for the removal join (nothing prunes)
+      graft.ops.Dedup.lineDedup(docs, "doc_id", "text", minDocs = 2).count()
+    }
+    time("epoch shard plan (8 shards) over 10x docs") {
+      graft.ops.Sampling.epochShards(docs, "doc_id", epoch = 3, nShards = 8).count()
+    }
+    time("per-source KL drift over 10x docs") {
+      graft.ops.TextAnalysis.sourceDivergence(docs, "source", "text").count()
+    }
     time("snapshot diff: 10x docs vs mutated v2 (drops/edits/adds)") {
       val v2 = docs.filter(col("doc_id") % 31 =!= 0)
         .withColumn("text", when(col("doc_id") % 17 === 0,

@@ -28,7 +28,8 @@ object SparkEntry {
     graft.queries.Round6Queries.queries ++
     graft.queries.Round7Queries.queries ++
     graft.queries.Round8Queries.queries ++
-    graft.queries.Round8bQueries.queries
+    graft.queries.Round8bQueries.queries ++
+    graft.queries.Round8cQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
     graft.queries.Round6Queries.oracles ++
     graft.queries.Round7Queries.oracles ++
     graft.queries.Round8Queries.oracles ++
-    graft.queries.Round8bQueries.oracles
+    graft.queries.Round8bQueries.oracles ++
+    graft.queries.Round8cQueries.oracles
 }

@@ -412,6 +412,47 @@ object Dedup {
           x => x.getField("passage")), " ").as("dedup_text"))
   }
 
+  /** Line-level boilerplate removal (the CCNet / RefinedWeb line-dedup
+    * step, `select.go`-era engines have no equivalent): a line whose
+    * trimmed text recurs in >= `minDocs` DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, licence headers) and is
+    * removed from EVERY document — unlike [[passageDedup]], which keeps
+    * the first occurrence, boilerplate has no "first" worth keeping.
+    * Documents are reassembled from their surviving lines in original
+    * order. Returns (id, n_lines, n_kept, clean_text); empty/blank
+    * lines are dropped before counting so they neither count as
+    * boilerplate nor pad n_lines.
+    *
+    * Scale shape: lines explode once; the only shuffles are a groupBy
+    * on the 128-bit line fingerprint (count of distinct docs — partial
+    * aggregation collapses each document's repeats map-side) and an
+    * equi-join of lines against the (small: repeated-lines-only)
+    * boilerplate set, then one aggregation back to documents. Linear
+    * in total lines, no all-pairs stage; a viral boilerplate line costs
+    * one hot fingerprint in a count-distinct, not a quadratic bucket.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2): DataFrame = {
+    val lines = widen(df)
+      .select(col(idCol).as("id"),
+        posexplode(filter(transform(split(col(textCol), "\n"), l => trim(l)),
+          l => length(l) > 0)))
+      .select(col("id"), col("pos").cast("long").as("l_idx"), col("col").as("line"))
+      .withColumn("fp", md5(col("line").cast("binary")))
+    val boiler = lines.groupBy(col("fp"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("fp"), lit(true).as("boiler"))
+    lines.join(boiler, Seq("fp"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("boiler").isNull,
+            struct(col("l_idx"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"))
+  }
+
   /** Train→eval contamination screen (decontamination): for every
     * document of `eval`, how many of its distinct token-n-grams appear
     * anywhere in `train` — the standard benchmark-leakage check run

@@ -211,4 +211,32 @@ object Sampling {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("score"), lit(0L)).as("score"))
   }
+
+  /** Epoch-deterministic training order: every document gets a
+    * (shard, pos) assignment for the given epoch — the materialized
+    * "global shuffle" a trainer consumes as N shard files read
+    * sequentially. Both coordinates derive from md5(epoch salt ++ id),
+    * so the order is reproducible on any engine and any cluster size,
+    * changes completely between epochs, and a grown corpus never
+    * reorders the surviving documents of a shard (hash order is
+    * insertion-stable, unlike rand() or zipWithIndex).
+    *
+    * Scale shape: NO global sort — a total order over 100 TB would
+    * funnel through a single range-partitioned sort. Instead the hash
+    * bucketing IS the shard split (one shuffle on `shard`), and the
+    * within-shard ordinal is a per-shard window sort over corpus/nShards
+    * rows. Ties in the 60-bit ord key are broken by id, so the result
+    * is a total order even under hash collisions.
+    */
+  def epochShards(df: DataFrame, idCol: String, epoch: Int,
+      nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Profile.contentHash60(
+      concat(lit(s"epoch${epoch}:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("id"))
+    df.select(col(idCol).as("id"), ord.as("ord"))
+      .withColumn("shard", (col("ord") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .select(col("id"), col("shard"), col("pos"))
+  }
 }

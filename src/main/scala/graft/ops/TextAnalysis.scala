@@ -470,6 +470,49 @@ object TextAnalysis {
           col("n_words").cast("double"), 6))
   }
 
+  /** Per-source token-distribution divergence: KL(source ‖ corpus)
+    * over unigram distributions, plus the source's share of the global
+    * vocabulary — the drift statistic a mixture pipeline watches to
+    * catch a source whose content shifted between snapshots (a spiked
+    * KL means the source no longer looks like the blend it was weighted
+    * for). KL is finite by construction: every source token is in the
+    * corpus distribution, so q > 0 wherever p > 0.
+    *
+    * Returns (source, n_tokens, n_vocab, kl) with kl rounded to 6 dp —
+    * the sums run over vocabulary-sized frames (distinct words), where
+    * double summation-order drift is far below the rounding grain (the
+    * q_lm_score convention).
+    *
+    * Scale shape: ONE corpus-scale shuffle — the (source, word) count
+    * aggregation with map-side partials. Global word counts re-aggregate
+    * the per-source counts frame (vocab-sized, persisted), never a
+    * second corpus scan; the p/q join is vocab × sources against a
+    * broadcast global frame.
+    */
+  def sourceDivergence(df: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val perSrc = df
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val global = perSrc.groupBy(col("w")).agg(sum(col("c")).as("gc"))
+    val totals = perSrc.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+    val gTot = global.agg(sum(col("gc")).as("n_all"))
+    val p = col("c").cast("double") / col("n_src").cast("double")
+    val q = col("gc").cast("double") / col("n_all").cast("double")
+    perSrc
+      .join(broadcast(global), Seq("w"))
+      .join(broadcast(totals), Seq("source"))
+      .crossJoin(broadcast(gTot))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        // + 0.0 canonicalizes an IEEE -0.0 (a tiny negative sum rounded
+        // to zero) to +0.0 so both engines hash the same bytes
+        (round(sum(p * log(p / q)), 6) + lit(0.0)).as("kl"))
+  }
+
   /** Full per-document analysis frame: doc identifier + all metrics. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Sampling, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 part 3: the corpus-maintenance operators still missing from
+  * the pipeline layer — CCNet-style boilerplate line removal (every
+  * occurrence goes, not first-kept), epoch-deterministic shard/order
+  * planning for trainer consumption, and per-source distribution-drift
+  * (KL) monitoring. Every query is deterministic and recomputed end to
+  * end by its DuckDB oracle.
+  */
+object Round8cQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- line-level boilerplate removal (CCNet / RefinedWeb step) ----
+    "q_line_dedup" -> ((s, dir) => {
+      // organic docs have no newlines, so each is a single "line";
+      // planted copies of every 10th doc wrap the original text in a
+      // shared header/footer line pair. The header/footer recur across
+      // all planted docs -> removed everywhere; each planted BODY line
+      // equals its organic source doc's single line -> both occurrences
+      // removed (distinct docs), demonstrating the no-first-kept
+      // semantics that separates this from q_dedup_passage
+      val v1 = Tables.load(s, dir, "documents")
+      val off = broadcast(v1.agg((max(col("doc_id")) + 1L).as("_off")))
+      val planted = v1.filter(col("doc_id") % 10 === 0).crossJoin(off)
+        .select((col("doc_id") + col("_off")).as("doc_id"),
+          concat(lit("shared legal boilerplate header\n"), col("text"),
+            lit("\nshared legal boilerplate footer")).as("text"))
+      Dedup.lineDedup(
+          v1.select(col("doc_id"), col("text")).unionByName(planted),
+          "doc_id", "text", minDocs = 2)
+        .orderBy(col("id"))
+    }),
+
+    // ---- epoch-deterministic shard / training-order plan ----
+    "q_shard_plan" -> ((s, dir) =>
+      // the full (id, shard, pos) assignment for epoch 3 over 8 shards
+      // is oracle-checked — hash bucketing is the shard split (no
+      // global sort), the within-shard ordinal is a per-shard sort
+      Sampling.epochShards(Tables.load(s, dir, "documents"),
+          "doc_id", epoch = 3, nShards = 8)
+        .orderBy(col("shard"), col("pos"))),
+
+    // ---- per-source unigram KL drift vs the corpus blend ----
+    "q_source_kl" -> ((s, dir) =>
+      TextAnalysis.sourceDivergence(Tables.load(s, dir, "documents"),
+          "source", "text")
+        .orderBy(col("source")))
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q_line_dedup" ->
+      """WITH o AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+         v AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + off,
+             'shared legal boilerplate header' || chr(10) || text ||
+               chr(10) || 'shared legal boilerplate footer'
+           FROM documents CROSS JOIN o WHERE doc_id % 10 = 0),
+         ls AS (
+           SELECT doc_id, list_filter(
+             list_transform(string_split(text, chr(10)), l -> TRIM(l)),
+             l -> LENGTH(l) > 0) AS lines
+           FROM v),
+         ln AS (
+           SELECT doc_id, UNNEST(range(LEN(lines))) AS l_idx,
+             UNNEST(lines) AS line
+           FROM ls),
+         b AS (
+           SELECT line FROM ln GROUP BY line
+           HAVING COUNT(DISTINCT doc_id) >= 2),
+         m AS (
+           SELECT ln.doc_id, ln.l_idx, ln.line,
+             (b.line IS NOT NULL) AS boiler
+           FROM ln LEFT JOIN b USING (line))
+         SELECT doc_id AS id, COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN NOT boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           COALESCE(string_agg(CASE WHEN NOT boiler THEN line END,
+             chr(10) ORDER BY l_idx), '') AS clean_text
+         FROM m GROUP BY doc_id ORDER BY id""",
+
+    "q_shard_plan" ->
+      """WITH h AS (
+           SELECT doc_id AS id,
+             CAST(('0x' || substr(md5('epoch3:' || CAST(doc_id AS VARCHAR)),
+               1, 15)) AS BIGINT) AS ord
+           FROM documents),
+         sh AS (
+           SELECT id, ord, CAST(ord % 8 AS INT) AS shard FROM h)
+         SELECT id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, id)
+             AS BIGINT) - 1 AS pos
+         FROM sh ORDER BY shard, pos""",
+
+    "q_source_kl" ->
+      """WITH tok AS (
+           SELECT source, UNNEST(string_split_regex(LOWER(TRIM(text)),
+             '\s+')) AS w
+           FROM documents),
+         cnt AS (
+           SELECT source, w, COUNT(*) AS c FROM tok
+           WHERE LENGTH(w) > 0 GROUP BY source, w),
+         g AS (SELECT w, SUM(c) AS gc FROM cnt GROUP BY w),
+         st AS (SELECT source, SUM(c) AS n_src FROM cnt GROUP BY source),
+         gt AS (SELECT SUM(gc) AS n_all FROM g)
+         SELECT cnt.source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_vocab,
+           ROUND(SUM((CAST(c AS DOUBLE) / n_src) *
+             LN((CAST(c AS DOUBLE) / n_src) /
+                (CAST(gc AS DOUBLE) / n_all))), 6) + 0.0 AS kl
+         FROM cnt
+         JOIN g USING (w) JOIN st USING (source) CROSS JOIN gt
+         GROUP BY cnt.source ORDER BY cnt.source"""
+  )
+}

@@ -1,0 +1,121 @@
+package graft
+
+import graft.ops.{Dedup, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 part 3: line-level boilerplate removal, epoch shard
+  * planning, per-source KL drift.
+  */
+class Round8cSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- lineDedup ----
+
+  test("lineDedup: a line in >= minDocs docs is removed from EVERY doc") {
+    val df = Seq(
+      (1L, "nav bar\nunique alpha\nfooter"),
+      (2L, "nav bar\nunique beta\nfooter"),
+      (3L, "unique gamma")).toDF("id", "text")
+    val out = Dedup.lineDedup(df, "id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // no first occurrence survives: both docs lose nav bar AND footer
+    assert(out(1L) === ((3L, 1L, "unique alpha")))
+    assert(out(2L) === ((3L, 1L, "unique beta")))
+    assert(out(3L) === ((1L, 1L, "unique gamma")))
+  }
+
+  test("lineDedup: blank/whitespace lines neither count nor pad; " +
+      "all-boilerplate doc survives with empty clean_text") {
+    val df = Seq(
+      (1L, "dup\n\n   \ndup2"),
+      (2L, "dup\ndup2"),
+      (3L, " dup \nkeep me")).toDF("id", "text") // trims before matching
+    val out = Dedup.lineDedup(df, "id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 0L, "")))     // blanks dropped, both lines dup
+    assert(out(2L) === ((2L, 0L, "")))
+    assert(out(3L) === ((2L, 1L, "keep me")))
+  }
+
+  test("lineDedup: repeats WITHIN one doc are not boilerplate (distinct docs)") {
+    val df = Seq(
+      (1L, "echo\necho\necho"),
+      (2L, "other")).toDF("id", "text")
+    val out = Dedup.lineDedup(df, "id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) === 3L) // countDistinct(doc)=1 < 2 → kept
+  }
+
+  // ---- epochShards ----
+
+  test("epochShards: shards partition the corpus; pos is dense per shard") {
+    val df = (0L until 100L).toDF("id")
+    val out = Sampling.epochShards(df, "id", epoch = 1, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.map(_._1).toSet === (0L until 100L).toSet) // every doc once
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+  }
+
+  test("epochShards: different epochs produce different orders; same epoch is stable") {
+    val df = (0L until 200L).toDF("id")
+    def plan(e: Int) = Sampling.epochShards(df, "id", e, 4)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val e1 = plan(1)
+    assert(plan(1) === e1)       // deterministic
+    assert(plan(2) !== e1)       // epoch changes the whole assignment
+  }
+
+  test("epochShards: growing the corpus never reorders surviving docs of a shard") {
+    val small = (0L until 100L).toDF("id")
+    val big = (0L until 150L).toDF("id")
+    def order(df: org.apache.spark.sql.DataFrame) =
+      Sampling.epochShards(df, "id", 7, 4).collect()
+        .map(r => (r.getInt(1), r.getLong(2), r.getLong(0)))
+        .groupBy(_._1).map { case (s, rows) =>
+          s -> rows.sortBy(_._2).map(_._3).toSeq }
+    val o1 = order(small)
+    val o2 = order(big)
+    o1.foreach { case (s, seq) =>
+      // old docs appear in the same relative order within their shard
+      assert(o2(s).filter(seq.contains) === seq)
+    }
+  }
+
+  // ---- sourceDivergence ----
+
+  test("sourceDivergence: identical sources have kl = 0; skewed source > 0") {
+    val df = Seq(
+      ("a", "x x y"), ("a", "x y y"),     // a: x=3,y=3
+      ("b", "x x y"), ("b", "x y y"),     // b: identical distribution
+      ("c", "z z z z z z")).toDF("source", "text")
+    val out = TextAnalysis.sourceDivergence(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("a") === out("b"))
+    assert(out("a") > 0.0)      // corpus blend includes c's z mass
+    assert(out("c") > out("a")) // c is pure-z, farthest from the blend
+  }
+
+  test("sourceDivergence: single source means corpus = source, kl exactly 0 (not -0.0)") {
+    val df = Seq(("a", "p q r"), ("a", "p p q")).toDF("source", "text")
+    val row = TextAnalysis.sourceDivergence(df, "source", "text").collect().head
+    assert(row.getLong(1) === 6L && row.getLong(2) === 3L)
+    val kl = row.getDouble(3)
+    assert(kl === 0.0 &&
+      java.lang.Double.doubleToRawLongBits(kl) === 0L) // canonical +0.0
+  }
+
+  test("sourceDivergence plan: corpus is scanned once (counts frame reused)") {
+    val df = Seq(("a", "x y"), ("b", "y z")).toDF("source", "text")
+    val plan = TextAnalysis.sourceDivergence(df, "source", "text")
+      .queryExecution.optimizedPlan.toString
+    // global/total frames must come from the persisted per-source counts
+    // (InMemoryRelation), not re-derived corpus scans
+    assert(plan.contains("InMemoryRelation"))
+  }
+}
