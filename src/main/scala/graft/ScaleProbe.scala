@@ -375,6 +375,14 @@ object ScaleProbe {
     time("per-source KL drift over 10x docs") {
       graft.ops.TextAnalysis.sourceDivergence(docs, "source", "text").count()
     }
+    time("vocab coverage curve over 10x docs") {
+      graft.ops.TextAnalysis.vocabCoverage(docs, "text",
+        Seq(10, 20, 50, 100)).count()
+    }
+    time("windowed top-3 heavy hitters over 1M events") {
+      graft.streaming.Streams.windowedTopK(
+        Tables.load(spark, out, "events"), "1 hour", k = 3).count()
+    }
     time("snapshot diff: 10x docs vs mutated v2 (drops/edits/adds)") {
       val v2 = docs.filter(col("doc_id") % 31 =!= 0)
         .withColumn("text", when(col("doc_id") % 17 === 0,

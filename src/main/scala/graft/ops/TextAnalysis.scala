@@ -513,6 +513,47 @@ object TextAnalysis {
         (round(sum(p * log(p / q)), 6) + lit(0.0)).as("kl"))
   }
 
+  /** Vocabulary coverage curve: for each candidate vocab size v, the
+    * share of all corpus tokens covered by the top-v words (frequency
+    * desc, ties broken by word asc so the curve is deterministic) — the
+    * statistic that sizes a tokenizer's word list / decides the OOV
+    * budget before training one. Returns
+    * (vocab_size, n_types_used, covered_tokens, coverage) with
+    * n_types_used = min(v, distinct words).
+    *
+    * Scale shape: the corpus-scale shuffle is the word count (map-side
+    * partials); everything after is VOCAB-sized — the ordinal sort is a
+    * single-partition window over distinct words, fine up to
+    * ~10M types (a 100 TB corpus's word vocabulary, not its token
+    * stream; if types ever exceed that, pre-filter count >= 2 first —
+    * hapaxes can never make a top-v cut that matters). The corpus is
+    * never globally sorted.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      sizes: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val ord = Window.orderBy(col("c").desc, col("w"))
+    val ranked = wc
+      .withColumn("rk", row_number().over(ord))
+      .withColumn("cum", sum(col("c")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = broadcast(ranked.agg(max(col("cum")).as("n_total"),
+      max(col("rk")).as("n_types")))
+    val sz = df.sparkSession.createDataFrame(
+      sizes.map(v => Tuple1(v.toLong))).toDF("vocab_size")
+    sz.crossJoin(tot)
+      .join(ranked, col("rk") === least(col("vocab_size"), col("n_types")))
+      .select(col("vocab_size"),
+        least(col("vocab_size"), col("n_types")).as("n_types_used"),
+        col("cum").as("covered_tokens"),
+        round(col("cum").cast("double") / col("n_total").cast("double"), 6)
+          .as("coverage"))
+  }
+
   /** Full per-document analysis frame: doc identifier + all metrics. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -50,7 +50,24 @@ object Round8cQueries {
     "q_source_kl" -> ((s, dir) =>
       TextAnalysis.sourceDivergence(Tables.load(s, dir, "documents"),
           "source", "text")
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // ---- vocabulary coverage curve (tokenizer sizing) ----
+    "q_vocab_coverage" -> ((s, dir) =>
+      // sizes straddle the synthetic vocabulary so both the interior
+      // of the curve and the least(v, n_types) clamp are exercised
+      TextAnalysis.vocabCoverage(Tables.load(s, dir, "documents"),
+          "text", sizes = Seq(10, 20, 50, 100))
+        .orderBy(col("vocab_size"))),
+
+    // ---- streaming windowed top-k heavy hitters (batch form) ----
+    "q_stream_topk" -> ((s, dir) =>
+      // the counts stage is the watermark-bounded streaming aggregate
+      // (StreamingSpec runs it as a real stream); the top-k cut runs on
+      // the finalized window counts, as it would on the sink
+      graft.streaming.Streams.windowedTopK(
+          Tables.load(s, dir, "events"), "1 hour", k = 3)
+        .orderBy(col("window_start"), col("rk")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -118,6 +135,40 @@ object Round8cQueries {
                 (CAST(gc AS DOUBLE) / n_all))), 6) + 0.0 AS kl
          FROM cnt
          JOIN g USING (w) JOIN st USING (source) CROSS JOIN gt
-         GROUP BY cnt.source ORDER BY cnt.source"""
+         GROUP BY cnt.source ORDER BY cnt.source""",
+
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+           SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS w
+           FROM documents),
+         wc AS (
+           SELECT w, COUNT(*) AS c FROM tok
+           WHERE LENGTH(w) > 0 GROUP BY w),
+         r AS (
+           SELECT w, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk,
+             SUM(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING) AS cum
+           FROM wc),
+         t AS (SELECT MAX(cum) AS n_total, MAX(rk) AS n_types FROM r)
+         SELECT CAST(v AS BIGINT) AS vocab_size,
+           CAST(LEAST(v, n_types) AS BIGINT) AS n_types_used,
+           CAST(cum AS BIGINT) AS covered_tokens,
+           ROUND(CAST(cum AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS coverage
+         FROM (SELECT UNNEST([10, 20, 50, 100]) AS v) CROSS JOIN t
+         JOIN r ON r.rk = LEAST(v, n_types)
+         ORDER BY vocab_size""",
+
+    "q_stream_topk" ->
+      """WITH c AS (
+           SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT window_start, event_type, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+               ORDER BY n DESC, event_type) AS BIGINT) AS rk
+           FROM c)
+         SELECT window_start, event_type, n, rk FROM r
+         WHERE rk <= 3 ORDER BY window_start, rk"""
   )
 }

@@ -75,6 +75,49 @@ object Streams {
       .select(col("window.start").as("window_start"), col("n_events"),
         col("fingerprint"))
 
+  /** Windowed top-k heavy hitters — the streaming trend dashboard:
+    * within each tumbling window, the k event types with the most
+    * events (ties: event_type asc, so the cut is deterministic). The
+    * windowed count is the stream-safe stage (mergeable, watermark-
+    * bounded state: one counter per open (window, type)); the top-k
+    * cut is a per-window WindowGroupLimit over the FINALIZED window
+    * counts — in a live deployment that stage runs on the aggregated
+    * sink (foreachBatch / a downstream batch job over the append
+    * output), which is why it takes the aggregate frame, not the raw
+    * events. Identical plan in batch replay, which is what the oracle
+    * recomputes.
+    */
+  def windowedTopK(events: DataFrame, window: String, k: Int,
+      watermark: String = "10 minutes"): DataFrame =
+    topKOverCounts(windowedCounts(events, window, watermark), k)
+
+  /** The stream-safe half of [[windowedTopK]]: watermark-bounded
+    * per-(window, type) counts — this is the stage that runs as a
+    * writeStream (StreamingSpec drives it over a file source).
+    */
+  def windowedCounts(events: DataFrame, window: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+
+  /** The sink-side half of [[windowedTopK]]: rank the finalized window
+    * counts and keep k per window. Runs over the aggregate sink (or the
+    * same frame in batch replay), never inside the streaming plan —
+    * row_number over a streaming aggregate is not a streamable shape.
+    */
+  def topKOverCounts(counts: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rk = Window.partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rk", row_number().over(rk).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Sliding-window aggregation. */
   def slidingAgg(events: DataFrame, window: String, slide: String,
       watermark: String = "10 minutes"): DataFrame =

@@ -6,8 +6,8 @@ class EntrySmoke extends AnyFunSuite {
     val n = df.count()
     info(s"entry rows: $n")
     assert(n > 0)
-    assert(SparkEntry.queries.size == 183)
-    assert(SparkEntry.oracleSql.size == 182)
+    assert(SparkEntry.queries.size == 185)
+    assert(SparkEntry.oracleSql.size == 184)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }

@@ -110,6 +110,57 @@ class Round8cSpec extends AnyFunSuite {
       java.lang.Double.doubleToRawLongBits(kl) === 0L) // canonical +0.0
   }
 
+  // ---- vocabCoverage ----
+
+  test("vocabCoverage: exact curve on a known corpus; clamp at n_types") {
+    // counts: a=4, b=2, c=1 → order a, b, c; total 7
+    val df = Seq("a a b", "a a b c").toDF("text")
+    val out = TextAnalysis.vocabCoverage(df, "text", Seq(1, 2, 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out(0) === ((1L, 1L, 4L, math.rint(4.0 / 7 * 1e6) / 1e6)))
+    assert(out(1) === ((2L, 2L, 6L, math.rint(6.0 / 7 * 1e6) / 1e6)))
+    assert(out(2) === ((10L, 3L, 7L, 1.0))) // clamp: only 3 types exist
+  }
+
+  test("vocabCoverage: equal counts tie-break by word, so the cut is deterministic") {
+    val df = Seq("z y x").toDF("text") // all counts 1 → order x, y, z
+    val out = TextAnalysis.vocabCoverage(df, "text", Seq(2))
+      .collect().head
+    assert(out.getLong(2) === 2L) // covers x and y, never a z-dependent set
+  }
+
+  // ---- windowedTopK ----
+
+  test("windowedTopK: k per window, count desc, ties break by event_type") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val df = Seq(
+      (ts(1), "b"), (ts(2), "b"), (ts(3), "a"), (ts(4), "a"), (ts(5), "c"),
+      (ts(59), "d")).toDF("ts", "event_type")
+    val out = graft.streaming.Streams.windowedTopK(df, "1 hour", k = 2)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // a and b both count 2 → a first by name; c (1) is cut at k=2
+    assert(out.toSeq === Seq(("a", 2L, 1L), ("b", 2L, 2L)))
+  }
+
+  test("windowedTopK counts stage runs as a real stream; sink-side cut equals batch") {
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val dir = java.nio.file.Files.createTempDirectory("grafttopk")
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = graft.streaming.Streams.windowedCounts(stream, "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("topk_counts_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = graft.streaming.Streams
+      .topKOverCounts(spark.table("topk_counts_out"), 3)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = graft.streaming.Streams.windowedTopK(events, "1 hour", 3)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("sourceDivergence plan: corpus is scanned once (counts frame reused)") {
     val df = Seq(("a", "x y"), ("b", "y z")).toDF("source", "text")
     val plan = TextAnalysis.sourceDivergence(df, "source", "text")
