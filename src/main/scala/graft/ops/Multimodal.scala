@@ -25,7 +25,8 @@ object Multimodal {
       format: String, width: Int, height: Int, duration_ms: Long)
 
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-      feature: Array[Float], thumb_bytes: Long)
+      feature: Array[Float], thumb_bytes: Long, n_frames: Long,
+      byte_wsum: Long)
 
   /** Synthesize a media table from any keyed table: payload = repeated
     * md5 bytes of the key (deterministic), metadata derived from it.
@@ -68,14 +69,19 @@ object Multimodal {
     var h = 1125899906842597L
     val feats = new Array[Float](8)
     var i = 0
+    var wsum = 0L // position-weighted byte sum: exact-integer digest of
+    // the decoded bytes, the cross-engine-checkable face of this stub
+    // (sum_{i} (i+1)*byte_i; <= 128 bytes * 255 * 128 — no overflow)
     m.payload.foreach { b =>
       h = h * 31 + (b & 0xff)
       feats(i % 8) += ((h % 1000).toFloat / 1000.0f)
+      wsum += (i + 1).toLong * (b & 0xff)
       i += 1
     }
     // -------------------------------------------------------------------
     MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, feats,
-      thumbnailStub(m.payload).length.toLong)
+      thumbnailStub(m.payload).length.toLong,
+      sampleFramesStub(m.payload, 4).length.toLong, wsum)
   }
 
   /** Resize/thumbnail STUB: a real build re-encodes; the fake keeps the

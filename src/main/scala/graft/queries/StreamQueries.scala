@@ -113,8 +113,14 @@ object StreamQueries {
         .orderBy(col("kind"), col("format"))
     }),
     "q_multimodal_features" -> ((s, dir) => {
-      // binary payload → per-partition stub decode → features; rows-only
-      // (the stub is not SQL); plumbing validated in MultimodalSpec.
+      // binary payload → per-partition stub decode (the mapPartitions
+      // batch shape a real codec would use) → the decode's
+      // INTEGER-EXACT face: byte counts, thumbnail size, sampled frame
+      // count, and a position-weighted byte digest — all recomputed by
+      // DuckDB from the same hex bytes, so the full plumbing row is
+      // hash-checked end to end. The float feature vector itself stays
+      // spec-pinned (MultimodalSpec): float accumulation order is a
+      // JVM-internal detail no external engine should have to replay.
       import s.implicits._
       val media = Multimodal.syntheticMedia(
         Tables.load(s, dir, "documents"), "doc_id")
@@ -123,12 +129,37 @@ object StreamQueries {
         .as[Multimodal.MediaRow]
       Multimodal.extractFeatures(media)
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          round(element_at(col("feature"), 1), 4).as("f0"), col("thumb_bytes"))
+          col("thumb_bytes"), col("n_frames"), col("byte_wsum"))
         .orderBy(col("media_id"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q_multimodal_features" ->
+      // the stub decode's integer-exact face, recomputed from the same
+      // deterministic payload: hex = md5(id) repeated (id%8+1) times,
+      // bytes parsed pairwise from the hex string (DuckDB-side stand-in
+      // for the binary column Spark feeds through mapPartitions)
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+             repeat(md5(CAST(doc_id AS VARCHAR)),
+               CAST(doc_id % 8 + 1 AS INT)) AS h
+           FROM documents),
+         b AS (
+           SELECT media_id, kind,
+             CAST(LENGTH(h) // 2 AS BIGINT) AS n_bytes,
+             list_transform(range(0, LENGTH(h) // 2),
+               i -> CAST(('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2))
+                 AS BIGINT)) AS bytes
+           FROM m)
+         SELECT media_id, kind, n_bytes,
+           LEAST(16, n_bytes) AS thumb_bytes,
+           CAST(CEIL((n_bytes // 16) / 4.0) AS BIGINT) AS n_frames,
+           CAST(list_sum(list_transform(range(0, n_bytes),
+             i -> (i + 1) * bytes[CAST(i + 1 AS INT)])) AS BIGINT)
+             AS byte_wsum
+         FROM b ORDER BY media_id""",
     "q_multimodal_meta" ->
       """SELECT kind, format, COUNT(*) AS n,
            CAST(SUM(width) AS BIGINT) AS sum_width,

@@ -7,7 +7,7 @@ class EntrySmoke extends AnyFunSuite {
     info(s"entry rows: $n")
     assert(n > 0)
     assert(SparkEntry.queries.size == 185)
-    assert(SparkEntry.oracleSql.size == 184)
+    assert(SparkEntry.oracleSql.size == 185)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }

@@ -39,6 +39,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
   }
 
+  test("stub decode's integer face matches an independent recomputation") {
+    val media = Multimodal.syntheticMedia(docs, "doc_id")
+      .select(col("media_id"), col("kind"), col("payload"), col("meta.format"),
+        col("meta.width"), col("meta.height"), col("meta.duration_ms"))
+      .as[Multimodal.MediaRow]
+    val raw = media.orderBy("media_id").limit(10).collect()
+    val feats = Multimodal.extractFeatures(media).orderBy("media_id").limit(10).collect()
+    raw.zip(feats).foreach { case (m, f) =>
+      val wsum = m.payload.zipWithIndex.map { case (b, i) =>
+        (i + 1).toLong * (b & 0xff) }.sum
+      assert(f.byte_wsum === wsum)
+      // frames = 16-byte blocks sampled every 4th, starting at block 0
+      assert(f.n_frames === (m.payload.length / 16 + 3) / 4)
+    }
+  }
+
   test("metadata-only query prunes the payload column from the parquet scan") {
     val dir = Files.createTempDirectory("graftmedia")
     Multimodal.syntheticMedia(docs, "doc_id").write.mode("overwrite").parquet(s"$dir/media")
