@@ -375,6 +375,15 @@ object ScaleProbe {
     time("per-source KL drift over 10x docs") {
       graft.ops.TextAnalysis.sourceDivergence(docs, "source", "text").count()
     }
+    time("hybrid retrieval (BM25 x cosine, RRF) over 10x docs + 20k vectors") {
+      val q = Tables.load(spark, out, "embeddings")
+        .filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      graft.ops.Search.hybridSearch(docs, "doc_id", "text",
+        Seq("spark", "query", "join", "filter"),
+        Tables.load(spark, out, "embeddings"), "vec_id", "embedding",
+        q, n = 50, k = 20).count()
+    }
     time("vocab coverage curve over 10x docs") {
       graft.ops.TextAnalysis.vocabCoverage(docs, "text",
         Seq(10, 20, 50, 100)).count()

@@ -249,4 +249,43 @@ object Search {
                  terms: Seq[String], k: Int, k1: Double = 1.5): DataFrame =
     searchIndex(invertedIndex(df, idCol, textCol), terms, k,
       df.groupBy().agg(count(lit(1)).as("n")), k1)
+
+  /** Hybrid retrieval: fuse a lexical top-n ([[searchDocs]] BM25-style
+    * ranking) with an embedding top-n (brute-force cosine) by
+    * reciprocal-rank fusion — rrf = Σ 1/(rrfK + rank), the standard
+    * score-free fusion rule (ranks are integers, so the fused score is
+    * the same two-term double expression on any engine; no cross-list
+    * score normalization to get wrong). Docs appearing in only one
+    * list contribute that list's term alone. Returns
+    * (doc_id, rank_text, rank_vec, rrf) — ranks NULL where the doc
+    * missed that list — top-k by (rrf desc, doc_id).
+    *
+    * Scale shape: each candidate list is its operator's own plan
+    * (postings-bounded / scan + TakeOrdered); ranking windows run over
+    * the n-row candidate lists, never the corpus, and the fusion join
+    * is n×n.
+    */
+  def hybridSearch(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], emb: DataFrame, vecIdCol: String, vecCol: String,
+      queryVec: Array[Double], n: Int = 50, k: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = searchDocs(docs, idCol, textCol, terms, n)
+      .withColumn("rank_text", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank_text"))
+    val v = Similarity.bruteForceTopK(emb, vecIdCol, vecCol, queryVec, n)
+      .select(col(vecIdCol).cast("long").as("doc_id"),
+        round(col("sim"), 6).as("_sim_r"))
+      .withColumn("rank_vec", row_number().over(
+        Window.orderBy(col("_sim_r").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank_vec"))
+    t.join(v, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("rank_text")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("rank_vec")), lit(0.0)),
+        6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
 }

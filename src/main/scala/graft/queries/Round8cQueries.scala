@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Sampling, TextAnalysis}
+import graft.ops.{Dedup, Sampling, Search, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -59,6 +59,19 @@ object Round8cQueries {
       TextAnalysis.vocabCoverage(Tables.load(s, dir, "documents"),
           "text", sizes = Seq(10, 20, 50, 100))
         .orderBy(col("vocab_size"))),
+
+    // ---- hybrid retrieval: BM25 top-n x cosine top-n, RRF fusion ----
+    "q_search_hybrid" -> ((s, dir) =>
+      // both candidate lists use their proven cross-engine rankings
+      // (q_text_search scoring, q_ann_topk cosines); the integer ranks
+      // make the fused score the same two-term double expression in
+      // both engines — no score normalization to diverge
+      Search.hybridSearch(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "query", "join", "filter"),
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        PipelineQueries.queryVec(s, dir), n = 50, k = 20)
+        .orderBy(col("rrf").desc, col("doc_id"))),
 
     // ---- streaming windowed top-k heavy hitters (batch form) ----
     "q_stream_topk" -> ((s, dir) =>
@@ -157,6 +170,63 @@ object Round8cQueries {
          FROM (SELECT UNNEST([10, 20, 50, 100]) AS v) CROSS JOIN t
          JOIN r ON r.rk = LEAST(v, n_types)
          ORDER BY vocab_size""",
+
+    "q_search_hybrid" -> {
+      val terms = Seq("spark", "query", "join", "filter")
+      val tf = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf_$i"
+      }.mkString(", ")
+      val dfAgg = terms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+        .mkString(", ")
+      val contrib = terms.indices.map(i =>
+        s"""(CASE WHEN tf_$i > 0 AND df_$i > 0
+            THEN (CAST(tf_$i AS DOUBLE) / (CAST(tf_$i AS DOUBLE) + 1.5)) *
+                 (CAST(n_corpus AS DOUBLE) / CAST(df_$i AS DOUBLE))
+            ELSE 0.0 END)""").mkString(" + ")
+      val nHit = terms.indices.map(i =>
+        s"(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH d AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+               x -> LENGTH(x) > 0) AS t
+           FROM documents),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM documents),
+         tfs AS (SELECT doc_id, $tf FROM d),
+         dfr AS (SELECT $dfAgg FROM tfs),
+         s AS (
+           SELECT doc_id, CAST($nHit AS BIGINT) AS n_hit,
+             0.0 + $contrib AS score_raw
+           FROM tfs CROSS JOIN dfr CROSS JOIN n),
+         tl AS (
+           SELECT doc_id, ROUND(score_raw, 6) AS score FROM s
+           WHERE n_hit > 0 ORDER BY score_raw DESC, doc_id LIMIT 50),
+         tr AS (
+           SELECT doc_id, CAST(ROW_NUMBER() OVER
+             (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_text
+           FROM tl),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+         vl AS (
+           SELECT vec_id AS doc_id,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv),
+               6) AS simr
+           FROM embeddings CROSS JOIN q
+           ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)
+             DESC, vec_id LIMIT 50),
+         vr AS (
+           SELECT doc_id, CAST(ROW_NUMBER() OVER
+             (ORDER BY simr DESC, doc_id) AS BIGINT) AS rank_vec
+           FROM vl)
+         SELECT doc_id, rank_text, rank_vec, rrf FROM (
+           SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+             rank_text, rank_vec,
+             ROUND(COALESCE(1.0 / (60 + rank_text), 0.0) +
+                   COALESCE(1.0 / (60 + rank_vec), 0.0), 6) AS rrf
+           FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
+           ORDER BY rrf DESC, doc_id LIMIT 20)
+         ORDER BY rrf DESC, doc_id"""
+    },
 
     "q_stream_topk" ->
       """WITH c AS (

@@ -130,6 +130,34 @@ class Round8cSpec extends AnyFunSuite {
     assert(out.getLong(2) === 2L) // covers x and y, never a z-dependent set
   }
 
+  // ---- hybridSearch ----
+
+  test("hybridSearch: RRF fuses both lists; single-list docs get one term") {
+    val docs = Seq(
+      (1L, "hit common"), (2L, "hit hit common"), (3L, "other words"))
+      .toDF("id", "text")
+    // vec space: id 2 is the query itself (cos 1), id 3 close, id 4 far
+    val emb = Seq(
+      (2L, Array(1.0f, 0.0f)), (3L, Array(0.9f, 0.1f)),
+      (4L, Array(0.0f, 1.0f))).toDF("vid", "v")
+    val out = graft.ops.Search.hybridSearch(
+        docs, "id", "text", Seq("hit"), emb, "vid", "v",
+        Array(1.0, 0.0), n = 10, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getDouble(3)))).toMap
+    // text list: doc 2 (tf 2) rank 1, doc 1 rank 2; doc 3 absent
+    // vec list: 2, 3, 4
+    assert(out(2L) === ((Some(1L), Some(1L),
+      math.rint((1.0 / 61 + 1.0 / 61) * 1e6) / 1e6)))
+    assert(out(1L) === ((Some(2L), None,
+      math.rint(1.0 / 62 * 1e6) / 1e6)))
+    assert(out(3L)._1 === None) // text miss, vec rank 2
+    assert(out(3L)._2 === Some(2L))
+    assert(!out.contains(5L))
+    // fused order puts the dual-list doc first
+    assert(out(2L)._3 > out(1L)._3 && out(2L)._3 > out(3L)._3)
+  }
+
   // ---- windowedTopK ----
 
   test("windowedTopK: k per window, count desc, ties break by event_type") {
