@@ -375,6 +375,12 @@ object ScaleProbe {
     time("per-source KL drift over 10x docs") {
       graft.ops.TextAnalysis.sourceDivergence(docs, "source", "text").count()
     }
+    time("contamination span map: 5k eval docs vs 45k train docs") {
+      graft.ops.Dedup.contaminationSpans(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", n = 5).count()
+    }
     time("hybrid retrieval (BM25 x cosine, RRF) over 10x docs + 20k vectors") {
       val q = Tables.load(spark, out, "embeddings")
         .filter(col("vec_id") === 0).select(col("embedding"))

@@ -479,6 +479,54 @@ object Dedup {
       .withColumn("contaminated", col("n_hit") > 0)
   }
 
+  /** Span-level contamination map (the GPT-3 / Pile decontamination
+    * shape): [[crossCorpusContamination]] says HOW MUCH of an eval doc
+    * leaks from train; this says WHERE — hit n-gram positions merge
+    * into maximal contaminated token spans (two hits merge when their
+    * [p, p+n) windows overlap or touch), which is what span-removal
+    * decontamination actually cuts. Returns one row per eval doc:
+    * (id, n_hits, n_spans, covered_tokens, max_span), zeros for clean
+    * docs.
+    *
+    * Scale shape: the train side collapses to a distinct-shingle set
+    * and the only corpus-scale shuffle is the hash equi-join (the
+    * decontaminate pattern); the island-merge window runs over HIT
+    * positions only — sparse by construction for any corpus worth
+    * training on — partitioned by doc, never a global sort.
+    */
+  def contaminationSpans(eval: DataFrame, train: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val evalSh = widen(eval)
+      .withColumn("_th", TextAnalysis.tokenHashes(col(textCol)))
+      .select(col(idCol).as("id"),
+        posexplode(TextAnalysis.shingleHashesFrom(col("_th"), n,
+          distinct = false)).as(Seq("pos", "shingle")))
+    val trainSh = explodedShingleHashes(train, idCol, textCol, n,
+        distinct = true)
+      .select(col("shingle")).dropDuplicates("shingle")
+    val hits = evalSh.join(trainSh, Seq("shingle"))
+      .select(col("id"), col("pos").cast("long").as("pos"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(w)
+    val spans = hits
+      .withColumn("ns", when(prev.isNull || col("pos") > prev + n, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(w))
+      .groupBy(col("id"), col("sid"))
+      .agg(count(lit(1)).as("nh"),
+        (max(col("pos")) + n - min(col("pos"))).as("len"))
+      .groupBy(col("id"))
+      .agg(sum(col("nh")).as("n_hits"), count(lit(1)).as("n_spans"),
+        sum(col("len")).as("covered_tokens"), max(col("len")).as("max_span"))
+    eval.select(col(idCol).as("id")).join(spans, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"))
+  }
+
   /** Exact substring duplication audit (the suffix-array dedup signal of
     * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     * Better", computed by hashed char-k-gram sampling instead of a

@@ -60,6 +60,28 @@ object Round8cQueries {
           "text", sizes = Seq(10, 20, 50, 100))
         .orderBy(col("vocab_size"))),
 
+    // ---- span-level contamination map (GPT-3/Pile decontamination) ----
+    "q_contamination_spans" -> ((s, dir) => {
+      // eval = every 10th doc, train = the rest (the q_decontaminate
+      // split); planted eval docs (every 30th, at offset ids) append
+      // train doc 1's full text, so the span map must find one long
+      // contaminated span there while organic eval docs stay sparse
+      val docs = Tables.load(s, dir, "documents")
+      val evalBase = docs.filter(col("doc_id") % 10 === 0)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val off = broadcast(docs.agg((max(col("doc_id")) + 1L).as("_off")))
+      val t1 = broadcast(docs.filter(col("doc_id") === 1L)
+        .select(col("text").as("_t1")))
+      val planted = evalBase.filter(col("doc_id") % 30 === 0)
+        .crossJoin(off).crossJoin(t1)
+        .select((col("doc_id") + col("_off")).as("doc_id"),
+          concat(col("text"), lit(" "), col("_t1")).as("text"))
+      Dedup.contaminationSpans(
+          evalBase.select(col("doc_id"), col("text")).unionByName(planted),
+          train, "doc_id", "text", n = 5)
+        .orderBy(col("id"))
+    }),
+
     // ---- hybrid retrieval: BM25 top-n x cosine top-n, RRF fusion ----
     "q_search_hybrid" -> ((s, dir) =>
       // both candidate lists use their proven cross-engine rankings
@@ -170,6 +192,58 @@ object Round8cQueries {
          FROM (SELECT UNNEST([10, 20, 50, 100]) AS v) CROSS JOIN t
          JOIN r ON r.rk = LEAST(v, n_types)
          ORDER BY vocab_size""",
+
+    "q_contamination_spans" ->
+      """WITH o AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+         t1 AS (SELECT text AS t1txt FROM documents WHERE doc_id = 1),
+         ev AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + off, text || ' ' || t1txt
+           FROM documents CROSS JOIN o CROSS JOIN t1
+           WHERE doc_id % 10 = 0 AND doc_id % 30 = 0),
+         evt AS (
+           SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+           FROM ev),
+         evsh AS (
+           SELECT doc_id,
+             UNNEST(range(1, GREATEST(LEN(t) - 5, 0) + 2)) AS i,
+             UNNEST(list_transform(range(1, GREATEST(LEN(t) - 5, 0) + 2),
+               i -> array_to_string(t[i:i+4], ' '))) AS s
+           FROM evt),
+         trsh AS (
+           SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS s
+           FROM (SELECT string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+                 FROM documents WHERE doc_id % 10 <> 0),
+             UNNEST(range(1, GREATEST(LEN(t) - 5, 0) + 2)) AS u(i)),
+         hits AS (
+           SELECT doc_id, i - 1 AS pos FROM evsh
+           WHERE s IN (SELECT s FROM trsh)),
+         isl AS (
+           SELECT doc_id, pos,
+             CASE WHEN LAG(pos) OVER w IS NULL
+                    OR pos > LAG(pos) OVER w + 5 THEN 1 ELSE 0 END AS ns
+           FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         sids AS (
+           SELECT doc_id, pos,
+             SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+           FROM isl),
+         sp AS (
+           SELECT doc_id, sid, COUNT(*) AS nh,
+             MAX(pos) + 5 - MIN(pos) AS len
+           FROM sids GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, CAST(SUM(nh) AS BIGINT) AS n_hits,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(len) AS BIGINT) AS covered_tokens,
+             CAST(MAX(len) AS BIGINT) AS max_span
+           FROM sp GROUP BY 1)
+         SELECT ev.doc_id AS id,
+           COALESCE(n_hits, 0) AS n_hits,
+           COALESCE(n_spans, 0) AS n_spans,
+           COALESCE(covered_tokens, 0) AS covered_tokens,
+           COALESCE(max_span, 0) AS max_span
+         FROM ev LEFT JOIN agg USING (doc_id) ORDER BY id""",
 
     "q_search_hybrid" -> {
       val terms = Seq("spark", "query", "join", "filter")

@@ -130,6 +130,38 @@ class Round8cSpec extends AnyFunSuite {
     assert(out.getLong(2) === 2L) // covers x and y, never a z-dependent set
   }
 
+  // ---- contaminationSpans ----
+
+  test("contaminationSpans: overlapping and touching hits merge; gaps split") {
+    // train gram set = 3-grams of "a b c d e" -> hits in eval docs
+    val train = Seq((100L, "a b c d e")).toDF("id", "text")
+    val eval = Seq(
+      // positions 0..2 all hit (a b c, b c d, c d e) -> ONE span [0,5)
+      (1L, "a b c d e"),
+      // one hit at pos 2 (a b c); span [2,5) of length 3
+      (2L, "x y a b c z w"),
+      // two separated hits: pos 0 (a b c) and pos 7 (c d e) -> 2 spans
+      (3L, "a b c q r s t c d e"),
+      (4L, "nothing matches here at all")).toDF("id", "text")
+    val out = Dedup.contaminationSpans(eval, train, "id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((3L, 1L, 5L, 5L)))
+    assert(out(2L) === ((1L, 1L, 3L, 3L)))
+    assert(out(3L) === ((2L, 2L, 6L, 3L)))
+    assert(out(4L) === ((0L, 0L, 0L, 0L))) // clean docs kept with zeros
+  }
+
+  test("contaminationSpans: touching windows (gap = n) merge into one span") {
+    val train = Seq((100L, "a b c"), (101L, "x y z")).toDF("id", "text")
+    // hits at pos 0 (a b c) and pos 3 (x y z): windows [0,3) and [3,6)
+    // touch -> single span of length 6
+    val eval = Seq((1L, "a b c x y z")).toDF("id", "text")
+    val out = Dedup.contaminationSpans(eval, train, "id", "text", n = 3)
+      .collect().head
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) === ((2L, 1L, 6L)))
+  }
+
   // ---- hybridSearch ----
 
   test("hybridSearch: RRF fuses both lists; single-list docs get one term") {
