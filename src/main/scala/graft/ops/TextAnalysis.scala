@@ -513,6 +513,29 @@ object TextAnalysis {
         (round(sum(p * log(p / q)), 6) + lit(0.0)).as("kl"))
   }
 
+  /** HTML/markup stripping — the extraction step between a web crawl
+    * and every text operator in this library: drop script/style blocks
+    * wholesale (their content is code, not prose), strip remaining
+    * tags, decode the common entities, collapse whitespace. Pure
+    * per-row codegen'd regexp chain — zero shuffle, linear scan, the
+    * same 100 TB posture as the quality filters. The regexes stay in
+    * the RE2-compatible subset ((?s), non-greedy, no backrefs) so any
+    * engine reproduces them byte-for-byte.
+    */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    // &amp; decodes LAST: "&amp;lt;" is the literal text "&lt;" — an
+    // amp-first pass would double-decode it to "<"
+    val entities = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Vocabulary coverage curve: for each candidate vocab size v, the
     * share of all corpus tokens covered by the top-v words (frequency
     * desc, ties broken by word asc so the curve is deterministic) — the

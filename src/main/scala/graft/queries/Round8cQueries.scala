@@ -60,6 +60,27 @@ object Round8cQueries {
           "text", sizes = Seq(10, 20, 50, 100))
         .orderBy(col("vocab_size"))),
 
+    // ---- HTML/markup stripping (web-corpus extraction) ----
+    "q_strip_markup" -> ((s, dir) => {
+      // every 5th doc is wrapped in a realistic page shell (style +
+      // script blocks, tags, entities) IN-PLAN; the stripper must
+      // recover prose — title, body text, decoded entities — and leave
+      // unwrapped docs untouched (idempotent on plain text)
+      val docs = Tables.load(s, dir, "documents")
+      val wrapped = docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(
+          lit("<html><head><style>p { color: #333; }</style></head>" +
+            "<body><h1>Title &amp; Intro</h1><p>"),
+          col("text"),
+          lit("</p><script>var x = 1 &lt; 2;</script>" +
+            "<p>42&nbsp;&quot;quoted&#39;</p></body></html>")))
+          .otherwise(col("text")).as("text"))
+      wrapped.select(col("doc_id"),
+          TextAnalysis.stripMarkup(col("text")).as("clean_text"))
+        .withColumn("n_chars_clean", length(col("clean_text")))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- span-level contamination map (GPT-3/Pile decontamination) ----
     "q_contamination_spans" -> ((s, dir) => {
       // eval = every 10th doc, train = the rest (the q_decontaminate
@@ -192,6 +213,37 @@ object Round8cQueries {
          FROM (SELECT UNNEST([10, 20, 50, 100]) AS v) CROSS JOIN t
          JOIN r ON r.rk = LEAST(v, n_types)
          ORDER BY vocab_size""",
+
+    "q_strip_markup" ->
+      """WITH w AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN
+               '<html><head><style>p { color: #333; }</style></head>' ||
+               '<body><h1>Title &amp; Intro</h1><p>' || text ||
+               '</p><script>var x = 1 &lt; 2;</script>' ||
+               '<p>42&nbsp;&quot;quoted&#39;</p></body></html>'
+             ELSE text END AS text
+           FROM documents),
+         s AS (
+           SELECT doc_id, TRIM(REGEXP_REPLACE(
+             REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+             REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+             REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+               text,
+               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+               '&nbsp;', ' ', 'g'),
+               '&lt;', '<', 'g'),
+               '&gt;', '>', 'g'),
+               '&quot;', '"', 'g'),
+               '&#39;', CHR(39), 'g'),
+               '&amp;', '&', 'g'),
+               '\s+', ' ', 'g')) AS clean_text
+           FROM w)
+         SELECT doc_id, clean_text,
+           CAST(LENGTH(clean_text) AS INT) AS n_chars_clean
+         FROM s ORDER BY doc_id""",
 
     "q_contamination_spans" ->
       """WITH o AS (SELECT MAX(doc_id) + 1 AS off FROM documents),

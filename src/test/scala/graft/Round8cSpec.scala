@@ -130,6 +130,27 @@ class Round8cSpec extends AnyFunSuite {
     assert(out.getLong(2) === 2L) // covers x and y, never a z-dependent set
   }
 
+  // ---- stripMarkup ----
+
+  test("stripMarkup: drops script/style wholesale, strips tags, decodes entities") {
+    val df = Seq(
+      "<html><style>p{x}</style><body><h1>A &amp; B</h1>" +
+        "<script>if (1 < 2) alert('x');</script><p>text&nbsp;here</p></body></html>")
+      .toDF("text")
+    val out = df.select(TextAnalysis.stripMarkup(col("text"))).head.getString(0)
+    assert(out === "A & B text here") // script CONTENT gone, not just tags
+  }
+
+  test("stripMarkup: idempotent on plain text; &amp; decodes last (no double decode)") {
+    val plain = Seq("already clean prose").toDF("text")
+    assert(plain.select(TextAnalysis.stripMarkup(col("text"))).head.getString(0)
+      === "already clean prose")
+    // literal "&lt;" written as &amp;lt; must survive as "&lt;", not "<"
+    val tricky = Seq("escape: &amp;lt;tag&amp;gt;").toDF("text")
+    assert(tricky.select(TextAnalysis.stripMarkup(col("text"))).head.getString(0)
+      === "escape: &lt;tag&gt;")
+  }
+
   // ---- contaminationSpans ----
 
   test("contaminationSpans: overlapping and touching hits merge; gaps split") {
