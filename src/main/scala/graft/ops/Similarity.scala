@@ -198,6 +198,22 @@ object Similarity {
       .filter(col("rk") <= keepPerCluster)
   }
 
+  /** Cluster-health dashboard over [[clusterEmbeddings]]: per-cluster
+    * size, mean and WORST member-to-centroid cosine — the numbers that
+    * decide whether k was too small (a low min_cos tail) or a cluster
+    * collapsed (n_members 0/1). One k-row aggregate on top of the
+    * Lloyd run; mean is rounded (summation order), min is order-
+    * independent by definition.
+    */
+  def clusterQuality(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, lloydIters: Int = 2,
+      init: Option[Array[Array[Double]]] = None): DataFrame =
+    clusterEmbeddings(df, idCol, vecCol, nClusters, lloydIters, init)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("cos_to_centroid")), 6).as("mean_cos"),
+        round(min(col("cos_to_centroid")), 6).as("min_cos"))
+
   /** Attach the nearest-centroid id (argmax cosine). The argmax is a
     * single max over (sim, -idx) structs behind a Generate barrier
     * (explode of a 1-element array), so the nCentroids native cosines

@@ -60,6 +60,29 @@ object Round8cQueries {
           "text", sizes = Seq(10, 20, 50, 100))
         .orderBy(col("vocab_size"))),
 
+    // ---- cluster-health audit over the Lloyd run ----
+    "q_cluster_quality" -> ((s, dir) => {
+      // the q_cluster_kmeans planted geometry (disjoint-support groups,
+      // exact-dyadic jitter, one-hot init): assignments are certain and
+      // every member cosine is the same op sequence in both engines,
+      // so the per-cluster mean/min are analytic for the oracle while
+      // the operator still runs the full generic Lloyd machinery
+      val K = 8
+      val ids = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("id"))
+      val g = col("id") % K
+      val d = ((col("id") % 5) + 1).cast("double") / 1024.0
+      val v = array((0 until 64).map { dim =>
+        when(g === dim, lit(1.0)).when(g === (dim - 8), d).otherwise(lit(0.0))
+      }: _*)
+      val planted = ids.select(col("id"), v.as("v"))
+      val init = (0 until K).map(gi =>
+        Array.tabulate(64)(dd => if (dd == gi) 1.0 else 0.0)).toArray
+      graft.ops.Similarity.clusterQuality(planted, "id", "v",
+          nClusters = K, lloydIters = 2, init = Some(init))
+        .orderBy(col("cid"))
+    }),
+
     // ---- HTML/markup stripping (web-corpus extraction) ----
     "q_strip_markup" -> ((s, dir) => {
       // every 5th doc is wrapped in a realistic page shell (style +
@@ -213,6 +236,25 @@ object Round8cQueries {
          FROM (SELECT UNNEST([10, 20, 50, 100]) AS v) CROSS JOIN t
          JOIN r ON r.rk = LEAST(v, n_types)
          ORDER BY vocab_size""",
+
+    "q_cluster_quality" ->
+      // analytic replay of the planted Lloyd run (q_cluster_kmeans
+      // oracle), aggregated per cluster
+      """WITH d AS (
+           SELECT CAST(vec_id AS BIGINT) AS id,
+             vec_id % 8 AS g,
+             (vec_id % 5 + 1) / 1024.0 AS dlt
+           FROM embeddings),
+         c AS (SELECT g, AVG(dlt) AS c2 FROM d GROUP BY g),
+         m AS (
+           SELECT id, CAST(d.g AS INTEGER) AS cid,
+             (1.0 + dlt * c2) /
+               (SQRT(1.0 + dlt * dlt) * SQRT(1.0 + c2 * c2)) AS cosr
+           FROM d JOIN c ON d.g = c.g)
+         SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(AVG(cosr), 6) AS mean_cos,
+           ROUND(MIN(cosr), 6) AS min_cos
+         FROM m GROUP BY cid ORDER BY cid""",
 
     "q_strip_markup" ->
       """WITH w AS (

@@ -130,6 +130,24 @@ class Round8cSpec extends AnyFunSuite {
     assert(out.getLong(2) === 2L) // covers x and y, never a z-dependent set
   }
 
+  // ---- clusterQuality ----
+
+  test("clusterQuality: tight planted clusters give mean/min cos at the ceiling") {
+    // two disjoint-support groups: ids 0-2 on axis 0, ids 3-5 on axis 1
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)), (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f)), (5L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("id", "v")
+    val init = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val out = graft.ops.Similarity.clusterQuality(emb, "id", "v",
+        nClusters = 2, lloydIters = 2, init = Some(init))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(0) === ((3L, 1.0, 1.0)))
+    assert(out(1) === ((3L, 1.0, 1.0)))
+  }
+
   // ---- stripMarkup ----
 
   test("stripMarkup: drops script/style wholesale, strips tags, decodes entities") {
