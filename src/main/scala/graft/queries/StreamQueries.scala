@@ -95,6 +95,13 @@ object StreamQueries {
       Streams.viewClickJoin(Tables.load(s, dir, "events"))
         .orderBy(col("user_id"), col("view_id"), col("click_id"))
     }),
+    "q_stream_left_join" -> ((s, dir) => {
+      // the LEFT OUTER variant: unclicked views survive null-padded —
+      // in a stream the null rows emit once the watermark proves no
+      // match can arrive; batch runs the identical plan eagerly
+      Streams.viewClickJoinLeft(Tables.load(s, dir, "events"))
+        .orderBy(col("user_id"), col("view_id"), col("click_id"))
+    }),
     "q_multimodal_meta" -> ((s, dir) => {
       // metadata-only media rollup: per (kind, format) counts and size/
       // duration totals WITHOUT touching payload bytes — the projection
@@ -207,6 +214,15 @@ object StreamQueries {
          FROM events v JOIN events c
            ON v.user_id = c.user_id
            AND v.event_type = 'view' AND c.event_type = 'click'
+           AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+           AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+         ORDER BY v.user_id, view_id, click_id""",
+    "q_stream_left_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           CAST(v.ts AS TIMESTAMP) AS view_ts, CAST(c.ts AS TIMESTAMP) AS click_ts
+         FROM (SELECT * FROM events WHERE event_type = 'view') v
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON v.user_id = c.user_id
            AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
            AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
          ORDER BY v.user_id, view_id, click_id"""

@@ -198,6 +198,36 @@ object Streams {
         col("view_ts"), col("click_ts"))
   }
 
+  /** LEFT OUTER watermarked stream-stream interval join — the
+    * attribution report [[viewClickJoin]] can't produce: views with NO
+    * click inside the horizon survive with null click columns. In a
+    * stream, Spark emits the null-padded row only once the watermark
+    * proves no matching click can still arrive (view_ts + horizon +
+    * watermark delay passes) — the outer result is late by exactly the
+    * eviction bound, but complete; in batch the identical plan emits it
+    * immediately. Both watermarks and the time-bound condition are
+    * REQUIRED for a streaming outer join (unbounded state otherwise —
+    * Spark rejects the plan), which is why the bound lives in the join
+    * condition here and not in a post-filter.
+    */
+  def viewClickJoinLeft(events: DataFrame, horizon: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    views.join(clicks,
+        col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"),
+        "left_outer")
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Streaming exact dedup: drops rows whose key was already seen
     * within the watermark horizon — the streaming face of
     * Dedup.exact, with state bounded by the watermark instead of

@@ -109,6 +109,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER interval join: matches eager, null rows on watermark") {
+    val dir = Files.createTempDirectory("graftsslj")
+    // one data batch (the initial watermark is 0, so nothing can be
+    // dropped as late regardless of file listing order), then a sentinel
+    // batch advances the watermark and flushes the outer state
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = Streams.viewClickJoinLeft(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sslj_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // advance BOTH watermarks decisively past every original event: a
+      // sentinel view + click 2h after the corpus end. After this, every
+      // original unmatched view is provably evictable and must emit.
+      val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0)
+      val late = new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L)
+      Seq((-1L, late, -1L, "view", 0.0, "{}"), (-2L, late, -2L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .select(events.schema.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sslj_out")
+      .filter(col("view_id") >= 0) // drop the sentinel's own rows
+      .collect().map(r => (r.getLong(1), Option(r.get(2)))).toSet
+    val batch = Streams.viewClickJoinLeft(events)
+      .collect().map(r => (r.getLong(1), Option(r.get(2)))).toSet
+    // with the watermark past everything, stream == batch EXACTLY —
+    // matched rows eagerly, null-padded rows on eviction
+    assert(got == batch && batch.exists(_._2.isEmpty) && batch.exists(_._2.isDefined))
+  }
+
   test("streaming dedup over a duplicated file source emits each event once") {
     val dir = Files.createTempDirectory("graftdedup")
     // stage the feed TWICE — the at-least-once delivery shape
