@@ -527,6 +527,41 @@ object Dedup {
         coalesce(col("max_span"), lit(0L)).as("max_span"))
   }
 
+  /** Per-source dedup-impact dashboard: for each source, how many docs
+    * participate in a verified near-dup pair ([[lshVerifiedPairs]]),
+    * split by whether the partner lives in the SAME source (internal
+    * redundancy — fix the crawler) or ANOTHER source (cross-source
+    * syndication — fix the mixture weights). The report that decides
+    * where dedup budget actually goes. Returns
+    * (source, n_docs, n_dup_docs, n_dup_within, n_dup_cross).
+    *
+    * Scale shape: everything [[lshVerifiedPairs]] costs plus two
+    * pair-bounded equi-joins to attach sources and one doc-level
+    * aggregate — nothing new is corpus-quadratic.
+    */
+  def sourceDedupImpact(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, threshold: Double = 0.9): DataFrame = {
+    val src = df.select(col(idCol).cast("long").as("id"),
+      col(srcCol).as("source"))
+    val pairs = lshVerifiedPairs(df, idCol, textCol, threshold = threshold)
+    val withSrc = pairs
+      .join(src.select(col("id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
+      .join(src.select(col("id").as("id_b"), col("source").as("src_b")), Seq("id_b"))
+      .withColumn("same", col("src_a") === col("src_b"))
+    val members = withSrc
+      .select(col("id_a").as("id"), col("same"))
+      .unionByName(withSrc.select(col("id_b").as("id"), col("same")))
+    val perDoc = members.groupBy(col("id"))
+      .agg(max(when(col("same"), 1L).otherwise(0L)).as("has_within"),
+        max(when(!col("same"), 1L).otherwise(0L)).as("has_cross"))
+    src.join(perDoc, Seq("id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("has_within").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(coalesce(col("has_within"), lit(0L))).as("n_dup_within"),
+        sum(coalesce(col("has_cross"), lit(0L))).as("n_dup_cross"))
+  }
+
   /** Exact substring duplication audit (the suffix-array dedup signal of
     * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     * Better", computed by hashed char-k-gram sampling instead of a

@@ -60,6 +60,26 @@ object Round8cQueries {
           "text", sizes = Seq(10, 20, 50, 100))
         .orderBy(col("vocab_size"))),
 
+    // ---- per-source dedup impact (within vs cross-source partners) ----
+    "q_dedup_impact" -> ((s, dir) => {
+      // planted copies pin both partner kinds: every 40th doc copied
+      // into a synthetic 'planted' source (cross-source partner for the
+      // original), every 50th copied into its OWN source (within-source
+      // partner); organic J>=0.9 pairs add the real workload
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text"), col("source"))
+      val off = docs.agg(max(col("id"))).head().getAs[Number](0).longValue + 1L
+      val cross = docs.filter(col("id") % 40 === 0)
+        .select((col("id") + off).as("id"), col("text"),
+          lit("planted").as("source"))
+      val within = docs.filter(col("id") % 50 === 0)
+        .select((col("id") + 2 * off).as("id"), col("text"), col("source"))
+      Dedup.sourceDedupImpact(
+          docs.unionByName(cross).unionByName(within),
+          "id", "text", "source", threshold = 0.9)
+        .orderBy(col("source"))
+    }),
+
     // ---- cluster-health audit over the Lloyd run ----
     "q_cluster_quality" -> ((s, dir) => {
       // the q_cluster_kmeans planted geometry (disjoint-support groups,
@@ -236,6 +256,55 @@ object Round8cQueries {
          FROM (SELECT UNNEST([10, 20, 50, 100]) AS v) CROSS JOIN t
          JOIN r ON r.rk = LEAST(v, n_types)
          ORDER BY vocab_size""",
+
+    "q_dedup_impact" ->
+      // all-pairs exact Jaccard at the threshold (the q_dedup_verified
+      // replay) over the planted corpus, rolled up per source
+      """WITH o AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+         corpus AS (
+           SELECT doc_id AS id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id + off, text, 'planted'
+           FROM documents CROSS JOIN o WHERE doc_id % 40 = 0
+           UNION ALL
+           SELECT doc_id + 2 * off, text, source
+           FROM documents CROSS JOIN o WHERE doc_id % 50 = 0),
+         toks AS (SELECT id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+                  FROM corpus),
+         sh AS (
+           SELECT id, UNNEST(list_filter(list_distinct(list_transform(
+             range(1, GREATEST(LEN(t) - 3, 0) + 2),
+             i -> array_to_string(t[i:i+2], ' '))), x -> LENGTH(x) > 0)) AS s
+           FROM toks),
+         sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         co AS (
+           SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+           GROUP BY 1, 2),
+         pr AS (
+           SELECT id_a, id_b
+           FROM co JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+           WHERE CAST(inter AS DOUBLE) /
+             CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.9),
+         ps AS (
+           SELECT id_a, id_b, ca.source AS src_a, cb.source AS src_b
+           FROM pr JOIN corpus ca ON id_a = ca.id
+             JOIN corpus cb ON id_b = cb.id),
+         mem AS (
+           SELECT id_a AS id, (src_a = src_b) AS same FROM ps
+           UNION ALL
+           SELECT id_b, (src_a = src_b) FROM ps),
+         pd AS (
+           SELECT id, MAX(CASE WHEN same THEN 1 ELSE 0 END) AS hw,
+             MAX(CASE WHEN NOT same THEN 1 ELSE 0 END) AS hc
+           FROM mem GROUP BY 1)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN hw IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(COALESCE(hw, 0)) AS BIGINT) AS n_dup_within,
+           CAST(SUM(COALESCE(hc, 0)) AS BIGINT) AS n_dup_cross
+         FROM corpus LEFT JOIN pd USING (id)
+         GROUP BY source ORDER BY source""",
 
     "q_cluster_quality" ->
       // analytic replay of the planted Lloyd run (q_cluster_kmeans

@@ -130,6 +130,24 @@ class Round8cSpec extends AnyFunSuite {
     assert(out.getLong(2) === 2L) // covers x and y, never a z-dependent set
   }
 
+  // ---- sourceDedupImpact ----
+
+  test("sourceDedupImpact: within vs cross partners classified per doc") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta", "a"),   // dup of 2 (same source)
+      (2L, "alpha beta gamma delta", "a"),
+      (3L, "epsilon zeta eta theta", "a"),   // dup of 4 (cross source)
+      (4L, "epsilon zeta eta theta", "b"),
+      (5L, "unique text lives here", "b")).toDF("id", "text", "source")
+    val out = Dedup.sourceDedupImpact(df, "id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a: 3 docs; 1,2 within-dups; 3 cross-dup
+    assert(out("a") === ((3L, 3L, 2L, 1L)))
+    // b: 2 docs; 4 cross-dup; 5 clean
+    assert(out("b") === ((2L, 1L, 0L, 1L)))
+  }
+
   // ---- clusterQuality ----
 
   test("clusterQuality: tight planted clusters give mean/min cos at the ceiling") {
