@@ -375,6 +375,16 @@ object ScaleProbe {
     time("per-source KL drift over 10x docs") {
       graft.ops.TextAnalysis.sourceDivergence(docs, "source", "text").count()
     }
+    time("left-outer stream-stream interval join shape over 1M events") {
+      graft.streaming.Streams.viewClickJoinLeft(
+        Tables.load(spark, out, "events")).count()
+    }
+    time("per-source dedup impact over 50k docs (9 exact copies each)") {
+      // worst case again: every doc has 9 partners, so the source joins
+      // run at full pair volume (~250k pairs)
+      graft.ops.Dedup.sourceDedupImpact(docs, "doc_id", "text", "source",
+        threshold = 0.9).count()
+    }
     time("contamination span map: 5k eval docs vs 45k train docs") {
       graft.ops.Dedup.contaminationSpans(
         docs.filter(col("doc_id") % 10 === 0),
