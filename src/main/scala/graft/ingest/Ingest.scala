@@ -57,6 +57,46 @@ object Ingest {
     appendCreating(catalog, df, table)
   }
 
+  /** ORC import — the other columnar format Spark ships natively;
+    * schema from the ORC footer, distributed read, same auto-create
+    * path as parquet (beyond-reference: the reference only converts
+    * through CSV).
+    */
+  def importOrc(catalog: Catalog, path: String, table: String,
+      partitionBy: Seq[String] = Nil): Long =
+    appendCreating(catalog, catalog.spark.read.orc(path), table, partitionBy)
+
+  /** Table/result export — the write half of the IO surface. Each
+    * export is a distributed write (one file per partition; pass
+    * `singleFile=true` only for console-download-sized results — it
+    * coalesces through one task). Returns the exported row count.
+    */
+  def exportCsv(catalog: Catalog, table: String, path: String,
+      singleFile: Boolean = false): Long =
+    exportFrame(catalog.load(table), path, singleFile) {
+      _.option("header", "true").csv(path)
+    }
+
+  /** NDJSON export, symmetric with [[importNdjson]]: one JSON object
+    * per line — the reference's own storage shape, so an exported table
+    * is readable by BOTH engines.
+    */
+  def exportNdjson(catalog: Catalog, table: String, path: String,
+      singleFile: Boolean = false): Long =
+    exportFrame(catalog.load(table), path, singleFile) { _.json(path) }
+
+  /** ORC export, symmetric with [[importOrc]]. */
+  def exportOrc(catalog: Catalog, table: String, path: String,
+      singleFile: Boolean = false): Long =
+    exportFrame(catalog.load(table), path, singleFile) { _.orc(path) }
+
+  private def exportFrame(df: DataFrame, path: String, singleFile: Boolean)(
+      write: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] => Unit): Long = {
+    val out = if (singleFile) df.coalesce(1) else df
+    write(out.write.mode("overwrite"))
+    df.count()
+  }
+
   /** Auto-create the table from the frame's schema if absent (reference
     * auto-creates on CSV import), then append.
     */

@@ -172,6 +172,43 @@ class CatalogDmlSpec extends AnyFunSuite {
     assert(e.execute("SELECT COUNT(*) FROM imported").toOption.get.collect().head.getLong(0) == 2L)
   }
 
+  test("orc import and export round-trip exactly") {
+    val e = freshEngine()
+    val dir = Files.createTempDirectory("graftorc")
+    Seq((1L, "a", 2.5), (2L, "b", 3.5)).toDF("id", "label", "v")
+      .write.mode("overwrite").orc(s"$dir/src")
+    val n = Ingest.importOrc(e.catalog, s"$dir/src", "orcd")
+    assert(n == 2)
+    assert(e.catalog.columnsOf("orcd") ==
+      Seq("id" -> "INT", "label" -> "TEXT", "v" -> "DECIMAL"))
+    val out = Ingest.exportOrc(e.catalog, "orcd", s"$dir/out")
+    assert(out == 2)
+    val back = spark.read.orc(s"$dir/out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(back == Set((1L, "a", 2.5), (2L, "b", 3.5)))
+  }
+
+  test("csv and ndjson export re-import to the same data (all-TEXT parity)") {
+    val e = freshEngine()
+    val csv = Files.createTempFile("graft", ".csv")
+    Files.writeString(csv, "id,name,score\n1,Ana,9.5\n2,Bo,7.25\n")
+    Ingest.importCsv(e.catalog, csv.toString, "people")
+    val dir = Files.createTempDirectory("graftexp")
+    assert(Ingest.exportCsv(e.catalog, "people", s"$dir/csv", singleFile = true) == 2)
+    assert(Ingest.exportNdjson(e.catalog, "people", s"$dir/nd") == 2)
+    // csv round trip through the importer
+    val n = Ingest.importCsv(e.catalog, s"$dir/csv", "people2")
+    assert(n == 2)
+    val a = e.catalog.load("people").orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    val b = e.catalog.load("people2").orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // ndjson export is plain JSON-lines, readable back directly
+    val nd = spark.read.json(s"$dir/nd")
+    assert(nd.count() == 2 && nd.columns.sorted.toSeq == Seq("id", "name", "score"))
+  }
+
   test("ndjson .dat import: reference storage quirks normalized") {
     val e = freshEngine()
     val dat = Files.createTempFile("graft", ".dat")
