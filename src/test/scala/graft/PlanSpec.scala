@@ -163,4 +163,42 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(finalTree).size >= 2, finalTree)
     assert("Exchange \\(".r.findAllIn(finalTree).size == 2, finalTree)
   }
+
+  test("q_strip_markup: per-row regexp chain, no shuffle before the sort") {
+    val p = plan("q_strip_markup")
+    val finalTree = p.split("== Initial Plan ==").head
+    // scan → project (the regexp chain) → presentation sort: exactly
+    // the sort's range exchange, nothing else moves data
+    assert("Exchange \\(".r.findAllIn(finalTree).size == 1, finalTree)
+    assert(!finalTree.contains("SortMergeJoin") &&
+      !finalTree.contains("CartesianProduct"), finalTree)
+  }
+
+  test("q_shard_plan: no global sort — hash shard split then per-shard window") {
+    val p = plan("q_shard_plan")
+    val finalTree = p.split("== Initial Plan ==").head
+    // exactly two exchanges: the shard hash split feeding the window,
+    // and the presentation sort — never a corpus-wide range sort before
+    // the ordinal is assigned (details live in the numbered section)
+    assert(finalTree.contains("Window"), finalTree)
+    assert("Exchange \\(".r.findAllIn(finalTree).size == 2, finalTree)
+    assert(p.contains("hashpartitioning(shard"), "window not hash-split by shard")
+  }
+
+  test("q_line_dedup: fingerprint aggregation is partial+final, no cartesian") {
+    val p = plan("q_line_dedup")
+    val finalTree = p.split("== Initial Plan ==").head
+    assert(!finalTree.contains("CartesianProduct"), finalTree)
+    // the boilerplate membership join stays an equi-join on fp
+    assert(finalTree.contains("HashAggregate"), finalTree)
+  }
+
+  test("q_search_hybrid: candidate lists are TakeOrdered-bounded, fuse join tiny") {
+    val p = plan("q_search_hybrid")
+    val finalTree = p.split("== Initial Plan ==").head
+    // the brute-force cosine side must cut to n via TakeOrdered, not a
+    // global sort of the corpus
+    assert(finalTree.contains("TakeOrderedAndProject"), finalTree)
+    assert(!finalTree.contains("CartesianProduct"), finalTree)
+  }
 }
