@@ -120,6 +120,43 @@ object Profile {
         sum(col("n_tok")).as("n_tokens"),
         expr("bit_xor(h)").as("fingerprint"))
 
+  /** Incremental fingerprint maintenance: advance a stored
+    * [[corpusFingerprint]] frame by a removed/added delta WITHOUT
+    * re-scanning the corpus — XOR is its own inverse, so removing a doc
+    * is XOR-ing its hash back out, and counts are plain arithmetic.
+    * Cost is O(|delta|) + a group-key-sized merge; the 100 TB version
+    * audit goes from a full re-scan to the day's churn. An edit is
+    * (old row in `removed`) + (new row in `added`). Groups that empty
+    * out keep a row with n_docs 0 / fingerprint 0; brand-new groups
+    * appear. Output schema = corpusFingerprint, so the result chains
+    * into the next day's update — and equals a from-scratch rebuild
+    * exactly (the q_fingerprint_update oracle proves it).
+    */
+  def updateFingerprint(baseFp: DataFrame, removed: DataFrame,
+      added: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    def deltaFp(df: DataFrame, sign: Long) =
+      df.select(col(groupCol).as("grp"),
+          docHash(idCol, textCol).as("h"),
+          TextAnalysis.tokenCount(col(textCol)).as("n_tok"))
+        .groupBy("grp")
+        .agg((count(lit(1)) * sign).as("d_docs"),
+          (sum(col("n_tok")) * sign).as("d_tokens"),
+          expr("bit_xor(h)").as("d_fp"))
+    val delta = deltaFp(removed, -1L).unionByName(deltaFp(added, 1L))
+      .groupBy("grp")
+      .agg(sum(col("d_docs")).as("d_docs"), sum(col("d_tokens")).as("d_tokens"),
+        expr("bit_xor(d_fp)").as("d_fp"))
+    baseFp.join(delta, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("n_tokens"), lit(0L)) + coalesce(col("d_tokens"), lit(0L)))
+          .as("n_tokens"),
+        expr("coalesce(fingerprint, CAST(0 AS BIGINT)) ^ " +
+          "coalesce(d_fp, CAST(0 AS BIGINT))").as("fingerprint"))
+  }
+
   /** Snapshot diff: classify every doc id across two corpus versions as
     * added / removed / changed / unchanged by comparing content hashes,
     * and aggregate counts per group. One co-partitioned full-outer join

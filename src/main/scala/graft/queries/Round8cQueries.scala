@@ -60,6 +60,32 @@ object Round8cQueries {
           "text", sizes = Seq(10, 20, 50, 100))
         .orderBy(col("vocab_size"))),
 
+    // ---- incremental fingerprint maintenance (O(batch) versioning) ----
+    "q_fingerprint_update" -> ((s, dir) => {
+      // the q_snapshot_diff mutation rules as a delta feed: drops
+      // (%31), edits (%17, old text removed + new text added), adds
+      // (%41 at offset ids). The incremental result must equal a
+      // from-scratch corpusFingerprint of v2 — which is exactly what
+      // the oracle computes; XOR self-inverse makes it O(batch)
+      val v1 = Tables.load(s, dir, "documents")
+      val off = broadcast(v1.agg((max(col("doc_id")) + 1L).as("_off")))
+      val dropped = v1.filter(col("doc_id") % 31 === 0)
+      val editedOld = v1.filter(col("doc_id") % 17 === 0 &&
+        col("doc_id") % 31 =!= 0)
+      val editedNew = editedOld.withColumn("text",
+        concat(col("text"), lit(" v2")))
+      val adds = v1.filter(col("doc_id") % 41 === 0).crossJoin(off)
+        .select((col("doc_id") + col("_off")).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val sel = Seq("doc_id", "text", "source").map(col)
+      graft.ops.Profile.updateFingerprint(
+          graft.ops.Profile.corpusFingerprint(v1, "doc_id", "text", "source"),
+          dropped.select(sel: _*).unionByName(editedOld.select(sel: _*)),
+          editedNew.select(sel: _*).unionByName(adds.select(sel: _*)),
+          "doc_id", "text", "source")
+        .orderBy(col("grp"))
+    }),
+
     // ---- per-source dedup impact (within vs cross-source partners) ----
     "q_dedup_impact" -> ((s, dir) => {
       // planted copies pin both partner kinds: every 40th doc copied
@@ -256,6 +282,28 @@ object Round8cQueries {
          FROM (SELECT UNNEST([10, 20, 50, 100]) AS v) CROSS JOIN t
          JOIN r ON r.rk = LEAST(v, n_types)
          ORDER BY vocab_size""",
+
+    "q_fingerprint_update" ->
+      // from-scratch rebuild of the v2 fingerprint (the q_fingerprint
+      // formula over the mutated corpus) — the incremental path must
+      // reproduce it exactly
+      """WITH o AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END
+               AS text,
+             source
+           FROM documents WHERE doc_id % 31 <> 0
+           UNION ALL
+           SELECT doc_id + off, text, source
+           FROM documents CROSS JOIN o WHERE doc_id % 41 = 0)
+         SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(string_split_regex(LOWER(TRIM(text)), '\s+')))
+             AS BIGINT) AS n_tokens,
+           bit_xor(CAST(('0x' || substr(md5(
+             CAST(doc_id AS VARCHAR) || ':' || COALESCE(text, '')), 1, 15))
+             AS BIGINT)) AS fingerprint
+         FROM v2 GROUP BY source ORDER BY grp""",
 
     "q_dedup_impact" ->
       // all-pairs exact Jaccard at the threshold (the q_dedup_verified

@@ -130,6 +130,30 @@ class Round8cSpec extends AnyFunSuite {
     assert(out.getLong(2) === 2L) // covers x and y, never a z-dependent set
   }
 
+  // ---- updateFingerprint ----
+
+  test("updateFingerprint: XOR self-inverse — applying a delta then its reverse is identity") {
+    import graft.ops.Profile
+    val v1 = Seq((1L, "a b", "s0"), (2L, "c d", "s0"), (3L, "e f", "s1"))
+      .toDF("doc_id", "text", "source")
+    val base = Profile.corpusFingerprint(v1, "doc_id", "text", "source")
+    val rem = Seq((2L, "c d", "s0")).toDF("doc_id", "text", "source")
+    val add = Seq((4L, "g h", "s2")).toDF("doc_id", "text", "source")
+    val fwd = Profile.updateFingerprint(base, rem, add, "doc_id", "text", "source")
+    // s2 appeared, s0 shrank
+    val m = fwd.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(m("s0")._1 === 1L && m("s2")._1 === 1L && m("s1")._1 === 1L)
+    // reverse the delta: must reproduce base exactly (including fp bits),
+    // with s2 left as an empty tombstone row
+    val back = Profile.updateFingerprint(fwd, add, rem, "doc_id", "text", "source")
+    val b = back.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = base.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    want.foreach { case (g, t) => assert(b(g) === t, g) }
+    assert(b("s2") === ((0L, 0L, 0L))) // emptied group: explicit zero row
+  }
+
   // ---- sourceDedupImpact ----
 
   test("sourceDedupImpact: within vs cross partners classified per doc") {
