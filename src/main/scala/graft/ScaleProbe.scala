@@ -375,6 +375,19 @@ object ScaleProbe {
     time("per-source KL drift over 10x docs") {
       graft.ops.TextAnalysis.sourceDivergence(docs, "source", "text").count()
     }
+    time("incremental fingerprint update: ~9% churn delta vs 50k-doc base") {
+      val base = graft.ops.Profile.corpusFingerprint(docs, "doc_id", "text", "source")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      base.count() // the stored artifact a real pipeline would read
+      val rem = docs.filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id"), col("text"), col("source"))
+      val add = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"), col("source"))
+      val n = graft.ops.Profile.updateFingerprint(base, rem, add,
+        "doc_id", "text", "source").count()
+      base.unpersist()
+      n
+    }
     time("left-outer stream-stream interval join shape over 1M events") {
       graft.streaming.Streams.viewClickJoinLeft(
         Tables.load(spark, out, "events")).count()
