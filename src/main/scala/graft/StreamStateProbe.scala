@@ -103,6 +103,19 @@ object StreamStateProbe {
       st => graft.streaming.Streams.windowedApproxDistinct(
         st, "1 hour", "event_type", "user_id"))
 
+    // 4. windowed top-k COUNTS stage (the stream-safe half of
+    // windowedTopK): one counter per open (window, type) — the
+    // watermark closes windows behind the horizon
+    runAudit("windowed-topk-counts", joinIn,
+      st => graft.streaming.Streams.windowedCounts(st, "1 hour"))
+
+    // 5. LEFT OUTER interval join: same eviction bound as the inner
+    // join PLUS the unmatched-view buffer the outer semantics hold
+    // until the watermark proves no click can arrive — state must
+    // still track the horizon, not the cumulative view count
+    runAudit("left-outer-join", joinIn,
+      st => graft.streaming.Streams.viewClickJoinLeft(st, "30 minutes", "10 minutes"))
+
     spark.stop()
   }
 }
