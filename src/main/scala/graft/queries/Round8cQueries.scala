@@ -5,12 +5,14 @@ import graft.ops.{Dedup, Sampling, Search, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-8 part 3: the corpus-maintenance operators still missing from
-  * the pipeline layer — CCNet-style boilerplate line removal (every
-  * occurrence goes, not first-kept), epoch-deterministic shard/order
-  * planning for trainer consumption, and per-source distribution-drift
-  * (KL) monitoring. Every query is deterministic and recomputed end to
-  * end by its DuckDB oracle.
+/** Round-8 part 3: corpus-maintenance and retrieval operators — CCNet
+  * boilerplate line removal (every occurrence goes, not first-kept),
+  * epoch-deterministic shard/order planning, per-source KL drift, the
+  * vocab-coverage curve, span-level contamination mapping, HTML
+  * stripping, hybrid BM25×cosine retrieval (RRF), the cluster-health
+  * audit, per-source dedup impact, O(batch) incremental fingerprint
+  * maintenance, and the streaming windowed top-k. Every query is
+  * deterministic and recomputed end to end by its DuckDB oracle.
   */
 object Round8cQueries {
 
