@@ -212,6 +212,28 @@ object Sampling {
         coalesce(col("score"), lit(0L)).as("score"))
   }
 
+  /** Curriculum difficulty bucketing: assign every document a
+    * difficulty bucket 1..n WITHIN its source by ascending token count
+    * (ties by id — total order, so the cut is deterministic), the
+    * standard length-based curriculum a trainer consumes easiest-first.
+    * Per-source (not global) because sources have different length
+    * regimes — a global cut would put all of one source in the hard
+    * buckets. NTILE gives equal-sized buckets (earlier buckets take the
+    * remainder), the property curriculum schedules assume.
+    *
+    * Scale shape: one hash shuffle on source + a per-source window
+    * sort — the q_shard_plan shape; no global sort, no joins.
+    */
+  def curriculumBuckets(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens"), col("id"))
+    df.select(col(idCol).as("id"), col(srcCol).as("source"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+  }
+
   /** Epoch-deterministic training order: every document gets a
     * (shard, pos) assignment for the given epoch — the materialized
     * "global shuffle" a trainer consumes as N shard files read

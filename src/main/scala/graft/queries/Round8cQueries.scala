@@ -62,6 +62,12 @@ object Round8cQueries {
           "text", sizes = Seq(10, 20, 50, 100))
         .orderBy(col("vocab_size"))),
 
+    // ---- curriculum difficulty buckets (length-based, per source) ----
+    "q_curriculum" -> ((s, dir) =>
+      Sampling.curriculumBuckets(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source", buckets = 4)
+        .orderBy(col("id"))),
+
     // ---- incremental fingerprint maintenance (O(batch) versioning) ----
     "q_fingerprint_update" -> ((s, dir) => {
       // the q_snapshot_diff mutation rules as a delta feed: drops
@@ -284,6 +290,15 @@ object Round8cQueries {
          FROM (SELECT UNNEST([10, 20, 50, 100]) AS v) CROSS JOIN t
          JOIN r ON r.rk = LEAST(v, n_types)
          ORDER BY vocab_size""",
+
+    "q_curriculum" ->
+      """SELECT doc_id AS id, source,
+           CAST(LEN(string_split_regex(LOWER(TRIM(text)), '\s+'))
+             AS BIGINT) AS n_tokens,
+           CAST(NTILE(4) OVER (PARTITION BY source
+             ORDER BY LEN(string_split_regex(LOWER(TRIM(text)), '\s+')),
+               doc_id) AS BIGINT) AS bucket
+         FROM documents ORDER BY id""",
 
     "q_fingerprint_update" ->
       // from-scratch rebuild of the v2 fingerprint (the q_fingerprint

@@ -130,6 +130,18 @@ class Round8cSpec extends AnyFunSuite {
     assert(out.getLong(2) === 2L) // covers x and y, never a z-dependent set
   }
 
+  // ---- curriculumBuckets ----
+
+  test("curriculumBuckets: per-source ascending-length quartiles, deterministic ties") {
+    val df = Seq(
+      (1L, "a", "s"), (2L, "a b", "s"), (3L, "a b c", "s"), (4L, "a b c d", "s"),
+      (5L, "x", "t"), (6L, "x y", "t")).toDF("id", "text", "source")
+    val out = Sampling.curriculumBuckets(df, "id", "text", "source", buckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 1L, 6L -> 2L)) // each source cut independently
+  }
+
   // ---- updateFingerprint ----
 
   test("updateFingerprint: XOR self-inverse — applying a delta then its reverse is identity") {
