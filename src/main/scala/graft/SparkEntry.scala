@@ -29,7 +29,8 @@ object SparkEntry {
     graft.queries.Round7Queries.queries ++
     graft.queries.Round8Queries.queries ++
     graft.queries.Round8bQueries.queries ++
-    graft.queries.Round8cQueries.queries
+    graft.queries.Round8cQueries.queries ++
+    graft.queries.Round8dQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
     graft.queries.Round7Queries.oracles ++
     graft.queries.Round8Queries.oracles ++
     graft.queries.Round8bQueries.oracles ++
-    graft.queries.Round8cQueries.oracles
+    graft.queries.Round8cQueries.oracles ++
+    graft.queries.Round8dQueries.oracles
 }

@@ -97,6 +97,21 @@ object Ingest {
     df.count()
   }
 
+  /** Schema-evolution merge: union snapshots whose schemas drifted over
+    * time (columns added/dropped between corpus versions — the normal
+    * state of a multi-year 100 TB parquet lake). Columns are matched BY
+    * NAME, missing ones null-fill, and each row carries its snapshot
+    * version for provenance. Purely declarative (`unionByName` with
+    * allowMissingColumns), so scans of each snapshot stay pruned and
+    * parallel — no per-row conversion pass. Equivalent to SQL
+    * `UNION ALL BY NAME`, which is what the oracle runs.
+    */
+  def mergeSnapshots(versions: Seq[(String, DataFrame)]): DataFrame = {
+    require(versions.nonEmpty, "mergeSnapshots needs at least one snapshot")
+    versions.map { case (v, df) => df.withColumn("_version", lit(v)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Auto-create the table from the frame's schema if absent (reference
     * auto-creates on CSV import), then append.
     */

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Write-time data layout for 100 TB corpora: Z-order (Morton)
+  * multi-dimension clustering and contiguous global id assignment.
+  *
+  * Both solve the same scale problem from different ends: a table laid
+  * out by ONE key prunes scans on that key only, while training-data
+  * access patterns filter on several (customer AND date, source AND
+  * length). Z-ordering interleaves the key bits so a contiguous file
+  * range covers a small rectangle of the multi-dim space — parquet
+  * min/max footer stats then prune on EVERY interleaved dimension at
+  * once. Id assignment gives each row a dense ordinal without a global
+  * sort (the classic driver bottleneck of `zipWithIndex`).
+  */
+object Layout {
+
+  /** Morton/Z-value of two non-negative integer columns: the low
+    * `bits` bits of `x` and `y` interleaved (x at even positions).
+    * Pure long bit arithmetic — codegen'd, zero shuffle, and exactly
+    * recomputable by any engine with shift/and (the oracle replays the
+    * same terms in SQL). The bit terms are disjoint, so `+` is the
+    * same as OR and stays an associative reduce.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    (0 until bits).flatMap { b =>
+      Seq(shiftleft(shiftright(xl, b).bitwiseAND(lit(1L)), 2 * b),
+        shiftleft(shiftright(yl, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Locality audit of a Z-order layout: bucket rows by the top
+    * `bucketBits` of their z-value (one bucket ≈ one file/row-group in
+    * a z-sorted write) and report the x/y rectangle each bucket covers.
+    * Every bucket spanning a narrow x-range AND a narrow y-range is the
+    * property that makes multi-dim data skipping work — the spec
+    * asserts bucket spans ≪ global spans, and the DuckDB oracle
+    * recomputes every row exactly (all-integer output).
+    *
+    * Scale: one map (the z bit terms) + one groupBy on the bucket id —
+    * the same shape at 10^12 rows; the bucket count is 2^bucketBits
+    * regardless of data size.
+    */
+  def zorderStats(df: DataFrame, x: Column, y: Column, bits: Int,
+      bucketBits: Int): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 2 * bits,
+      "bucketBits must be in [1, 2*bits]")
+    df.select(x.cast("long").as("_x"), y.cast("long").as("_y"))
+      .withColumn("_z", zValue(col("_x"), col("_y"), bits))
+      .withColumn("bucket", shiftright(col("_z"), 2 * bits - bucketBits))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("_x").as("min_x"), max("_x").as("max_x"),
+        min("_y").as("min_y"), max("_y").as("max_y"))
+      .withColumn("x_span", col("max_x") - col("min_x") + 1L)
+      .withColumn("y_span", col("max_y") - col("min_y") + 1L)
+  }
+
+  /** Dense contiguous ids 0..n-1 in deterministic md5 order, without a
+    * global sort: the 60-bit order key's TOP 8 bits form 256 range
+    * buckets (a bit-prefix, so bucket order IS global order), ranks are
+    * computed per-bucket in parallel, and each bucket adds an exclusive
+    * prefix of the bucket counts — a 256-row window, never the corpus.
+    * md5 is uniform, so buckets are balanced with no planning pass.
+    *
+    * This is what `zipWithIndex` (driver round-trip, RDD lineage) or
+    * `row_number()` over an unpartitioned window (single task holding
+    * the corpus) get wrong at scale. Equals
+    * `ROW_NUMBER() OVER (ORDER BY md5(salt:id), id) - 1` exactly —
+    * the oracle recomputes it that way.
+    */
+  def assignStableIds(df: DataFrame, idCol: String,
+      salt: String = "sid"): DataFrame = {
+    val ord = conv(substring(
+      md5(concat(lit(salt + ":"), col("id").cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val o = df.select(col(idCol).as("id"))
+      .withColumn("_ord", ord)
+      .withColumn("_b", shiftright(col("_ord"), 52))
+    val counts = o.groupBy("_b").agg(count(lit(1)).as("_n"))
+    // 256 rows: the one ordered window runs over the bucket histogram,
+    // not the data
+    val w = Window.orderBy(col("_b")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("_off", coalesce(sum(col("_n")).over(w), lit(0L)))
+      .select(col("_b"), col("_off"))
+    val rk = Window.partitionBy(col("_b")).orderBy(col("_ord"), col("id"))
+    o.join(offs, Seq("_b"))
+      .withColumn("new_id", col("_off") + row_number().over(rk).cast("long") - 1L)
+      .select(col("id"), col("new_id"))
+  }
+}

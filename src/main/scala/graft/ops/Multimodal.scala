@@ -104,4 +104,25 @@ object Multimodal {
   def metadataOnly(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("kind"), col("meta.format"),
       col("meta.width"), col("meta.height"), col("meta.duration_ms"))
+
+  /** Exact duplicate detection over opaque media payloads — the first
+    * dedup pass of any image/audio corpus (the same asset re-scraped
+    * under many ids). Groups by (md5(payload), byte length) and keeps
+    * the smallest id; emits copy counts and the bytes reclaimed by
+    * keeping one copy per group. The hash is computed in-plan from the
+    * binary column (codegen'd md5), so at 100 TB this is one scan plus
+    * a shuffle of 16-byte digests — payload bytes never shuffle.
+    * Every output field is integer/deterministic; the oracle replays
+    * the grouping arithmetic.
+    */
+  def payloadDedup(media: DataFrame, idCol: String,
+      payloadCol: String): DataFrame =
+    media.select(col(idCol).cast("long").as("_id"),
+        md5(col(payloadCol)).as("_h"),
+        length(col(payloadCol)).cast("long").as("_len"))
+      .groupBy(col("_h"), col("_len"))
+      .agg(min(col("_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"),
+        col("_len").as("payload_bytes"),
+        ((col("n_copies") - 1L) * col("_len")).as("reclaimed_bytes"))
 }

@@ -354,6 +354,43 @@ object Similarity {
   def dequantizeInt8(qv: Column): Column =
     transform(qv.getField("q"), x => x.cast("double") * qv.getField("scale"))
 
+  /** Deterministic ±1 Achlioptas/JL sign for (output dim j, input dim
+    * i): parity of the first hex digit of md5("rp:seed:j:i"). Any
+    * engine with md5 recomputes the identical matrix — the property
+    * that lets the DuckDB oracle replay the whole projection.
+    */
+  def rpSign(seed: Long, j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"rp:$seed:$j:$i".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0x1) == 0) 1.0 else -1.0
+  }
+
+  /** Random-projection (Johnson–Lindenstrauss) dimensionality
+    * reduction: out_j = Σ_i sign(j,i)·v_i with a deterministic ±1 sign
+    * matrix. Shrinks the embedding column dims/outDims× before the
+    * expensive downstream ops (LSH signing, kNN candidate ranking,
+    * k-means) while preserving pairwise distances within the JL bound —
+    * at 100 TB the projection is a pure per-row map (zero shuffle, no
+    * model state, nothing to broadcast but the literal sign matrix) so
+    * it runs at scan speed.
+    *
+    * The sign rows are literal arrays folded by the native codegen'd
+    * dot product (sequential loop, same order as DuckDB's
+    * list_dot_product, so the rounded values are engine-exact).
+    * Output: (id, out_dim, val) exploded rows.
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, dims: Int = 64, seed: Long = 42L): DataFrame = {
+    val signs = Array.tabulate(outDims, dims)((j, i) => rpSign(seed, j, i))
+    val projArr = array((0 until outDims).map { j =>
+      round(dot(typedlit(signs(j).toSeq), col("_v")), 6)
+    }: _*)
+    df.select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .select(col("id"), posexplode(projArr))
+      .select(col("id"), col("pos").cast("long").as("out_dim"),
+        col("col").as("val"))
+  }
+
   /** Approximate kNN GRAPH over the whole embedding table — the
     * all-nodes neighbor structure behind embedding-based clustering,
     * diversity curation, and semantic-dedup sweeps (as opposed to

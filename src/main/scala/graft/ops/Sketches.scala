@@ -58,4 +58,37 @@ object Sketches {
       .filter(col("n") >= lit(support * total))
       .orderBy(col("n").desc, col(column))
   }
+
+  /** Join-size estimation BEFORE running the join — the planning
+    * question every 100 TB shuffle should answer first ("is this
+    * self-join 10^9 or 10^14 pairs?"). Two per-key aggregates give the
+    * exact output cardinality Σ_k n_a(k)·n_b(k) at the cost of two
+    * groupBys + a key-count-sized join — tiny next to materializing
+    * the join itself. The bucketed variant collapses each side to
+    * `buckets` hash-bucket totals first: O(buckets) state per side (a
+    * fixed-size synopsis you can keep per table version), and
+    * Σ_bucket n_a·n_b is a guaranteed UPPER bound (keys only collide
+    * into buckets, never split). Output is one audit row:
+    * (n_join_keys, exact_pairs, bucket_upper, overestimate) — every
+    * field deterministic, so the oracle recomputes the whole row.
+    */
+  def joinCardinalityAudit(a: DataFrame, aKey: String, b: DataFrame,
+      bKey: String, buckets: Int = 1024): DataFrame = {
+    val ca = a.groupBy(col(aKey).as("k")).agg(count(lit(1)).as("na"))
+    val cb = b.groupBy(col(bKey).as("k")).agg(count(lit(1)).as("nb"))
+    val exact = ca.join(cb, "k")
+      .agg(count(lit(1)).as("n_join_keys"),
+        sum(col("na") * col("nb")).as("exact_pairs"))
+    def bucketed(c: DataFrame, n: String) = c
+      .withColumn("_bk", pmod(conv(substring(
+        md5(col("k").cast("string")), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+      .groupBy("_bk").agg(sum(col(n)).as(n))
+    val upper = bucketed(ca, "na").join(bucketed(cb, "nb"), "_bk")
+      .agg(sum(col("na") * col("nb")).as("bucket_upper"))
+    exact.crossJoin(upper)
+      .select(col("n_join_keys"), col("exact_pairs"), col("bucket_upper"),
+        round(col("bucket_upper").cast("double") /
+          col("exact_pairs").cast("double"), 6).as("overestimate"))
+  }
 }

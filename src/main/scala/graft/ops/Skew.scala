@@ -38,4 +38,43 @@ object Skew {
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(key))
       .limit(k)
+
+  /** The `k` deterministic bit positions a key sets in an `mBits`-size
+    * Bloom filter: md5 with per-hash salts, mod m. Engine-portable (the
+    * same md5-string recipe every cross-engine hash here uses).
+    */
+  def bloomPositions(key: Column, mBits: Int, k: Int): Column =
+    array((0 until k).map { t =>
+      pmod(conv(substring(
+        md5(concat(lit(s"bf$t:"), key.cast("string"))), 1, 15), 16, 10)
+        .cast("long"), lit(mBits.toLong))
+    }: _*)
+
+  /** Runtime-filter join: build a Bloom set from the (filtered) dim
+    * side's keys, broadcast it, pre-filter the fact side to rows that
+    * pass the Bloom test, THEN join. False positives are eliminated by
+    * the join itself, so the result is EXACTLY the plain join (the
+    * oracle is the plain join) — what changes is the shuffle volume:
+    * fact rows that cannot match never leave the scan stage. At 100 TB
+    * this is the difference between shuffling the full fact table and
+    * shuffling the ~selectivity fraction that survives; Spark's own
+    * AQE runtime filters do the same thing when they fire, this makes
+    * the plan explicit and portable.
+    *
+    * The Bloom set is represented as the sorted array of set bit
+    * positions (≤ k·|dim| entries) — semantically identical membership
+    * test, broadcastable as one row, and `array_contains` on a sorted
+    * int array is the probe.
+    */
+  def bloomPrunedJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    val bits = dim
+      .select(explode(bloomPositions(col(dimKey), mBits, k)).as("_p"))
+      .agg(sort_array(collect_set(col("_p"))).as("_bits"))
+    val pruned = fact.crossJoin(broadcast(bits))
+      .filter(forall(bloomPositions(col(factKey), mBits, k),
+        p => array_contains(col("_bits"), p)))
+      .drop("_bits")
+    pruned.join(dim, pruned(factKey) === dim(dimKey))
+  }
 }

@@ -118,6 +118,49 @@ object Streams {
       .filter(col("rk") <= k)
   }
 
+  /** Per-window distribution drift vs the corpus blend — the streaming
+    * data-quality monitor that catches an upstream source going dark or
+    * a scraper flooding one event type. Streaming half = the proven
+    * [[windowedCounts]] aggregate (StreamingSpec drives it as a real
+    * writeStream); this half runs sink-side over the finalized counts,
+    * like [[topKOverCounts]].
+    *
+    * Deviations are computed on INTEGER numerators: |p_wt − p_t| =
+    * |n_wt·N − n_t·N_w| / (N_w·N), so the per-window L1 distance is an
+    * exact integer sum divided once — no float-accumulation order to
+    * drift cross-engine — and max-deviation is a max (order-free).
+    * Missing (window, type) cells count as 0 via the window×type grid.
+    */
+  def driftOverCounts(counts: DataFrame): DataFrame = {
+    // the counts frame is windows×types — tiny and reused four times,
+    // so persist it rather than re-running the event scan per branch
+    val c = counts.persist()
+    val g = c.groupBy("event_type").agg(sum("n").as("nt"))
+    val wt = c.groupBy("window_start").agg(sum("n").as("nw"))
+    val tot = c.agg(sum("n").as("n_total"))
+    val grid = wt.crossJoin(broadcast(g))
+    grid.join(c, Seq("window_start", "event_type"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_num",
+        abs(col("n") * col("n_total") - col("nt") * col("nw")))
+      .groupBy(col("window_start"), col("nw"), col("n_total"))
+      .agg(sum(col("_num")).as("_l1num"), max(col("_num")).as("_mxnum"))
+      .select(col("window_start"), col("nw").as("n_events"),
+        round(col("_l1num").cast("double") /
+          (col("nw") * col("n_total")).cast("double"), 6).as("l1"),
+        round(col("_mxnum").cast("double") /
+          (col("nw") * col("n_total")).cast("double"), 6).as("max_dev"))
+  }
+
+  /** [[windowedCounts]] (stream-safe) composed with [[driftOverCounts]]
+    * (sink-side) — batch replay is the identical plan, which is what
+    * the oracle recomputes.
+    */
+  def windowedDrift(events: DataFrame, window: String,
+      watermark: String = "10 minutes"): DataFrame =
+    driftOverCounts(windowedCounts(events, window, watermark))
+
   /** Sliding-window aggregation. */
   def slidingAgg(events: DataFrame, window: String, slide: String,
       watermark: String = "10 minutes"): DataFrame =
