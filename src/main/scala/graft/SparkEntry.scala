@@ -30,7 +30,8 @@ object SparkEntry {
     graft.queries.Round8Queries.queries ++
     graft.queries.Round8bQueries.queries ++
     graft.queries.Round8cQueries.queries ++
-    graft.queries.Round8dQueries.queries
+    graft.queries.Round8dQueries.queries ++
+    graft.queries.Round8eQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +49,6 @@ object SparkEntry {
     graft.queries.Round8Queries.oracles ++
     graft.queries.Round8bQueries.oracles ++
     graft.queries.Round8cQueries.oracles ++
-    graft.queries.Round8dQueries.oracles
+    graft.queries.Round8dQueries.oracles ++
+    graft.queries.Round8eQueries.oracles
 }

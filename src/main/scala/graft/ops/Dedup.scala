@@ -774,4 +774,49 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * shingles whose first occurrence (smallest id) is this doc — the
+    * "what does this doc add to the corpus" curation signal (a copy of
+    * earlier material scores 0, fresh text scores near 1; data-
+    * selection papers rank acquisition batches by exactly this).
+    * One shingle pass feeds both the first-occurrence aggregate and
+    * the per-doc rollup; the join is shingle-bucketed, never pairwise.
+    * Counts are integers and the ratio is one division — engine-exact.
+    */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = explodedShingleHashes(df, idCol, textCol, n, distinct = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = sh.groupBy("shingle").agg(min(col("id")).as("first_id"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("first_id") === col("id")).cast("long")).as("n_novel"))
+      .withColumn("novelty", round(
+        col("n_novel").cast("double") / col("n_shingles").cast("double"), 6))
+  }
+
+  /** Dedup threshold sensitivity curve: for each candidate Jaccard
+    * threshold, how many near-dup pairs fire and how many docs the
+    * keep-smallest-id rule would drop. ONE [[lshVerifiedPairs]] run at
+    * the lowest threshold feeds every higher cut (pairs carry their
+    * exact Jaccard; a threshold is a filter, not a recompute) — the
+    * tuning loop costs one dedup pass instead of |thresholds|.
+    * Thresholds must stay ≥ the banding's reliable-recall regime
+    * (≥ 0.9 with the 16×4 default) for the exact-oracle property to
+    * hold.
+    */
+  def dedupSweep(df: DataFrame, idCol: String, textCol: String,
+      thresholds: Seq[Double], k: Int = 64, bands: Int = 16,
+      n: Int = 3): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val pairs = lshVerifiedPairs(df, idCol, textCol, k, bands, n,
+      threshold = thresholds.min)
+    pairs.withColumn("threshold", explode(typedlit(thresholds.sorted)))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_docs_dropped"))
+  }
 }

@@ -179,4 +179,61 @@ object Profile {
       .groupBy("grp", "status")
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Content-defined chunking (the rsync/backup-dedup boundary rule at
+    * token granularity): a token ENDS a chunk when its content hash ≡ 0
+    * mod `modulus`, so expected chunk length is `modulus` tokens and —
+    * the property that makes CDC the storage-dedup splitter — a
+    * boundary depends only on the token itself: inserting text early in
+    * a doc cannot shift any later chunk boundary (fixed-size blocks
+    * reshift everything; the spec proves the stability property).
+    * Returns the corpus-level storage synopsis: chunk counts, distinct
+    * chunk counts (cross-doc dedup opportunity), and byte totals
+    * before/after chunk dedup.
+    *
+    * Scale: one explode + a per-DOC ordered window (parallel across
+    * docs, no global order), then two hash-keyed aggregates. Chunk
+    * identity is md5 of the space-joined tokens, recomputable by any
+    * engine.
+    */
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
+      modulus: Int = 16): DataFrame = {
+    val toks = filter(graft.ops.TextAnalysis.tokens(col(textCol)),
+      t => length(t) > 0)
+    val pos = df.select(col(idCol).as("id"), posexplode(toks))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+      .withColumn("_b",
+        (pmod(contentHash60(lit("cdc"), col("tok")), lit(modulus.toLong))
+          === 0L).cast("long"))
+    // chunk id = boundaries strictly before this token (the boundary
+    // token itself closes its chunk)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("p"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // consumed by both the total and the distinct aggregate — persist
+    // the chunk frame (rows ≈ tokens/modulus) instead of re-running
+    // the explode+window lineage per branch
+    val chunks = pos
+      .withColumn("chunk", coalesce(sum(col("_b")).over(w), lit(0L)))
+      .groupBy(col("id"), col("chunk"))
+      .agg(count(lit(1)).as("n_toks"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ")).as("h"),
+        (sum(length(col("tok"))) + count(lit(1)) - 1L).as("n_bytes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val per = chunks.agg(count(lit(1)).as("n_chunks"),
+      sum(col("n_toks")).as("n_tokens"),
+      sum(col("n_bytes")).as("bytes_total"))
+    val uniq = chunks.groupBy(col("h"))
+      .agg(first(col("n_bytes")).as("n_bytes"))
+      .agg(count(lit(1)).as("n_distinct_chunks"),
+        sum(col("n_bytes")).as("bytes_unique"))
+    per.crossJoin(uniq)
+      .select(col("n_chunks"), col("n_distinct_chunks"),
+        (col("n_chunks") - col("n_distinct_chunks")).as("n_dup_chunks"),
+        col("n_tokens"), col("bytes_total"), col("bytes_unique"),
+        round(lit(1.0) - col("bytes_unique").cast("double") /
+          col("bytes_total").cast("double"), 6).as("dedup_saving"))
+  }
 }

@@ -40,14 +40,16 @@ object Skew {
       .limit(k)
 
   /** The `k` deterministic bit positions a key sets in an `mBits`-size
-    * Bloom filter: md5 with per-hash salts, mod m. Engine-portable (the
-    * same md5-string recipe every cross-engine hash here uses).
+    * Bloom filter: xxhash64 with per-hash seeds, mod m. The positions
+    * are internal to the join (the result is proven against the PLAIN
+    * join, not the bit set), so the hash only needs to be cheap and
+    * deterministic — xxhash64 is codegen'd and runs at scan speed,
+    * where an md5-of-string recipe cost 5.3 s on the 600k-row fact
+    * side (measured: 5.3 → 1.6 s for q_bloom_join at sf0.1).
     */
   def bloomPositions(key: Column, mBits: Int, k: Int): Column =
     array((0 until k).map { t =>
-      pmod(conv(substring(
-        md5(concat(lit(s"bf$t:"), key.cast("string"))), 1, 15), 16, 10)
-        .cast("long"), lit(mBits.toLong))
+      pmod(xxhash64(lit(t), key), lit(mBits.toLong))
     }: _*)
 
   /** Runtime-filter join: build a Bloom set from the (filtered) dim

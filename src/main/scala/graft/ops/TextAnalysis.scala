@@ -590,4 +590,59 @@ object TextAnalysis {
           fingerprintMd5(t).as("fp_md5"),
           fingerprintRolling(t).as("fp_rolling"))): _*)
   }
+
+  /** T5-style span-corruption planning: deterministic mask spans on a
+    * per-doc stride grid. The doc's md5-derived offset picks the grid
+    * phase (`off = md5("mask:id") % stride`), every `stride`-th token
+    * from there starts a `spanLen`-token mask, and each span is
+    * replaced by one `<extra_id_k>` sentinel (interior tokens drop) —
+    * the denoising-objective prep a seq2seq pretraining pipeline runs
+    * over the whole corpus. spanLen ≤ stride keeps spans disjoint, so
+    * the span/token counts are pure row arithmetic and the corrupted
+    * text is one indexed HOF pass — zero shuffle, engine-exact
+    * (the oracle replays the same lambda over DuckDB lists).
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      stride: Int = 8, spanLen: Int = 3): DataFrame = {
+    require(spanLen >= 1 && spanLen <= stride,
+      "need 1 <= spanLen <= stride for disjoint spans")
+    val off = conv(substring(
+      md5(concat(lit("mask:"), col("id").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % stride
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val n = size(toks).cast("long")
+    // span starts are off, off+stride, ... < n
+    val nSpans = when(n > col("_off"),
+      floor((n - 1L - col("_off")) / stride) + 1L).otherwise(lit(0L))
+    val lastStart = col("_off") + (col("n_spans") - 1L) * stride
+    val masked = when(col("n_spans") > 0L,
+      (col("n_spans") - 1L) * spanLen +
+        least(lit(spanLen.toLong), n - lastStart)).otherwise(lit(0L))
+    val corrupted = array_join(
+      filter(
+        transform(sequence(lit(0L), greatest(n - 1L, lit(0L))), i => {
+          val rel = i - col("_off")
+          when(n === 0L, lit(null).cast("string"))
+            .when(rel >= 0L && pmod(rel, lit(stride.toLong)) < spanLen,
+              when(pmod(rel, lit(stride.toLong)) === 0L,
+                concat(lit("<extra_id_"),
+                  floor(rel / stride).cast("string"), lit(">")))
+                .otherwise(lit(null).cast("string")))
+            .otherwise(element_at(toks, (i + 1L).cast("int")))
+        }),
+        x => x.isNotNull),
+      " ")
+    df.select(col(idCol).as("id"), col(textCol))
+      .withColumn("_off", off)
+      .withColumn("n_tokens", n)
+      .withColumn("n_spans", nSpans)
+      .withColumn("masked_tokens", masked)
+      .withColumn("corrupt_ratio", round(
+        when(col("n_tokens") > 0L,
+          col("masked_tokens").cast("double") /
+            col("n_tokens").cast("double")).otherwise(lit(0.0)), 6))
+      .withColumn("corrupted_text", corrupted)
+      .select(col("id"), col("n_tokens"), col("n_spans"),
+        col("masked_tokens"), col("corrupt_ratio"), col("corrupted_text"))
+  }
 }

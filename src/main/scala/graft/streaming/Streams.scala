@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
@@ -160,6 +161,51 @@ object Streams {
   def windowedDrift(events: DataFrame, window: String,
       watermark: String = "10 minutes"): DataFrame =
     driftOverCounts(windowedCounts(events, window, watermark))
+
+  /** Watermark-lateness audit — the measurement that answers "what
+    * watermark delay does this feed actually need?" before committing
+    * state-eviction bounds. For each event, lateness = (max event-time
+    * among events that ARRIVED before it) − (its own event-time); the
+    * histogram's tail is the watermark you must tolerate, and events
+    * past your chosen delay are the ones a streaming dedup/agg would
+    * silently drop.
+    *
+    * The running max over arrival order is computed WITHOUT a global
+    * window: arrival keys bucket into `blockSize` ranges (block id is
+    * monotone in arrival), each block computes its running max in
+    * parallel, and a block-count-sized carry frame contributes the
+    * prefix max — the [[graft.ops.Packing]] distributed-scan shape
+    * applied to max. Output: per-lateness-bucket counts with exact
+    * integer second bounds; buckets cap at `maxBucket`.
+    */
+  def latenessProfile(events: DataFrame, arrivalCol: String,
+      bucketSeconds: Int = 600, maxBucket: Int = 23,
+      blockSize: Long = 100000L): DataFrame = {
+    val e = events.select(col(arrivalCol).as("_arr"),
+        col("event_id"), unix_micros(col("ts")).as("_tsu"))
+      .withColumn("_blk", floor(col("_arr") / blockSize).cast("long"))
+    val wIn = Window.partitionBy(col("_blk"))
+      .orderBy(col("_arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val inBlk = e.withColumn("_run_in", max(col("_tsu")).over(wIn))
+    val blockMax = e.groupBy(col("_blk")).agg(max(col("_tsu")).as("_bmax"))
+    // exclusive prefix max over the tiny block frame (rows / blockSize)
+    val wCarry = Window.orderBy(col("_blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = blockMax
+      .withColumn("_carry", max(col("_bmax")).over(wCarry))
+      .select(col("_blk"), col("_carry"))
+    inBlk.join(carries, Seq("_blk"))
+      .withColumn("_run", greatest(col("_run_in"),
+        coalesce(col("_carry"), lit(Long.MinValue))))
+      .withColumn("late_s", floor((col("_run") - col("_tsu")) / 1e6).cast("long"))
+      .withColumn("late_bucket",
+        least(floor(col("late_s") / bucketSeconds), lit(maxBucket.toLong)))
+      .groupBy(col("late_bucket"))
+      .agg(count(lit(1)).as("n"),
+        max(col("late_s")).as("max_late_s"),
+        sum((col("late_s") > 0L).cast("long")).as("n_late"))
+  }
 
   /** Sliding-window aggregation. */
   def slidingAgg(events: DataFrame, window: String, slide: String,
