@@ -31,7 +31,8 @@ object SparkEntry {
     graft.queries.Round8bQueries.queries ++
     graft.queries.Round8cQueries.queries ++
     graft.queries.Round8dQueries.queries ++
-    graft.queries.Round8eQueries.queries
+    graft.queries.Round8eQueries.queries ++
+    graft.queries.Round8fQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +51,6 @@ object SparkEntry {
     graft.queries.Round8bQueries.oracles ++
     graft.queries.Round8cQueries.oracles ++
     graft.queries.Round8dQueries.oracles ++
-    graft.queries.Round8eQueries.oracles
+    graft.queries.Round8eQueries.oracles ++
+    graft.queries.Round8fQueries.oracles
 }

@@ -25,13 +25,23 @@ object Layout {
     * same terms in SQL). The bit terms are disjoint, so `+` is the
     * same as OR and stays an associative reduce.
     */
-  def zValue(x: Column, y: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    val xl = x.cast("long")
-    val yl = y.cast("long")
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** N-dimension Morton value: the low `bits` bits of every column
+    * interleaved round-robin (column j of bit b lands at position
+    * b*N + j, so the 2-column layout matches [[zValue]] exactly).
+    * bits*N must fit a long's non-sign bits.
+    */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty, "need at least one column")
+    require(bits >= 1 && bits * cols.length <= 62,
+      s"bits*dims must be in [1, 62], got ${bits * cols.length}")
+    val d = cols.length
     (0 until bits).flatMap { b =>
-      Seq(shiftleft(shiftright(xl, b).bitwiseAND(lit(1L)), 2 * b),
-        shiftleft(shiftright(yl, b).bitwiseAND(lit(1L)), 2 * b + 1))
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c.cast("long"), b).bitwiseAND(lit(1L)), b * d + j)
+      }
     }.reduce(_ + _)
   }
 
@@ -94,5 +104,34 @@ object Layout {
     o.join(offs, Seq("_b"))
       .withColumn("new_id", col("_off") + row_number().over(rk).cast("long") - 1L)
       .select(col("id"), col("new_id"))
+  }
+
+  /** Range-partition planning for a global-sorted write: bounds from
+    * exact discrete percentiles (`percentile_disc`), then the audit of
+    * how many rows and what key range each partition would receive —
+    * the decision input before committing a `repartitionByRange` /
+    * sorted-write of a 100 TB table (a skewed key makes partition
+    * sizes explode; this surfaces it for the cost of one aggregate +
+    * one scan, no sort). The bounds row broadcasts; partition
+    * assignment is a per-row fold over the bounds array. With row
+    * counts divisible by `parts` (the bench tables), the discrete-
+    * percentile definition coincides across engines, making every
+    * output field oracle-exact.
+    */
+  def rangePartitionPlan(df: DataFrame, keyCol: String,
+      parts: Int): DataFrame = {
+    require(parts >= 2, "need parts >= 2")
+    val boundExprs = (1 until parts).map { i =>
+      expr(s"percentile_disc(${i.toDouble / parts}) WITHIN GROUP " +
+        s"(ORDER BY $keyCol)").as(s"_b$i")
+    }
+    val bounds = df.agg(boundExprs.head, boundExprs.tail: _*)
+      .select(array((1 until parts).map(i => col(s"_b$i")): _*).as("_bounds"))
+    df.select(col(keyCol).as("_k")).crossJoin(broadcast(bounds))
+      .withColumn("part", aggregate(col("_bounds"), lit(0),
+        (acc, b) => acc + when(col("_k") > b, 1).otherwise(0)))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n"),
+        min(col("_k")).as("min_key"), max(col("_k")).as("max_key"))
   }
 }

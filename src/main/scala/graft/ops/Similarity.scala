@@ -172,6 +172,32 @@ object Similarity {
         col("_b.sim").as("cos_to_centroid"))
   }
 
+  /** Embedding outlier detection over a Lloyd run: members whose
+    * cosine to their centroid falls below `alpha ×` the cluster mean —
+    * the mislabeled/noise-document sweep run after clustering (the
+    * complement of [[clusterPrune]]'s keep-the-prototypes). The
+    * assignment frame is (id, cid, cos) — three scalars — so the
+    * per-cluster mean is a k-row broadcast join, nothing corpus-sized
+    * shuffles twice. The outlier FLAG compares raw doubles whose
+    * planted-geometry separations (~1e-6) sit far above float noise,
+    * so the boolean is engine-exact even where the rounded cosines
+    * collapse.
+    */
+  def clusterOutliers(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, lloydIters: Int = 2,
+      init: Option[Array[Array[Double]]] = None,
+      alpha: Double = 1.0): DataFrame = {
+    val a = clusterEmbeddings(df, idCol, vecCol, nClusters, lloydIters, init)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = a.groupBy(col("cid"))
+      .agg(avg(col("cos_to_centroid")).as("_mean_cos"))
+    a.join(broadcast(m), Seq("cid"))
+      .select(col(idCol), col("cid"),
+        round(col("cos_to_centroid"), 6).as("cos"),
+        round(col("_mean_cos"), 6).as("cluster_mean"),
+        (col("cos_to_centroid") < col("_mean_cos") * alpha).as("is_outlier"))
+  }
+
   /** Cluster-based diversity pruning (the SemDeDup / SSL-prototypes
     * curation shape): k-means the embeddings, then keep only the
     * `keepPerCluster` most prototypical members of each cluster —

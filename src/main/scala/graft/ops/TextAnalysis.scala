@@ -312,6 +312,31 @@ object TextAnalysis {
         !(col("too_short") || col("too_long") || col("high_punct") || col("repetitious")))
   }
 
+  /** Per-source keep rate with a Wilson 95% score interval — the
+    * uncertainty a data card should attach to any rate computed from a
+    * finite source ("source X keeps 81% ± what?"). One pass of the
+    * per-row [[qualityFilterReasons]] rules plus one group aggregate;
+    * the interval arithmetic mirrors the oracle's expression tree term
+    * for term, so the rounded bounds are engine-exact.
+    */
+  def keepRateCi(df: DataFrame, srcCol: String, textCol: String,
+      z: Double = 1.96): DataFrame = {
+    val q = qualityFilterReasons(df, textCol)
+    val agg = q.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n"), sum(col("keep").cast("long")).as("n_keep"))
+    val nD = col("n").cast("double")
+    val p = col("n_keep").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))) / denom
+    agg.select(col("source"), col("n"), col("n_keep"),
+      round(p, 6).as("keep_rate"),
+      round(center - half, 6).as("ci_low"),
+      round(center + half, 6).as("ci_high"))
+  }
+
   /** One BPE merge iteration over the corpus — the inner statistic of
     * tokenizer training (Sennrich et al. 2016): count every adjacent
     * character pair inside every word, weighted by the word's corpus

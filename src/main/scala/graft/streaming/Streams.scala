@@ -162,6 +162,25 @@ object Streams {
       watermark: String = "10 minutes"): DataFrame =
     driftOverCounts(windowedCounts(events, window, watermark))
 
+  /** Windowed corpus-intake quality monitor: per event-time window,
+    * how many arriving documents pass the quality filter. Takes a
+    * frame with `ts` and a boolean `keep` (the per-row
+    * [[graft.ops.TextAnalysis.qualityFilterReasons]] flag — pure
+    * codegen'd row expressions, streamable inline) and runs the
+    * proven watermark+window aggregate shape. A collapsing keep_rate
+    * is the first signal a scraper started feeding junk.
+    */
+  def windowedKeepRate(df: DataFrame, window: String,
+      watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_keep"))
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        col("n_keep"),
+        round(col("n_keep").cast("double") /
+          col("n_docs").cast("double"), 6).as("keep_rate"))
+
   /** Watermark-lateness audit — the measurement that answers "what
     * watermark delay does this feed actually need?" before committing
     * state-eviction bounds. For each event, lateness = (max event-time
