@@ -32,7 +32,8 @@ object SparkEntry {
     graft.queries.Round8cQueries.queries ++
     graft.queries.Round8dQueries.queries ++
     graft.queries.Round8eQueries.queries ++
-    graft.queries.Round8fQueries.queries
+    graft.queries.Round8fQueries.queries ++
+    graft.queries.Round8gQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +53,6 @@ object SparkEntry {
     graft.queries.Round8cQueries.oracles ++
     graft.queries.Round8dQueries.oracles ++
     graft.queries.Round8eQueries.oracles ++
-    graft.queries.Round8fQueries.oracles
+    graft.queries.Round8fQueries.oracles ++
+    graft.queries.Round8gQueries.oracles
 }

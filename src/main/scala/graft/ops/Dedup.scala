@@ -819,4 +819,65 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("id_b")).as("n_docs_dropped"))
   }
+
+  /** Leakage-safe train/test split: exact duplicates ALWAYS land in the
+    * same split. A per-doc hash split ([[Sampling.md5TrainTestSplit]])
+    * puts two byte-identical documents on opposite sides of the
+    * boundary with probability 2·p·(1−p) each — the classic eval-set
+    * contamination — so the split key here is the duplicate GROUP's
+    * representative (min id over the md5-fingerprint class), not the
+    * doc id. Membership is the same engine-portable md5-prefix
+    * threshold as [[Sampling.md5SplitLabel]], so an external system
+    * recomputes the exact assignment.
+    *
+    * Plan: groupBy on the 16-byte fingerprint picks the
+    * representative, then a fingerprint equi-join carries it back —
+    * both sides hash-partition on `fp`, so the join reuses the
+    * aggregate's exchange and adds no new corpus shuffle; the split
+    * label itself is a per-row expression. Nothing is pairwise, and
+    * group skew is bounded by the duplicate multiplicity (a
+    * pathological billion-copy document still reduces map-side).
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      trainPct: Int): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, "trainPct in (0,100)")
+    val fp = df.select(col(idCol).as("id"),
+      TextAnalysis.fingerprintMd5(col(textCol)).as("fp"))
+    val rep = fp.groupBy(col("fp")).agg(min(col("id")).as("rep_id"))
+    fp.join(rep, Seq("fp"))
+      .select(col("id"), col("rep_id"),
+        Sampling.md5SplitLabel(col("rep_id"),
+          Seq("train" -> trainPct, "test" -> (100 - trainPct))).as("split"))
+  }
+
+  /** Line-permutation-invariant exact dedup: documents whose non-empty
+    * trimmed LINES form the same multiset match even when the lines
+    * were reordered — the scraped-page section-shuffle / list-reorder
+    * duplicates that byte-exact dedup misses entirely and Jaccard
+    * near-dedup only catches above its threshold. Lines are the right
+    * unit because their boundaries are content-defined: a reordering
+    * preserves each line verbatim, whereas positional token chunks
+    * would re-segment differently after the shuffle. The order-free
+    * fingerprint is md5 over the SORTED list of per-line md5s: sorting
+    * the 16-byte line hashes (not the line text) keeps the row cost
+    * O(lines log lines), and the rest is the same tiny fingerprint
+    * groupBy as [[exact]] — one corpus scan, one shuffle of
+    * (id, 32-byte fp) rows. Single-line documents degrade to exact
+    * dedup (modulo surrounding whitespace). The group member list is
+    * safe to collect: its size is the duplicate multiplicity, not the
+    * corpus.
+    */
+  def permutationInvariantGroups(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = filter(
+      transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    df.select(col(idCol).as("id"),
+        md5(array_join(array_sort(transform(lines, l => md5(l))), ","))
+          .as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        sort_array(collect_list(col("id"))).as("ids"))
+  }
 }

@@ -236,4 +236,39 @@ object Profile {
         round(lit(1.0) - col("bytes_unique").cast("double") /
           col("bytes_total").cast("double"), 6).as("dedup_saving"))
   }
+
+  /** k-anonymity generalization over quasi-identifier columns, with an
+    * l-diversity audit on a sensitive column — the release gate applied
+    * before person-linked metadata (user tables, document provenance)
+    * can ship alongside a training corpus. Equivalence classes (unique
+    * QI combinations) with fewer than k rows are SUPPRESSED: their QI
+    * values generalize to "*" and their rows merge into one residual
+    * class, so no published class isolates fewer than k individuals
+    * (the residual class is itself published with its true size).
+    * Each class also reports l-diversity — distinct sensitive values —
+    * since a k-anonymous class with one sensitive value still leaks it
+    * (Machanavajjhala et al., l-diversity).
+    *
+    * Plan: class sizes are one map-combinable aggregate over the QI
+    * key; the tiny class table broadcasts back onto the fact, rows
+    * relabel per-row, and ONE re-aggregate over the generalized key
+    * produces the release — two fact scans, no shuffle wider than the
+    * class cardinality, nothing collected.
+    */
+  def kAnonymityClasses(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, k: Int): DataFrame = {
+    require(qiCols.nonEmpty && k >= 1, "need QI columns and k >= 1")
+    val qi = qiCols.map(c => col(c).cast("string").as(c))
+    val sizes = df.select(qi: _*).groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    val small = col("_n") < k
+    val generalized = df.select((qi :+ col(sensitiveCol).as("_s")): _*)
+      .join(broadcast(sizes), qiCols)
+      .select((qiCols.map(c =>
+        when(small, lit("*")).otherwise(col(c)).as(c)) :+ col("_s")): _*)
+    generalized.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("_s")).as("l_diversity"))
+      .withColumn("suppressed", col(qiCols.head) === "*")
+  }
 }

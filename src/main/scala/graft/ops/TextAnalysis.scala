@@ -164,6 +164,54 @@ object TextAnalysis {
   def fingerprintRolling(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS algorithm): hash every k-token gram, then keep the
+    * MINIMUM hash of each w-wide window of consecutive grams. The
+    * selected set is position-robust — any match of at least w+k-1
+    * tokens between two documents is guaranteed to share a
+    * fingerprint — while storing only ~2/(w+1) of the gram hashes,
+    * which is what makes shipping per-doc fingerprints to a corpus-
+    * wide index affordable at 100 TB.
+    *
+    * Built entirely from zip_with/least chains so every array argument
+    * is evaluated ONCE per row (the transform-with-inlined-argument
+    * O(tokens²) trap documented on [[ngramHashesLinear]] cannot
+    * occur); cost is O(tokens·(k+w)) inside whole-stage codegen with
+    * zero shuffle. Hashes are md5-prefix STRINGS (16 hex chars), not
+    * xxhash64, so any engine with md5 replays the exact selection;
+    * zip_with pads the shorter side with null and both concat_ws and
+    * least skip nulls, which is exactly the truncation the windowing
+    * needs. Documents shorter than k tokens contribute their single
+    * partial gram; shorter than w grams, the minimum over all grams —
+    * the standard "at least one fingerprint per non-empty doc" rule.
+    *
+    * Returns the doc's distinct fingerprints, sorted.
+    */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    val toks = filter(tokens(text), t => length(t) > 0)
+    val nTok = size(toks)
+    // full k-gram strings: fold of shifted zip_with concat; trailing
+    // partial grams (beyond position nTok-k+1) are sliced off, except
+    // the n<k single partial gram
+    val gramsAll = (2 to k).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), greatest(nTok - (j - 1), lit(0))),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    val grams = slice(gramsAll, lit(1),
+      greatest(nTok - (k - 1), least(nTok, lit(1))))
+    val hashes = transform(grams, g => substring(md5(g), 1, 16))
+    val nH = size(hashes)
+    // window minima: least-fold over w shifted copies; same truncation
+    val minsAll = (2 to w).foldLeft(hashes) { (acc, j) =>
+      zip_with(acc, slice(hashes, lit(j), greatest(nH - (j - 1), lit(0))),
+        (a, b) => least(a, b))
+    }
+    val mins = slice(minsAll, lit(1),
+      greatest(nH - (w - 1), least(nH, lit(1))))
+    array_sort(array_distinct(mins))
+  }
+
   /** PII scrub: redact emails, phone-like numbers, and long digit runs
     * (card/SSN-ish) — the cheap regex pass applied before training-data
     * release. Pure regexp_replace chain, codegen'd, oracle-able.
