@@ -850,6 +850,78 @@ object Dedup {
           Seq("train" -> trainPct, "test" -> (100 - trainPct))).as("split"))
   }
 
+  /** Winnowing-based match candidates: documents sharing at least
+    * `minShared` winnow fingerprints ([[TextAnalysis
+    * .winnowFingerprints]]). By the winnowing guarantee, any pair with
+    * a common run of ≥ w+k−1 tokens shares at least one selected
+    * fingerprint, so this finds COPIED-PASSAGE relations (quotes,
+    * boilerplate, stitched documents) that whole-document Jaccard
+    * scores far below its threshold — the MOSS use case at corpus
+    * scale.
+    *
+    * Plan shape: per-row fingerprinting (zero shuffle) → explode →
+    * one equi-join on the 16-char fingerprint — identical to the
+    * shingle/band dedup family, never pairwise over the corpus.
+    * `maxFpDf` drops fingerprints present in more than that many docs
+    * (stop-fingerprints): a boilerplate hash shared by a million docs
+    * would otherwise fan out a million² pair rows — the cap is the
+    * same skew bound the shingle joins use, applied as a broadcast
+    * anti-join. The exploded fingerprint table is persisted once and
+    * feeds the hot-list and both join sides.
+    */
+  def winnowMatchPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxFpDf: Int = 1000): DataFrame = {
+    val fps = widen(df).select(col(idCol).cast("long").as("id"),
+        explode(TextAnalysis.winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxFpDf).select(col("fp"))
+    val cold = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    cold.select(col("fp"), col("id").as("id_a"))
+      .join(cold.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Corpus release plan over near-duplicate clusters: for every doc,
+    * (a) its cluster representative (connected-component min id over
+    * [[ngramJaccardPairs]], own id for singletons), (b) a leakage-safe
+    * split label keyed on that representative — the [[leakageSafeSplit]]
+    * guarantee extended from exact to NEAR duplicates, so paraphrased
+    * copies can't straddle train/test either — and (c) the cluster's
+    * quality-keep winner: the member with the most bpe-ish tokens
+    * (tie → min id), the RefinedWeb-style "keep the longest version"
+    * rule, with `is_kept` marking survivors of cluster dedup.
+    *
+    * One pair build + one CC run feeds all three decisions; the
+    * keep-winner is a max over (score, −id) structs grouped by the
+    * cluster key, and the join back is co-partitioned on that key, so
+    * beyond the dedup machinery itself the plan adds one aggregate and
+    * two same-key joins — nothing pairwise, nothing collected.
+    */
+  def dedupClusterPlan(df: DataFrame, idCol: String, textCol: String,
+      trainPct: Int, n: Int = 3, threshold: Double = 0.2,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, n, threshold, maxShingleDf)
+    val cc = connectedComponents(pairs)
+    val scored = df.select(col(idCol).cast("long").as("id"),
+      TextAnalysis.bpeishTokenCount(col(textCol)).as("score"))
+    val labeled = scored.join(cc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("rep_id"), col("score"))
+    val best = labeled.groupBy(col("rep_id"))
+      .agg(max(struct(col("score"), (-col("id")).as("nid"))).as("_m"))
+      .select(col("rep_id"), (-col("_m.nid")).as("keep_id"))
+    labeled.join(best, Seq("rep_id"))
+      .select(col("id"), col("rep_id"),
+        Sampling.md5SplitLabel(col("rep_id"),
+          Seq("train" -> trainPct, "test" -> (100 - trainPct))).as("split"),
+        col("keep_id"), (col("id") === col("keep_id")).as("is_kept"))
+  }
+
   /** Line-permutation-invariant exact dedup: documents whose non-empty
     * trimmed LINES form the same multiset match even when the lines
     * were reordered — the scraped-page section-shuffle / list-reorder

@@ -111,6 +111,30 @@ object Sampling {
     df.filter(keepExpr)
   }
 
+  /** Exact-quota deterministic per-stratum sample: EXACTLY
+    * min(quota, |stratum|) rows per stratum — the eval-set/benchmark
+    * construction rule, where a rate-based sample's ±binomial noise is
+    * unacceptable. Selection order is md5(id) (then id, making ties
+    * impossible and the full order total), so any engine recomputes
+    * the exact membership and re-running on the same corpus is stable;
+    * unlike [[stratifiedSample]]'s fixed hash threshold, adding corpus
+    * rows CAN displace earlier picks — that is inherent to exact
+    * quotas, and the md5 order makes the displacement deterministic.
+    *
+    * Plan: one hash shuffle on the stratum, per-stratum rank, filter —
+    * Catalyst compiles the rank+filter to WindowGroupLimit, so each
+    * partition keeps a quota-bounded heap instead of sorting the
+    * stratum.
+    */
+  def quotaSample(df: DataFrame, idCol: String, stratumCol: String,
+      quota: Int): DataFrame = {
+    require(quota >= 1, "quota >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= quota)
+  }
+
   /** Temperature-based mixture sampling (the GPT-3/PaLM data-mixture
     * rule): source s is kept at a rate making its share of the output
     * proportional to n_s^alpha — alpha < 1 upweights rare sources,

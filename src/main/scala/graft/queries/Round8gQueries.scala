@@ -1,15 +1,17 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Profile, TextAnalysis}
+import graft.ops.{Dedup, Profile, Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-8 part 7: corpus-release operators — the leakage-safe
-  * train/test split (exact duplicates never straddle the boundary),
-  * MOSS winnowing fingerprints, line-permutation-invariant dedup,
-  * k-anonymity/l-diversity generalization for person-linked metadata,
-  * and per-source tokenizer-fertility stats. Every query is
+  * train/test split (exact duplicates never straddle the boundary) and
+  * its near-dup-cluster generalization with a quality-aware keep rule,
+  * MOSS winnowing fingerprints plus the fingerprint match-pair join,
+  * line-permutation-invariant dedup, k-anonymity/l-diversity
+  * generalization for person-linked metadata, exact-quota stratified
+  * sampling, and per-source tokenizer-fertility stats. Every query is
   * deterministic and recomputed end to end by its DuckDB oracle.
   */
 object Round8gQueries {
@@ -77,6 +79,39 @@ object Round8gQueries {
           Seq("c_mktsegment", "c_nationkey"), "bal_bucket", k = 10)
         .orderBy(col("c_mktsegment"), col("c_nationkey"))
     }),
+
+    // ---- winnowing match pairs ----
+    "q_winnow_pairs" -> ((s, dir) => {
+      // planted prefix-edited copies (2 junk tokens + original text)
+      // share every interior token run with their source: the winnow
+      // guarantee forces shared fingerprints, so each planted pair MUST
+      // appear — alongside any organic passage overlaps
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val off = broadcast(docs.agg((max(col("id")) + 1L).as("_off")))
+      val copies = docs.filter(col("id") % 101 === 0).crossJoin(off)
+        .select((col("id") + col("_off")).as("id"),
+          concat(lit("zz yy "), col("text")).as("text"))
+      Dedup.winnowMatchPairs(docs.unionByName(copies), "id", "text",
+          k = 3, w = 4, minShared = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- near-dup-cluster release plan ----
+    "q_dedup_plan" -> ((s, dir) =>
+      // same pair parameters as q_dedup_cluster, so the oracle reuses
+      // that query's proven recursive-CTE component derivation
+      Dedup.dedupClusterPlan(Tables.load(s, dir, "documents"),
+          "doc_id", "text", trainPct = 80,
+          n = 3, threshold = 0.2, maxShingleDf = 50)
+        .orderBy(col("id"))),
+
+    // ---- exact-quota per-stratum sample ----
+    "q_sample_quota" -> ((s, dir) =>
+      Sampling.quotaSample(Tables.load(s, dir, "documents"),
+          "doc_id", "source", quota = 12)
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy(col("source"), col("rk"))),
 
     // ---- tokenizer fertility per source ----
     "q_token_fertility" -> ((s, dir) =>
@@ -174,6 +209,92 @@ object Round8gQueries {
            CAST(COUNT(DISTINCT sv) AS BIGINT) AS l_diversity,
            (c_mktsegment = '*') AS suppressed
          FROM g GROUP BY 1, 2 ORDER BY c_mktsegment, c_nationkey""",
+
+    "q_winnow_pairs" ->
+      """WITH o AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+         corpus AS (
+           SELECT doc_id AS id, text FROM documents
+           UNION ALL
+           SELECT doc_id + off, 'zz yy ' || text
+           FROM documents CROSS JOIN o WHERE doc_id % 101 = 0),
+         t AS (SELECT id,
+             list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+               x -> LENGTH(x) > 0) AS tk
+           FROM corpus),
+         g AS (SELECT id,
+             list_transform(
+               range(1, GREATEST(LEN(tk) - 2, LEAST(LEN(tk), 1)) + 1),
+               i -> SUBSTR(md5(array_to_string(tk[i:i+2], ' ')), 1, 16)) AS h
+           FROM t),
+         m AS (SELECT id,
+             list_sort(list_distinct(
+               list_transform(
+                 range(1, GREATEST(LEN(h) - 3, LEAST(LEN(h), 1)) + 1),
+                 i -> list_min(h[i:i+3])))) AS fps
+           FROM g),
+         f AS (SELECT id, UNNEST(fps) AS fp FROM m),
+         hot AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) > 1000),
+         cold AS (SELECT * FROM f WHERE fp NOT IN (SELECT fp FROM hot))
+         SELECT a.id AS id_a, b.id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM cold a JOIN cold b ON a.fp = b.fp AND a.id < b.id
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         ORDER BY id_a, id_b""",
+
+    "q_dedup_plan" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+           FROM documents),
+         sh0 AS (
+           SELECT doc_id, UNNEST(list_distinct(list_transform(
+             range(1, GREATEST(LEN(t) - 3, 0) + 2),
+             i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+           FROM toks),
+         hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 50),
+         sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         co AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT ia, ib
+           FROM co JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+           WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.2),
+         edges AS (
+           SELECT ia AS src, ib AS dst FROM pairs
+           UNION SELECT ib, ia FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         cc AS (
+           SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id
+           FROM reach GROUP BY src),
+         lab AS (
+           SELECT d.doc_id AS id,
+             COALESCE(cc.cluster_id, d.doc_id) AS rep_id,
+             LEN(regexp_extract_all(d.text,
+               '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS score
+           FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
+         best AS (
+           SELECT rep_id, id AS keep_id FROM (
+             SELECT rep_id, id, ROW_NUMBER() OVER (
+               PARTITION BY rep_id ORDER BY score DESC, id) AS rk
+             FROM lab) WHERE rk = 1)
+         SELECT id, rep_id,
+           CASE WHEN SUBSTR(md5(CAST(rep_id AS VARCHAR)), 1, 2) < 'cc'
+             THEN 'train' ELSE 'test' END AS split,
+           keep_id, (id = keep_id) AS is_kept
+         FROM lab JOIN best USING (rep_id) ORDER BY id""",
+
+    "q_sample_quota" ->
+      """SELECT doc_id, source, rk FROM (
+           SELECT doc_id, source, ROW_NUMBER() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 12 ORDER BY source, rk""",
 
     "q_token_fertility" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

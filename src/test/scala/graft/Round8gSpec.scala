@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Profile, TextAnalysis}
+import graft.ops.{Dedup, Profile, Sampling, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -137,5 +137,78 @@ class Round8gSpec extends AnyFunSuite {
     val plan = Profile.kAnonymityClasses(df, Seq("a", "b"), "s", k = 5)
       .queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), plan)
+  }
+
+  // ---- winnowMatchPairs ----
+
+  test("winnowMatchPairs: shared passage found, disjoint docs are not paired") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron"
+    val df = Seq(
+      (1L, s"intro words $passage closing remarks"),
+      (2L, s"$passage totally different tail content here"),
+      (3L, "unrelated content about entirely other things going on here"),
+      (4L, "more disjoint vocabulary nothing shared with anyone at all")
+    ).toDF("id", "text")
+    val pairs = Dedup.winnowMatchPairs(df, "id", "text", minShared = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("winnowMatchPairs: stop-fingerprint cap drops universal boilerplate") {
+    // every doc shares the same long boilerplate run; with maxFpDf below
+    // the doc count the boilerplate fingerprints are dropped and no
+    // pair survives
+    val boiler = "standard footer text appended to every single document " +
+      "for legal reasons and nothing else"
+    val df = (0L until 10L).map(i => (i, s"unique$i token$i $boiler"))
+      .toDF("id", "text")
+    val pairs = Dedup.winnowMatchPairs(df, "id", "text",
+      minShared = 1, maxFpDf = 5)
+    assert(pairs.count() === 0L)
+  }
+
+  // ---- dedupClusterPlan ----
+
+  test("dedupClusterPlan: cluster-coherent split, longest member kept") {
+    // cluster {1,2,3}: near-identical long docs with different lengths;
+    // 4 is a singleton
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (1L, base),
+      (2L, s"$base extra"),
+      (3L, s"$base extra more tokens here"), // longest -> keep winner
+      (4L, "completely separate island of text with its own words only")
+    ).toDF("id", "text")
+    val out = Dedup.dedupClusterPlan(df, "id", "text", trainPct = 50,
+        threshold = 0.2, maxShingleDf = 100)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("rep_id"), r.getAs[String]("split"),
+          r.getAs[Long]("keep_id"), r.getAs[Boolean]("is_kept")))).toMap
+    assert(out(1L)._1 === 1L && out(2L)._1 === 1L && out(3L)._1 === 1L)
+    assert(out(4L)._1 === 4L)
+    // one split label across the whole cluster
+    assert(Set(out(1L)._2, out(2L)._2, out(3L)._2).size === 1)
+    // quality keep rule: longest member wins the cluster
+    assert(out(1L)._3 === 3L && !out(1L)._4 && out(3L)._4)
+    // singleton keeps itself
+    assert(out(4L)._3 === 4L && out(4L)._4)
+  }
+
+  // ---- quotaSample ----
+
+  test("quotaSample: exact quota per stratum, deterministic membership") {
+    val df = (0L until 100L).map(i => (i, "s" + (i % 4))).toDF("id", "src")
+    val out = Sampling.quotaSample(df, "id", "src", quota = 7)
+    val sizes = out.groupBy("src").count().collect()
+      .map(r => r.getAs[String]("src") -> r.getAs[Long]("count")).toMap
+    assert(sizes.values.toSet === Set(7L))
+    // under-full stratum keeps everything
+    val small = Sampling.quotaSample(df.filter(col("id") < 10), "id", "src", 7)
+    assert(small.count() === 10L)
+    // same input -> same picks
+    val again = Sampling.quotaSample(df, "id", "src", quota = 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === out.select("id").collect().map(_.getLong(0)).toSet)
   }
 }
