@@ -427,6 +427,32 @@ object ScaleProbe {
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
       graft.ops.Profile.snapshotDiff(docs, v2, "doc_id", "text", "source").count()
     }
+    time("winnow fingerprints, 50k docs (per-row, zero shuffle)") {
+      docs.select(graft.ops.TextAnalysis.winnowFingerprints(col("text"))
+        .as("fps")).count()
+    }
+    time("winnow match pairs, 50k docs (9 exact copies -> ~225k pairs)") {
+      // worst case: every doc's copies share EVERY fingerprint, so each
+      // fingerprint bucket fans out all 45 copy-pairs — the join runs at
+      // maximal pair volume, like the lshVerifiedPairs worst case
+      graft.ops.Dedup.winnowMatchPairs(docs, "doc_id", "text",
+        minShared = 2).count()
+    }
+    time("leakage-safe split, 50k docs (9 exact copies each)") {
+      graft.ops.Dedup.leakageSafeSplit(docs, "doc_id", "text", 80).count()
+    }
+    time("line-permutation groups, 50k docs") {
+      graft.ops.Dedup.permutationInvariantGroups(docs, "doc_id", "text")
+        .count()
+    }
+    time("dedup release plan (pairs + CC + split + keep-best), 50k docs") {
+      // the 9-copy worst case drives the CC over ~225k-edge components
+      graft.ops.Dedup.dedupClusterPlan(docs, "doc_id", "text",
+        trainPct = 80, threshold = 0.2, maxShingleDf = 50).count()
+    }
+    time("exact-quota sample (12 per source), 50k docs") {
+      graft.ops.Sampling.quotaSample(docs, "doc_id", "source", 12).count()
+    }
     spark.stop()
   }
 }

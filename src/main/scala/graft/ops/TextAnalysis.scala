@@ -308,6 +308,30 @@ object TextAnalysis {
     if (distinct) array_distinct(sh) else sh
   }
 
+  /** Per-source n-gram diversity: total vs distinct token-n-gram counts
+    * and their ratio — the self-repetition audit that flags template-
+    * heavy or machine-generated sources (low diversity) before they
+    * dilute a training mixture (the per-source aggregate of the Gopher
+    * duplicate-n-gram signal [[dupNgramRatio]] computes per document).
+    * Shingles travel as 64-bit hashes ([[shingleHashesFrom]] — counts
+    * are hash-agnostic modulo 64-bit collisions, and the string form is
+    * injective per the separator argument there). One exploded pass,
+    * one aggregate; the two count-distincts share the shuffle (Expand
+    * ×2 over (source, 8-byte) rows).
+    */
+  def sourceDiversity(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String, n: Int = 3): DataFrame =
+    Dedup.widen(df)
+      .withColumn("_th", tokenHashes(col(textCol)))
+      .select(col(srcCol).as("source"), col(idCol).as("id"),
+        explode(shingleHashesFrom(col("_th"), n, distinct = false)).as("g"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_distinct"))
+      .withColumn("diversity", round(
+        col("n_distinct").cast("double") / col("n_grams").cast("double"), 6))
+
   /** Per-document out-of-vocabulary rate against the corpus's
     * top-`vocabK` token vocabulary — the coverage statistic consulted
     * when sizing a tokenizer. The vocabulary is a global top-k by

@@ -1,0 +1,76 @@
+package graft
+
+import graft.ops.{Graphs, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 part 8: fixed-point PageRank, degree histogram, source
+  * n-gram diversity.
+  */
+class Round8hSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Brute-force fixed-point PageRank replay (same integer spec). */
+  private def prModel(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val outdeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => (rank(s) * 85L) / (100L * outdeg(s)) }.sum).toMap
+      rank = nodes.map(n => n -> (150000L + in.getOrElse(n, 0L))).toMap
+    }
+    rank
+  }
+
+  test("pageRankFixedPoint matches the brute-force integer model") {
+    // a star (hub 0 <-> leaves 1..5) plus a 3-cycle and a dangling sink
+    val edges = (1L to 5L).flatMap(i => Seq((0L, i), (i, 0L))) ++
+      Seq((10L, 11L), (11L, 12L), (12L, 10L), (12L, 13L))
+    val got = Graphs.pageRankFixedPoint(edges.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank")).toMap
+    assert(got === prModel(edges, 3))
+    // the hub outranks every leaf
+    assert((1L to 5L).forall(i => got(0L) > got(i)))
+  }
+
+  test("pageRankFixedPoint: rank mass is bounded by initial mass") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val got = Graphs.pageRankFixedPoint(edges.toDF("src", "dst"), iters = 4)
+      .collect().map(_.getAs[Long]("rank"))
+    // closed cycle, deg 1 everywhere: mass only shrinks by truncation
+    assert(got.sum <= 3000000L && got.sum > 2999900L)
+    // symmetric cycle -> identical ranks
+    assert(got.toSet.size === 1)
+  }
+
+  test("degreeHistogram: both sides bucketed correctly") {
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L)).toDF("src", "dst")
+    val got = Graphs.degreeHistogram(edges).collect()
+      .map(r => (r.getAs[String]("side"), r.getAs[Long]("deg")) ->
+        r.getAs[Long]("n_nodes")).toMap
+    // out: node1 deg3, node2 deg1; in: node10 deg2, nodes 11/12 deg1
+    assert(got === Map(("out", 3L) -> 1L, ("out", 1L) -> 1L,
+      ("in", 2L) -> 1L, ("in", 1L) -> 2L))
+  }
+
+  test("sourceDiversity: template source scores lower than diverse source") {
+    val diverse = (0L until 20L).map(i =>
+      (i, "a", s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    val template = (20L until 40L).map(i =>
+      (i, "b", "same exact template text every single time here"))
+    val df = (diverse ++ template).toDF("id", "src", "text")
+    val out = TextAnalysis.sourceDiversity(df, "id", "src", "text")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_grams"),
+          r.getAs[Long]("n_distinct"), r.getAs[Double]("diversity")))).toMap
+    assert(out("a")._1 === 20L && out("b")._1 === 20L)
+    // a: 6 tokens -> 4 trigrams per doc; b: 8 tokens -> 6 trigrams
+    assert(out("a")._2 === 80L && out("b")._2 === 120L)
+    assert(out("a")._3 === 80L)  // all distinct
+    assert(out("b")._3 === 6L)   // one template's trigrams
+    assert(out("a")._4 === 1.0 && out("b")._4 === 0.05)
+  }
+}
