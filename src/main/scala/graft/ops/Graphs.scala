@@ -75,6 +75,81 @@ object Graphs {
     ranks
   }
 
+  /** Event-type transition counts — the first-order Markov synopsis of
+    * user behavior (from_type → to_type → n): each user's events in
+    * (ts, tieCol) order, LEAD per user, one aggregate. The window
+    * partitions by user, so no global sort ever happens; tieCol makes
+    * the order total when timestamps collide (the q_window_* lesson —
+    * a nondeterministic frame order breaks cross-engine hashes).
+    */
+  def typeTransitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Market-basket item co-occurrence: items seen together in the same
+    * (user, bucket) basket, with pair SUPPORT = number of distinct
+    * baskets containing both. The co-click projection that turns an
+    * interaction log into an item graph (recs, related-content,
+    * [[triangleCounts]] input).
+    *
+    * Skew guard: a basket with more than `maxBasketSize` distinct items
+    * is DROPPED ENTIRELY before the self-join — a bot user's
+    * 10⁶-item basket would otherwise fan out 10¹² pair rows; dropping
+    * oversized baskets (rather than truncating) keeps the support
+    * semantics exact over the retained baskets and is the standard
+    * market-basket guard. The self-join key is (user, bucket), so pair
+    * fan-out is Σ C(|basket|,2) ≤ baskets · C(cap,2).
+    */
+  def itemCooccurrence(events: DataFrame, userCol: String,
+      bucketExpr: Column, itemExpr: Column, minSupport: Long = 2,
+      maxBasketSize: Int = 100): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val baskets = events.select(col(userCol).cast("long").as("u"),
+        bucketExpr.as("b"), itemExpr.cast("long").as("item"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    val ok = baskets.groupBy(col("u"), col("b"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBasketSize)
+      .select(col("u"), col("b"))
+    val kept = baskets.join(ok, Seq("u", "b"), "left_semi")
+    kept.select(col("u"), col("b"), col("item").as("item_a"))
+      .join(kept.select(col("u"), col("b"), col("item").as("item_b")),
+        Seq("u", "b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /** Per-node triangle counts over an undirected graph given as
+    * (item_a < item_b) edges — the clustering/cohesion signal of the
+    * co-click graph. Ordered-adjacency enumeration: each triangle
+    * (a < b < c) is found exactly once by joining e(a,b) ⋈ e(b,c) ⋈
+    * e(a,c), then exploded to its three members for the per-node
+    * rollup. Two equi-joins on node ids; with edges sorted by degree
+    * this is the standard distributed triangle-count shape (the
+    * wedge-check join is bounded by Σ deg² over the lower-degree
+    * endpoint).
+    */
+  def triangleCounts(edgeDf: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edgeDf.select(col("item_a").cast("long").as("a"),
+        col("item_b").cast("long").as("b"))
+      .distinct().persist(MEMORY_AND_DISK)
+    val tri = e
+      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("item"))
+    tri.groupBy(col("item")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Degree distribution per direction: (side, deg, n_nodes) where
     * side 'out' buckets source nodes by out-degree and 'in' buckets
     * destinations by in-degree — the synopsis that tells you whether a

@@ -17,6 +17,10 @@ object Round8hQueries {
     * id space; symmetrized so rank flows both ways through the
     * bipartite graph.
     */
+  /** The item key inside events.props JSON. */
+  private val itemOf: Column =
+    get_json_object(col("props"), "$.k").cast("long")
+
   private def clickEdges(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
     val item: Column = lit(1000000L) +
@@ -38,6 +42,25 @@ object Round8hQueries {
       Graphs.degreeHistogram(clickEdges(s, dir))
         .orderBy(col("side"), col("deg"))),
 
+    // ---- event-type Markov transitions ----
+    "q_event_transitions" -> ((s, dir) =>
+      Graphs.typeTransitions(Tables.load(s, dir, "events"),
+          "user_id", "ts", "event_type", "event_id")
+        .orderBy(col("from_type"), col("to_type"))),
+
+    // ---- market-basket item co-occurrence ----
+    "q_item_cooccur" -> ((s, dir) =>
+      Graphs.itemCooccurrence(Tables.load(s, dir, "events"), "user_id",
+          date_trunc("hour", col("ts")), itemOf, minSupport = 2)
+        .orderBy(col("item_a"), col("item_b"))),
+
+    // ---- per-node triangle counts over the co-click graph ----
+    "q_triangles" -> ((s, dir) =>
+      Graphs.triangleCounts(
+          Graphs.itemCooccurrence(Tables.load(s, dir, "events"), "user_id",
+            date_trunc("hour", col("ts")), itemOf, minSupport = 1))
+        .orderBy(col("item"))),
+
     // ---- per-source n-gram diversity ----
     "q_source_diversity" -> ((s, dir) =>
       TextAnalysis.sourceDiversity(Tables.load(s, dir, "documents"),
@@ -55,6 +78,16 @@ object Round8hQueries {
          FROM events),
        e AS (SELECT src, dst FROM ue UNION SELECT dst, src FROM ue),
        deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)"""
+
+  /** (user, hour, item) baskets with the oversized-basket guard
+    * mirrored from Graphs.itemCooccurrence (cap 100).
+    */
+  private val basketSql: String =
+    """b AS (SELECT DISTINCT user_id AS u, DATE_TRUNC('hour', ts) AS h,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS item
+         FROM events),
+       ok AS (SELECT u, h FROM b GROUP BY u, h HAVING COUNT(*) <= 100),
+       kept AS (SELECT b.* FROM b JOIN ok ON b.u = ok.u AND b.h = ok.h)"""
 
   private def prIter(prev: String, cur: String): String =
     s"""$cur AS (SELECT n.id,
@@ -86,6 +119,37 @@ object Round8hQueries {
            SELECT dst, COUNT(*) AS deg FROM e GROUP BY dst)
          GROUP BY deg
          ORDER BY side, deg""",
+
+    "q_event_transitions" ->
+      """SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+           SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events)
+         WHERE to_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY from_type, to_type""",
+
+    "q_item_cooccur" ->
+      s"""WITH $basketSql
+         SELECT a.item AS item_a, b2.item AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+         FROM kept a JOIN kept b2
+           ON a.u = b2.u AND a.h = b2.h AND a.item < b2.item
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         ORDER BY item_a, item_b""",
+
+    "q_triangles" ->
+      s"""WITH $basketSql,
+         p AS (SELECT a.item AS ia, b2.item AS ib
+           FROM kept a JOIN kept b2
+             ON a.u = b2.u AND a.h = b2.h AND a.item < b2.item
+           GROUP BY 1, 2 HAVING COUNT(*) >= 1),
+         tri AS (SELECT e1.ia AS a, e1.ib AS b, e2.ib AS c
+           FROM p e1 JOIN p e2 ON e1.ib = e2.ia
+                     JOIN p e3 ON e3.ia = e1.ia AND e3.ib = e2.ib),
+         m AS (SELECT UNNEST([a, b, c]) AS item FROM tri)
+         SELECT item, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         FROM m GROUP BY item ORDER BY item""",
 
     "q_source_diversity" ->
       """WITH t AS (SELECT doc_id, source,

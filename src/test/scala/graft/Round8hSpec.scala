@@ -56,6 +56,48 @@ class Round8hSpec extends AnyFunSuite {
       ("in", 2L) -> 1L, ("in", 1L) -> 2L))
   }
 
+  test("typeTransitions: per-user LEAD counts match hand computation") {
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "view"),
+      (2L, 4L, "view"), (2L, 5L, "view"),
+      (3L, 6L, "buy") // single event -> no transition
+    ).map { case (u, t, ty) =>
+      (u, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$t:00"), t, ty)
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val got = Graphs.typeTransitions(ev, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getAs[String]("from_type"),
+        r.getAs[String]("to_type")) -> r.getAs[Long]("n")).toMap
+    assert(got === Map(("view", "click") -> 1L, ("click", "view") -> 1L,
+      ("view", "view") -> 1L))
+  }
+
+  test("itemCooccurrence: support counts baskets, oversized baskets dropped") {
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // user 1: basket {10,11} twice (hours 0,1); user 2: {10,11,12} once;
+    // user 3: an oversized basket that must be dropped entirely
+    val rows =
+      Seq((1L, t(0), 10L), (1L, t(0), 11L), (1L, t(1), 10L), (1L, t(1), 11L),
+        (2L, t(0), 10L), (2L, t(0), 11L), (2L, t(0), 12L)) ++
+      (0L until 10L).map(i => (3L, t(0), 100L + i))
+    val ev = rows.toDF("user_id", "ts", "item")
+    val got = Graphs.itemCooccurrence(ev, "user_id",
+        date_trunc("hour", col("ts")), col("item"),
+        minSupport = 1, maxBasketSize = 5)
+      .collect().map(r => (r.getAs[Long]("item_a"), r.getAs[Long]("item_b")) ->
+        r.getAs[Long]("support")).toMap
+    assert(got === Map((10L, 11L) -> 3L, (10L, 12L) -> 1L, (11L, 12L) -> 1L))
+  }
+
+  test("triangleCounts: each triangle counted once, per-node rollup") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant edge
+    val edges = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)) :+ ((4L, 9L))
+    val got = Graphs.triangleCounts(edges.toDF("item_a", "item_b"))
+      .collect().map(r => r.getAs[Long]("item") -> r.getAs[Long]("n_triangles")).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("sourceDiversity: template source scores lower than diverse source") {
     val diverse = (0L until 20L).map(i =>
       (i, "a", s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
