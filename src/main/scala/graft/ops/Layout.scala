@@ -117,16 +117,28 @@ object Layout {
     * counts divisible by `parts` (the bench tables), the discrete-
     * percentile definition coincides across engines, making every
     * output field oracle-exact.
+    *
+    * All parts−1 bounds come out of ONE sorted-collect aggregate
+    * buffer: `percentile_disc(p)` is the element at 1-based position
+    * ceil(p·N) of the non-null ascending order (spec-pinned against
+    * the built-in), and stacking parts−1 separate percentile_disc
+    * expressions made Catalyst hold parts−1 independent full-column
+    * buffers — measured 2.5 s → 0.6 s on the sf0.1 bench row at
+    * parts=8. Either way the planning aggregate buffers the key column
+    * of one table; at 100 TB you run it on the standard
+    * repartitionByRange-style SAMPLE of the keys, which preserves the
+    * audit's purpose (bounds + skew surface) if not bit-exactness.
     */
   def rangePartitionPlan(df: DataFrame, keyCol: String,
       parts: Int): DataFrame = {
     require(parts >= 2, "need parts >= 2")
-    val boundExprs = (1 until parts).map { i =>
-      expr(s"percentile_disc(${i.toDouble / parts}) WITHIN GROUP " +
-        s"(ORDER BY $keyCol)").as(s"_b$i")
-    }
-    val bounds = df.agg(boundExprs.head, boundExprs.tail: _*)
-      .select(array((1 until parts).map(i => col(s"_b$i")): _*).as("_bounds"))
+    val bounds = df.filter(col(keyCol).isNotNull)
+      .agg(sort_array(collect_list(col(keyCol))).as("_s"))
+      .select(array((1 until parts).map { i =>
+        element_at(col("_s"),
+          greatest(ceil(size(col("_s")) * i.toDouble / parts), lit(1.0))
+            .cast("int"))
+      }: _*).as("_bounds"))
     df.select(col(keyCol).as("_k")).crossJoin(broadcast(bounds))
       .withColumn("part", aggregate(col("_bounds"), lit(0),
         (acc, b) => acc + when(col("_k") > b, 1).otherwise(0)))

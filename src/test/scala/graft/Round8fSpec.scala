@@ -36,6 +36,30 @@ class Round8fSpec extends AnyFunSuite {
     assert(out.values.sum === 1000L)
   }
 
+  test("rangePartitionPlan bounds ≡ built-in percentile_disc (r8 rewrite pin)") {
+    // awkward sizes (not divisible by parts) + duplicates: the single
+    // sorted-collect ceil(p·N) positions must match what parts-1
+    // independent percentile_disc aggregates produced before
+    for (n <- Seq(7, 97, 1000); parts <- Seq(3, 8)) {
+      val keys = (0 until n).map(i => ((i * 7919) % 101).toLong)
+      val df = keys.toDF("k")
+      val viaOp = Layout.rangePartitionPlan(df, "k", parts)
+      // recompute the bound list with the built-in aggregate
+      val exprs = (1 until parts).map(i =>
+        expr(s"percentile_disc(${i.toDouble / parts}) WITHIN GROUP (ORDER BY k)"))
+      val builtin = df.agg(exprs.head, exprs.tail: _*).head().toSeq.map {
+        case l: Long => l
+        case d: Double => d.toLong // percentile_disc widens to double
+      }
+      // the op's parts are defined by the bound list: replay assignment
+      val model = keys.groupBy(k => builtin.count(k > _)).view
+        .mapValues(_.size.toLong).toMap
+      val got = viaOp.collect().map(r =>
+        r.getAs[Int]("part") -> r.getAs[Long]("n")).toMap
+      assert(got === model, s"n=$n parts=$parts bounds=$builtin")
+    }
+  }
+
   // ---- clusterOutliers ----
 
   test("clusterOutliers: below-cluster-mean members flagged, vs brute force") {
