@@ -75,6 +75,63 @@ object Graphs {
     ranks
   }
 
+  /** Multi-source BFS hop distances: the minimum number of edges from
+    * any seed node, up to `maxHops` — reachability/influence radius
+    * over the interaction graph (e.g. "how far does a purchasing
+    * cohort sit from each item"). Exactly `maxHops` rounds of
+    * min-propagation with the [[Dedup.connectedComponents]]
+    * materialization discipline; distances are small integers, so the
+    * result is engine-exact and a bounded recursive CTE replays it.
+    * Unreached nodes are absent from the output (no sentinel rows).
+    * Each round's shuffle is edge-bounded; state is (node, dist).
+    */
+  def bfsHops(edgeDf: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops >= 1")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edgeDf.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct().persist(MEMORY_AND_DISK)
+    def materialize(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint()
+      c.sparkSession.createDataFrame(c.rdd, c.schema)
+    }
+    var dist = materialize(
+      seeds.select(col("id").cast("long").as("id"), lit(0).as("hops"))
+        .distinct())
+    for (_ <- 1 to maxHops) {
+      val prop = e.join(dist, e("src") === dist("id"))
+        .select(col("dst").as("id"), (col("hops") + 1).as("hops"))
+      dist = materialize(prop.unionByName(dist)
+        .groupBy(col("id")).agg(min(col("hops")).as("hops")))
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
+
+  /** Per-window novel-edge rate: of the distinct edges active in each
+    * time bucket, how many were seen for the FIRST time — the graph-
+    * drift monitor that separates "traffic grew" from "the graph
+    * itself is changing" (new user-item relations, new crawl
+    * frontier). One distinct pass feeds both the first-seen aggregate
+    * and the per-bucket rollup, joined back on the edge key — the
+    * [[Dedup.noveltyScores]] shape applied to edges.
+    */
+  def edgeNovelty(events: DataFrame, srcExpr: Column, dstExpr: Column,
+      bucketExpr: Column): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val eb = events.select(srcExpr.cast("long").as("src"),
+        dstExpr.cast("long").as("dst"), bucketExpr.as("bucket"))
+      .distinct().persist(MEMORY_AND_DISK)
+    val first = eb.groupBy(col("src"), col("dst"))
+      .agg(min(col("bucket")).as("_first"))
+    eb.join(first, Seq("src", "dst"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum((col("bucket") === col("_first")).cast("long")).as("n_new"))
+      .withColumn("novelty", round(
+        col("n_new").cast("double") / col("n_edges").cast("double"), 6))
+  }
+
   /** Event-type transition counts — the first-order Markov synopsis of
     * user behavior (from_type → to_type → n): each user's events in
     * (ts, tieCol) order, LEAD per user, one aggregate. The window

@@ -42,6 +42,24 @@ object Round8hQueries {
       Graphs.degreeHistogram(clickEdges(s, dir))
         .orderBy(col("side"), col("deg"))),
 
+    // ---- multi-source BFS hops ----
+    "q_bfs_hops" -> ((s, dir) => {
+      // seeds = users who made a purchase; distances over the
+      // symmetrized click graph tell how far each item/user sits from
+      // the purchasing cohort
+      val seeds = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("id")).distinct()
+      Graphs.bfsHops(clickEdges(s, dir), seeds, maxHops = 3)
+        .orderBy(col("id"))
+    }),
+
+    // ---- novel-edge drift per day ----
+    "q_edge_novelty" -> ((s, dir) =>
+      Graphs.edgeNovelty(Tables.load(s, dir, "events"),
+          col("user_id"), itemOf, date_trunc("day", col("ts")))
+        .orderBy(col("bucket"))),
+
     // ---- event-type Markov transitions ----
     "q_event_transitions" -> ((s, dir) =>
       Graphs.typeTransitions(Tables.load(s, dir, "events"),
@@ -119,6 +137,32 @@ object Round8hQueries {
            SELECT dst, COUNT(*) AS deg FROM e GROUP BY dst)
          GROUP BY deg
          ORDER BY side, deg""",
+
+    "q_bfs_hops" ->
+      s"""WITH RECURSIVE $graphSql,
+         seeds AS (SELECT DISTINCT user_id AS id FROM events
+           WHERE event_type = 'purchase'),
+         reach(id, h) AS (
+           SELECT id, 0 FROM seeds
+           UNION
+           SELECT e.dst, r.h + 1 FROM reach r JOIN e ON r.id = e.src
+           WHERE r.h < 3)
+         SELECT id, CAST(MIN(h) AS INT) AS hops
+         FROM reach GROUP BY id ORDER BY id""",
+
+    "q_edge_novelty" ->
+      """WITH eb AS (SELECT DISTINCT user_id AS src,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS dst,
+             DATE_TRUNC('day', ts) AS bucket
+           FROM events),
+         f AS (SELECT src, dst, MIN(bucket) AS fb FROM eb GROUP BY 1, 2)
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN bucket = fb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           ROUND(CAST(SUM(CASE WHEN bucket = fb THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+         FROM eb JOIN f USING (src, dst)
+         GROUP BY bucket ORDER BY bucket""",
 
     "q_event_transitions" ->
       """SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n FROM (

@@ -56,6 +56,38 @@ class Round8hSpec extends AnyFunSuite {
       ("in", 2L) -> 1L, ("in", 1L) -> 2L))
   }
 
+  test("bfsHops: multi-source min distance on a path graph") {
+    // path 1-2-3-4-5 (directed both ways) with seeds {1, 5}, maxHops 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("id")
+    val got = Graphs.bfsHops(edges, seeds, maxHops = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("hops")).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0))
+  }
+
+  test("bfsHops: maxHops truncates reach, unreached nodes absent") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graphs.bfsHops(edges, Seq(1L).toDF("id"), maxHops = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("hops")).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2)) // 4, 5 out of range
+  }
+
+  test("edgeNovelty: repeat edges stop counting as new") {
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 05:00:00")
+    val ev = Seq(
+      (1L, 10L, t(1)), (1L, 11L, t(1)),          // day1: 2 edges, both new
+      (1L, 10L, t(2)), (2L, 10L, t(2)),          // day2: repeat + 1 new
+      (1L, 10L, t(3))                            // day3: repeat only
+    ).toDF("u", "item", "ts")
+    val got = Graphs.edgeNovelty(ev, col("u"), col("item"),
+        date_trunc("day", col("ts")))
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("bucket").toString.take(10),
+        (r.getAs[Long]("n_edges"), r.getAs[Long]("n_new")))).toMap
+    assert(got === Map("2024-01-01" -> ((2L, 2L)), "2024-01-02" -> ((2L, 1L)),
+      "2024-01-03" -> ((1L, 0L))))
+  }
+
   test("typeTransitions: per-user LEAD counts match hand computation") {
     val ev = Seq(
       (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "view"),
