@@ -166,12 +166,21 @@ object Graphs {
     */
   def itemCooccurrence(events: DataFrame, userCol: String,
       bucketExpr: Column, itemExpr: Column, minSupport: Long = 2,
-      maxBasketSize: Int = 100): DataFrame = {
+      maxBasketSize: Int = 100): DataFrame =
+    pairsFromBaskets(
+      events.select(col(userCol).cast("long").as("u"),
+        bucketExpr.as("b"), itemExpr.cast("long").as("item")),
+      maxBasketSize)
+      .filter(col("support") >= minSupport)
+
+  /** (item_a < item_b, support) from a (u, b, item) basket frame —
+    * the shared core of [[itemCooccurrence]], [[updateCooccurrence]]
+    * and [[recHitRate]].
+    */
+  private def pairsFromBaskets(basketRows: DataFrame,
+      maxBasketSize: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val baskets = events.select(col(userCol).cast("long").as("u"),
-        bucketExpr.as("b"), itemExpr.cast("long").as("item"))
-      .distinct()
-      .persist(MEMORY_AND_DISK)
+    val baskets = basketRows.distinct().persist(MEMORY_AND_DISK)
     val ok = baskets.groupBy(col("u"), col("b"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBasketSize)
       .select(col("u"), col("b"))
@@ -182,7 +191,82 @@ object Graphs {
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= minSupport)
+  }
+
+  /** O(batch) incremental maintenance of the co-occurrence pair table:
+    * supports are counts over DISJOINT baskets, so merging the stored
+    * (unthresholded) pair frame with the new batch's pairs by summing
+    * supports is EXACTLY the rebuild — provided batch boundaries never
+    * split a basket (cut on the basket bucket, e.g. ship whole days
+    * when bucketing by hour) — the [[Profile.updateFingerprint]]
+    * pattern applied to the item graph. Daily cost scales with the
+    * batch, never the history; thresholds are applied by the READER
+    * ([[itemCooccurrence]]'s minSupport is a filter, not state).
+    */
+  def updateCooccurrence(stored: DataFrame, newEvents: DataFrame,
+      userCol: String, bucketExpr: Column, itemExpr: Column,
+      maxBasketSize: Int = 100): DataFrame =
+    stored.select(col("item_a"), col("item_b"), col("support"))
+      .unionByName(itemCooccurrence(newEvents, userCol, bucketExpr,
+        itemExpr, minSupport = 1, maxBasketSize = maxBasketSize))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(sum(col("support")).as("support"))
+
+  /** Offline recommender evaluation — hit-rate@k of the co-occurrence
+    * recommender under a TIME split, the standard leave-last-out
+    * protocol: train-period baskets build the pair table; each user's
+    * held-out target is their first test-period item NOT already in
+    * their train history; the recommendation list is the top-k unseen
+    * items by summed co-occurrence support with the user's history
+    * (ties by item id — the order is total, so the list is
+    * engine-exact). Returns one row per evaluable user:
+    * (user_id, heldout, hit_rank ∈ [1,k] or NULL, hit).
+    *
+    * Every stage is an equi-join or a per-user window: pairs are
+    * basket-bounded, candidate scoring joins history × pair table on
+    * the item key, and the top-k rank compiles to WindowGroupLimit.
+    * Nothing is per-user-quadratic and nothing leaks test data into
+    * the pair table — the leakage direction the time split exists to
+    * prevent.
+    */
+  def recHitRate(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, itemExpr: Column, bucketExpr: Column,
+      splitTs: Column, k: Int = 5, maxBasketSize: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ev = events.select(col(userCol).cast("long").as("u"),
+        col(tsCol).as("ts"), col(tieCol).as("tie"),
+        itemExpr.cast("long").as("item"), bucketExpr.as("b"))
+      .persist(MEMORY_AND_DISK)
+    val pairs = pairsFromBaskets(
+      ev.filter(col("ts") < splitTs).select(col("u"), col("b"), col("item")),
+      maxBasketSize)
+    val hist = ev.filter(col("ts") < splitTs)
+      .select(col("u"), col("item")).distinct().persist(MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("u")).orderBy(col("ts"), col("tie"))
+    val heldout = ev.filter(col("ts") >= splitTs)
+      .join(hist, Seq("u", "item"), "left_anti")
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("u"), col("item").as("heldout"))
+    val sym = pairs.select(col("item_a").as("i"), col("item_b").as("j"),
+        col("support"))
+      .unionByName(pairs.select(col("item_b").as("i"),
+        col("item_a").as("j"), col("support")))
+    val scores = hist.withColumnRenamed("item", "i")
+      .join(sym, Seq("i"))
+      .select(col("u"), col("j").as("cand"), col("support"))
+      .join(hist.select(col("u"), col("item").as("cand")),
+        Seq("u", "cand"), "left_anti")
+      .groupBy(col("u"), col("cand")).agg(sum(col("support")).as("score"))
+    val wk = Window.partitionBy(col("u"))
+      .orderBy(col("score").desc, col("cand"))
+    val topk = scores.withColumn("_hr", row_number().over(wk))
+      .filter(col("_hr") <= k)
+    heldout.join(topk.select(col("u"), col("cand").as("heldout"),
+        col("_hr").as("hit_rank")), Seq("u", "heldout"), "left")
+      .select(col("u").as("user_id"), col("heldout"),
+        col("hit_rank"), col("hit_rank").isNotNull.as("hit"))
   }
 
   /** Per-node triangle counts over an undirected graph given as

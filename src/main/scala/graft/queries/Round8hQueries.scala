@@ -79,6 +79,27 @@ object Round8hQueries {
             date_trunc("hour", col("ts")), itemOf, minSupport = 1))
         .orderBy(col("item"))),
 
+    // ---- incremental co-occurrence maintenance ----
+    "q_cooccur_update" -> ((s, dir) => {
+      // stored = first 20 days (unthresholded pair table an earlier job
+      // wrote); batch = the rest. The oracle REBUILDS from all events:
+      // the query passing proves incremental ≡ rebuild exactly.
+      val ev = Tables.load(s, dir, "events")
+      val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+      val stored = Graphs.itemCooccurrence(ev.filter(col("ts") < cut),
+        "user_id", date_trunc("hour", col("ts")), itemOf, minSupport = 1)
+      Graphs.updateCooccurrence(stored, ev.filter(col("ts") >= cut),
+          "user_id", date_trunc("hour", col("ts")), itemOf)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
+    // ---- offline recommender evaluation (hit-rate@k) ----
+    "q_rec_eval" -> ((s, dir) =>
+      Graphs.recHitRate(Tables.load(s, dir, "events"), "user_id", "ts",
+          "event_id", itemOf, date_trunc("hour", col("ts")),
+          lit("2024-01-26 00:00:00").cast("timestamp"), k = 5)
+        .orderBy(col("user_id"))),
+
     // ---- per-source n-gram diversity ----
     "q_source_diversity" -> ((s, dir) =>
       TextAnalysis.sourceDiversity(Tables.load(s, dir, "documents"),
@@ -194,6 +215,52 @@ object Round8hQueries {
          m AS (SELECT UNNEST([a, b, c]) AS item FROM tri)
          SELECT item, CAST(COUNT(*) AS BIGINT) AS n_triangles
          FROM m GROUP BY item ORDER BY item""",
+
+    "q_cooccur_update" ->
+      s"""WITH $basketSql
+         SELECT a.item AS item_a, b2.item AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+         FROM kept a JOIN kept b2
+           ON a.u = b2.u AND a.h = b2.h AND a.item < b2.item
+         GROUP BY 1, 2 ORDER BY item_a, item_b""",
+
+    "q_rec_eval" ->
+      """WITH b AS (SELECT DISTINCT user_id AS u,
+             DATE_TRUNC('hour', ts) AS h,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS item
+           FROM events WHERE ts < TIMESTAMP '2024-01-26'),
+         ok AS (SELECT u, h FROM b GROUP BY u, h HAVING COUNT(*) <= 100),
+         kept AS (SELECT b.* FROM b JOIN ok ON b.u = ok.u AND b.h = ok.h),
+         p AS (SELECT a.item AS ia, b2.item AS ib, COUNT(*) AS sup
+           FROM kept a JOIN kept b2
+             ON a.u = b2.u AND a.h = b2.h AND a.item < b2.item
+           GROUP BY 1, 2),
+         hist AS (SELECT DISTINCT user_id AS u,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS item
+           FROM events WHERE ts < TIMESTAMP '2024-01-26'),
+         ho AS (SELECT u, item AS heldout FROM (
+             SELECT e.user_id AS u,
+               CAST(json_extract(e.props, '$.k') AS BIGINT) AS item,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                 ORDER BY e.ts, e.event_id) AS rk
+             FROM events e LEFT JOIN hist h ON e.user_id = h.u
+               AND CAST(json_extract(e.props, '$.k') AS BIGINT) = h.item
+             WHERE e.ts >= TIMESTAMP '2024-01-26' AND h.u IS NULL)
+           WHERE rk = 1),
+         sym AS (SELECT ia AS i, ib AS j, sup FROM p
+           UNION ALL SELECT ib, ia, sup FROM p),
+         sc AS (SELECT h.u, s.j AS cand, SUM(s.sup) AS score
+           FROM hist h JOIN sym s ON h.item = s.i
+           LEFT JOIN hist h2 ON h.u = h2.u AND s.j = h2.item
+           WHERE h2.u IS NULL GROUP BY 1, 2),
+         tk AS (SELECT u, cand, rk FROM (
+             SELECT u, cand, ROW_NUMBER() OVER (PARTITION BY u
+               ORDER BY score DESC, cand) AS rk
+             FROM sc) WHERE rk <= 5)
+         SELECT ho.u AS user_id, ho.heldout,
+           CAST(tk.rk AS INT) AS hit_rank, (tk.rk IS NOT NULL) AS hit
+         FROM ho LEFT JOIN tk ON ho.u = tk.u AND ho.heldout = tk.cand
+         ORDER BY user_id""",
 
     "q_source_diversity" ->
       """WITH t AS (SELECT doc_id, source,

@@ -130,6 +130,57 @@ class Round8hSpec extends AnyFunSuite {
     assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("updateCooccurrence: incremental merge equals rebuild") {
+    def t(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val rows = Seq(
+      (1L, t(1, 0), 10L), (1L, t(1, 0), 11L),   // day1 basket {10,11}
+      (2L, t(2, 3), 10L), (2L, t(2, 3), 12L),   // day2 basket {10,12}
+      (1L, t(5, 1), 10L), (1L, t(5, 1), 11L),   // day5 repeat {10,11}
+      (3L, t(6, 2), 11L), (3L, t(6, 2), 12L))   // day6 {11,12}
+    val ev = rows.toDF("user_id", "ts", "item")
+    val cut = lit("2024-01-04 00:00:00").cast("timestamp")
+    def cooc(df: org.apache.spark.sql.DataFrame) =
+      Graphs.itemCooccurrence(df, "user_id",
+        date_trunc("hour", col("ts")), col("item"), minSupport = 1)
+    val incr = Graphs.updateCooccurrence(cooc(ev.filter(col("ts") < cut)),
+        ev.filter(col("ts") >= cut), "user_id",
+        date_trunc("hour", col("ts")), col("item"))
+      .collect().map(r => (r.getAs[Long]("item_a"), r.getAs[Long]("item_b")) ->
+        r.getAs[Long]("support")).toMap
+    val rebuild = cooc(ev)
+      .collect().map(r => (r.getAs[Long]("item_a"), r.getAs[Long]("item_b")) ->
+        r.getAs[Long]("support")).toMap
+    assert(incr === rebuild)
+    assert(incr === Map((10L, 11L) -> 2L, (10L, 12L) -> 1L, (11L, 12L) -> 1L))
+  }
+
+  test("recHitRate: hit and miss both scored, no test leakage into pairs") {
+    def t(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // train: users 1..3 establish 10-11 (sup 2) and 10-12 (sup 1).
+    // test: user 1 (history {10,11}) first sees 12 -> recommended via
+    // 10-12 support => hit. user 2 (history {10,12}) first sees 99,
+    // an item with no train pairs => miss.
+    val rows = Seq(
+      (1L, t(1, 0), 10L), (1L, t(1, 0), 11L),
+      (3L, t(1, 5), 10L), (3L, t(1, 5), 11L),
+      (2L, t(2, 0), 10L), (2L, t(2, 0), 12L),
+      // test period
+      (1L, t(20, 0), 12L), (2L, t(20, 1), 99L), (2L, t(21, 0), 11L))
+    val ev = rows.zipWithIndex.map { case ((u, ts, i), e) => (u, ts, e.toLong, i) }
+      .toDF("user_id", "ts", "event_id", "item")
+    val out = Graphs.recHitRate(ev, "user_id", "ts", "event_id",
+        col("item"), date_trunc("hour", col("ts")),
+        lit("2024-01-10 00:00:00").cast("timestamp"), k = 2)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("heldout"), Option(r.getAs[Integer]("hit_rank")),
+          r.getAs[Boolean]("hit")))).toMap
+    assert(out(1L) === ((12L, Some(Integer.valueOf(1)), true)))
+    // user 2's heldout is the FIRST unseen test item (99), not 11
+    assert(out(2L)._1 === 99L && !out(2L)._3)
+    // user 3 has no unseen test event -> not evaluated
+    assert(!out.contains(3L))
+  }
+
   test("sourceDiversity: template source scores lower than diverse source") {
     val diverse = (0L until 20L).map(i =>
       (i, "a", s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
