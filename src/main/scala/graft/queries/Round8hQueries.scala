@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Graphs, TextAnalysis}
+import graft.ops.{Graphs, SeqData, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -99,6 +99,13 @@ object Round8hQueries {
           "event_id", itemOf, date_trunc("hour", col("ts")),
           lit("2024-01-26 00:00:00").cast("timestamp"), k = 5)
         .orderBy(col("user_id"))),
+
+    // ---- sequence-model training examples ----
+    "q_seq_examples" -> ((s, dir) =>
+      SeqData.seqExamples(Tables.load(s, dir, "events"), "user_id", "ts",
+          "event_id", itemOf, gapSec = 1800, maxHistory = 8,
+          negK = 3, nItems = 100)
+        .orderBy(col("user_id"), col("session_id"), col("pos"))),
 
     // ---- per-source n-gram diversity ----
     "q_source_diversity" -> ((s, dir) =>
@@ -261,6 +268,38 @@ object Round8hQueries {
            CAST(tk.rk AS INT) AS hit_rank, (tk.rk IS NOT NULL) AS hit
          FROM ho LEFT JOIN tk ON ho.u = tk.u AND ho.heldout = tk.cand
          ORDER BY user_id""",
+
+    "q_seq_examples" ->
+      """WITH e AS (SELECT user_id AS u,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+             event_id AS tie,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS item
+           FROM events),
+         f AS (SELECT u, es, tie, item,
+             CASE WHEN LAG(es) OVER (PARTITION BY u ORDER BY es, tie)
+                 IS NULL OR
+               es - LAG(es) OVER (PARTITION BY u ORDER BY es, tie) > 1800
+               THEN 1 ELSE 0 END AS new_s
+           FROM e),
+         s AS (SELECT u, es, tie, item,
+             SUM(new_s) OVER (PARTITION BY u ORDER BY es, tie
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+           FROM f),
+         x AS (SELECT u AS user_id, CAST(session_id AS BIGINT) AS session_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY u, session_id
+               ORDER BY es, tie) AS INT) AS pos,
+             array_to_string(list(item) OVER (PARTITION BY u, session_id
+               ORDER BY es, tie
+               ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING), ',') AS history,
+             item AS label
+           FROM s)
+         SELECT user_id, session_id, pos, history, label,
+           array_to_string(list_transform(range(1, 4), i ->
+             CAST(('0x' || SUBSTR(md5(concat_ws(':', user_id, session_id,
+               pos, i)), 1, 8)) AS BIGINT) % 100), ',') AS negatives
+         FROM x WHERE pos >= 2
+         ORDER BY user_id, session_id, pos""",
 
     "q_source_diversity" ->
       """WITH t AS (SELECT doc_id, source,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Graphs, TextAnalysis}
+import graft.ops.{Graphs, SeqData, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -179,6 +179,48 @@ class Round8hSpec extends AnyFunSuite {
     assert(out(2L)._1 === 99L && !out(2L)._3)
     // user 3 has no unseen test event -> not evaluated
     assert(!out.contains(3L))
+  }
+
+  test("seqExamples: session breaks, bounded history, first event skipped") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, 10L),
+      (1L, t("2024-01-01 00:05:00"), 2L, 11L),
+      (1L, t("2024-01-01 00:10:00"), 3L, 12L),
+      (1L, t("2024-01-01 02:00:00"), 4L, 13L), // > 30 min gap: new session
+      (1L, t("2024-01-01 02:01:00"), 5L, 14L),
+      (2L, t("2024-01-01 00:00:00"), 6L, 20L)  // lone event: no example
+    ).toDF("user_id", "ts", "event_id", "item")
+    val out = SeqData.seqExamples(ev, "user_id", "ts", "event_id",
+        col("item"), gapSec = 1800, maxHistory = 2, negK = 2, nItems = 50)
+      .orderBy(col("user_id"), col("session_id"), col("pos")).collect()
+    val rows = out.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Long]("session_id"), r.getAs[Int]("pos"),
+      r.getAs[String]("history"), r.getAs[Long]("label")))
+    assert(rows.toSeq === Seq(
+      (1L, 1L, 2, "10", 11L),
+      (1L, 1L, 3, "10,11", 12L),   // maxHistory 2 keeps both
+      (1L, 2L, 2, "13", 14L)))     // session reset: history restarts
+    // negatives: deterministic, in range, negK of them
+    val negs = out.map(_.getAs[String]("negatives"))
+    assert(negs.forall(_.split(",").map(_.toLong).forall(n => n >= 0 && n < 50)))
+    assert(negs.forall(_.split(",").length === 2))
+    val again = SeqData.seqExamples(ev, "user_id", "ts", "event_id",
+        col("item"), gapSec = 1800, maxHistory = 2, negK = 2, nItems = 50)
+      .orderBy(col("user_id"), col("session_id"), col("pos"))
+      .collect().map(_.getAs[String]("negatives"))
+    assert(again.toSeq === negs.toSeq)
+  }
+
+  test("seqExamples: history window truncates to maxHistory") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = (0 until 6).map(i => (1L, t(i), i.toLong, 100L + i))
+      .toDF("user_id", "ts", "event_id", "item")
+    val last = SeqData.seqExamples(ev, "user_id", "ts", "event_id",
+        col("item"), maxHistory = 3, negK = 0)
+      .orderBy(col("pos").desc).limit(1).collect().head
+    assert(last.getAs[String]("history") === "102,103,104")
+    assert(last.getAs[Long]("label") === 105L)
   }
 
   test("sourceDiversity: template source scores lower than diverse source") {
