@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over the events log: revenue attribution
+  * and RFM segmentation — the rollups a growth/analytics stack runs
+  * daily over interaction data. Like the rest of the event family,
+  * everything is per-user windows or tiny aggregates over ONE shuffle
+  * on the user key.
+  */
+object Behavior {
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * user's most recent touch event within `windowSec` BEFORE it
+    * (strictly earlier seconds), or left unattributed. No self-join:
+    * the candidate touch rides a RANGE window frame over epoch
+    * seconds, and the (second, event_id) pair is packed into one
+    * BIGINT so the frame MAX is both order-independent and
+    * replayable in any engine (struct-max support varies; integer max
+    * doesn't). event ids must stay below the 1e8 packing modulus.
+    *
+    * Returns one row per conversion: (event_id, user_id, es, value,
+    * touch_event_id │ NULL, attributed).
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String, valueCol: String,
+      touchType: String, convType: String,
+      windowSec: Long = 7L * 24 * 3600): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packMod = 100000000L
+    val w = Window.partitionBy(col("u")).orderBy(col("es"))
+      .rangeBetween(-windowSec, -1)
+    events
+      .select(col(userCol).cast("long").as("u"),
+        unix_timestamp(col(tsCol)).as("es"),
+        col(idCol).cast("long").as("eid"),
+        col(typeCol).as("ty"), col(valueCol).as("v"))
+      .withColumn("_touch",
+        max(when(col("ty") === touchType,
+          col("es") * packMod + col("eid"))).over(w))
+      .filter(col("ty") === convType)
+      .select(col("eid").as("event_id"), col("u").as("user_id"),
+        col("es"), col("v").as("value"),
+        (col("_touch") % packMod).as("touch_event_id"),
+        col("_touch").isNotNull.as("attributed"))
+  }
+
+  /** RFM segmentation: per-user Recency (latest event second),
+    * Frequency (event count) and Monetary (integer-cents value sum —
+    * summing cents keeps the aggregate engine-exact where a double sum
+    * is order-dependent), each bucketed into `buckets` quintile-style
+    * groups by NTILE under a TOTAL order (metric, then user id — an
+    * untied NTILE is what makes the segment assignment
+    * cross-engine-deterministic). Higher bucket = better (more recent
+    * / more active / more spend). One aggregate to user grain —
+    * after which ANY corpus size has collapsed to |users| rows — and
+    * three windows over that frame.
+    */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, buckets: Int = 5): DataFrame = {
+    require(buckets >= 2, "buckets >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val per = events
+      .select(col(userCol).cast("long").as("user_id"),
+        unix_timestamp(col(tsCol)).as("es"),
+        round(col(valueCol) * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max(col("es")).as("last_es"), count(lit(1)).as("n_events"),
+        sum(col("cents")).as("cents"))
+    def tile(metric: Column) =
+      ntile(buckets).over(Window.orderBy(metric, col("user_id")))
+    per
+      .withColumn("r", tile(col("last_es")))
+      .withColumn("f", tile(col("n_events")))
+      .withColumn("m", tile(col("cents")))
+      .withColumn("segment", concat_ws("-", col("r"), col("f"), col("m")))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Graphs, SeqData, TextAnalysis}
+import graft.ops.{Behavior, Graphs, SeqData, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -98,6 +98,19 @@ object Round8hQueries {
       Graphs.recHitRate(Tables.load(s, dir, "events"), "user_id", "ts",
           "event_id", itemOf, date_trunc("hour", col("ts")),
           lit("2024-01-26 00:00:00").cast("timestamp"), k = 5)
+        .orderBy(col("user_id"))),
+
+    // ---- last-touch revenue attribution ----
+    "q_attribution" -> ((s, dir) =>
+      Behavior.lastTouchAttribution(Tables.load(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type", "value",
+          touchType = "click", convType = "purchase")
+        .orderBy(col("event_id"))),
+
+    // ---- RFM segmentation ----
+    "q_rfm" -> ((s, dir) =>
+      Behavior.rfmSegments(Tables.load(s, dir, "events"),
+          "user_id", "ts", "value")
         .orderBy(col("user_id"))),
 
     // ---- sequence-model training examples ----
@@ -267,6 +280,39 @@ object Round8hQueries {
          SELECT ho.u AS user_id, ho.heldout,
            CAST(tk.rk AS INT) AS hit_rank, (tk.rk IS NOT NULL) AS hit
          FROM ho LEFT JOIN tk ON ho.u = tk.u AND ho.heldout = tk.cand
+         ORDER BY user_id""",
+
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id AS u,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+             event_id AS eid, event_type AS ty, value AS v
+           FROM events),
+         t AS (SELECT *,
+             MAX(CASE WHEN ty = 'click' THEN es * 100000000 + eid END)
+               OVER (PARTITION BY u ORDER BY es
+                 RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING) AS touch
+           FROM e)
+         SELECT eid AS event_id, u AS user_id, es, v AS value,
+           touch % 100000000 AS touch_event_id,
+           (touch IS NOT NULL) AS attributed
+         FROM t WHERE ty = 'purchase' ORDER BY event_id""",
+
+    "q_rfm" ->
+      """SELECT user_id, last_es, n_events, cents, r, f, m,
+           concat_ws('-', r, f, m) AS segment
+         FROM (
+           SELECT user_id, last_es, n_events, cents,
+             CAST(NTILE(5) OVER (ORDER BY last_es, user_id) AS INT) AS r,
+             CAST(NTILE(5) OVER (ORDER BY n_events, user_id) AS INT) AS f,
+             CAST(NTILE(5) OVER (ORDER BY cents, user_id) AS INT) AS m
+           FROM (
+             SELECT user_id,
+               MAX(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+                 AS last_es,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+             FROM events GROUP BY user_id))
          ORDER BY user_id""",
 
     "q_seq_examples" ->

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Graphs, SeqData, TextAnalysis}
+import graft.ops.{Behavior, Graphs, SeqData, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -179,6 +179,58 @@ class Round8hSpec extends AnyFunSuite {
     assert(out(2L)._1 === 99L && !out(2L)._3)
     // user 3 has no unseen test event -> not evaluated
     assert(!out.contains(3L))
+  }
+
+  test("lastTouchAttribution: latest in-window touch wins, stale ones don't") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, "click", 0.0),
+      (1L, t("2024-01-02 00:00:00"), 2L, "click", 0.0),   // latest touch
+      (1L, t("2024-01-03 00:00:00"), 3L, "purchase", 9.5),// -> touch 2
+      (2L, t("2024-01-01 00:00:00"), 4L, "click", 0.0),
+      (2L, t("2024-01-20 00:00:00"), 5L, "purchase", 3.0),// touch expired
+      (3L, t("2024-01-05 00:00:00"), 6L, "view", 0.0),
+      (3L, t("2024-01-06 00:00:00"), 7L, "purchase", 1.0) // view ≠ touch
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Behavior.lastTouchAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", "value", "click", "purchase")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[java.lang.Long]("touch_event_id")),
+          r.getAs[Boolean]("attributed")))).toMap
+    assert(got(3L) === ((Some(java.lang.Long.valueOf(2L)), true)))
+    assert(got(5L) === ((None, false)))
+    assert(got(7L) === ((None, false)))
+    assert(got.size === 3)
+  }
+
+  test("lastTouchAttribution: same-second touch is excluded (strict precede)") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 00:00:05"), 1L, "click", 0.0),
+      (1L, t("2024-01-01 00:00:05"), 2L, "purchase", 1.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Behavior.lastTouchAttribution(ev, "user_id", "ts",
+      "event_id", "event_type", "value", "click", "purchase").collect()
+    assert(got.length === 1 && !got.head.getAs[Boolean]("attributed"))
+  }
+
+  test("rfmSegments: buckets rank users by each metric independently") {
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // user 1: recent + frequent + big spend; user 4: stale lone cheap
+    val ev = Seq(
+      (1L, t(20), 10.0), (1L, t(21), 10.0), (1L, t(22), 10.0), (1L, t(23), 10.0),
+      (2L, t(10), 5.0), (2L, t(11), 5.0),
+      (3L, t(5), 2.0), (3L, t(6), 2.0),
+      (4L, t(1), 0.5)
+    ).toDF("user_id", "ts", "value")
+    val got = Behavior.rfmSegments(ev, "user_id", "ts", "value", buckets = 4)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Int]("r"), r.getAs[Int]("f"), r.getAs[Int]("m"),
+          r.getAs[String]("segment"), r.getAs[Long]("cents")))).toMap
+    assert(got(1L) === ((4, 4, 4, "4-4-4", 4000L)))
+    assert(got(4L)._1 === 1 && got(4L)._2 === 1 && got(4L)._3 === 1)
+    // f ties (users 2 and 3 both have 2 events) break by user id
+    assert(got(2L)._2 === 2 && got(3L)._2 === 3)
   }
 
   test("seqExamples: session breaks, bounded history, first event skipped") {
