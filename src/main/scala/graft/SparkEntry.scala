@@ -34,7 +34,8 @@ object SparkEntry {
     graft.queries.Round8eQueries.queries ++
     graft.queries.Round8fQueries.queries ++
     graft.queries.Round8gQueries.queries ++
-    graft.queries.Round8hQueries.queries
+    graft.queries.Round8hQueries.queries ++
+    graft.queries.Round8iQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -56,5 +57,6 @@ object SparkEntry {
     graft.queries.Round8eQueries.oracles ++
     graft.queries.Round8fQueries.oracles ++
     graft.queries.Round8gQueries.oracles ++
-    graft.queries.Round8hQueries.oracles
+    graft.queries.Round8hQueries.oracles ++
+    graft.queries.Round8iQueries.oracles
 }

@@ -76,4 +76,42 @@ object Behavior {
       .withColumn("m", tile(col("cents")))
       .withColumn("segment", concat_ws("-", col("r"), col("f"), col("m")))
   }
+
+  /** Exponentially time-decayed per-user value — the recency-weighted
+    * engagement score a feature store maintains ("spend now counts
+    * full, spend h days ago counts half"). Decay is bucketed per
+    * half-life period and kept in INTEGER space: an event aged
+    * `b = ⌊age_days / halfLifeDays⌋` half-lives weighs 2^(H−1−b)
+    * integer units (H = maxHalfLives; older than H half-lives → 0),
+    * cents·weight sums are exact commutative BIGINTs, and the final
+    * score divides once by 2^(H−1) — a power of two, so even the
+    * double is exact. Order-independent where a float Σ v·e^(−λt) is
+    * not, which is what makes the score verifiable AND incrementally
+    * mergeable (partial sums add).
+    *
+    * `asOf` anchors age; one map-combinable user aggregate is the only
+    * shuffle. Overflow headroom: max |Σ cents·2^(H−1)| must fit int64 —
+    * the default H = 8 leaves 2^55 cents ≈ 360 trillion dollars.
+    */
+  def decayedValue(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, asOf: Column, halfLifeDays: Int = 4,
+      maxHalfLives: Int = 8): DataFrame = {
+    require(halfLifeDays >= 1, "halfLifeDays >= 1")
+    require(maxHalfLives >= 1 && maxHalfLives <= 16, "maxHalfLives in [1,16]")
+    val bucket = floor((unix_timestamp(asOf) - unix_timestamp(col(tsCol))) /
+      lit(86400L * halfLifeDays))
+    val weight = when(bucket >= 0 && bucket < maxHalfLives,
+      pow(lit(2.0), lit(maxHalfLives - 1) - bucket).cast("long")).otherwise(lit(0L))
+    events
+      .select(col(userCol).cast("long").as("user_id"),
+        round(col(valueCol) * 100).cast("long").as("cents"),
+        weight.as("w"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("cents_total"),
+        sum(col("cents") * col("w")).as("_dec2"))
+      .select(col("user_id"), col("n_events"), col("cents_total"),
+        (col("_dec2").cast("double") /
+          lit(math.pow(2.0, maxHalfLives - 1))).as("decayed_cents"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -270,5 +270,72 @@ object Profile {
       .agg(count(lit(1)).as("n"),
         countDistinct(col("_s")).as("l_diversity"))
       .withColumn("suppressed", col(qiCols.head) === "*")
+  }
+
+  /** Exact ROC-AUC per group via the Mann–Whitney rank statistic — the
+    * offline-eval number for any scoring filter ("how well does this
+    * quality score actually separate junk from clean?"). Ties get the
+    * conventional 0.5 credit through average ranks, but the whole
+    * computation stays in INTEGER space: collapsing to distinct scores
+    * first, AUC = Σ_s np_s·(2·nn_below_s + nn_s) / (2·npos·nneg), where
+    * the doubled numerator is an exact BIGINT — one final division, so
+    * the rounded AUC is engine-exact.
+    *
+    * Scale shape: the only corpus-scale exchange is the map-combinable
+    * (group, score) count; the running negative count then runs over
+    * the distinct-score frame (|scores| ≪ corpus), partitioned by
+    * group. Nothing corpus-sized is sorted.
+    */
+  def rocAuc(df: DataFrame, groupCol: Column, scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = df
+      .select(groupCol.as("g"), scoreCol.as("s"),
+        labelCol.cast("boolean").as("y"))
+      .groupBy(col("g"), col("s"))
+      .agg(sum(col("y").cast("long")).as("np"),
+        sum((!col("y")).cast("long")).as("nn"))
+    val w = Window.partitionBy(col("g")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("nn_below", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .groupBy(col("g").as("grp"))
+      .agg(sum(col("np") + col("nn")).as("n"),
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("nn_below") + col("nn"))).as("_num2"))
+      .select(col("grp"), col("n"), col("n_pos"), col("n_neg"),
+        // one-class groups have no rankable pairs: AUC undefined → NULL
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("_num2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
+
+  /** Inter-rater agreement between two deterministic boolean raters
+    * (e.g. two quality-filter policies): the 2×2 confusion counts,
+    * observed agreement p_o, chance agreement p_e, and Cohen's kappa —
+    * the number that says whether two filters agree beyond what their
+    * base rates force. One map-combinable aggregate; every output is a
+    * ratio of exact integers, so the rounded row is engine-exact.
+    * kappa is NULL when p_e = 1 (both raters constant — undefined).
+    */
+  def raterAgreement(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val a = aCol.cast("boolean")
+    val b = bCol.cast("boolean")
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      sum((a && b).cast("long")).as("n_both_keep"),
+      sum((a && !b).cast("long")).as("n_a_only"),
+      sum((!a && b).cast("long")).as("n_b_only"),
+      sum((!a && !b).cast("long")).as("n_both_drop"))
+    val nD = col("n").cast("double")
+    val pa = (col("n_both_keep") + col("n_a_only")).cast("double") / nD
+    val pb = (col("n_both_keep") + col("n_b_only")).cast("double") / nD
+    val po = (col("n_both_keep") + col("n_both_drop")).cast("double") / nD
+    val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+    agg.select(col("n"), col("n_both_keep"), col("n_a_only"),
+      col("n_b_only"), col("n_both_drop"),
+      round(po, 6).as("p_o"), round(pe, 6).as("p_e"),
+      when(pe < lit(1.0),
+        round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 }

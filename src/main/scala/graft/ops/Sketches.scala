@@ -91,4 +91,65 @@ object Sketches {
         round(col("bucket_upper").cast("double") /
           col("exact_pairs").cast("double"), 6).as("overestimate"))
   }
+
+  /** The count-min hash of one value for row `d`: the first
+    * `widthHexChars` hex chars of md5("d:value") — a STRING bucket id,
+    * so width is 16^widthHexChars and the whole sketch is replayable by
+    * any engine with md5 (no 64-bit integer-conversion portability
+    * games). Depth rows use independent hashes because the depth index
+    * is baked into the hashed text.
+    */
+  private def cmBucket(d: Column, v: Column, widthHexChars: Int): Column =
+    substring(md5(concat_ws(":", d, v)), 1, widthHexChars)
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) materialized as a
+    * (d, bucket, cnt) table: `depth` independent hash rows over a
+    * 16^widthHexChars-bucket space. Point-estimate = min over depth of
+    * the bucket counts — ≥ the true count always, and within
+    * ε·total with probability 1−δ for width ≥ e/ε, depth ≥ ln(1/δ).
+    *
+    * Scale shape: the corpus FIRST collapses to value grain (the
+    * map-combinable word-count shuffle — the only corpus-scale
+    * exchange), then fans out ×depth over the tiny distinct-value frame
+    * into ≤ depth·width counter rows. The sketch table is mergeable by
+    * construction (counts add cell-wise), which is what makes it the
+    * right streaming/partitioned-corpus frequency synopsis at 100 TB:
+    * each executor emits its partial cells and a byte-bounded reduce
+    * combines them — never the values themselves.
+    */
+  def countMin(df: DataFrame, valueCol: String, depth: Int = 4,
+      widthHexChars: Int = 2): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth in [1,16]")
+    require(widthHexChars >= 1 && widthHexChars <= 8, "widthHexChars in [1,8]")
+    df.groupBy(col(valueCol).cast("string").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("d"),
+        col("v"), col("c"))
+      .groupBy(col("d"), cmBucket(col("d"), col("v"), widthHexChars).as("bucket"))
+      .agg(sum(col("c")).as("cnt"))
+  }
+
+  /** Audit the sketch against ground truth for the `topN` most frequent
+    * values: (v, true_cnt, est_cnt, overestimate). Joins the topN×depth
+    * probe cells (tiny) against the sketch — the corpus is touched once
+    * for the exact counts, the sketch not at all beyond its cells. The
+    * CMS guarantee est ≥ true holds exactly, so the whole frame is
+    * deterministic and oracle-recomputable.
+    */
+  def countMinAudit(sketch: DataFrame, df: DataFrame, valueCol: String,
+      topN: Int = 20, depth: Int = 4, widthHexChars: Int = 2): DataFrame = {
+    val truth = df.groupBy(col(valueCol).cast("string").as("v"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("v"))
+      .limit(topN)
+    truth
+      .select(col("v"), col("true_cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .withColumn("bucket", cmBucket(col("d"), col("v"), widthHexChars))
+      .join(sketch, Seq("d", "bucket"))
+      .groupBy(col("v"), col("true_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+      .select(col("v"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overestimate"))
+  }
 }
