@@ -114,4 +114,69 @@ object Behavior {
         (col("_dec2").cast("double") /
           lit(math.pow(2.0, maxHalfLives - 1))).as("decayed_cents"))
   }
+
+  /** CUPED-adjusted experiment lift (Deng et al., WSDM 2013): reduce
+    * the variance of an A/B metric with the pre-period covariate,
+    * θ = cov(X,Y)/var(X) pooled across arms, adjusted lift =
+    * (Ȳt−Ȳc) − θ(X̄t−X̄c). Assignment is an md5 hash split (salted, so
+    * concurrent experiments are independent), X/Y are integer-cents
+    * sums per user in the pre/post periods — ONE user-grain aggregate
+    * (the only corpus-scale shuffle) collapses any event volume to
+    * |users| rows, and a second 1-row aggregate of exact BIGINT sums
+    * (Σx, Σy, Σx², Σxy, Σy²) yields θ, lifts, and ρ² (the variance-
+    * reduction factor) as deterministic double expressions an oracle
+    * mirrors term for term.
+    *
+    * NULL guards: θ/adjusted lift when var(X)=0, lifts when an arm is
+    * empty — undefined, not zero.
+    */
+  def cupedLift(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, splitTs: String, salt: String = "exp1"): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val pre = col(tsCol) < lit(splitTs).cast("timestamp")
+    val per = events
+      .select(col(userCol).cast("long").as("u"),
+        when(pre, cents).otherwise(lit(0L)).as("xc"),
+        when(!pre, cents).otherwise(lit(0L)).as("yc"))
+      .groupBy(col("u"))
+      .agg(sum(col("xc")).as("x"), sum(col("yc")).as("y"))
+      .withColumn("t",
+        substring(md5(concat_ws(":", lit(salt), col("u"))), 1, 1) < "8")
+    val g = per.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("t").cast("long")).as("nt"),
+      sum(when(col("t"), col("x")).otherwise(lit(0L))).as("sxt"),
+      sum(when(col("t"), col("y")).otherwise(lit(0L))).as("syt"))
+    val nD = col("n").cast("double")
+    val covN = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val varXN = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val varYN = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val theta = covN / varXN
+    val nc = col("n") - col("nt")
+    val ntD = col("nt").cast("double")
+    val ncD = nc.cast("double")
+    val xbarT = col("sxt").cast("double") / ntD
+    val xbarC = (col("sx") - col("sxt")).cast("double") / ncD
+    val ybarT = col("syt").cast("double") / ntD
+    val ybarC = (col("sy") - col("syt")).cast("double") / ncD
+    val bothArms = col("nt") > 0 && nc > 0
+    val rawLift = ybarT - ybarC
+    g.select(
+      col("n"), col("nt").as("n_treat"), nc.as("n_control"),
+      when(bothArms, round(ybarT, 6)).as("y_mean_treat"),
+      when(bothArms, round(ybarC, 6)).as("y_mean_control"),
+      when(bothArms, round(rawLift, 6)).as("raw_lift"),
+      when(varXN > 0, round(theta, 6)).as("theta"),
+      when(bothArms && varXN > 0,
+        round(rawLift - theta * (xbarT - xbarC), 6)).as("adj_lift"),
+      when(varXN > 0 && varYN > 0,
+        round(covN * covN / (varXN * varYN), 6)).as("rho2"))
+  }
 }

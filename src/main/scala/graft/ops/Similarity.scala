@@ -637,6 +637,117 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Quantized-space vector column: round(x · 2^20) per dimension,
+    * held as integer-valued doubles. Training on this grid is what
+    * makes TRAINED codebooks engine-exact: per-cluster per-dim sums
+    * become sums of integers — commutative, so any engine in any
+    * partition order produces the identical rational centroid S/n —
+    * where float means are summation-order-dependent and
+    * unverifiable. The ~1e-6 relative grid noise is irrelevant to
+    * ranking quality.
+    */
+  def pqQuantize(vecCol: Column): Column =
+    transform(vecCol.cast("array<double>"), x => round(x * lit(1048576.0)))
+
+  /** K-means-trained PQ codebooks (the Jégou et al. training step),
+    * run per subspace on the quantized grid: init = the (md5, id)
+    * sampled codebooks, then `iters` Lloyd steps. Each step is ONE
+    * distributed job — assignment via m·k codegen'd distances, a
+    * posexplode to (subspace, code, subvector) grain, and a
+    * (j, code) aggregate of exact integer per-dim sums (m·k rows
+    * collected, tiny). Empty cells keep their previous codeword.
+    * Integer sums + one division make every centroid bit-identical
+    * across engines and execution orders — the property that lets an
+    * oracle replay the whole training run.
+    */
+  def pqTrainCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int = 2): Array[Array[Array[Double]]] = {
+    val qdf = df
+      .select(col(idCol).as("_id"), pqQuantize(col(vecCol)).as("_qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cbs = pqCodebooks(qdf, "_id", "_qv", m, k)
+      val dsub = cbs.head.head.length
+      for (_ <- 1 to iters) {
+        val perSub = (0 until m).map { j =>
+          val sub = slice(col("_qv"), j * dsub + 1, dsub)
+          val best = array_min(array(cbs(j).zipWithIndex.map { case (cw, c) =>
+            struct(sqDist(sub, cw).as("dist"), lit(c).as("code"))
+          }: _*))
+          struct(best.getField("code").as("code"), sub.as("sub"))
+        }
+        val aggs = count(lit(1)).as("n") +:
+          (0 until dsub).map(i => sum(col("s.sub")(i)).as(s"s$i"))
+        val sums = qdf
+          .select(posexplode(array(perSub: _*)).as(Seq("j", "s")))
+          .groupBy(col("j"), col("s.code").as("code"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+        val next = cbs.map(_.map(_.clone()))
+        sums.foreach { r =>
+          val j = r.getAs[Int]("j"); val c = r.getAs[Int]("code")
+          val n = r.getAs[Long]("n").toDouble
+          next(j)(c) = Array.tabulate(dsub)(i => r.getAs[Double](s"s$i") / n)
+        }
+        cbs = next
+      }
+      cbs
+    } finally qdf.unpersist(blocking = false)
+  }
+
+  /** Mean recall@k of the ADC ranking against the exact squared-L2
+    * ranking over a BATCH of probe queries — single-probe recall is
+    * far too noisy to compare codebooks on (one draw swings 0.1–0.5),
+    * so the codebook-quality number must average. One distributed
+    * plan: both the exact and the ADC per-probe top-k compile to
+    * WindowGroupLimit over an exploded (probe, id, dist) frame — no
+    * driver loop, no per-probe job. The (probe) partitioning is
+    * |probes| groups; probe batches are small by construction (an
+    * audit samples tens of queries, not the corpus).
+    */
+  def pqRecallMean(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      probes: Seq[(Long, Array[Double])], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probes.nonEmpty, "need at least one probe")
+    val m = codebooks.length
+    val e = col(vecCol).cast("array<double>")
+    def topkPerProbe(pairs: DataFrame): DataFrame = pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("p")).orderBy(col("d"), col("id"))))
+      .filter(col("rn") <= k).select(col("p"), col("id"))
+    val exact = topkPerProbe(df.select(col(idCol).as("id"),
+        explode(array(probes.map { case (p, q) =>
+          struct(lit(p).as("p"), sqDist(e, q).as("d"))
+        }: _*)).as("s"))
+      .select(col("id"), col("s.p").as("p"), col("s.d").as("d")))
+    val dts = probes.map { case (p, q) =>
+      p -> Array.tabulate(m) { j =>
+        val dsub = codebooks(j).head.length
+        val qs = q.slice(j * dsub, (j + 1) * dsub)
+        codebooks(j).map { cw =>
+          var acc = 0.0; var i = 0
+          while (i < dsub) { val d = qs(i) - cw(i); acc += d * d; i += 1 }
+          acc
+        }
+      }
+    }
+    val adc = topkPerProbe(pqEncode(df, idCol, vecCol, codebooks)
+      .select(col(idCol).as("id"),
+        explode(array(dts.map { case (p, dt) =>
+          struct(lit(p).as("p"),
+            (0 until m).map(j => element_at(typedlit(dt(j)),
+              element_at(col("codes"), j + 1) + 1)).reduceLeft(_ + _).as("d"))
+        }: _*)).as("s"))
+      .select(col("id"), col("s.p").as("p"), col("s.d").as("d")))
+    exact.join(adc, Seq("p", "id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(k).as("k"), lit(probes.length).as("n_probes"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") /
+          lit(k.toDouble * probes.length), 6).as("mean_recall"))
+  }
+
   /** Recall@k audit of the ADC ranking against the exact squared-L2
     * top-k — the quality number a PQ deployment must publish. Both
     * rankings are deterministic, so the single audit row is

@@ -742,4 +742,52 @@ object TextAnalysis {
       .select(col("id"), col("n_tokens"), col("n_spans"),
         col("masked_tokens"), col("corrupt_ratio"), col("corrupted_text"))
   }
+
+  /** The Gopher repetition-free quality word list (Rae et al. 2021,
+    * Appendix A1.1.1): a document must contain at least two
+    * OCCURRENCES of these to count as natural English.
+    */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality rule audit (Rae et al. 2021, Appendix A) —
+    * the OTHER published filter family next to [[qualityFilterReasons]]'
+    * C4-ish rules: word-count bounds, mean word length in [3,10],
+    * symbol-to-word ratio ('#' and '…'/'...' marks) ≤ 0.1, ≥ 80% of
+    * words with an alphabetic character, and ≥ 2 stop-list occurrences.
+    * (The line-level bullet/ellipsis rules don't apply to this
+    * corpus's single-line documents and are covered by
+    * [[Dedup.lineBoilerplate]]-style line ops.) Per-source violation
+    * counts in ONE map-combinable aggregate over pure per-row
+    * codegen'd expressions — zero extra shuffle, the 100 TB posture of
+    * every per-row filter audit.
+    */
+  def gopherRules(df: DataFrame, srcCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val nTokD = greatest(nTok.cast("double"), lit(1.0))
+    val meanWordLen =
+      length(regexp_replace(t, "\\s", "")).cast("double") / nTokD
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    val ellipses = (length(t) -
+      length(regexp_replace(t, "\\.\\.\\.", ""))).cast("double") / lit(3.0)
+    val symbolRatio = (hashes.cast("double") + ellipses) / nTokD
+    val alphaFrac = size(filter(toks,
+      w => w.rlike("[a-z]"))).cast("double") / nTokD
+    val stopOcc = size(filter(toks, w => w.isin(gopherStops: _*)))
+    val r = df.select(col(srcCol).as("source"),
+      (nTok < minWords || nTok > maxWords).as("v_word_count"),
+      (meanWordLen < 3.0 || meanWordLen > 10.0).as("v_word_len"),
+      (symbolRatio > 0.1).as("v_symbol"),
+      (alphaFrac < 0.8).as("v_alpha"),
+      (stopOcc < 2).as("v_stop"))
+    val rules = Seq("v_word_count", "v_word_len", "v_symbol", "v_alpha", "v_stop")
+    r.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (rules.map(c => sum(col(c).cast("long"))
+            .as("n_" + c.stripPrefix("v_"))) :+
+          sum((!rules.map(col).reduce(_ || _)).cast("long")).as("n_kept")): _*)
+  }
 }

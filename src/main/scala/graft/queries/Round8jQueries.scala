@@ -68,6 +68,46 @@ object Round8jQueries {
       val e = emb(s, dir)
       val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", M, K)
       Similarity.pqRecall(e, "vec_id", "embedding", cb, probe(s, dir), k = 10)
+    }),
+
+    // ---- ADC top-k under TRAINED codebooks (4 Lloyd steps) ----
+    "q_pq_trained" -> ((s, dir) => {
+      val raw = emb(s, dir)
+      val q = raw.select(col("vec_id"),
+        Similarity.pqQuantize(col("embedding")).as("qv"))
+      val cb = Similarity.pqTrainCodebooks(raw, "vec_id", "embedding",
+        M, K, iters = 4)
+      val qprobe = q.filter(col("vec_id") === 0)
+        .head().getSeq[Double](1).toArray
+      Similarity.pqAdcTopK(
+          Similarity.pqEncode(q, "vec_id", "qv", cb),
+          "vec_id", "codes", cb, qprobe, topK = 10)
+        // scale the quantized-grid distance back to real space before
+        // rounding: /2^40 is exact, and rounding a ~0.6 double to 6 dp
+        // is engine-stable where rounding a ~6e11 one is sub-ULP noise
+        .select(col("vec_id"),
+          round(col("approx_dist") / lit(1099511627776.0), 6).as("approx_dist"))
+    }),
+
+    // ---- the training payoff: mean recall@10 over 10 probes ----
+    "q_pq_gain" -> ((s, dir) => {
+      val raw = emb(s, dir)
+      val q = raw.select(col("vec_id"),
+        Similarity.pqQuantize(col("embedding")).as("qv"))
+      val probes = q.filter(col("vec_id") < 10).orderBy(col("vec_id"))
+        .collect().map(r => r.getAs[Number](0).longValue ->
+          r.getSeq[Double](1).toArray).toSeq
+      val sampled = Similarity.pqCodebooks(q, "vec_id", "qv", M, K)
+      val trained = Similarity.pqTrainCodebooks(raw, "vec_id", "embedding",
+        M, K, iters = 4)
+      Similarity.pqRecallMean(q, "vec_id", "qv", sampled, probes, k = 10)
+        .select(lit("sampled").as("codebook"), col("k"), col("n_probes"),
+          col("n_hits"), col("mean_recall"))
+        .unionByName(
+          Similarity.pqRecallMean(q, "vec_id", "qv", trained, probes, k = 10)
+            .select(lit("trained").as("codebook"), col("k"), col("n_probes"),
+              col("n_hits"), col("mean_recall")))
+        .orderBy(col("codebook"))
     }))
 
   /** Shared oracle fragment over a corpus CTE `v(vec_id, e)`: seeds
@@ -91,7 +131,120 @@ object Round8jQueries {
              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
            FROM d0) WHERE rn = 1)"""
 
+  // ---- trained-PQ oracle: replay the Lloyd run in plain CTEs ----
+  // Works on the quantized grid (ROUND(x · 2^20)) where per-cluster
+  // per-dim sums are exact integers — commutative, so SUM(...)/n is
+  // the bit-identical centroid Spark computed, whatever the engine's
+  // aggregation order. Every distance is the same left-fold double sum
+  // as the Spark side (ordered list_reduce).
+
+  /** dist + argmin CTEs of corpus `v` against codebook CTE `cb(j, code, cw)`. */
+  private def pqDistSql(cb: String): String =
+    s"""d_$cb AS (SELECT v.vec_id, c.j, c.code,
+         list_reduce(list_transform(range(1, 9),
+           i -> (v.e[c.j * 8 + i] - c.cw[i]) * (v.e[c.j * 8 + i] - c.cw[i])),
+           (a, b) -> a + b) AS dist
+       FROM v CROSS JOIN $cb c),
+       best_$cb AS (SELECT vec_id, j, code, dist FROM (
+         SELECT vec_id, j, code, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+         FROM d_$cb) WHERE rn = 1)"""
+
+  /** One Lloyd step: assignments `best_\$prev` → centroid CTE `cur`;
+    * empty cells keep the previous codeword.
+    */
+  private def pqMeanSql(prev: String, cur: String): String =
+    s"""m_$cur AS (SELECT a.j, a.code, ds.i,
+         SUM(v.e[a.j * 8 + ds.i]) AS s, COUNT(*) AS n
+       FROM best_$prev a JOIN v USING (vec_id)
+       CROSS JOIN (SELECT UNNEST(range(1, 9)) AS i) ds
+       GROUP BY 1, 2, 3),
+       $cur AS (SELECT p.j, p.code,
+         CASE WHEN MAX(m.n) IS NULL THEN ANY_VALUE(p.cw)
+           ELSE list(m.s / m.n ORDER BY m.i) END AS cw
+       FROM $prev p LEFT JOIN m_$cur m ON p.j = m.j AND p.code = m.code
+       GROUP BY p.j, p.code)"""
+
+  /** ADC distances of every vector to the vec-0 query under codebook `cb`. */
+  private def pqAdcSql(cb: String): String =
+    s"""qd_$cb AS (SELECT j, code, dist FROM d_$cb WHERE vec_id = 0),
+       adc_$cb AS (SELECT b.vec_id,
+           list_reduce(list(q.dist ORDER BY b.j), (x, y) -> x + y) AS ad
+         FROM best_$cb b JOIN qd_$cb q ON b.j = q.j AND b.code = q.code
+         GROUP BY b.vec_id)"""
+
+  /** Quantized corpus + sampled init c0 + four Lloyd steps → c4, with
+    * distances against c4 ready for encoding.
+    */
+  private val pqTrainPrefix: String =
+    s"""v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+           x -> ROUND(x * 1048576.0)) AS e FROM embeddings),
+       js AS (SELECT UNNEST(range(0, 8)) AS j),
+       seeds AS (SELECT e, rn - 1 AS code FROM (
+           SELECT e, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           FROM v) WHERE rn <= 16),
+       c0 AS (SELECT js.j, s.code,
+           list_transform(range(1, 9), i -> s.e[js.j * 8 + i]) AS cw
+         FROM seeds s CROSS JOIN js),
+       ${pqDistSql("c0")},
+       ${pqMeanSql("c0", "c1")},
+       ${pqDistSql("c1")},
+       ${pqMeanSql("c1", "c2")},
+       ${pqDistSql("c2")},
+       ${pqMeanSql("c2", "c3")},
+       ${pqDistSql("c3")},
+       ${pqMeanSql("c3", "c4")},
+       ${pqDistSql("c4")}"""
+
+  /** Batch top-k per probe (probes = vec_id < 10) from a per-(vec, j,
+    * code) distance CTE `d_\$cb`: ADC distances of every vector to
+    * every probe, ranked within probe.
+    */
+  private def pqBatchTopSql(cb: String, name: String): String =
+    s"""qd_b_$cb AS (SELECT vec_id AS p, j, code, dist FROM d_$cb WHERE vec_id < 10),
+       adc_b_$cb AS (SELECT q.p, b.vec_id,
+           list_reduce(list(q.dist ORDER BY b.j), (x, y) -> x + y) AS ad
+         FROM best_$cb b JOIN qd_b_$cb q ON b.j = q.j AND b.code = q.code
+         GROUP BY q.p, b.vec_id),
+       $name AS (SELECT p, vec_id FROM (
+           SELECT p, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY p ORDER BY ad, vec_id) AS rn
+           FROM adc_b_$cb) WHERE rn <= 10)"""
+
   def oracles: Map[String, String] = Map(
+
+    "q_pq_trained" ->
+      s"""WITH $pqTrainPrefix,
+         ${pqAdcSql("c4")}
+         SELECT vec_id, ROUND(ad / 1099511627776.0, 6) AS approx_dist
+         FROM adc_c4 ORDER BY ad, vec_id LIMIT 10""",
+
+    "q_pq_gain" ->
+      s"""WITH $pqTrainPrefix,
+         ${pqBatchTopSql("c0", "top_sampled")},
+         ${pqBatchTopSql("c4", "top_trained")},
+         qs AS (SELECT vec_id AS p, e AS qe FROM v WHERE vec_id < 10),
+         exactd AS (SELECT q.p, v.vec_id,
+             list_reduce(list_transform(range(1, 65),
+               i -> (v.e[i] - q.qe[i]) * (v.e[i] - q.qe[i])),
+               (a, b) -> a + b) AS d
+           FROM v CROSS JOIN qs q),
+         exact AS (SELECT p, vec_id FROM (
+             SELECT p, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p ORDER BY d, vec_id) AS rn
+             FROM exactd) WHERE rn <= 10),
+         tops AS (
+           SELECT 'sampled' AS codebook, p, vec_id FROM top_sampled
+           UNION ALL
+           SELECT 'trained', p, vec_id FROM top_trained),
+         hits AS (SELECT codebook, COUNT(*) AS n_hits
+           FROM tops JOIN exact USING (p, vec_id) GROUP BY 1)
+         SELECT c.codebook, 10 AS k, 10 AS n_probes,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 100.0, 6) AS mean_recall
+         FROM (SELECT 'sampled' AS codebook UNION ALL SELECT 'trained') c
+         LEFT JOIN hits h USING (codebook)
+         ORDER BY codebook""",
 
     "q_pq_encode" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

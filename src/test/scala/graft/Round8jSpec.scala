@@ -75,6 +75,53 @@ class Round8jSpec extends AnyFunSuite {
       top.map(_.getAs[Double]("approx_dist")).sorted.toSeq)
   }
 
+  test("pqTrainCodebooks: Lloyd moves codewords to cluster means, error never grows") {
+    // two tight clusters in each subspace half; k = 2 must converge to
+    // the two cluster means
+    val rows = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) 100.0 else -100.0
+      i -> Seq(base + i, base - i, -base + i, -base - i)
+    }
+    val df = vecs(rows: _*)
+    val sampled = Similarity.pqCodebooks(
+      df.select(col("id"), Similarity.pqQuantize(col("v")).as("qv")),
+      "id", "qv", m = 2, k = 2)
+    val trained = Similarity.pqTrainCodebooks(df, "id", "v", m = 2, k = 2, iters = 3)
+    val q = df.select(col("id"), Similarity.pqQuantize(col("v")).as("qv"))
+    def totalErr(cb: Array[Array[Array[Double]]]): Double =
+      Similarity.pqEncode(q, "id", "qv", cb)
+        .agg(sum(col("err"))).head().getDouble(0)
+    assert(totalErr(trained) <= totalErr(sampled))
+    // trained centroid of subspace 0 ≈ a cluster mean: every member of a
+    // cluster is equidistant-split, so per-cluster err is the within-
+    // cluster variance — strictly below the sampled codebook's err here
+    assert(totalErr(trained) < totalErr(sampled))
+  }
+
+  test("pqTrainCodebooks: deterministic across invocations") {
+    val df = vecs((1L to 10L).map(i =>
+      i -> Seq(i * 1.1, -i * 0.7, i * 0.3, 2.0 - i)): _*)
+    val a = Similarity.pqTrainCodebooks(df, "id", "v", m = 2, k = 3, iters = 2)
+    val b = Similarity.pqTrainCodebooks(df, "id", "v", m = 2, k = 3, iters = 2)
+    assert(a.map(_.toSeq.map(_.toSeq)).toSeq === b.map(_.toSeq.map(_.toSeq)).toSeq)
+  }
+
+  test("pqRecallMean: lossless corpus, two probes → mean recall 1.0") {
+    val df = vecs(
+      1L -> Seq(1.0, 0.0, 0.0, 0.0),
+      2L -> Seq(0.0, 1.0, 0.0, 0.0),
+      3L -> Seq(0.0, 0.0, 1.0, 0.0),
+      4L -> Seq(0.0, 0.0, 0.0, 1.0))
+    val cb = Similarity.pqCodebooks(df, "id", "v", m = 2, k = 4)
+    val probes = Seq(1L -> Array(1.0, 0.0, 0.0, 0.0),
+      3L -> Array(0.0, 0.0, 1.0, 0.0))
+    val r = Similarity.pqRecallMean(df, "id", "v", cb, probes, k = 2).head()
+    assert(r.getAs[Int]("k") === 2)
+    assert(r.getAs[Int]("n_probes") === 2)
+    assert(r.getAs[Long]("n_hits") === 4L)
+    assert(r.getAs[Double]("mean_recall") === 1.0)
+  }
+
   test("pqRecall: lossless corpus (every vector is a codeword) → recall 1.0") {
     // 4 well-separated vectors, k = 4 → every vector IS a codeword,
     // ADC ranking == exact ranking
