@@ -37,7 +37,8 @@ object SparkEntry {
     graft.queries.Round8hQueries.queries ++
     graft.queries.Round8iQueries.queries ++
     graft.queries.Round8jQueries.queries ++
-    graft.queries.Round8kQueries.queries
+    graft.queries.Round8kQueries.queries ++
+    graft.queries.Round8lQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -62,5 +63,6 @@ object SparkEntry {
     graft.queries.Round8hQueries.oracles ++
     graft.queries.Round8iQueries.oracles ++
     graft.queries.Round8jQueries.oracles ++
-    graft.queries.Round8kQueries.oracles
+    graft.queries.Round8kQueries.oracles ++
+    graft.queries.Round8lQueries.oracles
 }

@@ -179,4 +179,56 @@ object Behavior {
       when(varXN > 0 && varYN > 0,
         round(covN * covN / (varXN * varYN), 6)).as("rho2"))
   }
+
+  /** Kaplan-Meier survival estimate of user lifetime (Kaplan & Meier
+    * 1958) with right-censoring: a user's lifetime is last−first event
+    * day; users whose last event is within `censorDays` of the
+    * observation end are CENSORED (they may still be alive), everyone
+    * else churned. Risk sets are suffix sums over the timepoint frame
+    * (deaths and same-day censors both count as at-risk, the standard
+    * deaths-before-censors convention), and
+    * S(t) = Π_{t'≤t} (1 − d_{t'}/n_{t'}) is computed as an ORDERED
+    * left fold over the ≤|distinct durations| factor list — each
+    * factor is one IEEE division of exact BIGINTs and the fold order
+    * is total, so the rounded curve is bit-identical in any engine
+    * that folds the same list (DuckDB list_reduce).
+    *
+    * Scale shape: one user-grain aggregate is the only corpus-scale
+    * shuffle; the timepoint frame is |distinct durations| rows (days,
+    * ≤ observation span), so the unpartitioned suffix-sum window and
+    * the t×t' fold join are both trivially small.
+    */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+      censorDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val endFrame = events.agg(max(to_date(col(tsCol))).as("_end"))
+    val lab = events
+      .groupBy(col(userCol).as("u"))
+      .agg(min(to_date(col(tsCol))).as("d0"), max(to_date(col(tsCol))).as("d1"))
+      .crossJoin(broadcast(endFrame))
+      .select(datediff(col("d1"), col("d0")).cast("long").as("t"),
+        (datediff(col("_end"), col("d1")) >= censorDays).as("churned"))
+    val tp = lab.groupBy(col("t"))
+      .agg(sum(col("churned").cast("long")).as("n_churn"),
+        sum((!col("churned")).cast("long")).as("n_cens"))
+    val wDesc = Window.orderBy(col("t").desc)
+    val rk = tp.withColumn("n_risk",
+      sum(col("n_churn") + col("n_cens")).over(wDesc))
+    val f = rk.withColumn("_f",
+      lit(1.0) - col("n_churn").cast("double") / col("n_risk").cast("double"))
+    // prefix product via the tiny t×t' fold join: mirrors DuckDB's
+    // list_reduce over list(f ORDER BY t) exactly (same order, same
+    // 1.0 seed), so survival is engine-exact, not just close
+    val s = f.select(col("t"), col("_f"))
+      .join(f.select(col("t").as("t2"), col("_f").as("_f2")),
+        col("t2") <= col("t"))
+      .groupBy(col("t"))
+      .agg(round(aggregate(
+        transform(array_sort(collect_list(struct(col("t2"), col("_f2")))),
+          x => x.getField("_f2")),
+        lit(1.0), (acc, x) => acc * x), 6).as("survival"))
+    rk.join(s, Seq("t"))
+      .select(col("t"), col("n_risk"), col("n_churn"), col("n_cens"),
+        col("survival"))
+  }
 }

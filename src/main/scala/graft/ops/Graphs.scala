@@ -178,19 +178,77 @@ object Graphs {
     * and [[recHitRate]].
     */
   private def pairsFromBaskets(basketRows: DataFrame,
+      maxBasketSize: Int): DataFrame =
+    pairCounts(keptBaskets(basketRows, maxBasketSize))
+
+  /** Distinct (u, b, item) rows with oversized baskets dropped — the
+    * input persists because the size filter and every downstream
+    * consumer re-read it.
+    */
+  private def keptBaskets(basketRows: DataFrame,
       maxBasketSize: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val baskets = basketRows.distinct().persist(MEMORY_AND_DISK)
     val ok = baskets.groupBy(col("u"), col("b"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBasketSize)
       .select(col("u"), col("b"))
-    val kept = baskets.join(ok, Seq("u", "b"), "left_semi")
+    baskets.join(ok, Seq("u", "b"), "left_semi")
+  }
+
+  private def pairCounts(kept: DataFrame): DataFrame =
     kept.select(col("u"), col("b"), col("item").as("item_a"))
       .join(kept.select(col("u"), col("b"), col("item").as("item_b")),
         Seq("u", "b"))
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("support"))
+
+  /** Association rules over the co-occurrence pairs (the Agrawal-style
+    * market-basket step after [[itemCooccurrence]]): each frequent
+    * unordered pair yields BOTH directed rules a→b and b→a with
+    * support, confidence = support/n(a), lift = support·N/(n(a)·n(b))
+    * and leverage = support/N − n(a)·n(b)/N². Every metric is a fixed
+    * expression over exact BIGINT counts (basket totals, per-item
+    * basket counts, pair supports), so the rounded doubles are
+    * engine-exact and an oracle mirrors them term for term.
+    *
+    * Scale shape: identical to [[itemCooccurrence]] — the basket
+    * distinct is the only corpus-scale shuffle, the pair build is
+    * bounded by maxBasketSize², and the metric joins run at item/pair
+    * grain (≪ corpus). The rule frame is 2× the pair frame.
+    */
+  def associationRules(events: DataFrame, userCol: String,
+      bucketExpr: Column, itemExpr: Column, minSupport: Long = 2,
+      maxBasketSize: Int = 100): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val kept = keptBaskets(
+      events.select(col(userCol).cast("long").as("u"),
+        bucketExpr.as("b"), itemExpr.cast("long").as("item")),
+      maxBasketSize).persist(MEMORY_AND_DISK)
+    val pairs = pairCounts(kept).filter(col("support") >= minSupport)
+    val itemCnt = kept.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val total = kept.select(col("u"), col("b")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val rules = pairs
+      .select(col("item_a").as("antecedent"), col("item_b").as("consequent"),
+        col("support"))
+      .unionByName(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("support")))
+    val sD = col("support").cast("double")
+    val caD = col("n_ante").cast("double")
+    val cbD = col("n_cons").cast("double")
+    val nD = col("n_baskets").cast("double")
+    rules
+      .join(itemCnt.select(col("item").as("antecedent"), col("cnt").as("n_ante")),
+        Seq("antecedent"))
+      .join(itemCnt.select(col("item").as("consequent"), col("cnt").as("n_cons")),
+        Seq("consequent"))
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        col("n_ante"), col("n_cons"),
+        round(sD / caD, 6).as("confidence"),
+        round(sD * nD / (caD * cbD), 6).as("lift"),
+        round(sD / nD - caD / nD * (cbD / nD), 6).as("leverage"))
   }
 
   /** O(batch) incremental maintenance of the co-occurrence pair table:

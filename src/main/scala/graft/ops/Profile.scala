@@ -338,4 +338,48 @@ object Profile {
       when(pe < lit(1.0),
         round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
+
+  /** Reliability diagram + expected calibration error of a [0,1] score
+    * against boolean ground truth (is the quality score an honest
+    * probability, not just a good ranker — the companion number to
+    * [[rocAuc]]). The score is lifted onto the integer micro-grid
+    * (round(s·10⁶)), so per-bin mean prediction, positive fraction,
+    * and the |mean_pred − frac_pos| gap are all ratios of exact BIGINT
+    * sums: gap_micro_b = |Σmicro_b − 10⁶·npos_b| is exact, and
+    * ECE = Σ_b (n_b/N)·gap_b/n_b = (Σ_b gap_micro_b)/(N·10⁶) needs ONE
+    * division — the rounded output is engine-exact by construction,
+    * with no float accumulation anywhere.
+    *
+    * Scale shape: one map-combinable groupBy(bin) over the corpus;
+    * everything after runs on the bins-sized frame (broadcast 1-row
+    * total). `bins` must divide 10⁶ so bin edges sit on the grid.
+    */
+  def calibration(df: DataFrame, scoreCol: Column, labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0 && 1000000 % bins == 0, "bins must divide 1e6")
+    val width = 1000000 / bins
+    val micro = round(scoreCol * 1e6).cast("long")
+    val bin = least(floor(micro / lit(width.toDouble)).cast("long"),
+      lit(bins - 1L))
+    val perBin = df
+      .select(bin.as("bin"), micro.as("m"),
+        labelCol.cast("boolean").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("y").cast("long")).as("n_pos"),
+        sum(col("m")).as("_sm"))
+      .withColumn("gap_micro",
+        abs(col("_sm") - lit(1000000L) * col("n_pos")))
+    val tot = perBin.agg(sum(col("n_docs")).as("_n_total"),
+      sum(col("gap_micro")).as("_gap_total"))
+    perBin.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        round(col("_sm").cast("double") / col("n_docs").cast("double") /
+          lit(1000000.0), 6).as("mean_pred"),
+        round(col("n_pos").cast("double") / col("n_docs").cast("double"), 6)
+          .as("frac_pos"),
+        col("gap_micro"),
+        round(col("_gap_total").cast("double") /
+          col("_n_total").cast("double") / lit(1000000.0), 6).as("ece"))
+  }
 }
