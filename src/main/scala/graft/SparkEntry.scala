@@ -38,7 +38,8 @@ object SparkEntry {
     graft.queries.Round8iQueries.queries ++
     graft.queries.Round8jQueries.queries ++
     graft.queries.Round8kQueries.queries ++
-    graft.queries.Round8lQueries.queries
+    graft.queries.Round8lQueries.queries ++
+    graft.queries.Round8mQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -64,5 +65,6 @@ object SparkEntry {
     graft.queries.Round8iQueries.oracles ++
     graft.queries.Round8jQueries.oracles ++
     graft.queries.Round8kQueries.oracles ++
-    graft.queries.Round8lQueries.oracles
+    graft.queries.Round8lQueries.oracles ++
+    graft.queries.Round8mQueries.oracles
 }

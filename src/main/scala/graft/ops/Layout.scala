@@ -146,4 +146,125 @@ object Layout {
       .agg(count(lit(1)).as("n"),
         min(col("_k")).as("min_key"), max(col("_k")).as("max_key"))
   }
+
+  /** Zone-map pruning audit: the number that says what sort-clustering
+    * is worth BEFORE rewriting 100 TB. Rows are assigned to `nFiles`
+    * files under two layouts — `clustered` (value-range buckets of the
+    * key, i.e. what a sorted write produces) and `scattered` (the key
+    * round-robined, i.e. insert-order) — each file keeps its (min, max,
+    * n_rows) zone map, and `nPreds` equal-width range predicates over
+    * the key span are evaluated against the zone maps alone:
+    * files_scanned = zones overlapping [lo, hi], prune_pct = the
+    * fraction of files a reader skips. All layout/predicate arithmetic
+    * is exact integer math on the key, so every row is
+    * engine-recomputable.
+    *
+    * Scale shape: ONE corpus-scale map-combinable groupBy (2·nFiles
+    * cells); the audit join runs at zones × preds grain (≤ 2·nFiles·
+    * nPreds rows). The same pass works at 10^12 rows.
+    */
+  def zoneMapPrune(df: DataFrame, key: Column, nFiles: Int = 64,
+      nPreds: Int = 8): DataFrame = {
+    require(nFiles > 1 && nPreds >= 1, "need nFiles > 1, nPreds >= 1")
+    val base = df.select(key.cast("long").as("k"))
+    val mm = base.agg(min(col("k")).as("_kmin"), max(col("k")).as("_kmax"))
+      .withColumn("_span", col("_kmax") - col("_kmin") + 1L)
+    val zones = base.crossJoin(broadcast(mm))
+      .select(col("k"), explode(map(
+        lit("clustered"),
+        floor((col("k") - col("_kmin")).cast("double") * nFiles /
+          col("_span").cast("double")).cast("long"),
+        lit("scattered"), pmod(col("k"), lit(nFiles.toLong))))
+        .as(Seq("layout", "file")))
+      .groupBy(col("layout"), col("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("k")).as("zmin"), max(col("k")).as("zmax"))
+    val totals = zones.groupBy(col("layout"))
+      .agg(count(lit(1)).as("files_total"))
+    val preds = mm
+      .select(explode(sequence(lit(0), lit(nPreds - 1))).as("pred"),
+        col("_kmin"), col("_span"))
+      .select(col("pred").cast("long").as("pred"),
+        (col("_kmin") + floor((col("pred") * col("_span")).cast("double") /
+          lit(nPreds.toDouble)).cast("long")).as("lo"),
+        (col("_kmin") + floor(((col("pred") + 1) * col("_span")).cast("double") /
+          lit(nPreds.toDouble)).cast("long") - 1L).as("hi"))
+    val hit = col("zmin") <= col("hi") && col("zmax") >= col("lo")
+    zones.crossJoin(broadcast(preds))
+      .groupBy(col("layout"), col("pred"), col("lo"), col("hi"))
+      .agg(sum(when(hit, 1L).otherwise(0L)).as("files_scanned"),
+        sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_scanned"))
+      .join(totals, Seq("layout"))
+      .select(col("layout"), col("pred"), col("lo"), col("hi"),
+        col("files_total"), col("files_scanned"), col("rows_scanned"),
+        round(lit(1.0) - col("files_scanned").cast("double") /
+          col("files_total").cast("double"), 6).as("prune_pct"))
+  }
+
+  /** Column-encoding advisor: per column, the write-order statistics a
+    * parquet/ORC writer needs to pick an encoding — row/null/distinct
+    * counts and the EXACT run count under the table's write order —
+    * plus the recommendation itself (DICT when ≤ 5% distinct, RLE when
+    * the mean run is ≥ 4, both → RLE_DICT, else PLAIN). The thresholds
+    * compare exact integers (n_distinct·20 ≤ n, n ≥ n_runs·4), so the
+    * decision is engine-exact, not a rounded-double coin flip.
+    *
+    * Runs are counted WITHOUT a global sort: the unique integer
+    * `orderKey` is value-range-bucketed (a bucket prefix preserves
+    * global order), run starts are counted per (column, bucket) in
+    * parallel windows, and a bucket-frame pass (≤ `buckets` rows per
+    * column) subtracts the runs that continue across a bucket
+    * boundary — the [[assignStableIds]] trick applied to run-length
+    * stats. One exploded corpus-scale shuffle on (column, bucket);
+    * nothing corpus-sized is ever in one task.
+    */
+  def encodingPlan(df: DataFrame, orderKey: Column, colNames: Seq[String],
+      buckets: Int = 256): DataFrame = {
+    require(colNames.nonEmpty, "need at least one column")
+    val base = df.select((col("*") +: Seq(orderKey.cast("long").as("_k"))): _*)
+    val mm = base.agg(min(col("_k")).as("_kmin"), max(col("_k")).as("_kmax"))
+      .withColumn("_span", col("_kmax") - col("_kmin") + 1L)
+    val melted = base.crossJoin(broadcast(mm))
+      .withColumn("_bucket",
+        floor((col("_k") - col("_kmin")).cast("double") * buckets /
+          col("_span").cast("double")).cast("long"))
+      .select(col("_k"), col("_bucket"), explode(map(
+        colNames.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*))
+        .as(Seq("cname", "v")))
+    val w = Window.partitionBy(col("cname"), col("_bucket")).orderBy(col("_k"))
+    val starts = melted
+      .withColumn("_pk", lag(col("_k"), 1).over(w))
+      .withColumn("_pv", lag(col("v"), 1).over(w))
+      .withColumn("_start",
+        when(col("_pk").isNull || !(col("v") <=> col("_pv")), 1L)
+          .otherwise(0L))
+      .groupBy(col("cname"), col("_bucket"))
+      .agg(sum(col("_start")).as("_starts"),
+        min_by(col("v"), col("_k")).as("_fv"),
+        max_by(col("v"), col("_k")).as("_lv"))
+    val w2 = Window.partitionBy(col("cname")).orderBy(col("_bucket"))
+    val runs = starts
+      .withColumn("_pb", lag(col("_bucket"), 1).over(w2))
+      .withColumn("_plv", lag(col("_lv"), 1).over(w2))
+      .withColumn("_dup",
+        when(col("_pb").isNotNull && (col("_fv") <=> col("_plv")), 1L)
+          .otherwise(0L))
+      .groupBy(col("cname"))
+      .agg((sum(col("_starts")) - sum(col("_dup"))).as("n_runs"))
+    val stats = melted.groupBy(col("cname"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v").isNull.cast("long")).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"))
+    val dict = col("n_distinct") * 20L <= col("n_rows")
+    val rle = col("n_rows") >= col("n_runs") * 4L
+    stats.join(runs, Seq("cname"))
+      .select(col("cname").as("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("n_runs"),
+        round(col("n_distinct").cast("double") /
+          col("n_rows").cast("double"), 6).as("distinct_ratio"),
+        round(col("n_rows").cast("double") /
+          col("n_runs").cast("double"), 6).as("avg_run_len"),
+        when(dict && rle, lit("RLE_DICT")).when(dict, lit("DICT"))
+          .when(rle, lit("RLE")).otherwise(lit("PLAIN")).as("encoding"))
+  }
 }
