@@ -790,4 +790,38 @@ object TextAnalysis {
             .as("n_" + c.stripPrefix("v_"))) :+
           sum((!rules.map(col).reduce(_ || _)).cast("long")).as("n_kept")): _*)
   }
+
+  /** The classic UTF-8-decoded-as-Latin-1 double-encoding artifacts
+    * (what ftfy fixes): 'Ã' starts every mojibake'd 2-byte sequence,
+    * 'â€' every mojibake'd punctuation mark, 'Â' precedes mojibake'd
+    * NBSP/guillemets, U+FFFD is the decoder's replacement char.
+    */
+  val mojibakeMarkers: Seq[String] =
+    Seq("\u00C3", "\u00E2\u20AC", "\u00C2", "\uFFFD")
+
+  /** Encoding-artifact audit: per-source document and occurrence
+    * counts of the [[mojibakeMarkers]] — the corpus-cleaning signal
+    * that says which sources were double-decoded upstream and need a
+    * re-extraction, not a regex bandage. Occurrences are counted by
+    * length difference under literal removal (exact integers), so the
+    * whole audit is one map-combinable aggregate of codegen'd per-row
+    * expressions — zero extra shuffle at any scale.
+    */
+  def mojibakeAudit(df: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val occs = mojibakeMarkers.map { m =>
+      ((length(t) - length(replace(t, lit(m), lit("")))) /
+        lit(m.length)).cast("long")
+    }
+    val total = occs.reduce(_ + _)
+    df.select(col(srcCol).as("source"), total.as("_marks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("_marks") > 0).cast("long")).as("n_mojibake"),
+        sum(col("_marks")).as("n_marks"))
+      .withColumn("mojibake_rate",
+        round(col("n_mojibake").cast("double") /
+          col("n_docs").cast("double"), 6))
+  }
 }
