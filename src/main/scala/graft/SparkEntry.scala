@@ -39,7 +39,9 @@ object SparkEntry {
     graft.queries.Round8jQueries.queries ++
     graft.queries.Round8kQueries.queries ++
     graft.queries.Round8lQueries.queries ++
-    graft.queries.Round8mQueries.queries
+    graft.queries.Round8mQueries.queries ++
+    graft.queries.Round8nQueries.queries ++
+    graft.queries.Round8oQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -66,5 +68,7 @@ object SparkEntry {
     graft.queries.Round8jQueries.oracles ++
     graft.queries.Round8kQueries.oracles ++
     graft.queries.Round8lQueries.oracles ++
-    graft.queries.Round8mQueries.oracles
+    graft.queries.Round8mQueries.oracles ++
+    graft.queries.Round8nQueries.oracles ++
+    graft.queries.Round8oQueries.oracles
 }

@@ -382,4 +382,42 @@ object Profile {
         round(col("_gap_total").cast("double") /
           col("_n_total").cast("double") / lit(1000000.0), 6).as("ece"))
   }
+
+  /** Robust outlier audit via median absolute deviation — the
+    * companion to the existing z-score detector that a heavy-tailed
+    * value column actually needs (one whale inflates a z-score σ and
+    * hides every other outlier; the median and MAD don't move).
+    * Flags x where |x − median| > k·MAD with k defaulting to
+    * 3·1.4826 ≈ 4.4478 (the normal-consistency constant). Inputs are
+    * integer cents, medians are exact R-7 interpolations (.0/.5 —
+    * exactly representable), so every flag and count is
+    * engine-deterministic with no rounding anywhere.
+    *
+    * Scale shape: three passes over the persisted (group, cents)
+    * projection — median, MAD, flag counts — each a sort-based exact
+    * percentile per group; group frames (|groups| rows) broadcast
+    * back. The approximate path for scans that can't afford exact
+    * percentiles is [[Sketches]]; this is the audit-grade op.
+    */
+  def madOutliers(df: DataFrame, groupCol: Column, valueCents: Column,
+      k: Double = 4.4478): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val v = df.select(groupCol.as("g"), valueCents.cast("long").as("x"))
+      .persist(MEMORY_AND_DISK)
+    val med = v.groupBy(col("g"))
+      .agg(percentile(col("x"), lit(0.5)).as("median_cents"))
+    val dev = v.join(broadcast(med), Seq("g"))
+      .withColumn("_ad", abs(col("x").cast("double") - col("median_cents")))
+    val mad = dev.groupBy(col("g"))
+      .agg(percentile(col("_ad"), lit(0.5)).as("mad_cents"))
+    dev.join(broadcast(mad), Seq("g"))
+      .groupBy(col("g"), col("median_cents"), col("mad_cents"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("_ad") > lit(k) * col("mad_cents")).cast("long"))
+          .as("n_outliers"))
+      .select(col("g"), col("n"), col("median_cents"), col("mad_cents"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n").cast("double"), 6)
+          .as("outlier_rate"))
+  }
 }

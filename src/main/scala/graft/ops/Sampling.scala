@@ -285,4 +285,45 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
       .select(col("id"), col("shard"), col("pos"))
   }
+
+  /** Largest-remainder (Hamilton) token-budget allocation: where
+    * [[tokenBudgetPlan]]'s floor division leaves up to |sources|−1
+    * tokens of the budget unassigned, this apportions them — source i
+    * gets base_i = ⌊B·w_i/W⌋ plus one extra token iff its remainder
+    * B·w_i mod W ranks among the top (B − Σ base) under the total
+    * order (remainder DESC, source ASC). Σ target_tokens == B exactly,
+    * every step is BIGINT arithmetic, and the ranking is replayable by
+    * any engine — the property a budget contract needs and a float
+    * proportional split cannot give.
+    *
+    * Scale shape: ONE corpus scan (source token sums); everything
+    * after runs on the sources-sized frame (window over |sources|
+    * rows). B·w_i must fit a long.
+    */
+  def tokenBudgetExact(df: DataFrame, srcCol: String, textCol: String,
+      weightExpr: Column, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, "need budgetTokens > 0")
+    val per = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol))).as("avail_tokens"))
+      .withColumn("weight", weightExpr.cast("long"))
+    val tot = per.agg(sum(col("weight")).as("_w_total"))
+    val based = per.crossJoin(broadcast(tot))
+      .withColumn("base_tokens",
+        expr(s"${budgetTokens}L * weight DIV _w_total"))
+      .withColumn("remainder",
+        expr(s"${budgetTokens}L * weight % _w_total"))
+    val wRank = Window.orderBy(col("remainder").desc, col("source"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    based
+      .withColumn("_rk", row_number().over(wRank).cast("long"))
+      .withColumn("_short",
+        lit(budgetTokens) - sum(col("base_tokens")).over(wAll))
+      .withColumn("extra", (col("_rk") <= col("_short")).cast("long"))
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        col("weight"), col("base_tokens"), col("remainder"), col("extra"),
+        (col("base_tokens") + col("extra")).as("target_tokens"))
+  }
 }
