@@ -420,4 +420,82 @@ object Profile {
         round(col("n_outliers").cast("double") / col("n").cast("double"), 6)
           .as("outlier_rate"))
   }
+
+  /** Declarative data-expectation audit (the Great-Expectations /
+    * dbt-test shape): each row rule is (name, column, violation
+    * predicate) — not-null, range, set membership, regex, anything
+    * boolean — and ALL of them are counted in ONE map-combinable pass
+    * over the table; uniqueness rules add one distinct-aggregate each
+    * (n_violations = n_rows − n_distinct, so a NULL key also counts).
+    * Returns (rule, col_name, n_checked, n_violations, pass) — the
+    * contract table a 100 TB ingest gate publishes per batch.
+    * Violation predicates must be null-safe (a NULL predicate row is
+    * skipped by the sum, like SQL).
+    */
+  def expectations(df: DataFrame,
+      rowRules: Seq[(String, String, Column)],
+      uniqueCols: Seq[String] = Nil): DataFrame = {
+    require(rowRules.nonEmpty, "need at least one row rule")
+    val agg = df.agg(count(lit(1)).as("_n"),
+      rowRules.zipWithIndex.map { case ((_, _, pred), i) =>
+        sum(pred.cast("long")).as(s"_v$i")
+      }: _*)
+    val rowFrame = agg.select(explode(array(
+        rowRules.zipWithIndex.map { case ((rule, c, _), i) =>
+          struct(lit(rule).as("rule"), lit(c).as("col_name"),
+            col("_n").as("n_checked"), col(s"_v$i").as("n_violations"))
+        }: _*)).as("r"))
+      .select(col("r.*"))
+    val uniq = uniqueCols.map { c =>
+      df.agg(count(lit(1)).as("n_checked"),
+          (count(lit(1)) - countDistinct(col(c))).as("n_violations"))
+        .select(lit("unique").as("rule"), lit(c).as("col_name"),
+          col("n_checked"), col("n_violations"))
+    }
+    (rowFrame +: uniq).reduce(_.unionByName(_))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+
+  /** Benford first-digit probabilities log10(1 + 1/d), fixed to 10 dp
+    * so both engines compare against the SAME literal grid.
+    */
+  val benfordProbs: Seq[(String, Double)] = Seq(
+    "1" -> 0.3010299957, "2" -> 0.1760912591, "3" -> 0.1249387366,
+    "4" -> 0.0969100130, "5" -> 0.0791812460, "6" -> 0.0669467896,
+    "7" -> 0.0579919470, "8" -> 0.0511525224, "9" -> 0.0457574906)
+
+  /** Benford first-digit audit of a positive value column — the
+    * classic fabricated-data / unit-mixing smell test. Digits come
+    * from exact integer-string extraction (no log10 per row), expected
+    * counts multiply the observed total by the fixed 10-dp
+    * [[benfordProbs]] grid, and χ² is an ORDERED fold over the 9
+    * per-digit contributions (mirrored by DuckDB list_reduce) so every
+    * output double is engine-exact. One map-combinable digit count is
+    * the only corpus-scale exchange.
+    */
+  def benfordAudit(df: DataFrame, value: Column): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val digit = substring(floor(value).cast("long").cast("string"), 1, 1)
+    val obs = df.select(digit.as("digit"))
+      .filter(col("digit").between("1", "9"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val e = benfordProbs.toDF("digit", "p")
+      .join(obs, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+    val tot = e.agg(sum(col("n_obs")).as("_nt"))
+    val e3 = e.crossJoin(broadcast(tot))
+      .withColumn("expected", col("_nt").cast("double") * col("p"))
+      .withColumn("contrib",
+        (col("n_obs").cast("double") - col("expected")) *
+          (col("n_obs").cast("double") - col("expected")) / col("expected"))
+    val chi = e3
+      .agg(collect_list(struct(col("digit"), col("contrib"))).as("_l"))
+      .select(round(aggregate(
+        transform(array_sort(col("_l")), x => x.getField("contrib")),
+        lit(0.0), (a, x) => a + x), 6).as("chi2"))
+    e3.crossJoin(broadcast(chi))
+      .select(col("digit"), col("n_obs"), round(col("expected"), 6)
+        .as("expected"), round(col("contrib"), 6).as("contrib"), col("chi2"))
+  }
 }
