@@ -41,7 +41,9 @@ object SparkEntry {
     graft.queries.Round8lQueries.queries ++
     graft.queries.Round8mQueries.queries ++
     graft.queries.Round8nQueries.queries ++
-    graft.queries.Round8oQueries.queries
+    graft.queries.Round8oQueries.queries ++
+    graft.queries.Round8pQueries.queries ++
+    graft.queries.Round8qQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -70,5 +72,7 @@ object SparkEntry {
     graft.queries.Round8lQueries.oracles ++
     graft.queries.Round8mQueries.oracles ++
     graft.queries.Round8nQueries.oracles ++
-    graft.queries.Round8oQueries.oracles
+    graft.queries.Round8oQueries.oracles ++
+    graft.queries.Round8pQueries.oracles ++
+    graft.queries.Round8qQueries.oracles
 }

@@ -15,6 +15,43 @@ import org.apache.spark.sql.functions._
   */
 object Classify {
 
+  /** (id, source, hex, w, c) token-count frame: one row per distinct
+    * (doc, token) with its count, plus the doc's md5 split digit —
+    * the one corpus-scale shuffle every consumer shares.
+    */
+  private def tokenCounts(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String, salt: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+        col(srcCol).as("source"), coalesce(col(textCol), lit("")).as("text"))
+      .withColumn("hex",
+        substring(md5(concat_ws(":", lit(salt), col("id"))), 1, 1))
+      .select(col("id"), col("source"), col("hex"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("id"), col("source"), col("hex"), col("w"))
+      .agg(count(lit(1)).as("c"))
+
+  /** (id, pred_source) for every test doc that shares ≥1 token with a
+    * centroid: cos = BIGINT dot / (sqrt·sqrt of BIGINT norms), argmax
+    * under the total order (cos DESC, source ASC).
+    */
+  private def predictions(train: DataFrame, test: DataFrame): DataFrame = {
+    val cen = train.groupBy(col("source").as("s"), col("w"))
+      .agg(sum(col("c")).as("sc"))
+    val sn = cen.groupBy(col("s")).agg(sum(col("sc") * col("sc")).as("n2"))
+    val dn = test.groupBy(col("id")).agg(sum(col("c") * col("c")).as("d2"))
+    val dot = test.join(cen, Seq("w"))
+      .groupBy(col("id"), col("s"))
+      .agg(sum(col("c") * col("sc")).as("dp"))
+    val sim = dot.join(dn, Seq("id")).join(broadcast(sn), Seq("s"))
+      .withColumn("cos", col("dp").cast("double") /
+        (sqrt(col("d2").cast("double")) * sqrt(col("n2").cast("double"))))
+    val w = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("s"))
+    sim.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("id"), col("s").as("pred_source"))
+  }
+
   /** Nearest-centroid (Rocchio) source classifier with an honest
     * held-out evaluation: docs are split train/test by salted md5
     * (first hex digit < `trainHexLt` ⇒ train, so 'c' ≈ 75%), each
@@ -38,38 +75,59 @@ object Classify {
       textCol: String, salt: String = "cls",
       trainHexLt: String = "c"): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val d = docs.select(col(idCol).cast("long").as("id"),
-        col(srcCol).as("source"), coalesce(col(textCol), lit("")).as("text"))
-      .withColumn("is_train",
-        substring(md5(concat_ws(":", lit(salt), col("id"))), 1, 1) <
-          trainHexLt)
-    val tw = d.select(col("id"), col("source"), col("is_train"),
-        explode(TextAnalysis.tokens(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("id"), col("source"), col("is_train"), col("w"))
-      .agg(count(lit(1)).as("c"))
+    val tw = tokenCounts(docs, idCol, srcCol, textCol, salt)
       .persist(MEMORY_AND_DISK)
-    val cen = tw.filter(col("is_train"))
-      .groupBy(col("source").as("s"), col("w"))
-      .agg(sum(col("c")).as("sc"))
-      .persist(MEMORY_AND_DISK)
-    val sn = cen.groupBy(col("s")).agg(sum(col("sc") * col("sc")).as("n2"))
-    val test = tw.filter(!col("is_train"))
-    val dn = test.groupBy(col("id")).agg(sum(col("c") * col("c")).as("d2"))
-    val dot = test.join(cen, Seq("w"))
-      .groupBy(col("id"), col("s"))
-      .agg(sum(col("c") * col("sc")).as("dp"))
-    val sim = dot.join(dn, Seq("id")).join(broadcast(sn), Seq("s"))
-      .withColumn("cos", col("dp").cast("double") /
-        (sqrt(col("d2").cast("double")) * sqrt(col("n2").cast("double"))))
-    val w = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("s"))
-    val pred = sim.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("id"), col("s").as("pred_source"))
-    d.filter(!col("is_train")).select(col("id"), col("source"))
+    val pred = predictions(tw.filter(col("hex") < trainHexLt),
+      tw.filter(col("hex") >= trainHexLt).select(col("id"), col("w"), col("c")))
+    docs.select(col(idCol).cast("long").as("id"), col(srcCol).as("source"))
+      .withColumn("hex",
+        substring(md5(concat_ws(":", lit(salt), col("id"))), 1, 1))
+      .filter(col("hex") >= trainHexLt)
       .join(pred, Seq("id"), "left")
       .groupBy(col("source").as("true_source"),
         coalesce(col("pred_source"), lit("none")).as("pred_source"))
       .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Learning curve for the centroid classifier: accuracy on one FIXED
+    * held-out set (split digit ≥ 'c', never trained on) as the train
+    * fraction grows through nested md5 prefixes (< '4' ≈ 25%,
+    * < '8' ≈ 50%, < 'c' ≈ 75%) — the data-scaling diagnostic that says
+    * whether labeling more docs is still buying anything. Nested
+    * splits mean each curve point reuses the same persisted
+    * token-count frame; coverage (fraction of test docs scoring any
+    * centroid) is reported next to accuracy because with a tiny train
+    * slice 'none' predictions, not mistakes, dominate the error.
+    */
+  def learningCurve(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String, salt: String = "cls",
+      points: Seq[(String, String)] = Seq(
+        ("train25", "4"), ("train50", "8"), ("train75", "c"))): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    require(points.nonEmpty, "need at least one curve point")
+    val tw = tokenCounts(docs, idCol, srcCol, textCol, salt)
+      .persist(MEMORY_AND_DISK)
+    val test = tw.filter(col("hex") >= "c")
+      .select(col("id"), col("w"), col("c")).persist(MEMORY_AND_DISK)
+    val labels = docs
+      .select(col(idCol).cast("long").as("id"), col(srcCol).as("source"))
+      .withColumn("hex",
+        substring(md5(concat_ws(":", lit(salt), col("id"))), 1, 1))
+      .filter(col("hex") >= "c")
+      .select(col("id"), col("source"))
+    points.map { case (label, t) =>
+      val pred = predictions(tw.filter(col("hex") < t), test)
+      labels.join(pred, Seq("id"), "left")
+        .agg(count(lit(1)).as("n_test"),
+          sum(col("pred_source").isNotNull.cast("long")).as("n_predicted"),
+          sum((col("pred_source") <=> col("source")).cast("long"))
+            .as("n_correct"))
+        .select(lit(label).as("train_frac"), col("n_test"),
+          col("n_predicted"), col("n_correct"),
+          round(col("n_correct").cast("double") /
+            col("n_test").cast("double"), 6).as("accuracy"),
+          round(col("n_predicted").cast("double") /
+            col("n_test").cast("double"), 6).as("coverage"))
+    }.reduce(_.unionByName(_))
   }
 }
