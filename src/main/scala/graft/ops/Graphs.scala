@@ -363,4 +363,127 @@ object Graphs {
         .select(lit(side).as("side"), col("deg"), col("n_nodes"))
     hist("src", "out").unionByName(hist("dst", "in"))
   }
+
+  /** Item-item cosine similarity from co-occurrence counts — the
+    * classic item-based collaborative-filtering neighbor table
+    * (Sarwar et al., WWW'01): sim(a,b) = support(a,b)/(√n(a)·√n(b))
+    * where support and both basket counts are exact BIGINTs, so the
+    * similarity (two IEEE sqrts, one divide) is engine-exact; the
+    * top-`topK` neighbors per item rank under the total order
+    * (sim DESC, neighbor ASC) and compile to WindowGroupLimit.
+    * Same scale shape as [[itemCooccurrence]]: the basket distinct is
+    * the only corpus-scale shuffle, everything after runs at
+    * item/pair grain.
+    */
+  def itemSimilarity(events: DataFrame, userCol: String,
+      bucketExpr: Column, itemExpr: Column, minSupport: Long = 2,
+      topK: Int = 5, maxBasketSize: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val kept = keptBaskets(
+      events.select(col(userCol).cast("long").as("u"),
+        bucketExpr.as("b"), itemExpr.cast("long").as("item")),
+      maxBasketSize).persist(MEMORY_AND_DISK)
+    val pairs = pairCounts(kept).filter(col("support") >= minSupport)
+    val cnt = kept.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val both = pairs
+      .select(col("item_a").as("item"), col("item_b").as("neighbor"),
+        col("support"))
+      .unionByName(pairs.select(col("item_b").as("item"),
+        col("item_a").as("neighbor"), col("support")))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("sim").desc, col("neighbor"))
+    both
+      .join(cnt.select(col("item"), col("cnt").as("n_item")), Seq("item"))
+      .join(cnt.select(col("item").as("neighbor"), col("cnt").as("n_nbr")),
+        Seq("neighbor"))
+      .withColumn("sim", round(col("support").cast("double") /
+        (sqrt(col("n_item").cast("double")) *
+          sqrt(col("n_nbr").cast("double"))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("item"), col("neighbor"), col("support"),
+        col("n_item"), col("n_nbr"), col("sim"), col("rank"))
+  }
+
+  /** Degree assortativity of an undirected edge frame: the Pearson
+    * correlation of endpoint degrees over the doubled edge list —
+    * positive means hubs link hubs (social shape), negative means
+    * hubs link leaves (star/hub-and-spoke shape), the one-number
+    * structure check run before trusting community or similarity
+    * output. Every sum (Σx, Σy, Σxy, Σx², Σy² over 2·|E| endpoint
+    * pairs) is an exact BIGINT, so the rounded coefficient is
+    * engine-exact; NULL when either side is degree-constant.
+    * Two edge-bounded aggregates, nothing corpus-scale.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).persist(MEMORY_AND_DISK)
+    val deg = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val pairsDir = e
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")),
+        Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")),
+        Seq("dst"))
+    val g = pairsDir.agg(count(lit(1)).as("m"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    val mD = col("m").cast("double")
+    val covN = mD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val varXN = mD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val varYN = mD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    g.select((col("m") / 2L).cast("long").as("n_edges"),
+      when(varXN > 0 && varYN > 0,
+        round(covN / (sqrt(varXN) * sqrt(varYN)), 6)).as("assortativity"))
+  }
+
+  /** k-core peeling over an undirected (src, dst) edge frame: `rounds`
+    * synchronous rounds of "drop every node with degree < k, drop
+    * every edge touching a dropped node" — the community-density
+    * filter that strips hangers-on before clustering or embedding a
+    * behavior graph. The round count is FIXED (so the computation is
+    * replayable as unrolled SQL) and `converged` reports whether the
+    * fixpoint was actually reached: true iff no surviving node is
+    * below k in the final edge set, i.e. round rounds+1 would remove
+    * nobody. Returns surviving (node, degree, converged).
+    *
+    * Scale shape: each round is one edge-bounded degree count plus two
+    * semi joins — the [[pageRankFixedPoint]] cost model, including its
+    * per-round localCheckpoint: round r+1 references round r THREE
+    * times (both degree sides and the edge filter), so without lineage
+    * truncation the logical plan grows 3^rounds copies of the input
+    * subplan and the optimizer, not the data, blows the heap. Real
+    * diameter-heavy graphs converge in few rounds because each round
+    * peels a full shell, not one node.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1, rounds >= 1")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var cur = edges.select(col("src"), col("dst")).localCheckpoint()
+    var kept: DataFrame = null
+    for (_ <- 1 to rounds) {
+      kept = degrees(cur).filter(col("deg") >= k).select(col("node"))
+        .localCheckpoint()
+      cur = cur
+        .join(kept.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(kept.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+    }
+    val out = kept.join(degrees(cur), Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("degree"))
+    val conv = out.agg(
+      (sum((col("degree") < k).cast("long")) === 0L).as("converged"))
+    out.crossJoin(broadcast(conv))
+  }
 }

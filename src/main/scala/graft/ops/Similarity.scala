@@ -768,4 +768,41 @@ object Similarity {
       .select(lit(k).as("k"), col("n_hits"),
         round(col("n_hits").cast("double") / lit(k.toDouble), 6).as("recall"))
   }
+
+  /** IVF probe sweep: recall@k and candidate volume at each nProbe in
+    * `probes`, against the exact brute-force top-k — the
+    * latency/recall tradeoff curve an IVF deployment publishes before
+    * choosing its operating point. Centroids are supplied (a trained
+    * codebook is an input at serving time), cell assignment runs once
+    * and is shared by every curve point, and each point is one
+    * cell-pruned filter + TakeOrdered — at 100 TB over a
+    * cid-partitioned table each point scans ~nProbe/nCells of the
+    * corpus and the sweep costs the sum of its points, nothing more.
+    */
+  def ivfProbeSweep(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, centroids: Array[Array[Double]],
+      probes: Seq[Int]): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    require(probes.nonEmpty, "need at least one probe count")
+    val cid = withIvfCid(df, vecCol, centroids, "ivf_cid")
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("ivf_cid"))
+      .persist(MEMORY_AND_DISK)
+    val truth = bruteForceTopK(df, idCol, vecCol, query, k)
+      .select(col(idCol).as("id")).persist(MEMORY_AND_DISK)
+    probes.map { p =>
+      val cells = nearestCentroids(centroids, query, p)
+      val cand = cid.filter(
+        col("ivf_cid").isin(cells.map(Int.box).toIndexedSeq: _*))
+      val top = cand
+        .select(col("id"), cosine(col("v"), typedlit(query)).as("sim"))
+        .orderBy(col("sim").desc, col("id")).limit(k)
+      val hits = top.join(truth, Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(hits)
+        .select(lit(p).as("n_probe"), col("n_candidates"), col("n_hits"),
+          round(col("n_hits").cast("double") / lit(k.toDouble), 6)
+            .as(s"recall_at_$k"))
+    }.reduce(_.unionByName(_))
+  }
 }
