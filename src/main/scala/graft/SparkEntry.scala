@@ -43,7 +43,9 @@ object SparkEntry {
     graft.queries.Round8nQueries.queries ++
     graft.queries.Round8oQueries.queries ++
     graft.queries.Round8pQueries.queries ++
-    graft.queries.Round8qQueries.queries
+    graft.queries.Round8qQueries.queries ++
+    graft.queries.Round8rQueries.queries ++
+    graft.queries.Round8sQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -74,5 +76,7 @@ object SparkEntry {
     graft.queries.Round8nQueries.oracles ++
     graft.queries.Round8oQueries.oracles ++
     graft.queries.Round8pQueries.oracles ++
-    graft.queries.Round8qQueries.oracles
+    graft.queries.Round8qQueries.oracles ++
+    graft.queries.Round8rQueries.oracles ++
+    graft.queries.Round8sQueries.oracles
 }
