@@ -150,6 +150,34 @@ object Graphs {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Frequent length-`len` event-type paths (sequential pattern mining
+    * at the cheap, useful end): consecutive type n-grams per user
+    * under the total order (ts, tie), counted exactly, top-`topK`
+    * under (n DESC, path ASC) — the "what do users actually do in a
+    * row" synopsis behind funnel design. One user-key shuffle for the
+    * LEAD window; the ranking runs on the ≤|types|^len path frame.
+    */
+  def frequentPaths(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, len: Int = 3,
+      topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(len >= 2, "need len >= 2")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val stepCols = (0 until len).map { i =>
+      (if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w))
+        .as(s"step${i + 1}")
+    }
+    val stepNames = (1 to len).map(i => col(s"step$i"))
+    val ranked = Window.orderBy(
+      (col("n").desc +: stepNames.map(_.asc)): _*)
+    events.select(stepCols: _*)
+      .filter(stepNames.map(_.isNotNull).reduce(_ && _))
+      .groupBy(stepNames: _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(ranked))
+      .filter(col("rank") <= topK)
+  }
+
   /** Market-basket item co-occurrence: items seen together in the same
     * (user, bucket) basket, with pair SUPPORT = number of distinct
     * baskets containing both. The co-click projection that turns an

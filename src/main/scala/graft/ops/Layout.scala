@@ -218,6 +218,35 @@ object Layout {
     * stats. One exploded corpus-scale shuffle on (column, bucket);
     * nothing corpus-sized is ever in one task.
     */
+  /** Partition/broadcast sizing advisor: per table, exact row counts
+    * and a deterministic byte estimate (strings cost length+4, every
+    * fixed-width column 8 — a schema-driven rule both engines can
+    * replay, unlike sampled or file-system statistics), then the two
+    * numbers every Spark job config needs: partition count at the
+    * target partition size (ceil division, exact) and whether the
+    * table fits under the broadcast threshold. ONE map-combinable
+    * aggregate per table; the advisor output is |tables| rows.
+    */
+  def partitionAdvisor(tables: Seq[(String, DataFrame)],
+      targetPartitionBytes: Long = 128L * 1024 * 1024,
+      broadcastThreshold: Long = 10L * 1024 * 1024): DataFrame = {
+    require(tables.nonEmpty, "need at least one table")
+    tables.map { case (name, df) =>
+      val width = df.schema.fields.map { f =>
+        if (f.dataType == org.apache.spark.sql.types.StringType)
+          length(col(f.name)).cast("long") + 4L
+        else lit(8L)
+      }.reduce(_ + _)
+      df.agg(count(lit(1)).as("n_rows"), sum(width).as("est_bytes"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("est_bytes"),
+          expr("est_bytes DIV n_rows").as("est_row_bytes"),
+          greatest(lit(1L),
+            expr(s"(est_bytes + ${targetPartitionBytes - 1}L) DIV " +
+              s"${targetPartitionBytes}L")).as("n_partitions"),
+          (col("est_bytes") <= broadcastThreshold).as("broadcastable"))
+    }.reduce(_.unionByName(_))
+  }
+
   def encodingPlan(df: DataFrame, orderKey: Column, colNames: Seq[String],
       buckets: Int = 256): DataFrame = {
     require(colNames.nonEmpty, "need at least one column")
