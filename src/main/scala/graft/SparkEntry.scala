@@ -45,7 +45,9 @@ object SparkEntry {
     graft.queries.Round8pQueries.queries ++
     graft.queries.Round8qQueries.queries ++
     graft.queries.Round8rQueries.queries ++
-    graft.queries.Round8sQueries.queries
+    graft.queries.Round8sQueries.queries ++
+    graft.queries.Round8tQueries.queries ++
+    graft.queries.Round8uQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -78,5 +80,7 @@ object SparkEntry {
     graft.queries.Round8pQueries.oracles ++
     graft.queries.Round8qQueries.oracles ++
     graft.queries.Round8rQueries.oracles ++
-    graft.queries.Round8sQueries.oracles
+    graft.queries.Round8sQueries.oracles ++
+    graft.queries.Round8tQueries.oracles ++
+    graft.queries.Round8uQueries.oracles
 }

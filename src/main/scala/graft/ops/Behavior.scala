@@ -180,6 +180,77 @@ object Behavior {
         round(covN * covN / (varXN * varYN), 6)).as("rho2"))
   }
 
+  /** Bot-likeness audit: per-user inter-event timing statistics —
+    * exact median gap (R-7 percentile over BIGINT second gaps),
+    * sub-`fastSec` gap fraction, and the busiest single hour — with
+    * deterministic flag rules (≥ `minEvents` events AND more than half
+    * the gaps fast, OR any hour above `maxPerHour`). Returns ONLY the
+    * flagged users with their evidence and a reason code; every
+    * number is a ratio/percentile of exact integers, so the flag set
+    * is engine-exact. One user-key shuffle (the LAG window) plus
+    * user-grain aggregates — the abuse-detection pre-filter that runs
+    * before any behavior analytics at 100 TB.
+    */
+  def botFlags(events: DataFrame, userCol: String, tsCol: String,
+      fastSec: Long = 1L, minEvents: Long = 20L,
+      maxPerHour: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val es = unix_timestamp(col(tsCol))
+    val gaps = events
+      .select(col(userCol).as("u"), es.as("_es"),
+        date_trunc("hour", col(tsCol)).as("_h"))
+      .withColumn("_gap", col("_es") - lag(col("_es"), 1).over(
+        Window.partitionBy(col("u")).orderBy(col("_es"))))
+    val perUser = gaps.groupBy(col("u"))
+      .agg(count(lit(1)).as("n_events"),
+        percentile(col("_gap"), lit(0.5)).as("median_gap_s"),
+        sum((col("_gap") <= fastSec).cast("long")).as("n_fast"),
+        count(col("_gap")).as("n_gaps"))
+    val hourly = gaps.groupBy(col("u"), col("_h"))
+      .agg(count(lit(1)).as("_nh"))
+      .groupBy(col("u")).agg(max(col("_nh")).as("max_events_hour"))
+    val fastFrac = round(col("n_fast").cast("double") /
+      col("n_gaps").cast("double"), 6)
+    val fastRule = col("n_events") >= minEvents &&
+      col("n_fast") * 2L > col("n_gaps")
+    val burstRule = col("max_events_hour") > maxPerHour
+    perUser.join(hourly, Seq("u"))
+      .filter(fastRule || burstRule)
+      .select(col("u").as("user_id"), col("n_events"),
+        col("median_gap_s"), fastFrac.as("fast_frac"),
+        col("max_events_hour"),
+        when(fastRule && burstRule, lit("fast+burst"))
+          .when(fastRule, lit("fast")).otherwise(lit("burst")).as("reason"))
+  }
+
+  /** Peak-hour concentration per event type: the busiest hour-of-day
+    * and its traffic share — the load-shape synopsis capacity planning
+    * reads. Argmax under (n DESC, hour ASC); shares are exact-count
+    * ratios. Two tiny aggregates over one corpus-scale
+    * (type, hour) count.
+    */
+  def peakHours(events: DataFrame, typeCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .select(col(typeCol).as("event_type"),
+        hour(col(tsCol)).cast("long").as("hod"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"))
+    val tot = hourly.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_total"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("hod"))
+    hourly.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .join(tot, Seq("event_type"))
+      .select(col("event_type"), col("hod").as("peak_hour"),
+        col("n").as("peak_n"), col("n_total"),
+        round(col("n").cast("double") / col("n_total").cast("double"), 6)
+          .as("peak_share"))
+  }
+
   /** Kaplan-Meier survival estimate of user lifetime (Kaplan & Meier
     * 1958) with right-censoring: a user's lifetime is last−first event
     * day; users whose last event is within `censorDays` of the
