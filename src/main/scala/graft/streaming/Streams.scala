@@ -106,6 +106,26 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"))
 
+  /** Streaming per-user rate limiting: (window, user) event counts
+    * with a watermark — the same streamable aggregate shape as
+    * [[windowedCounts]], keyed by user — filtered to windows where the
+    * count exceeds `limit`. State is one counter per (open window,
+    * active user); the watermark evicts closed windows, so state is
+    * bounded by active-users × open-windows regardless of history.
+    * Batch replay is the identical plan (what the oracle recomputes);
+    * the flag filter is stateless and runs inside the streaming plan.
+    */
+  def userRateFlags(events: DataFrame, window: String, limit: Long,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > limit)
+      .select(col("window.start").as("window_start"), col("user_id"),
+        col("n"))
+
   /** The sink-side half of [[windowedTopK]]: rank the finalized window
     * counts and keep k per window. Runs over the aggregate sink (or the
     * same frame in batch replay), never inside the streaming plan —
