@@ -47,7 +47,9 @@ object SparkEntry {
     graft.queries.Round8rQueries.queries ++
     graft.queries.Round8sQueries.queries ++
     graft.queries.Round8tQueries.queries ++
-    graft.queries.Round8uQueries.queries
+    graft.queries.Round8uQueries.queries ++
+    graft.queries.Round8vQueries.queries ++
+    graft.queries.Round8wQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -82,5 +84,7 @@ object SparkEntry {
     graft.queries.Round8rQueries.oracles ++
     graft.queries.Round8sQueries.oracles ++
     graft.queries.Round8tQueries.oracles ++
-    graft.queries.Round8uQueries.oracles
+    graft.queries.Round8uQueries.oracles ++
+    graft.queries.Round8vQueries.oracles ++
+    graft.queries.Round8wQueries.oracles
 }

@@ -939,6 +939,56 @@ object Dedup {
     * safe to collect: its size is the duplicate multiplicity, not the
     * corpus.
     */
+  /** Near-dup EXPLANATION: for each candidate pair, the longest run of
+    * consecutive matching token n-grams — the "show me WHERE they
+    * overlap" step after any dedup detector fires, and the evidence a
+    * removal decision gets reviewed on. Matching positions group into
+    * diagonal islands (diag = pos_a − pos_b; consecutive positions on
+    * one diagonal are one contiguous copied span, the classic dot-plot
+    * argument), islands reduce to (start_a, start_b, length), and the
+    * longest survives per pair under a total order. Grams are matched
+    * as STRINGS (array_join of token slices), so any engine replays
+    * the match set exactly — no hash function to mirror.
+    *
+    * Scale shape: gram explode is per-DOC-in-a-pair, not per-corpus —
+    * the pair list bounds everything; the island window partitions by
+    * (pair, diag), never more than one doc's grams in a partition.
+    */
+  def matchSpans(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
+    val g = docs.withColumn(s"${textCol}_toks", toks)
+      .select(col(idCol).as("_id"), col(s"${textCol}_toks"))
+      .select(col("_id"),
+        posexplode(expr(
+          s"transform(sequence(1, greatest(size(${textCol}_toks) - ${n - 1}, 0)), " +
+            s"i -> array_join(slice(${textCol}_toks, i, $n), ' '))"))
+          .as(Seq("_p", "_gram")))
+      .select(col("_id"), (col("_p") + 1).cast("long").as("_p"),
+        col("_gram"))
+    val m = pairs
+      .join(g.select(col("_id").as("id_a"), col("_p").as("pos_a"),
+        col("_gram").as("gram")), Seq("id_a"))
+      .join(g.select(col("_id").as("id_b"), col("_p").as("pos_b"),
+        col("_gram").as("gram")), Seq("id_b", "gram"))
+    val wd = Window.partitionBy(col("id_a"), col("id_b"), col("_diag"))
+      .orderBy(col("pos_a"))
+    val islands = m
+      .withColumn("_diag", col("pos_a") - col("pos_b"))
+      .withColumn("_isl", col("pos_a") -
+        row_number().over(wd).cast("long"))
+      .groupBy(col("id_a"), col("id_b"), col("_diag"), col("_isl"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        count(lit(1)).as("len_ngrams"))
+    val best = Window.partitionBy(col("id_a"), col("id_b"))
+      .orderBy(col("len_ngrams").desc, col("start_a"), col("start_b"))
+    islands.withColumn("_rn", row_number().over(best))
+      .filter(col("_rn") === 1)
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+        col("len_ngrams"), (col("len_ngrams") + (n - 1)).as("len_tokens"))
+  }
+
   def permutationInvariantGroups(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val lines = filter(
