@@ -251,6 +251,36 @@ object Behavior {
           .as("peak_share"))
   }
 
+  /** Day-of-week seasonal index per event type: the multiplicative
+    * ratio (type's per-active-day rate on that weekday) / (type's
+    * overall per-active-day rate) — >1 means the weekday runs hot.
+    * Active-day counts come from the OBSERVED calendar (distinct event
+    * dates in the table), so a partial first/last week doesn't bias
+    * the index; every term is a ratio of exact BIGINTs. dow is
+    * 1=Sunday..7=Saturday (Spark's dayofweek; the oracle maps DuckDB's
+    * 0-based dayofweek by +1). One (type, dow) count plus a
+    * dates-frame aggregate — nothing corpus-scale after the counts.
+    */
+  def seasonalIndex(events: DataFrame, typeCol: String,
+      tsCol: String): DataFrame = {
+    val d = events.select(col(typeCol).as("event_type"),
+      to_date(col(tsCol)).as("d"),
+      dayofweek(col(tsCol)).cast("long").as("dow"))
+    val byDow = d.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_dow"))
+    val byType = d.groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
+    val days = d.select(col("d"), col("dow")).distinct()
+    val dowDays = days.groupBy(col("dow")).agg(count(lit(1)).as("days_dow"))
+    val allDays = days.agg(count(lit(1)).as("days_all"))
+    byDow.join(byType, Seq("event_type"))
+      .join(broadcast(dowDays), Seq("dow"))
+      .crossJoin(broadcast(allDays))
+      .select(col("event_type"), col("dow"), col("n_dow"), col("days_dow"),
+        round((col("n_dow").cast("double") / col("days_dow").cast("double")) /
+          (col("n_type").cast("double") / col("days_all").cast("double")), 6)
+          .as("seasonal_index"))
+  }
+
   /** Kaplan-Meier survival estimate of user lifetime (Kaplan & Meier
     * 1958) with right-censoring: a user's lifetime is last−first event
     * day; users whose last event is within `censorDays` of the

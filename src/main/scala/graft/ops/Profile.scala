@@ -421,6 +421,34 @@ object Profile {
           .as("outlier_rate"))
   }
 
+  /** Quantile-rank (percent-rank) normalization table per group: for
+    * every distinct integer value, percent_rank = (#values strictly
+    * below)/(n−1) — the rank transform feature engineering applies to
+    * heavy-tailed columns before any distance-based model. Computed at
+    * DISTINCT-value grain (one corpus-scale count, then a window over
+    * the per-group distinct-value frame, |values| ≪ rows), so the
+    * lookup table this returns is exactly what a scoring join
+    * broadcasts. All ratios of exact BIGINTs; NULL when a group has a
+    * single row (undefined).
+    */
+  def quantileRank(df: DataFrame, groupCol: Column,
+      valueCents: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(groupCol.as("g"), valueCents.cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = counts.groupBy(col("g")).agg(sum(col("n")).as("n_total"))
+    counts
+      .withColumn("n_below", coalesce(sum(col("n")).over(w), lit(0L)))
+      .join(tot, Seq("g"))
+      .select(col("g"), col("v").as("value_cents"), col("n"),
+        when(col("n_total") > 1L,
+          round(col("n_below").cast("double") /
+            (col("n_total") - 1L).cast("double"), 6)).as("pct_rank"))
+  }
+
   /** Declarative data-expectation audit (the Great-Expectations /
     * dbt-test shape): each row rule is (name, column, violation
     * predicate) — not-null, range, set membership, regex, anything
