@@ -50,7 +50,8 @@ object SparkEntry {
     graft.queries.Round8uQueries.queries ++
     graft.queries.Round8vQueries.queries ++
     graft.queries.Round8wQueries.queries ++
-    graft.queries.Round8xQueries.queries
+    graft.queries.Round8xQueries.queries ++
+    graft.queries.Round8yQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -88,5 +89,6 @@ object SparkEntry {
     graft.queries.Round8uQueries.oracles ++
     graft.queries.Round8vQueries.oracles ++
     graft.queries.Round8wQueries.oracles ++
-    graft.queries.Round8xQueries.oracles
+    graft.queries.Round8xQueries.oracles ++
+    graft.queries.Round8yQueries.oracles
 }

@@ -421,6 +421,49 @@ object Profile {
           .as("outlier_rate"))
   }
 
+  /** One-pass Pearson correlation matrix over integer-cents columns:
+    * ALL C(k,2) coefficients from a single corpus scan — per-row
+    * products stay in long range, sums go through decimal(38,0) (the
+    * Σx² of a 10⁷-cent column over 10⁶ rows overflows a long), and
+    * each r is the usual (nΣxy−ΣxΣy)/(√·√) computed in double AFTER
+    * the exact sums — both engines convert the same exact integers to
+    * the same doubles, so the rounded matrix is engine-exact. NULL
+    * where either column is constant.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    // per-row products run in decimal(19,0)×decimal(19,0) →
+    // decimal(38,0): exact, and immune to the ANSI long-overflow a
+    // large-cents column squared would hit
+    val named = cols.map { case (nm, c) =>
+      nm -> c.cast("long").cast("decimal(19,0)") }
+    val aggs =
+      named.flatMap { case (nm, c) =>
+        Seq(sum(c).as(s"_s_$nm"), sum(c * c).as(s"_ss_$nm"))
+      } ++
+      named.combinations(2).toSeq.map { case Seq((na, ca), (nb, cb)) =>
+        sum(ca * cb).as(s"_sp_${na}_$nb")
+      }
+    val g = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    val pairs = named.map(_._1).combinations(2).toSeq.map {
+      case Seq(na, nb) =>
+        val nD = col("_n").cast("double")
+        val sx = col(s"_s_$na").cast("double")
+        val sy = col(s"_s_$nb").cast("double")
+        val sxy = col(s"_sp_${na}_$nb").cast("double")
+        val sxx = col(s"_ss_$na").cast("double")
+        val syy = col(s"_ss_$nb").cast("double")
+        val varX = nD * sxx - sx * sx
+        val varY = nD * syy - sy * sy
+        struct(lit(na).as("col_a"), lit(nb).as("col_b"),
+          col("_n").as("n"),
+          when(varX > 0 && varY > 0,
+            round((nD * sxy - sx * sy) / (sqrt(varX) * sqrt(varY)), 6))
+            .as("corr"))
+    }
+    g.select(explode(array(pairs: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Quantile-rank (percent-rank) normalization table per group: for
     * every distinct integer value, percent_rank = (#values strictly
     * below)/(n−1) — the rank transform feature engineering applies to
