@@ -44,4 +44,34 @@ object Tables {
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Build-once derived table for incremental-maintenance queries: the
+    * "stored state an earlier job wrote" side of an incremental op
+    * really is written — to parquet under the system temp dir, keyed
+    * by source dir and fixture name, on first use (the bench's untimed
+    * warmup pass) — so timed passes price the MAINTENANCE op reading
+    * its stored input, not a rebuild of that input (r8 verdict on
+    * q_cooccur_update). Staged-write + atomic rename keeps concurrent
+    * processes from reading a half-written fixture; correctness is
+    * indifferent to which process' (identical, deterministic) build
+    * wins.
+    */
+  def storedFixture(spark: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame = {
+    val key = name + "_" +
+      java.lang.Integer.toHexString(new java.io.File(dir).getAbsolutePath.hashCode)
+    val root = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_fixtures"), key)
+    if (!new java.io.File(root, "_SUCCESS").exists()) {
+      if (root.exists()) // debris from a crashed build
+        org.apache.commons.io.FileUtils.deleteDirectory(root)
+      val stage = new java.io.File(root.getParentFile,
+        key + "_stage_" + java.lang.ProcessHandle.current().pid())
+      build.write.mode("overwrite").parquet(stage.toString)
+      if (!stage.renameTo(root)) { // lost the race: another process won
+        org.apache.commons.io.FileUtils.deleteDirectory(stage)
+      }
+    }
+    spark.read.parquet(root.toString)
+  }
 }

@@ -50,17 +50,23 @@ object Behavior {
     * Frequency (event count) and Monetary (integer-cents value sum —
     * summing cents keeps the aggregate engine-exact where a double sum
     * is order-dependent), each bucketed into `buckets` quintile-style
-    * groups by NTILE under a TOTAL order (metric, then user id — an
-    * untied NTILE is what makes the segment assignment
+    * groups equal to NTILE under a TOTAL order (metric, then user id —
+    * an untied NTILE is what makes the segment assignment
     * cross-engine-deterministic). Higher bucket = better (more recent
-    * / more active / more spend). One aggregate to user grain —
-    * after which ANY corpus size has collapsed to |users| rows — and
-    * three windows over that frame.
+    * / more active / more spend). One aggregate to user grain — after
+    * which ANY corpus size has collapsed to |users| rows — but |users|
+    * at 100 TB is itself hundreds of millions, so the tiles are NOT
+    * computed by an unpartitioned NTILE window (the r8 shape: three
+    * single-task sorts of the user frame). Instead [[exactTile]]
+    * finds each user's exact global rank with the two-level
+    * rough-bucket shape (rank windows partitioned by bucket; the one
+    * ordered-unpartitioned window runs over a ≤64-row histogram) and
+    * maps rank → tile with NTILE's own arithmetic, reproducing the
+    * window function value for value.
     */
   def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
       valueCol: String, buckets: Int = 5): DataFrame = {
     require(buckets >= 2, "buckets >= 2")
-    import org.apache.spark.sql.expressions.Window
     val per = events
       .select(col(userCol).cast("long").as("user_id"),
         unix_timestamp(col(tsCol)).as("es"),
@@ -68,13 +74,57 @@ object Behavior {
       .groupBy(col("user_id"))
       .agg(max(col("es")).as("last_es"), count(lit(1)).as("n_events"),
         sum(col("cents")).as("cents"))
-    def tile(metric: Column) =
-      ntile(buckets).over(Window.orderBy(metric, col("user_id")))
-    per
-      .withColumn("r", tile(col("last_es")))
-      .withColumn("f", tile(col("n_events")))
-      .withColumn("m", tile(col("cents")))
+    exactTile(exactTile(exactTile(per,
+        col("last_es"), buckets, "r"),
+        col("n_events"), buckets, "f"),
+        col("cents"), buckets, "m")
       .withColumn("segment", concat_ws("-", col("r"), col("f"), col("m")))
+  }
+
+  /** `NTILE(k) OVER (ORDER BY metric, user_id)` without the
+    * unpartitioned window: the exact 1-based global rank comes from
+    * rough order-preserving buckets (percentile_approx cut points —
+    * accuracy shapes only bucket balance, never the rank, because
+    * equal metrics share a bucket and bucket order follows metric
+    * order), per-bucket `row_number` PARTITIONED by bucket, plus the
+    * bucket-histogram prefix offset (the one ordered-unpartitioned
+    * window, over ≤64 rows). Rank r of N then maps to NTILE's tile by
+    * its spec arithmetic: the first N mod k tiles take ⌈N/k⌉ rows,
+    * the rest ⌊N/k⌋ — integer-exact, so the result is the window
+    * function's value for value.
+    */
+  private def exactTile(df: DataFrame, metric: Column, buckets: Int,
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nRough = 64
+    val cuts = df.agg(percentile_approx(metric.cast("double"),
+      array((1 until nRough).map(i => lit(i.toDouble / nRough)): _*),
+      lit(1000)).as("_cuts"), count(lit(1)).as("_N"))
+    val b = df.crossJoin(broadcast(cuts))
+      .withColumn("_b", coalesce(aggregate(col("_cuts"), lit(0),
+        (acc, c) => acc + when(metric.cast("double") > c, 1).otherwise(0)),
+        lit(0)))
+    val hist = b.groupBy(col("_b")).agg(count(lit(1)).as("_n"))
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hist.withColumn("_off",
+        coalesce(sum(col("_n")).over(wOff), lit(0L)))
+      .select(col("_b"), col("_off"))
+    val wRank = Window.partitionBy(col("_b"))
+      .orderBy(metric, col("user_id"))
+    val q = ((col("_N") - pmod(col("_N"), lit(buckets))) / buckets)
+      .cast("long")
+    val rem = pmod(col("_N"), lit(buckets)).cast("long")
+    val big = rem * (q + 1L) // rows covered by the ⌈N/k⌉-sized tiles
+    val r = col("_r")
+    b.join(offs, Seq("_b"))
+      .withColumn("_r", col("_off") + row_number().over(wRank).cast("long"))
+      .withColumn(outCol,
+        when(r <= big, floor((r + q).cast("double") / (q + 1L).cast("double")))
+          .otherwise(rem + floor((r - big + q - 1L).cast("double") /
+            greatest(q, lit(1L)).cast("double")))
+          .cast("int"))
+      .drop("_b", "_off", "_r", "_cuts", "_N")
   }
 
   /** Exponentially time-decayed per-user value — the recency-weighted

@@ -922,23 +922,6 @@ object Dedup {
         col("keep_id"), (col("id") === col("keep_id")).as("is_kept"))
   }
 
-  /** Line-permutation-invariant exact dedup: documents whose non-empty
-    * trimmed LINES form the same multiset match even when the lines
-    * were reordered — the scraped-page section-shuffle / list-reorder
-    * duplicates that byte-exact dedup misses entirely and Jaccard
-    * near-dedup only catches above its threshold. Lines are the right
-    * unit because their boundaries are content-defined: a reordering
-    * preserves each line verbatim, whereas positional token chunks
-    * would re-segment differently after the shuffle. The order-free
-    * fingerprint is md5 over the SORTED list of per-line md5s: sorting
-    * the 16-byte line hashes (not the line text) keeps the row cost
-    * O(lines log lines), and the rest is the same tiny fingerprint
-    * groupBy as [[exact]] — one corpus scan, one shuffle of
-    * (id, 32-byte fp) rows. Single-line documents degrade to exact
-    * dedup (modulo surrounding whitespace). The group member list is
-    * safe to collect: its size is the duplicate multiplicity, not the
-    * corpus.
-    */
   /** Near-dup EXPLANATION: for each candidate pair, the longest run of
     * consecutive matching token n-grams — the "show me WHERE they
     * overlap" step after any dedup detector fires, and the evidence a
@@ -961,9 +944,14 @@ object Dedup {
     val g = docs.withColumn(s"${textCol}_toks", toks)
       .select(col(idCol).as("_id"), col(s"${textCol}_toks"))
       .select(col("_id"),
+        // the short-doc guard is load-bearing: sequence(1, 0) is the
+        // DESCENDING array [1, 0], and slice(toks, 0, n) throws — one
+        // sub-n-token doc anywhere in the corpus would kill the query
         posexplode(expr(
-          s"transform(sequence(1, greatest(size(${textCol}_toks) - ${n - 1}, 0)), " +
-            s"i -> array_join(slice(${textCol}_toks, i, $n), ' '))"))
+          s"CASE WHEN size(${textCol}_toks) >= $n THEN " +
+            s"transform(sequence(1, size(${textCol}_toks) - ${n - 1}), " +
+            s"i -> array_join(slice(${textCol}_toks, i, $n), ' ')) " +
+            s"ELSE array() END"))
           .as(Seq("_p", "_gram")))
       .select(col("_id"), (col("_p") + 1).cast("long").as("_p"),
         col("_gram"))
@@ -989,6 +977,23 @@ object Dedup {
         col("len_ngrams"), (col("len_ngrams") + (n - 1)).as("len_tokens"))
   }
 
+  /** Line-permutation-invariant exact dedup: documents whose non-empty
+    * trimmed LINES form the same multiset match even when the lines
+    * were reordered — the scraped-page section-shuffle / list-reorder
+    * duplicates that byte-exact dedup misses entirely and Jaccard
+    * near-dedup only catches above its threshold. Lines are the right
+    * unit because their boundaries are content-defined: a reordering
+    * preserves each line verbatim, whereas positional token chunks
+    * would re-segment differently after the shuffle. The order-free
+    * fingerprint is md5 over the SORTED list of per-line md5s: sorting
+    * the 16-byte line hashes (not the line text) keeps the row cost
+    * O(lines log lines), and the rest is the same tiny fingerprint
+    * groupBy as [[exact]] — one corpus scan, one shuffle of
+    * (id, 32-byte fp) rows. Single-line documents degrade to exact
+    * dedup (modulo surrounding whitespace). The group member list is
+    * safe to collect: its size is the duplicate multiplicity, not the
+    * corpus.
+    */
   def permutationInvariantGroups(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val lines = filter(

@@ -118,27 +118,67 @@ object Layout {
     * percentile definition coincides across engines, making every
     * output field oracle-exact.
     *
-    * All parts−1 bounds come out of ONE sorted-collect aggregate
-    * buffer: `percentile_disc(p)` is the element at 1-based position
-    * ceil(p·N) of the non-null ascending order (spec-pinned against
-    * the built-in), and stacking parts−1 separate percentile_disc
-    * expressions made Catalyst hold parts−1 independent full-column
-    * buffers — measured 2.5 s → 0.6 s on the sf0.1 bench row at
-    * parts=8. Either way the planning aggregate buffers the key column
-    * of one table; at 100 TB you run it on the standard
-    * repartitionByRange-style SAMPLE of the keys, which preserves the
-    * audit's purpose (bounds + skew surface) if not bit-exactness.
+    * The bounds are EXACT order statistics found distributively (the
+    * r9 rewrite of an r8 sorted-collect that buffered the whole key
+    * column in one aggregate row — an OOM by design at 100 TB, in the
+    * very operator whose purpose is planning 100 TB sorted writes):
+    * `percentile_disc(p)` is the element at 1-based position ceil(p·N)
+    * of the non-null ascending order (spec-pinned against the
+    * built-in), and that element is located with the same two-level
+    * shape as [[assignStableIds]] — rough order-preserving buckets
+    * from `percentile_approx` cut points (their accuracy affects only
+    * bucket BALANCE, never the answer: equal keys always share a
+    * bucket and bucket order follows key order because the double
+    * image of the key is monotone), a ≤64-row bucket histogram whose
+    * prefix sums turn global target positions into (bucket, local
+    * rank) addresses, and a rank window PARTITIONED by bucket that
+    * runs only inside the ≤parts−1 owner buckets. No task ever holds
+    * more than ~1/64 of one column, so the exact audit itself now
+    * scales; keys must be numeric (double-castable) for the rough
+    * cut-point pass.
     */
   def rangePartitionPlan(df: DataFrame, keyCol: String,
       parts: Int): DataFrame = {
     require(parts >= 2, "need parts >= 2")
-    val bounds = df.filter(col(keyCol).isNotNull)
-      .agg(sort_array(collect_list(col(keyCol))).as("_s"))
-      .select(array((1 until parts).map { i =>
-        element_at(col("_s"),
-          greatest(ceil(size(col("_s")) * i.toDouble / parts), lit(1.0))
-            .cast("int"))
-      }: _*).as("_bounds"))
+    val nRough = 64
+    val keys = df.filter(col(keyCol).isNotNull).select(col(keyCol).as("_k"))
+    val cuts = keys.agg(percentile_approx(col("_k").cast("double"),
+      array((1 until nRough).map(i => lit(i.toDouble / nRough)): _*),
+      lit(1000)).as("_cuts"))
+    val bucketed = keys.crossJoin(broadcast(cuts))
+      .withColumn("_b", coalesce(aggregate(col("_cuts"), lit(0),
+        (acc, c) => acc + when(col("_k").cast("double") > c, 1).otherwise(0)),
+        lit(0)))
+      .select(col("_k"), col("_b"))
+    val hist = bucketed.groupBy(col("_b")).agg(count(lit(1)).as("_n"))
+    // ≤ nRough rows: the only ordered-unpartitioned window runs over
+    // the bucket histogram, never the data
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hist.withColumn("_off",
+      coalesce(sum(col("_n")).over(wOff), lit(0L)))
+    // target 1-based global positions pos_i = max(ceil(N·i/parts), 1)
+    val targets = hist.agg(sum(col("_n")).as("_N"))
+      .select(posexplode(array((1 until parts).map(i =>
+        greatest(ceil(col("_N") * i.toDouble / parts), lit(1.0))
+          .cast("long")): _*)).as(Seq("_i", "_pos")))
+    val owner = targets.join(offs,
+        col("_pos") > col("_off") && col("_pos") <= col("_off") + col("_n"))
+      .select(col("_i"), col("_b"), (col("_pos") - col("_off")).as("_local"))
+    // rank only inside the owner buckets; ties in _k permute equal
+    // values, so the picked VALUE at each rank is well-defined
+    val wRank = Window.partitionBy(col("_b")).orderBy(col("_k"))
+    val picked = bucketed
+      .join(broadcast(owner.select(col("_b")).distinct()), Seq("_b"),
+        "leftsemi")
+      .withColumn("_r", row_number().over(wRank).cast("long"))
+      .join(broadcast(owner), Seq("_b"))
+      .filter(col("_r") === col("_local"))
+    // ≤ parts−1 rows reach this collect_list — bound-count, not corpus
+    val bounds = picked
+      .agg(array_sort(collect_list(struct(col("_i"), col("_k").as("_v"))))
+        .as("_s"))
+      .select(transform(col("_s"), s => s.getField("_v")).as("_bounds"))
     df.select(col(keyCol).as("_k")).crossJoin(broadcast(bounds))
       .withColumn("part", aggregate(col("_bounds"), lit(0),
         (acc, b) => acc + when(col("_k") > b, 1).otherwise(0)))

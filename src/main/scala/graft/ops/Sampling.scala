@@ -132,7 +132,11 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= quota)
+    // `_quota_rk` (1..quota, the selection rank) is part of the output
+    // contract; the underscored name keeps it from colliding with (and
+    // silently overwriting) an input column
+    df.withColumn("_quota_rk", row_number().over(w))
+      .filter(col("_quota_rk") <= quota)
   }
 
   /** Temperature-based mixture sampling (the GPT-3/PaLM data-mixture
@@ -308,7 +312,14 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col(textCol))).as("avail_tokens"))
       .withColumn("weight", weightExpr.cast("long"))
+    // fail fast in-plan: a zero/negative weight total (e.g. fractional
+    // weightExpr truncated to 0 by the long cast) would otherwise
+    // yield silent NULL targets, violating Σ target_tokens == budget
     val tot = per.agg(sum(col("weight")).as("_w_total"))
+      .withColumn("_w_total", when(col("_w_total") > 0, col("_w_total"))
+        .otherwise(raise_error(concat(
+          lit("tokenBudgetExact: weight total must be positive, got "),
+          col("_w_total").cast("string")))))
     val based = per.crossJoin(broadcast(tot))
       .withColumn("base_tokens",
         expr(s"${budgetTokens}L * weight DIV _w_total"))

@@ -771,8 +771,11 @@ object TextAnalysis {
     val meanWordLen =
       length(regexp_replace(t, "\\s", "")).cast("double") / nTokD
     val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    // both ellipsis spellings count as one mark each: ASCII "..."
+    // (3 chars removed per mark) and U+2026 (1 char per mark)
     val ellipses = (length(t) -
-      length(regexp_replace(t, "\\.\\.\\.", ""))).cast("double") / lit(3.0)
+      length(regexp_replace(t, "\\.\\.\\.", ""))).cast("double") / lit(3.0) +
+      (length(t) - length(regexp_replace(t, "…", ""))).cast("double")
     val symbolRatio = (hashes.cast("double") + ellipses) / nTokD
     val alphaFrac = size(filter(toks,
       w => w.rlike("[a-z]"))).cast("double") / nTokD

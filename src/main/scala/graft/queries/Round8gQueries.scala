@@ -110,7 +110,7 @@ object Round8gQueries {
     "q_sample_quota" -> ((s, dir) =>
       Sampling.quotaSample(Tables.load(s, dir, "documents"),
           "doc_id", "source", quota = 12)
-        .select(col("doc_id"), col("source"), col("rk"))
+        .select(col("doc_id"), col("source"), col("_quota_rk").as("rk"))
         .orderBy(col("source"), col("rk"))),
 
     // ---- tokenizer fertility per source ----

@@ -84,10 +84,17 @@ object Round8hQueries {
       // stored = first 20 days (unthresholded pair table an earlier job
       // wrote); batch = the rest. The oracle REBUILDS from all events:
       // the query passing proves incremental ≡ rebuild exactly.
+      // The stored table really IS a table a prior job wrote: it lands
+      // in parquet on first use (the bench warmup pass), so the timed
+      // passes price the MAINTENANCE op — read stored + merge batch,
+      // the daily-ingest shape — not a rebuild of the fixture (r8
+      // verdict: the row benched the rebuild it exists to avoid).
       val ev = Tables.load(s, dir, "events")
       val cut = lit("2024-01-21 00:00:00").cast("timestamp")
-      val stored = Graphs.itemCooccurrence(ev.filter(col("ts") < cut),
-        "user_id", date_trunc("hour", col("ts")), itemOf, minSupport = 1)
+      val stored = Tables.storedFixture(s, dir, "cooccur_stored_v1") {
+        Graphs.itemCooccurrence(ev.filter(col("ts") < cut),
+          "user_id", date_trunc("hour", col("ts")), itemOf, minSupport = 1)
+      }
       Graphs.updateCooccurrence(stored, ev.filter(col("ts") >= cut),
           "user_id", date_trunc("hour", col("ts")), itemOf)
         .orderBy(col("item_a"), col("item_b"))

@@ -210,5 +210,11 @@ class Round8gSpec extends AnyFunSuite {
     val again = Sampling.quotaSample(df, "id", "src", quota = 7)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(again === out.select("id").collect().map(_.getLong(0)).toSet)
+    // r9 regression (ADVICE r8): an input column named "rk" must
+    // survive instead of being silently overwritten by the rank
+    val withRk = df.withColumn("rk", lit(99))
+    val kept = Sampling.quotaSample(withRk, "id", "src", quota = 7)
+    assert(kept.columns.count(_ == "rk") === 1)
+    assert(kept.select("rk").distinct().collect().map(_.getInt(0)).toSeq === Seq(99))
   }
 }

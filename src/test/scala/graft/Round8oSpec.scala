@@ -36,6 +36,18 @@ class Round8oSpec extends AnyFunSuite {
     assert(r.values.sum === 101L)
   }
 
+  test("tokenBudgetExact: zero weight total fails fast, not silent NULL targets") {
+    // r9 regression (ADVICE r8): a fractional weightExpr truncated to 0
+    // by the long cast used to yield NULL base/target_tokens silently,
+    // violating the Σ target_tokens == budget contract
+    val docs = Seq(("a", "x"), ("b", "x")).toDF("source", "text")
+    val e = intercept[Exception] {
+      Sampling.tokenBudgetExact(docs, "source", "text",
+        weightExpr = lit(0.4), budgetTokens = 10L).collect()
+    }
+    assert(e.getMessage.contains("weight total must be positive"))
+  }
+
   test("madOutliers: whale flagged, sigma not inflated") {
     val df = Seq(1L, 2L, 3L, 4L, 100L).map(("g", _)).toDF("g", "x")
     val r = Profile.madOutliers(df, col("g"), col("x")).head()

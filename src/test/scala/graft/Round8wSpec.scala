@@ -45,4 +45,18 @@ class Round8wSpec extends AnyFunSuite {
     assert(Dedup.matchSpans(docs, "id", "text", pairs, n = 3)
       .collect().isEmpty)
   }
+
+  test("matchSpans: sub-n-token / empty docs in the corpus don't crash the query") {
+    // r9 regression (ADVICE r8): sequence(1, 0) is the DESCENDING
+    // [1, 0] and slice(toks, 0, n) threw — one short doc anywhere in
+    // the corpus killed the whole query even when it was in no pair
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "z a b c d e f"),
+      (3L, "tiny"), (4L, ""), (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val r = Dedup.matchSpans(docs, "id", "text", pairs, n = 3).collect()
+    assert(r.length === 1) // the short-doc pair has no grams at all
+    assert(r.head.getAs[Long]("len_ngrams") === 4L)
+  }
 }
