@@ -382,4 +382,89 @@ object Behavior {
       .select(col("t"), col("n_risk"), col("n_churn"), col("n_cens"),
         col("survival"))
   }
+
+  /** Weekly cohort-retention matrix: users are grouped by their first
+    * active week (epoch-week = epoch-seconds DIV 604800 — an integer
+    * every engine derives identically, with no Monday-vs-Sunday
+    * week-start convention to mirror), and cell (cohort_wk, offset)
+    * counts how many of that cohort were active `offset` weeks later.
+    * The retention rate is the ONE division in the output, rounded
+    * once — IEEE division is correctly rounded, so it is engine-exact
+    * on the integer counts.
+    *
+    * Scale shape: distinct to user-week grain (one shuffle of (user,
+    * week) pairs — the corpus collapses before anything else), a
+    * user-keyed min-aggregate for the cohort week, a user-keyed join
+    * that is CO-PARTITIONED with it (no extra shuffle under AQE), and
+    * a final aggregate at (cohort, offset) grain — weeks², tiny. The
+    * cohort-size join broadcasts the weeks-sized cohort frame.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val uw = events
+      .select(col(userCol).cast("long").as("user_id"),
+        (unix_timestamp(col(tsCol)) - pmod(unix_timestamp(col(tsCol)),
+          lit(604800L))).as("_ws"))
+      .select(col("user_id"), (col("_ws") / 604800L).cast("long").as("wk"))
+      .distinct()
+    val firstW = uw.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    val cells = uw.join(firstW, Seq("user_id"))
+      .groupBy(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.filter(col("week_offset") === 0)
+      .select(col("cohort_wk"), col("n_active").as("cohort_size"))
+    cells.join(broadcast(sizes), Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") /
+          col("cohort_size").cast("double"), 6).as("retention"))
+  }
+
+  /** CUSUM level-shift detection over the daily event-count series,
+    * in INTEGER space: with D days, N total events and daily count
+    * n_t, the deviation dev_t = n_t·D − N (the count minus the mean,
+    * scaled by D to stay integral), prefix_t = Σ dev, and the classic
+    * one-sided CUSUM recursions S⁺_t = max(0, S⁺_{t−1} + dev_t),
+    * S⁻_t = max(0, S⁻_{t−1} − dev_t) are NOT computed recursively but
+    * by their closed prefix form — S⁺_t = prefix_t − min(0, min_{j≤t}
+    * prefix_j), S⁻_t = max(0, max_{j≤t} prefix_j) − prefix_t — which
+    * is pure window algebra any engine replays exactly. The alarm
+    * fires when a CUSUM exceeds `alarmMeanDays` mean-days of
+    * cumulative drift (threshold h·mean·D = h·N, still integral).
+    *
+    * Scale shape: ONE corpus-scale map-combinable aggregate to the
+    * days frame; every window after runs ordered-unpartitioned over
+    * that frame, which is bounded by CALENDAR DAYS (≤366/year at any
+    * corpus size) — the whitelisted bounded-carry shape, not a data
+    * window.
+    */
+  def cusumChangepoint(events: DataFrame, tsCol: String,
+      alarmMeanDays: Int = 3): DataFrame = {
+    require(alarmMeanDays >= 1, "alarmMeanDays >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select((unix_timestamp(col(tsCol)) - pmod(unix_timestamp(col(tsCol)),
+        lit(86400L))).as("_ds"))
+      .select((col("_ds") / 86400L).cast("long").as("day_idx"))
+      .groupBy(col("day_idx")).agg(count(lit(1)).as("n"))
+    val tot = daily.agg(sum(col("n")).as("_N"),
+      count(lit(1)).as("_D"))
+    val wRun = Window.orderBy(col("day_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = daily.crossJoin(broadcast(tot))
+      .withColumn("_dev", col("n") * col("_D") - col("_N"))
+      .withColumn("_pre", sum(col("_dev")).over(wRun))
+    pre
+      .withColumn("_runmin", min(col("_pre")).over(wRun))
+      .withColumn("_runmax", max(col("_pre")).over(wRun))
+      .select(col("day_idx"), col("n"),
+        (col("_pre") - least(col("_runmin"), lit(0L))).as("cusum_pos"),
+        (greatest(col("_runmax"), lit(0L)) - col("_pre")).as("cusum_neg"),
+        (col("_pre") - least(col("_runmin"), lit(0L)) >
+          lit(alarmMeanDays) * col("_N")).as("alarm_pos"),
+        (greatest(col("_runmax"), lit(0L)) - col("_pre") >
+          lit(alarmMeanDays) * col("_N")).as("alarm_neg"))
+  }
 }

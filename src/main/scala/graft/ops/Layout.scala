@@ -140,8 +140,44 @@ object Layout {
   def rangePartitionPlan(df: DataFrame, keyCol: String,
       parts: Int): DataFrame = {
     require(parts >= 2, "need parts >= 2")
-    val nRough = 64
     val keys = df.filter(col(keyCol).isNotNull).select(col(keyCol).as("_k"))
+    // target 1-based global positions pos_i = max(ceil(N·i/parts), 1)
+    val bounds = orderStats(keys, (1 until parts).map(i =>
+        greatest(ceil(col("_N") * i.toDouble / parts), lit(1.0))
+          .cast("long")))
+      .select(col("_stats").as("_bounds"))
+    df.select(col(keyCol).as("_k")).crossJoin(broadcast(bounds))
+      .withColumn("part", aggregate(col("_bounds"), lit(0),
+        (acc, b) => acc + when(col("_k") > b, 1).otherwise(0)))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n"),
+        min(col("_k")).as("min_key"), max(col("_k")).as("max_key"))
+  }
+
+  /** Exact order statistics of a numeric column, distributively: the
+    * values at the given 1-based positions of the ascending non-null
+    * order of `keys`' `_k` column, without any task ever holding more
+    * than ~1/64 of the column. Each element of `posExprs` may
+    * reference `col("_N")` (the non-null row count) and must evaluate
+    * to a 1-based long position; the result is ONE row whose `_stats`
+    * array holds the value at each position, in `posExprs` order.
+    *
+    * Shape (shared by [[rangePartitionPlan]], [[assignStableIds]]'s
+    * sibling, `Profile.winsorizedStats`): rough order-preserving
+    * buckets from `percentile_approx` cut points — their accuracy
+    * shapes only bucket BALANCE, never the answer, because the double
+    * image of the key is monotone so equal keys share a bucket and
+    * bucket order follows key order — then a ≤64-row bucket histogram
+    * whose prefix sums translate global positions into (bucket, local
+    * rank) addresses, and a rank window PARTITIONED by bucket that
+    * runs only inside the owner buckets. The one ordered-unpartitioned
+    * window is over the histogram; the final collect_list sees
+    * |posExprs| rows, not the corpus.
+    */
+  private[graft] def orderStats(keys: DataFrame,
+      posExprs: Seq[Column]): DataFrame = {
+    require(posExprs.nonEmpty, "need at least one position")
+    val nRough = 64
     val cuts = keys.agg(percentile_approx(col("_k").cast("double"),
       array((1 until nRough).map(i => lit(i.toDouble / nRough)): _*),
       lit(1000)).as("_cuts"))
@@ -157,11 +193,8 @@ object Layout {
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = hist.withColumn("_off",
       coalesce(sum(col("_n")).over(wOff), lit(0L)))
-    // target 1-based global positions pos_i = max(ceil(N·i/parts), 1)
     val targets = hist.agg(sum(col("_n")).as("_N"))
-      .select(posexplode(array((1 until parts).map(i =>
-        greatest(ceil(col("_N") * i.toDouble / parts), lit(1.0))
-          .cast("long")): _*)).as(Seq("_i", "_pos")))
+      .select(posexplode(array(posExprs: _*)).as(Seq("_i", "_pos")))
     val owner = targets.join(offs,
         col("_pos") > col("_off") && col("_pos") <= col("_off") + col("_n"))
       .select(col("_i"), col("_b"), (col("_pos") - col("_off")).as("_local"))
@@ -174,17 +207,10 @@ object Layout {
       .withColumn("_r", row_number().over(wRank).cast("long"))
       .join(broadcast(owner), Seq("_b"))
       .filter(col("_r") === col("_local"))
-    // ≤ parts−1 rows reach this collect_list — bound-count, not corpus
-    val bounds = picked
+    picked
       .agg(array_sort(collect_list(struct(col("_i"), col("_k").as("_v"))))
         .as("_s"))
-      .select(transform(col("_s"), s => s.getField("_v")).as("_bounds"))
-    df.select(col(keyCol).as("_k")).crossJoin(broadcast(bounds))
-      .withColumn("part", aggregate(col("_bounds"), lit(0),
-        (acc, b) => acc + when(col("_k") > b, 1).otherwise(0)))
-      .groupBy(col("part"))
-      .agg(count(lit(1)).as("n"),
-        min(col("_k")).as("min_key"), max(col("_k")).as("max_key"))
+      .select(transform(col("_s"), s => s.getField("_v")).as("_stats"))
   }
 
   /** Zone-map pruning audit: the number that says what sort-clustering

@@ -569,4 +569,43 @@ object Profile {
       .select(col("digit"), col("n_obs"), round(col("expected"), 6)
         .as("expected"), round(col("contrib"), 6).as("contrib"), col("chi2"))
   }
+
+  /** Winsorized per-group statistics: values (as integer cents, so
+    * every sum is engine-exact) are clipped at the k-th smallest and
+    * k-th largest GLOBAL values with k = max(⌈N·tailFrac⌉, 1) — a
+    * RANK-based clip, not a percentile-interpolation one, because the
+    * k-th order statistic is a value that exists in the data and any
+    * engine finds the same one, while interpolated percentiles differ
+    * across engines in evaluation order at the ulp. The whale-damping
+    * step before a mean/sum is trusted (ad spend, session length),
+    * reported per group: row count, clip counts at each tail, and the
+    * clipped integer sum.
+    *
+    * Scale shape: the two order statistics come from
+    * [[Layout.orderStats]] (two-level rough-bucket rank — no task
+    * holds more than ~1/64 of the column), broadcast back as one row;
+    * the clip itself is a per-row expression feeding ONE
+    * map-combinable aggregate. Two scans of the fact, zero extra
+    * shuffles.
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+      tailFrac: Double): DataFrame = {
+    require(tailFrac > 0 && tailFrac < 0.5, "tailFrac in (0, 0.5)")
+    val cents = round(col(valueCol) * 100).cast("long")
+    val keys = df.filter(col(valueCol).isNotNull).select(cents.as("_k"))
+    val k = greatest(ceil(col("_N") * tailFrac), lit(1.0)).cast("long")
+    val bounds = Layout.orderStats(keys, Seq(k, col("_N") + 1L - k))
+      .select(element_at(col("_stats"), 1).as("_lo"),
+        element_at(col("_stats"), 2).as("_hi"))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), cents.as("_c"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("_c") < col("_lo")).cast("long")).as("n_clip_lo"),
+        sum((col("_c") > col("_hi")).cast("long")).as("n_clip_hi"),
+        sum(greatest(least(col("_c"), col("_hi")), col("_lo")))
+          .as("sum_cents_winsor"),
+        min(col("_lo")).as("lo_cents"), min(col("_hi")).as("hi_cents"))
+  }
 }

@@ -43,6 +43,9 @@ class UnpartitionedWindowAuditSpec extends AnyFunSuite {
     // frequentPaths: top-K rank over the distinct |event_type|^len
     // path-count frame (Graphs.scala)
     "q_path_mining" -> 1,
+    // cusumChangepoint: prefix sum + running min/max over the days
+    // frame, bounded by calendar days (Behavior.scala)
+    "q_cusum" -> 2,
     // exactTile: one ≤64-row bucket-histogram prefix window per R/F/M
     // metric (Behavior.scala)
     "q_rfm" -> 3,
@@ -56,7 +59,11 @@ class UnpartitionedWindowAuditSpec extends AnyFunSuite {
     "q_stream_lateness" -> 1,
     // Kaplan-Meier cumulative product + at-risk count over the
     // distinct-event-times frame (Behavior.scala)
-    "q_survival_km" -> 2)
+    "q_survival_km" -> 2,
+    // Layout.orderStats ≤64-row histogram prefix window, embedded
+    // twice in the logical tree via the owner subtree (Profile
+    // winsorizedStats)
+    "q_winsorized" -> 2)
 
   test("no query grows a new unpartitioned global window") {
     val found = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
