@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.MasterData
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 part 2: master-data management — blocked entity resolution
+  * with exact edit-distance verification, and type-2 SCD dimension
+  * maintenance. The linkage corpus is built from customer keys as
+  * digit-word names (pairwise levenshtein ≥ 4 between distinct keys,
+  * so the planted last-char-edit variants are the ONLY distance-1
+  * pairs — planted certainty for the blocking recall claim), and both
+  * oracles replay blocking, edit distance, connected components, and
+  * the SCD case split end to end.
+  */
+object Round9bQueries {
+
+  private val words = Seq("alpha", "bravo", "charl", "delta", "echox",
+    "foxtr", "golfx", "hotel", "india", "julie")
+
+  /** Digit-word name of a key: 6 fixed-width words, least-significant
+    * digit first (so the 18-char block prefix = key mod 1000 —
+    * balanced blocks by construction).
+    */
+  private def nameOf(c: Column): Column = {
+    val arr = array(words.map(lit): _*)
+    def digit(p: Long) = ((c / p).cast("long") % 10).cast("int")
+    concat_ws("-", (0 until 6).map(i =>
+      element_at(arr, digit(math.pow(10, i).toLong) + 1)): _*)
+  }
+
+  private def namedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("id"))
+    val named = base.select(col("id"), nameOf(col("id")).as("nm"))
+    val off = broadcast(base.agg((max(col("id")) + 1L).as("_off")))
+    named.unionByName(
+      named.filter(col("id") % 25 === 0).crossJoin(off)
+        .select((col("id") + col("_off")).as("id"),
+          concat(substring(col("nm"), 1, 34), lit("z")).as("nm")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- blocked entity resolution ----
+    "q_entities" -> ((s, dir) =>
+      MasterData.resolveEntities(namedCorpus(s, dir), "id", "nm",
+          prefixLen = 18, maxDist = 1, maxBlockDf = 1000)
+        .orderBy(col("id"))),
+
+    // ---- type-2 SCD merge ----
+    "q_scd2" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val dim = cust.select(col("c_custkey").cast("long").as("key"),
+        col("c_mktsegment").as("attr"), lit(0L).as("valid_from"),
+        lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+      val off = broadcast(cust.agg((max(col("c_custkey")) + 1L).as("_off")))
+      // the batch: segment moves (every 10th key; every 50th is a
+      // planted NO-OP equal to the stored attr), a late-arriving
+      // eff ≤ valid_from change (every 30th — for keys also in the
+      // move set it exercises the latest-wins reduce), and unknown
+      // keys born open
+      val upd = cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").cast("long").as("key"),
+          when(col("c_custkey") % 50 === 0, col("c_mktsegment"))
+            .otherwise(lit("MOVED")).as("attr"),
+          lit(86400L).as("eff"))
+        .unionByName(cust.filter(col("c_custkey") % 30 === 0)
+          .select(col("c_custkey").cast("long").as("key"),
+            lit("LATE").as("attr"), lit(0L).as("eff")))
+        .unionByName(cust.filter(col("c_custkey") % 100 === 0)
+          .crossJoin(off)
+          .select((col("c_custkey") + col("_off")).as("key"),
+            lit("NEWSEG").as("attr"), lit(86400L).as("eff")))
+      MasterData.scd2Merge(dim, upd)
+        .orderBy(col("key"), col("valid_from"), col("is_current"))
+    }))
+
+  /** The digit-word name in DuckDB (6 words, LSD first). */
+  private val nameSql: String =
+    (0 until 6).map(i =>
+      s"ws[CAST(id // ${math.pow(10, i).toLong} % 10 AS INT) + 1]")
+      .mkString(" || '-' || ")
+
+  def oracles: Map[String, String] = Map(
+
+    "q_entities" ->
+      s"""WITH RECURSIVE
+         w AS (SELECT ['alpha','bravo','charl','delta','echox',
+           'foxtr','golfx','hotel','india','julie'] AS ws),
+         base AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+         o AS (SELECT MAX(id) + 1 AS off FROM base),
+         named0 AS (SELECT id, $nameSql AS nm FROM base CROSS JOIN w),
+         named AS (SELECT * FROM named0
+           UNION ALL
+           SELECT id + off, substr(nm, 1, 34) || 'z'
+           FROM named0 CROSS JOIN o WHERE id % 25 = 0),
+         b1 AS (SELECT id, nm, substr(nm, 1, 18) AS blk FROM named),
+         h1 AS (SELECT blk FROM b1 GROUP BY blk HAVING COUNT(*) > 1000),
+         k1 AS (SELECT * FROM b1 WHERE blk NOT IN (SELECT blk FROM h1)),
+         p1 AS (SELECT a.id AS id_a, b.id AS id_b
+           FROM k1 a JOIN k1 b ON a.blk = b.blk AND a.id < b.id
+           WHERE levenshtein(a.nm, b.nm) <= 1),
+         b2 AS (SELECT id, nm, substr(reverse(nm), 1, 18) AS blk FROM named),
+         h2 AS (SELECT blk FROM b2 GROUP BY blk HAVING COUNT(*) > 1000),
+         k2 AS (SELECT * FROM b2 WHERE blk NOT IN (SELECT blk FROM h2)),
+         p2 AS (SELECT a.id AS id_a, b.id AS id_b
+           FROM k2 a JOIN k2 b ON a.blk = b.blk AND a.id < b.id
+           WHERE levenshtein(a.nm, b.nm) <= 1),
+         pairs AS (SELECT * FROM p1 UNION SELECT * FROM p2),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         cc AS (SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id
+           FROM reach GROUP BY src),
+         lab AS (SELECT n.id, COALESCE(cc.cluster_id, n.id) AS entity_id
+           FROM named n LEFT JOIN cc ON n.id = cc.id),
+         sz AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members
+           FROM lab GROUP BY 1)
+         SELECT id, entity_id, n_members, (id = entity_id) AS is_canonical
+         FROM lab JOIN sz USING (entity_id) ORDER BY id""",
+
+    "q_scd2" ->
+      """WITH dim AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+             c_mktsegment AS attr FROM customer),
+         o AS (SELECT MAX(k) + 1 AS off FROM dim),
+         upd0 AS (
+           SELECT k, CASE WHEN k % 50 = 0 THEN attr ELSE 'MOVED' END
+             AS attr, CAST(86400 AS BIGINT) AS eff
+           FROM dim WHERE k % 10 = 0
+           UNION ALL
+           SELECT k, 'LATE', CAST(0 AS BIGINT) FROM dim WHERE k % 30 = 0
+           UNION ALL
+           SELECT k + off, 'NEWSEG', CAST(86400 AS BIGINT)
+           FROM dim CROSS JOIN o WHERE k % 100 = 0),
+         upd AS (
+           SELECT k, attr, eff FROM (
+             SELECT k, attr, eff, ROW_NUMBER() OVER (PARTITION BY k
+               ORDER BY eff DESC, attr DESC) AS rn FROM upd0)
+           WHERE rn = 1),
+         m AS (
+           SELECT COALESCE(d.k, u.k) AS k, d.attr AS dattr,
+             u.attr AS uattr, u.eff,
+             d.k IS NOT NULL AS has_cur, u.k IS NOT NULL AS has_u
+           FROM dim d FULL JOIN upd u ON d.k = u.k)
+         SELECT k AS key, uattr AS attr, eff AS valid_from,
+           CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+         FROM m WHERE NOT has_cur
+         UNION ALL
+         SELECT k, dattr, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+         FROM m WHERE has_cur AND (NOT has_u OR uattr = dattr OR eff <= 0)
+         UNION ALL
+         SELECT k, dattr, CAST(0 AS BIGINT), eff, FALSE
+         FROM m WHERE has_cur AND has_u AND uattr <> dattr AND eff > 0
+         UNION ALL
+         SELECT k, uattr, eff, CAST(NULL AS BIGINT), TRUE
+         FROM m WHERE has_cur AND has_u AND uattr <> dattr AND eff > 0
+         ORDER BY key, valid_from, is_current""")
+}
