@@ -53,7 +53,8 @@ object SparkEntry {
     graft.queries.Round8xQueries.queries ++
     graft.queries.Round8yQueries.queries ++
     graft.queries.Round9aQueries.queries ++
-    graft.queries.Round9bQueries.queries
+    graft.queries.Round9bQueries.queries ++
+    graft.queries.Round9cQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -94,5 +95,6 @@ object SparkEntry {
     graft.queries.Round8xQueries.oracles ++
     graft.queries.Round8yQueries.oracles ++
     graft.queries.Round9aQueries.oracles ++
-    graft.queries.Round9bQueries.oracles
+    graft.queries.Round9bQueries.oracles ++
+    graft.queries.Round9cQueries.oracles
 }

@@ -131,4 +131,50 @@ object MasterData {
         col("_r.valid_to"), col("_r.is_current"))
     hist.unionByName(joined)
   }
+
+  /** CDC changelog apply: folds a change log (op ∈ I/U/D, monotone
+    * `seq`) into a snapshot — the Delta/Hudi MERGE shape. The log
+    * reduces to ONE winner per key by commutative (seq, op, attr)
+    * struct-max (last writer wins; the struct tie-break makes equal
+    * seqs deterministic), then a single key-keyed full-outer join
+    * against the snapshot emits: the log attr for a surviving I/U,
+    * nothing for a D, the snapshot row untouched for keys the log
+    * never mentions. Two key shuffles total, both map-combinable or
+    * co-partitioned — a billion-row table absorbs a changelog in one
+    * pass, and the result is byte-deterministic for any log order.
+    */
+  def cdcApply(snapshot: DataFrame, log: DataFrame): DataFrame = {
+    val w = log
+      .groupBy(col("key"))
+      .agg(max(struct(col("seq"), col("op"), col("attr"))).as("_w"))
+      .select(col("key"), col("_w.op").as("_op"), col("_w.attr").as("_attr"),
+        lit(true).as("_has_log"))
+    snapshot.withColumn("_has_snap", lit(true))
+      .join(w, Seq("key"), "full")
+      .filter(col("_has_log").isNull || col("_op") =!= "D")
+      .select(col("key"),
+        when(col("_has_log").isNotNull, col("_attr")).otherwise(col("attr"))
+          .as("attr"))
+  }
+
+  /** Point-in-time (temporal) lookup of facts against a type-2 SCD
+    * history: each fact joins the dimension VERSION that was valid at
+    * its timestamp — valid_from ≤ ts < valid_to (an open row's NULL
+    * valid_to reads as ∞). The join is an EQUI-join on the dimension
+    * key with the validity window as a post-join filter: per key the
+    * history holds a handful of versions, so the filter fans out by
+    * the version count, never by time range — the scale-safe PIT
+    * shape (a range-only join would be quadratic). Facts whose key
+    * has no valid version at ts keep a NULL attr (left join), so late
+    * or pre-history facts are visible, not dropped.
+    */
+  def scd2Lookup(facts: DataFrame, dim: DataFrame): DataFrame = {
+    val d = dim.select(col("key"), col("attr").as("_dattr"),
+      col("valid_from").as("_vf"),
+      coalesce(col("valid_to"), lit(Long.MaxValue)).as("_vt"))
+    facts
+      .join(d, facts("key") === d("key") &&
+        col("ts") >= col("_vf") && col("ts") < col("_vt"), "left")
+      .select(facts("key"), col("ts"), col("_dattr").as("attr"))
+  }
 }

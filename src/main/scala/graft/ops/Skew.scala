@@ -79,4 +79,37 @@ object Skew {
       .drop("_bits")
     pruned.join(dim, pruned(factKey) === dim(dimKey))
   }
+
+  /** Pre-join output-size audit: the EXACT row count a key-equi join
+    * would produce, and which keys produce it, WITHOUT running the
+    * join — both sides collapse to key grain first (two map-combinable
+    * counts), the key-grain frames join on the key, and each matching
+    * key contributes n_left·n_right output rows. The top-`k` keys by
+    * contribution (rank under the total order (n_out DESC, key) —
+    * compiles to WindowGroupLimit) with their share of the total are
+    * the numbers that decide salting/broadcast BEFORE a 100 TB join
+    * is submitted: the audit costs two scans + a key-grain join,
+    * never materializes a single joined row, and the share column
+    * instantly shows whether one hot key owns the output.
+    */
+  def joinSizeAudit(left: DataFrame, leftKey: String, right: DataFrame,
+      rightKey: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.groupBy(col(leftKey).cast("long").as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val r = right.groupBy(col(rightKey).cast("long").as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val perKey = l.join(r, Seq("key"))
+      .select(col("key"), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("n_out"))
+    val tot = perKey.agg(sum(col("n_out")).as("_total"))
+    val w = Window.orderBy(col("n_out").desc, col("key"))
+    perKey.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("key"), col("n_left"), col("n_right"),
+        col("n_out"),
+        round(col("n_out").cast("double") / col("_total").cast("double"), 6)
+          .as("share"))
+  }
 }

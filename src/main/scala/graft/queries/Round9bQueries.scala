@@ -50,32 +50,80 @@ object Round9bQueries {
         .orderBy(col("id"))),
 
     // ---- type-2 SCD merge ----
-    "q_scd2" -> ((s, dir) => {
-      val cust = Tables.load(s, dir, "customer")
-      val dim = cust.select(col("c_custkey").cast("long").as("key"),
+    "q_scd2" -> ((s, dir) =>
+      MasterData.scd2Merge(scd2Dim(s, dir), scd2Updates(s, dir))
+        .orderBy(col("key"), col("valid_from"), col("is_current"))))
+
+  /** The SCD2 fixture dimension: customers as open rows from epoch 0. */
+  private[queries] def scd2Dim(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("key"),
         col("c_mktsegment").as("attr"), lit(0L).as("valid_from"),
         lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
-      val off = broadcast(cust.agg((max(col("c_custkey")) + 1L).as("_off")))
-      // the batch: segment moves (every 10th key; every 50th is a
-      // planted NO-OP equal to the stored attr), a late-arriving
-      // eff ≤ valid_from change (every 30th — for keys also in the
-      // move set it exercises the latest-wins reduce), and unknown
-      // keys born open
-      val upd = cust.filter(col("c_custkey") % 10 === 0)
+
+  /** The SCD2 fixture batch: segment moves (every 10th key; every 50th
+    * a planted NO-OP equal to the stored attr), a late-arriving
+    * eff ≤ valid_from change (every 30th — for keys also in the move
+    * set it exercises the latest-wins reduce), and unknown keys born
+    * open.
+    */
+  private[queries] def scd2Updates(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val off = broadcast(cust.agg((max(col("c_custkey")) + 1L).as("_off")))
+    cust.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").cast("long").as("key"),
+        when(col("c_custkey") % 50 === 0, col("c_mktsegment"))
+          .otherwise(lit("MOVED")).as("attr"),
+        lit(86400L).as("eff"))
+      .unionByName(cust.filter(col("c_custkey") % 30 === 0)
         .select(col("c_custkey").cast("long").as("key"),
-          when(col("c_custkey") % 50 === 0, col("c_mktsegment"))
-            .otherwise(lit("MOVED")).as("attr"),
-          lit(86400L).as("eff"))
-        .unionByName(cust.filter(col("c_custkey") % 30 === 0)
-          .select(col("c_custkey").cast("long").as("key"),
-            lit("LATE").as("attr"), lit(0L).as("eff")))
-        .unionByName(cust.filter(col("c_custkey") % 100 === 0)
-          .crossJoin(off)
-          .select((col("c_custkey") + col("_off")).as("key"),
-            lit("NEWSEG").as("attr"), lit(86400L).as("eff")))
-      MasterData.scd2Merge(dim, upd)
-        .orderBy(col("key"), col("valid_from"), col("is_current"))
-    }))
+          lit("LATE").as("attr"), lit(0L).as("eff")))
+      .unionByName(cust.filter(col("c_custkey") % 100 === 0)
+        .crossJoin(off)
+        .select((col("c_custkey") + col("_off")).as("key"),
+          lit("NEWSEG").as("attr"), lit(86400L).as("eff")))
+  }
+
+  /** The q_scd2 merged-history derivation, shared with Round9c's
+    * point-in-time lookup oracle: leaves a `scd(k, attr, valid_from,
+    * valid_to, is_current)` table plus `dim` and `o` in scope.
+    */
+  private[queries] val scd2CoreSql: String =
+    """dim AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+             c_mktsegment AS attr FROM customer),
+         o AS (SELECT MAX(k) + 1 AS off FROM dim),
+         upd0 AS (
+           SELECT k, CASE WHEN k % 50 = 0 THEN attr ELSE 'MOVED' END
+             AS attr, CAST(86400 AS BIGINT) AS eff
+           FROM dim WHERE k % 10 = 0
+           UNION ALL
+           SELECT k, 'LATE', CAST(0 AS BIGINT) FROM dim WHERE k % 30 = 0
+           UNION ALL
+           SELECT k + off, 'NEWSEG', CAST(86400 AS BIGINT)
+           FROM dim CROSS JOIN o WHERE k % 100 = 0),
+         upd AS (
+           SELECT k, attr, eff FROM (
+             SELECT k, attr, eff, ROW_NUMBER() OVER (PARTITION BY k
+               ORDER BY eff DESC, attr DESC) AS rn FROM upd0)
+           WHERE rn = 1),
+         m AS (
+           SELECT COALESCE(d.k, u.k) AS k, d.attr AS dattr,
+             u.attr AS uattr, u.eff,
+             d.k IS NOT NULL AS has_cur, u.k IS NOT NULL AS has_u
+           FROM dim d FULL JOIN upd u ON d.k = u.k),
+         scd AS (
+           SELECT k, uattr AS attr, eff AS valid_from,
+             CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+           FROM m WHERE NOT has_cur
+           UNION ALL
+           SELECT k, dattr, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+           FROM m WHERE has_cur AND (NOT has_u OR uattr = dattr OR eff <= 0)
+           UNION ALL
+           SELECT k, dattr, CAST(0 AS BIGINT), eff, FALSE
+           FROM m WHERE has_cur AND has_u AND uattr <> dattr AND eff > 0
+           UNION ALL
+           SELECT k, uattr, eff, CAST(NULL AS BIGINT), TRUE
+           FROM m WHERE has_cur AND has_u AND uattr <> dattr AND eff > 0)"""
 
   /** The digit-word name in DuckDB (6 words, LSD first). */
   private val nameSql: String =
@@ -125,39 +173,7 @@ object Round9bQueries {
          FROM lab JOIN sz USING (entity_id) ORDER BY id""",
 
     "q_scd2" ->
-      """WITH dim AS (SELECT CAST(c_custkey AS BIGINT) AS k,
-             c_mktsegment AS attr FROM customer),
-         o AS (SELECT MAX(k) + 1 AS off FROM dim),
-         upd0 AS (
-           SELECT k, CASE WHEN k % 50 = 0 THEN attr ELSE 'MOVED' END
-             AS attr, CAST(86400 AS BIGINT) AS eff
-           FROM dim WHERE k % 10 = 0
-           UNION ALL
-           SELECT k, 'LATE', CAST(0 AS BIGINT) FROM dim WHERE k % 30 = 0
-           UNION ALL
-           SELECT k + off, 'NEWSEG', CAST(86400 AS BIGINT)
-           FROM dim CROSS JOIN o WHERE k % 100 = 0),
-         upd AS (
-           SELECT k, attr, eff FROM (
-             SELECT k, attr, eff, ROW_NUMBER() OVER (PARTITION BY k
-               ORDER BY eff DESC, attr DESC) AS rn FROM upd0)
-           WHERE rn = 1),
-         m AS (
-           SELECT COALESCE(d.k, u.k) AS k, d.attr AS dattr,
-             u.attr AS uattr, u.eff,
-             d.k IS NOT NULL AS has_cur, u.k IS NOT NULL AS has_u
-           FROM dim d FULL JOIN upd u ON d.k = u.k)
-         SELECT k AS key, uattr AS attr, eff AS valid_from,
-           CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
-         FROM m WHERE NOT has_cur
-         UNION ALL
-         SELECT k, dattr, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), TRUE
-         FROM m WHERE has_cur AND (NOT has_u OR uattr = dattr OR eff <= 0)
-         UNION ALL
-         SELECT k, dattr, CAST(0 AS BIGINT), eff, FALSE
-         FROM m WHERE has_cur AND has_u AND uattr <> dattr AND eff > 0
-         UNION ALL
-         SELECT k, uattr, eff, CAST(NULL AS BIGINT), TRUE
-         FROM m WHERE has_cur AND has_u AND uattr <> dattr AND eff > 0
-         ORDER BY key, valid_from, is_current""")
+      s"""WITH $scd2CoreSql
+         SELECT k AS key, attr, valid_from, valid_to, is_current
+         FROM scd ORDER BY key, valid_from, is_current""")
 }

@@ -40,6 +40,11 @@ class UnpartitionedWindowAuditSpec extends AnyFunSuite {
     // owner subtree embeds it twice in the logical TREE (distinct
     // semi-join + pick join), so the same bounded window counts twice
     "q_partition_plan" -> 2,
+    // joinSizeAudit: top-k rank whose LimitPushDownThroughWindow
+    // rewrite puts a distributed TakeOrdered(limit=k) BELOW the
+    // window, so the final window runs on exactly k rows
+    // (Skew.scala; pushdown spec-asserted in Round9cSpec)
+    "q_join_audit" -> 1,
     // frequentPaths: top-K rank over the distinct |event_type|^len
     // path-count frame (Graphs.scala)
     "q_path_mining" -> 1,
