@@ -113,8 +113,12 @@ object Bench {
         results.filter(r => headline(r._1) || extra(r._1))
       }
     val errJson = errorNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-query MIN alongside the median (r8 verdict item 5): on a
+    // contaminated run the min is the intrinsic cost floor, so a
+    // median/min spread > 2x flags co-tenancy rather than a regression
+    val minsJson = toJson(names.map(n => n -> byName(n).min))
     val fullLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":${toJson(results)},"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":${toJson(results)},"mins":$minsJson,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}"""
     // the committed bench_full.json is the contractual FULL-suite sf0.1
     // record — a smoke run at another SF (or a subset run) must not
     // clobber it (this exact clobber shipped twice; see ADVICE r5). Off-

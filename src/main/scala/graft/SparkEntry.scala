@@ -54,7 +54,8 @@ object SparkEntry {
     graft.queries.Round8yQueries.queries ++
     graft.queries.Round9aQueries.queries ++
     graft.queries.Round9bQueries.queries ++
-    graft.queries.Round9cQueries.queries
+    graft.queries.Round9cQueries.queries ++
+    graft.queries.Round9dQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -96,5 +97,6 @@ object SparkEntry {
     graft.queries.Round8yQueries.oracles ++
     graft.queries.Round9aQueries.oracles ++
     graft.queries.Round9bQueries.oracles ++
-    graft.queries.Round9cQueries.oracles
+    graft.queries.Round9cQueries.oracles ++
+    graft.queries.Round9dQueries.oracles
 }

@@ -421,6 +421,59 @@ object Profile {
           .as("outlier_rate"))
   }
 
+  /** Approximate-percentile switch for [[madOutliers]], for scans where
+    * the exact per-group percentile's buffer (∝ distinct values per
+    * group — fine for day-gaps, risky for cents at 100 TB) is too
+    * expensive: median and MAD come from `approx_percentile`'s
+    * fixed-memory quantile sketch (rank error ≤ n/accuracy by its
+    * merge-order-independent guarantee), and the row carries a
+    * bounded-error AUDIT in RANK space — exact counts of values at or
+    * below the sketch's output pin it inside the theorem band around
+    * rank n/2. The sketch's VALUE may vary with partition merge order;
+    * the band booleans may not — so the audit columns (and the exact
+    * n / sum_cents) are what an oracle can hash, the
+    * [[graft.ops.Sketches]] `q_sketch_distinct` pattern. The approx
+    * median/MAD/outlier columns are the operational output.
+    */
+  def madOutliersApprox(df: DataFrame, groupCol: Column, valueCents: Column,
+      k: Double = 4.4478, accuracy: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val v = df.select(groupCol.as("g"), valueCents.cast("long").as("x"))
+      .persist(MEMORY_AND_DISK)
+    val med = v.groupBy(col("g"))
+      .agg(percentile_approx(col("x"), lit(0.5), lit(accuracy))
+        .as("approx_median_cents"))
+    val dev = v.join(broadcast(med), Seq("g"))
+      .withColumn("_ad",
+        abs(col("x").cast("double") - col("approx_median_cents").cast("double")))
+      .persist(MEMORY_AND_DISK)
+    val mad = dev.groupBy(col("g"))
+      .agg(percentile_approx(col("_ad"), lit(0.5), lit(accuracy))
+        .as("approx_mad_cents"))
+    val audit = dev.join(broadcast(mad), Seq("g"))
+      .groupBy(col("g"), col("approx_median_cents"), col("approx_mad_cents"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_cents"),
+        sum((col("_ad") > lit(k) * col("approx_mad_cents")).cast("long"))
+          .as("n_outliers_approx"),
+        sum((col("x") <= col("approx_median_cents")).cast("long")).as("_med_le"),
+        sum((col("x") < col("approx_median_cents")).cast("long")).as("_med_lt"),
+        sum((col("_ad") <= col("approx_mad_cents")).cast("long")).as("_mad_le"),
+        sum((col("_ad") < col("approx_mad_cents")).cast("long")).as("_mad_lt"))
+    // the returned value's occurrence span is [lt+1, le]; the sketch
+    // guarantees an occurrence within ±n/accuracy of rank ⌈n/2⌉ — the
+    // +1 absolute slack absorbs the rank-convention off-by-one
+    def bandOk(le: Column, lt: Column, n: Column): Column = {
+      val target = ceil(n.cast("double") * 0.5)
+      val slack = n.cast("double") / accuracy + 1.0
+      (le.cast("double") >= target - slack) && (lt.cast("double") <= target + slack)
+    }
+    audit.select(col("g"), col("n"), col("sum_cents"),
+      col("approx_median_cents"), col("approx_mad_cents"),
+      col("n_outliers_approx"),
+      bandOk(col("_med_le"), col("_med_lt"), col("n")).as("med_rank_ok"),
+      bandOk(col("_mad_le"), col("_mad_lt"), col("n")).as("mad_rank_ok"))
+  }
+
   /** One-pass Pearson correlation matrix over integer-cents columns:
     * ALL C(k,2) coefficients from a single corpus scan — per-row
     * products stay in long range, sums go through decimal(38,0) (the

@@ -302,8 +302,10 @@ object Similarity {
     * ~nProbe/nCentroids of the corpus. Returns the centroids.
     */
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
-      path: String, nCentroids: Int = 16, lloydIters: Int = 2): Array[Array[Double]] = {
-    val centroids = ivfCentroids(df, idCol, vecCol, nCentroids, lloydIters)
+      path: String, nCentroids: Int = 16, lloydIters: Int = 2,
+      fixedCentroids: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
+    val centroids = fixedCentroids.getOrElse(
+      ivfCentroids(df, idCol, vecCol, nCentroids, lloydIters))
     withIvfCid(df, vecCol, centroids, "ivf_cid")
       .write.mode("overwrite").partitionBy("ivf_cid").parquet(path)
     val sidecar = java.nio.file.Paths.get(path, "_ivf_centroids.txt")
@@ -311,6 +313,35 @@ object Similarity {
       centroids.map(_.mkString(",")).mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     centroids
+  }
+
+  /** Incremental IVF maintenance: absorb a new batch into an existing
+    * [[buildIvfIndex]] index WITHOUT rebuilding it. The batch is
+    * assigned against the index's frozen sidecar centroids (so an
+    * incremental add lands every vector in exactly the cell a full
+    * rebuild-assign would), already-indexed ids are dropped by an
+    * anti-join (re-delivered batches are no-ops — the at-least-once
+    * ingest contract), and the remainder is APPENDED into the cid
+    * partition directories. Cost is O(batch) assignment + one id
+    * anti-join + an append that touches only the batch's cells; the
+    * base index files are never rewritten (spec-asserted). This is the
+    * daily-ingest path the kNN-graph and fingerprint stores already
+    * have: at 100 TB the index is built once and absorbs batches, and
+    * centroid drift is handled by a scheduled full rebuild, not by
+    * every ingest. Returns the number of newly indexed rows.
+    */
+  def updateIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String): Long = {
+    val centroids = loadIvfCentroids(path)
+    val existing = spark.read.parquet(path).select(col(idCol))
+    val fresh = withIvfCid(batch, vecCol, centroids, "ivf_cid")
+      .join(existing, Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = fresh.count()
+    if (n > 0)
+      fresh.write.mode("append").partitionBy("ivf_cid").parquet(path)
+    fresh.unpersist()
+    n
   }
 
   /** Centroids from a [[buildIvfIndex]] sidecar. */

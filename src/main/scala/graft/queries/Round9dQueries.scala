@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Profile, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 part 4 (r8 verdict items 6 and 7): incremental IVF index
+  * maintenance and the approximate-percentile MAD switch.
+  *
+  * q_ivf_update is deterministic by geometry, not by luck: the index's
+  * centroids are FIXED one-hot axis vectors over integer-quantized
+  * embeddings, so argmax-cosine cell assignment reduces to an integer
+  * argmax (exact dot = the component, common denominator |v|, distinct
+  * integers divide to distinct doubles) with a min-index tie-break that
+  * `withIvfCid`'s (sim, -idx) struct-max and DuckDB's
+  * `list_position(list_max)` both implement — the oracle replays the
+  * assignment of the FULL corpus, proving incremental append ≡
+  * rebuild-assign wherever the batch lands.
+  */
+object Round9dQueries {
+
+  private val nCells = 8
+  private val dims = 64
+
+  /** One-hot axis centroids: cell j = e_j. */
+  private[queries] def axisCentroids: Array[Array[Double]] =
+    Array.tabulate(nCells)(j => Array.tabulate(dims)(i => if (i == j) 1.0 else 0.0))
+
+  /** Integer-quantized embeddings (cents-grid trick): exact doubles, so
+    * every cosine numerator is an exact integer in both engines.
+    */
+  private[queries] def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 100, 0)).as("vq"))
+
+  /** Build-once base index under the tmp fixture root (the
+    * Tables.storedFixture shape: staged build + atomic rename, keyed by
+    * source dir), holding every vec_id NOT ≡ 0 (mod 10). The update
+    * batch (vec_id ≡ 0 mod 10) is what the timed op absorbs.
+    */
+  private def ivfFixtureDir(s: SparkSession, dir: String): String = {
+    val key = "ivf_index_v1_" +
+      java.lang.Integer.toHexString(new java.io.File(dir).getAbsolutePath.hashCode)
+    val root = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_fixtures"), key)
+    if (!new java.io.File(root, "_ivf_centroids.txt").exists()) {
+      if (root.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(root)
+      val stage = new java.io.File(root.getParentFile,
+        key + "_stage_" + java.lang.ProcessHandle.current().pid())
+      Similarity.buildIvfIndex(
+        quantized(s, dir).filter(col("vec_id") % 10 =!= 0), "vec_id", "vq",
+        stage.toString, fixedCentroids = Some(axisCentroids))
+      if (!stage.renameTo(root))
+        org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    root.toString
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- incremental IVF maintenance (r8 verdict item 6) ----
+    "q_ivf_update" -> ((s, dir) => {
+      val path = ivfFixtureDir(s, dir)
+      // absorb the batch; the anti-join makes re-delivery a no-op, so
+      // every pass after the first appends nothing and the read below
+      // is stable
+      Similarity.updateIvfIndex(s, path,
+        quantized(s, dir).filter(col("vec_id") % 10 === 0), "vec_id", "vq")
+      s.read.parquet(path)
+        .groupBy(col("ivf_cid"))
+        .agg(countDistinct(col("vec_id")).as("n_ids"))
+        .orderBy(col("ivf_cid"))
+    }),
+
+    // ---- approx-percentile MAD with a rank-space audit (item 7) ----
+    "q_mad_approx" -> ((s, dir) =>
+      Profile.madOutliersApprox(Tables.load(s, dir, "events"),
+          col("event_type"), round(col("value") * 100).cast("long"))
+        .withColumnRenamed("g", "event_type")
+        // the sketch's VALUE can vary with partition merge order — only
+        // the exact columns and the theorem-band booleans are hashable
+        .select(col("event_type"), col("n"), col("sum_cents"),
+          col("med_rank_ok"), col("mad_rank_ok"))
+        .orderBy(col("event_type"))))
+
+  def oracles: Map[String, String] = Map(
+
+    "q_ivf_update" ->
+      """WITH q AS (SELECT vec_id,
+             list_transform(embedding[1:8],
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS v8
+           FROM embeddings)
+         SELECT CAST(list_position(v8, list_max(v8)) - 1 AS INT) AS ivf_cid,
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_ids
+         FROM q GROUP BY 1 ORDER BY 1""",
+
+    "q_mad_approx" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           TRUE AS med_rank_ok, TRUE AS mad_rank_ok
+         FROM events GROUP BY 1 ORDER BY 1""")
+}
