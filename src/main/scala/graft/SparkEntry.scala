@@ -55,7 +55,8 @@ object SparkEntry {
     graft.queries.Round9aQueries.queries ++
     graft.queries.Round9bQueries.queries ++
     graft.queries.Round9cQueries.queries ++
-    graft.queries.Round9dQueries.queries
+    graft.queries.Round9dQueries.queries ++
+    graft.queries.Round10aQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -98,5 +99,6 @@ object SparkEntry {
     graft.queries.Round9aQueries.oracles ++
     graft.queries.Round9bQueries.oracles ++
     graft.queries.Round9cQueries.oracles ++
-    graft.queries.Round9dQueries.oracles
+    graft.queries.Round9dQueries.oracles ++
+    graft.queries.Round10aQueries.oracles
 }

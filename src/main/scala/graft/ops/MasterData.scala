@@ -13,43 +13,148 @@ import org.apache.spark.sql.functions._
   */
 object MasterData {
 
+  /** The default blocking-key family: the first `prefixLen` chars of
+    * the name (pass "fwd" — survives edits near the tail) and the
+    * first `revPrefixLen` chars of its reversal (pass "rev" — survives
+    * edits near the head). The two prefix lengths are independent
+    * because they control INDEPENDENT block sizes: the r9 verdict's
+    * scale-killer was a reverse prefix short enough that its blocks
+    * held ~1000 rows each while the forward blocks held ~15 — one
+    * shared length cannot size both passes.
+    */
+  def prefixKeys(nameCol: Column, prefixLen: Int,
+      revPrefixLen: Int): Seq[(String, Column)] = Seq(
+    "fwd" -> substring(nameCol, 1, prefixLen),
+    "rev" -> substring(reverse(nameCol), 1, revPrefixLen))
+
+  /** One blocking pass over pre-assigned keys: drop blocks whose
+    * document frequency exceeds `maxBlockDf` (join-key skew: a
+    * boilerplate prefix shared by everything — the same stop-key
+    * discipline as the shingle dedup family, mirrored by every oracle
+    * so the drop is part of the contract), self-join the survivors on
+    * the block key, and verify with exact `levenshtein` ≤ `maxDist`.
+    * The `abs(length(a)-length(b)) <= maxDist` guard runs FIRST: edit
+    * distance is bounded below by the length difference, so the guard
+    * never changes the result but skips the O(len²) DP on pairs that
+    * cannot match.
+    */
+  private def blockPass(b: DataFrame, maxDist: Int,
+      maxBlockDf: Int): DataFrame = {
+    val hot = b.groupBy(col("blk")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxBlockDf).select(col("blk"))
+    val kept = b.join(broadcast(hot), Seq("blk"), "left_anti")
+    kept.select(col("blk"), col("id").as("id_a"), col("nm").as("nm_a"))
+      .join(kept.select(col("blk"), col("id").as("id_b"),
+        col("nm").as("nm_b")), Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("nm_a")) - length(col("nm_b"))) <= maxDist)
+      .select(col("blk"), col("id_a"), col("id_b"),
+        levenshtein(col("nm_a"), col("nm_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  private def withKeys(df: DataFrame, idCol: String, nameCol: String,
+      keys: Seq[(String, Column)]): Seq[(String, DataFrame)] = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(nameCol).as("nm"))
+    keys.map { case (p, k) =>
+      p -> base.select(col("id"), col("nm"), k.as("blk"))
+    }
+  }
+
+  /** Blocked record-linkage candidates over CALLER-SUPPLIED blocking
+    * keys — one pass per key, so the key family is a parameter, not a
+    * shape baked into the operator (prefixes, phonetic codes,
+    * residue-class character subsequences, q-gram signatures — any
+    * deterministic Column works). Candidate volume is
+    * Σ_pass Σ_block |block|², never corpus², and each pass's blocks
+    * are sized by ITS key. Provenance (pass, blk) is kept per pair so
+    * incremental maintenance can retract exactly the pairs of a block
+    * that later turns hot.
+    */
+  def linkagePairsByKeys(df: DataFrame, idCol: String, nameCol: String,
+      keys: Seq[(String, Column)], maxDist: Int = 1,
+      maxBlockDf: Int = 64): DataFrame = {
+    require(keys.nonEmpty && maxDist >= 0 && maxBlockDf >= 2,
+      "need >= 1 blocking key, maxDist >= 0, maxBlockDf >= 2")
+    withKeys(df, idCol, nameCol, keys).map { case (p, b) =>
+      blockPass(b, maxDist, maxBlockDf)
+        .select(lit(p).as("pass"), col("blk"), col("id_a"), col("id_b"),
+          col("dist"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Multi-pass blocked record-linkage candidates, verified by exact
-    * edit distance: records pair only inside a BLOCK (the first
-    * `prefixLen` chars of the key — pass 1 — and of its reversal —
-    * pass 2), so candidate volume is Σ_block |block|², never corpus².
-    * The two passes give the classic complementary coverage: an edit
-    * near the string's tail leaves the forward block intact, an edit
-    * near the head leaves the reversed block intact. Oversized blocks
-    * (join-key skew: a boilerplate prefix shared by everything) are
-    * dropped by the `maxBlockDf` document-frequency cap — the same
-    * stop-key discipline as the shingle dedup family, and mirrored by
-    * the oracle so the drop is part of the contract. Survivors carry
-    * `levenshtein` ≤ `maxDist` (built into both engines), computed
-    * only on in-block pairs.
+    * edit distance — the two-prefix default of [[linkagePairsByKeys]]
+    * ([[prefixKeys]]), deduplicated across passes. `maxBlockDf`
+    * defaults to 64: a kept block contributes ≤ maxBlockDf·|block|
+    * pairs, so the cap is the operator's worst-case volume knob and
+    * O(64) keeps the semi-cartesian bounded even when a key family
+    * degenerates on some corpus (the r9 q_entities failure: ~1000-row
+    * blocks slipping under a 1000 cap → 7.5M levenshtein pairs).
+    * Blocks the cap drops are NOT silent: [[linkageAudit]] reports
+    * them and [[pairReachability]] proves which probe pairs they make
+    * unreachable.
     */
   def linkagePairs(df: DataFrame, idCol: String, nameCol: String,
       prefixLen: Int = 12, maxDist: Int = 1,
-      maxBlockDf: Int = 1000): DataFrame = {
-    require(prefixLen >= 1 && maxDist >= 0 && maxBlockDf >= 2,
-      "need prefixLen >= 1, maxDist >= 0, maxBlockDf >= 2")
-    val base = df.select(col(idCol).cast("long").as("id"),
-      col(nameCol).as("nm"))
-    def pass(key: Column): DataFrame = {
-      val b = base.select(col("id"), col("nm"), key.as("blk"))
+      maxBlockDf: Int = 64, revPrefixLen: Int = 0): DataFrame = {
+    require(prefixLen >= 1, "need prefixLen >= 1")
+    val rev = if (revPrefixLen >= 1) revPrefixLen else prefixLen
+    linkagePairsByKeys(df, idCol, nameCol,
+        prefixKeys(col("nm"), prefixLen, rev), maxDist, maxBlockDf)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .distinct()
+  }
+
+  /** Dropped-hot-block audit (no silent caps): per blocking pass, how
+    * many blocks the `maxBlockDf` cap dropped, how many rows sit
+    * inside them (rows whose pairs that pass cannot reach), and how
+    * many blocks survived. One map-combinable aggregation per pass
+    * over the block-frequency table — the audit never forms a pair.
+    */
+  def linkageAudit(df: DataFrame, idCol: String, nameCol: String,
+      keys: Seq[(String, Column)], maxBlockDf: Int = 64): DataFrame =
+    withKeys(df, idCol, nameCol, keys).map { case (p, b) =>
+      b.groupBy(col("blk")).agg(count(lit(1)).as("_df"))
+        .agg(
+          coalesce(sum(when(col("_df") > maxBlockDf, lit(1L))), lit(0L))
+            .as("n_blocks_dropped"),
+          coalesce(sum(when(col("_df") > maxBlockDf, col("_df"))), lit(0L))
+            .as("n_rows_in_dropped"),
+          coalesce(sum(when(col("_df") <= maxBlockDf, lit(1L))), lit(0L))
+            .as("n_blocks_kept"))
+        .select(lit(p).as("pass"), col("n_blocks_dropped"),
+          col("n_rows_in_dropped"), col("n_blocks_kept"))
+    }.reduce(_ unionByName _)
+
+  /** Recall audit for specific probe pairs: is (id_a, id_b) inside a
+    * KEPT block of at least one pass — i.e. can blocking even present
+    * the pair to the verifier? A pair inside only dropped blocks comes
+    * back `reachable = false` instead of silently vanishing from
+    * [[linkagePairs]] output. Cost: probes × passes membership
+    * lookups (two equi-joins against the kept-block membership),
+    * never a block self-join.
+    */
+  def pairReachability(df: DataFrame, idCol: String, nameCol: String,
+      keys: Seq[(String, Column)], maxBlockDf: Int,
+      probes: DataFrame): DataFrame = {
+    val memb = withKeys(df, idCol, nameCol, keys).map { case (p, b) =>
       val hot = b.groupBy(col("blk")).agg(count(lit(1)).as("_df"))
         .filter(col("_df") > maxBlockDf).select(col("blk"))
-      val kept = b.join(broadcast(hot), Seq("blk"), "left_anti")
-      kept.select(col("blk"), col("id").as("id_a"), col("nm").as("nm_a"))
-        .join(kept.select(col("blk"), col("id").as("id_b"),
-          col("nm").as("nm_b")), Seq("blk"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          levenshtein(col("nm_a"), col("nm_b")).as("dist"))
-        .filter(col("dist") <= maxDist)
-    }
-    pass(substring(col("nm"), 1, prefixLen))
-      .unionByName(pass(substring(reverse(col("nm")), 1, prefixLen)))
-      .distinct()
+      b.join(broadcast(hot), Seq("blk"), "left_anti")
+        .select(lit(p).as("pass"), col("blk"), col("id"))
+    }.reduce(_ unionByName _)
+    val pr = probes.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b"))
+    val ma = memb.select(col("pass"), col("blk"), col("id").as("id_a"))
+    val mb = memb.select(col("pass").as("_pb"), col("blk").as("_bb"),
+      col("id").as("_ib"))
+    pr.join(ma, Seq("id_a"), "left")
+      .join(mb, col("id_b") === col("_ib") && col("pass") === col("_pb") &&
+        col("blk") === col("_bb"), "left")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(coalesce(max(col("_bb").isNotNull), lit(false)).as("reachable"))
   }
 
   /** Entity resolution: [[linkagePairs]] candidates collapse into
@@ -63,9 +168,23 @@ object MasterData {
     */
   def resolveEntities(df: DataFrame, idCol: String, nameCol: String,
       prefixLen: Int = 12, maxDist: Int = 1,
-      maxBlockDf: Int = 1000): DataFrame = {
-    val pairs = linkagePairs(df, idCol, nameCol, prefixLen, maxDist,
-      maxBlockDf)
+      maxBlockDf: Int = 64, revPrefixLen: Int = 0): DataFrame =
+    entitiesFromPairs(df, idCol,
+      linkagePairs(df, idCol, nameCol, prefixLen, maxDist, maxBlockDf,
+        revPrefixLen))
+
+  /** [[resolveEntities]] over a caller-supplied blocking-key family
+    * (see [[linkagePairsByKeys]]).
+    */
+  def resolveEntitiesByKeys(df: DataFrame, idCol: String,
+      nameCol: String, keys: Seq[(String, Column)], maxDist: Int = 1,
+      maxBlockDf: Int = 64): DataFrame =
+    entitiesFromPairs(df, idCol,
+      linkagePairsByKeys(df, idCol, nameCol, keys, maxDist, maxBlockDf)
+        .select(col("id_a"), col("id_b")).distinct())
+
+  private[ops] def entitiesFromPairs(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
     val cc = Dedup.connectedComponents(pairs)
     val labeled = df.select(col(idCol).cast("long").as("id"))
       .join(cc, Seq("id"), "left")

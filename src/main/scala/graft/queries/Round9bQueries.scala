@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object Round9bQueries {
 
-  private val words = Seq("alpha", "bravo", "charl", "delta", "echox",
+  private[queries] val words = Seq("alpha", "bravo", "charl", "delta", "echox",
     "foxtr", "golfx", "hotel", "india", "julie")
 
   /** Digit-word name of a key: 6 fixed-width words, least-significant
@@ -30,7 +30,7 @@ object Round9bQueries {
       element_at(arr, digit(math.pow(10, i).toLong) + 1)): _*)
   }
 
-  private def namedCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def namedCorpus(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(s, dir, "customer")
       .select(col("c_custkey").cast("long").as("id"))
     val named = base.select(col("id"), nameOf(col("id")).as("nm"))
@@ -44,9 +44,15 @@ object Round9bQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- blocked entity resolution ----
+    // r9 verdict item 1: the 18-char reverse prefix made ~1000-row
+    // blocks (id div 1000) that slipped under a 1000 cap -> 7.5M
+    // levenshtein pairs. A 30-char reverse prefix blocks on id div 10
+    // (~10-row blocks) and the cap drops to the O(64) default, so a
+    // degenerate key family can never reintroduce the semi-cartesian.
     "q_entities" -> ((s, dir) =>
       MasterData.resolveEntities(namedCorpus(s, dir), "id", "nm",
-          prefixLen = 18, maxDist = 1, maxBlockDf = 1000)
+          prefixLen = 18, maxDist = 1, maxBlockDf = 64,
+          revPrefixLen = 30)
         .orderBy(col("id"))),
 
     // ---- type-2 SCD merge ----
@@ -63,9 +69,10 @@ object Round9bQueries {
 
   /** The SCD2 fixture batch: segment moves (every 10th key; every 50th
     * a planted NO-OP equal to the stored attr), a late-arriving
-    * eff ≤ valid_from change (every 30th — for keys also in the move
-    * set it exercises the latest-wins reduce), and unknown keys born
-    * open.
+    * eff ≤ valid_from change (every 33rd — 33 is NOT a multiple of 10,
+    * so keys like 33 receive ONLY the late update and exercise the
+    * late-arrival passthrough; keys ≡ 0 (mod 330) receive both and
+    * exercise the latest-wins reduce), and unknown keys born open.
     */
   private[queries] def scd2Updates(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(s, dir, "customer")
@@ -75,7 +82,7 @@ object Round9bQueries {
         when(col("c_custkey") % 50 === 0, col("c_mktsegment"))
           .otherwise(lit("MOVED")).as("attr"),
         lit(86400L).as("eff"))
-      .unionByName(cust.filter(col("c_custkey") % 30 === 0)
+      .unionByName(cust.filter(col("c_custkey") % 33 === 0)
         .select(col("c_custkey").cast("long").as("key"),
           lit("LATE").as("attr"), lit(0L).as("eff")))
       .unionByName(cust.filter(col("c_custkey") % 100 === 0)
@@ -97,7 +104,7 @@ object Round9bQueries {
              AS attr, CAST(86400 AS BIGINT) AS eff
            FROM dim WHERE k % 10 = 0
            UNION ALL
-           SELECT k, 'LATE', CAST(0 AS BIGINT) FROM dim WHERE k % 30 = 0
+           SELECT k, 'LATE', CAST(0 AS BIGINT) FROM dim WHERE k % 33 = 0
            UNION ALL
            SELECT k + off, 'NEWSEG', CAST(86400 AS BIGINT)
            FROM dim CROSS JOIN o WHERE k % 100 = 0),
@@ -126,7 +133,7 @@ object Round9bQueries {
            FROM m WHERE has_cur AND has_u AND uattr <> dattr AND eff > 0)"""
 
   /** The digit-word name in DuckDB (6 words, LSD first). */
-  private val nameSql: String =
+  private[queries] val nameSql: String =
     (0 until 6).map(i =>
       s"ws[CAST(id // ${math.pow(10, i).toLong} % 10 AS INT) + 1]")
       .mkString(" || '-' || ")
@@ -145,13 +152,13 @@ object Round9bQueries {
            SELECT id + off, substr(nm, 1, 34) || 'z'
            FROM named0 CROSS JOIN o WHERE id % 25 = 0),
          b1 AS (SELECT id, nm, substr(nm, 1, 18) AS blk FROM named),
-         h1 AS (SELECT blk FROM b1 GROUP BY blk HAVING COUNT(*) > 1000),
+         h1 AS (SELECT blk FROM b1 GROUP BY blk HAVING COUNT(*) > 64),
          k1 AS (SELECT * FROM b1 WHERE blk NOT IN (SELECT blk FROM h1)),
          p1 AS (SELECT a.id AS id_a, b.id AS id_b
            FROM k1 a JOIN k1 b ON a.blk = b.blk AND a.id < b.id
            WHERE levenshtein(a.nm, b.nm) <= 1),
-         b2 AS (SELECT id, nm, substr(reverse(nm), 1, 18) AS blk FROM named),
-         h2 AS (SELECT blk FROM b2 GROUP BY blk HAVING COUNT(*) > 1000),
+         b2 AS (SELECT id, nm, substr(reverse(nm), 1, 30) AS blk FROM named),
+         h2 AS (SELECT blk FROM b2 GROUP BY blk HAVING COUNT(*) > 64),
          k2 AS (SELECT * FROM b2 WHERE blk NOT IN (SELECT blk FROM h2)),
          p2 AS (SELECT a.id AS id_a, b.id AS id_b
            FROM k2 a JOIN k2 b ON a.blk = b.blk AND a.id < b.id
