@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions.col
   * DataFrame) or DML/DDL (→ a status message), plus the `SET IMAGE DIR`
   * session command (reference `main.go:88-101`).
   */
-final class Engine(val spark: SparkSession, dbPath: String) {
+final class Engine(val spark: SparkSession, dbPath: String,
+    ollama: graft.nl.Ollama.Config = graft.nl.Ollama.Config()) {
   val catalog = new Catalog(spark, dbPath)
   private val dml = new Dml(catalog)
   val executor = new Executor(name => catalog.load(name))
@@ -90,7 +91,7 @@ final class Engine(val spark: SparkSession, dbPath: String) {
     */
   def naturalToSql(input: String, prevTable: Option[String] = None): Option[String] =
     Patterns.toSql(input, tableInfos, prevTable, sampleValues)
-      .orElse(Ollama.translate(input, tableInfos))
+      .orElse(Ollama.translate(input, tableInfos, ollama))
 
   /** Route anything: natural language is translated then executed; SQL
     * executes directly. Returns the generated SQL alongside the result

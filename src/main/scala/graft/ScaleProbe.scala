@@ -453,6 +453,69 @@ object ScaleProbe {
     time("exact-quota sample (12 per source), 50k docs") {
       graft.ops.Sampling.quotaSample(docs, "doc_id", "source", 12).count()
     }
+
+    // round-10 probes (r9 verdict items 1 + 4): entity resolution at
+    // 10x. The corpus is 150k CONTIGUOUS ids (names encode 6 digits, so
+    // offset-copy ids would alias names) + the standard 4% tail-edit
+    // variants. At 10x the blocking keys are re-sized — prefix 24
+    // (id mod 10000 -> ~15-row forward blocks) / rev 30 (id div 10 ->
+    // ~10-row reverse blocks) — which is exactly the knob the operator
+    // exposes: block size, and therefore candidate volume per record,
+    // stays CONSTANT as the corpus grows; only the block COUNT scales.
+    val erDir = s"$out/er10"
+    if (!Files.exists(Paths.get(s"$erDir/customer.parquet/_SUCCESS")))
+      spark.range(1, 150001).select(col("id").as("c_custkey"))
+        .write.mode("overwrite").parquet(s"$erDir/customer.parquet")
+    val erKeys = graft.ops.MasterData.prefixKeys(col("nm"), 24, 30)
+    locally {
+      val corpus = graft.queries.Round9bQueries.namedCorpus(spark, erDir)
+      val members = graft.ops.MasterData.linkageMembers(corpus, "id", "nm", erKeys)
+      val dfs = graft.ops.MasterData.linkageBlockDfs(members)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = dfs.filter(col("_df") <= 64)
+        .agg(coalesce(sum(col("_df") * (col("_df") - 1) / 2), lit(0L))
+          .cast("long")).head().getLong(0)
+      val dropped = dfs.filter(col("_df") > 64)
+        .agg(coalesce(sum(col("_df")), lit(0L)).cast("long")).head().getLong(0)
+      val n = corpus.count()
+      println(s"[probe] linkage 10x: corpus=$n candidate pairs=$cand " +
+        s"(~${cand / math.max(n, 1)} per record; r9 defect class was ~500 per record) " +
+        s"rows in dropped blocks=$dropped")
+      dfs.unpersist()
+      spark.catalog.clearCache()
+    }
+    time("entity resolution over the 10x name corpus (156k records)") {
+      graft.ops.MasterData.resolveEntities(
+        graft.queries.Round9bQueries.namedCorpus(spark, erDir), "id", "nm",
+        prefixLen = 24, maxDist = 1, maxBlockDf = 64, revPrefixLen = 30).count()
+    }
+    // incremental: stored state built once (the daily job reads it),
+    // the timed op absorbs a 1/10 batch — candidate work O(batch·block)
+    locally {
+      val corpus = graft.queries.Round9bQueries.namedCorpus(spark, erDir)
+      val stored = corpus.filter(col("id") % 10 =!= 0)
+      val memDir = s"$erDir/members.parquet"
+      if (!Files.exists(Paths.get(s"$memDir/_SUCCESS"))) {
+        val t0 = System.nanoTime()
+        graft.ops.MasterData.linkageMembers(stored, "id", "nm", erKeys)
+          .write.mode("overwrite").parquet(memDir)
+        graft.ops.MasterData.linkageBlockDfs(spark.read.parquet(memDir))
+          .write.mode("overwrite").parquet(s"$erDir/dfs.parquet")
+        graft.ops.MasterData.linkagePairsByKeys(stored, "id", "nm", erKeys,
+            maxDist = 1, maxBlockDf = 64)
+          .write.mode("overwrite").parquet(s"$erDir/pairs.parquet")
+        println(f"[probe] one-off linkage state build (140k stored): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      time("incremental entity resolution: 15.6k batch vs 140k stored state") {
+        graft.ops.MasterData.resolveEntitiesIncrement(corpus, "id",
+          spark.read.parquet(memDir),
+          spark.read.parquet(s"$erDir/dfs.parquet"),
+          spark.read.parquet(s"$erDir/pairs.parquet"),
+          corpus.filter(col("id") % 10 === 0), "nm", erKeys,
+          maxDist = 1, maxBlockDf = 64).count()
+      }
+    }
+
     spark.stop()
   }
 }

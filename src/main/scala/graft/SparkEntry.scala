@@ -56,7 +56,9 @@ object SparkEntry {
     graft.queries.Round9bQueries.queries ++
     graft.queries.Round9cQueries.queries ++
     graft.queries.Round9dQueries.queries ++
-    graft.queries.Round10aQueries.queries
+    graft.queries.Round10aQueries.queries ++
+    graft.queries.Round10bQueries.queries ++
+    graft.queries.Round10cQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -100,5 +102,7 @@ object SparkEntry {
     graft.queries.Round9bQueries.oracles ++
     graft.queries.Round9cQueries.oracles ++
     graft.queries.Round9dQueries.oracles ++
-    graft.queries.Round10aQueries.oracles
+    graft.queries.Round10aQueries.oracles ++
+    graft.queries.Round10bQueries.oracles ++
+    graft.queries.Round10cQueries.oracles
 }

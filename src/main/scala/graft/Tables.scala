@@ -56,10 +56,25 @@ object Tables {
     * indifferent to which process' (identical, deterministic) build
     * wins.
     */
+  /** Cache key component for a source-data directory: absolute path
+    * PLUS a fingerprint of every table file's (name, size, mtime) —
+    * regenerating the dataset at the same path must invalidate cached
+    * fixtures (hashing only the path served stale fixtures with an
+    * undiagnosable oracle mismatch).
+    */
+  def dirFingerprint(dir: String): String = {
+    val d = new java.io.File(dir)
+    val files = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      .sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        d.getAbsolutePath + "|" + files.mkString("|")).toLong & 0xffffffffL)
+  }
+
   def storedFixture(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame = {
-    val key = name + "_" +
-      java.lang.Integer.toHexString(new java.io.File(dir).getAbsolutePath.hashCode)
+    val key = name + "_" + dirFingerprint(dir)
     val root = new java.io.File(
       new java.io.File(sys.props("java.io.tmpdir"), "graft_fixtures"), key)
     if (!new java.io.File(root, "_SUCCESS").exists()) {
@@ -68,8 +83,15 @@ object Tables {
       val stage = new java.io.File(root.getParentFile,
         key + "_stage_" + java.lang.ProcessHandle.current().pid())
       build.write.mode("overwrite").parquet(stage.toString)
-      if (!stage.renameTo(root)) { // lost the race: another process won
-        org.apache.commons.io.FileUtils.deleteDirectory(stage)
+      if (!stage.renameTo(root)) {
+        // rename fails either because another process won the race
+        // (root now exists — read it) or for a non-race reason (read
+        // our own staged copy rather than a nonexistent root)
+        if (new java.io.File(root, "_SUCCESS").exists()) {
+          org.apache.commons.io.FileUtils.deleteDirectory(stage)
+        } else {
+          return spark.read.parquet(stage.toString)
+        }
       }
     }
     spark.read.parquet(root.toString)

@@ -16,7 +16,10 @@ object Ollama {
   final case class Config(
       url: String = sys.env.getOrElse("GRAFT_OLLAMA_URL", "http://localhost:11434"),
       model: String = sys.env.getOrElse("GRAFT_OLLAMA_MODEL", "llama3"),
-      timeoutSec: Long = 30)
+      timeoutSec: Long = 30,
+      // injectable so tests can point at a stubbed HTTP server without
+      // touching process env; defaults to the env-gated prod behavior
+      enabled: Boolean = sys.env.contains("GRAFT_OLLAMA_URL"))
 
   def enabled: Boolean = sys.env.contains("GRAFT_OLLAMA_URL")
 
@@ -45,7 +48,7 @@ object Ollama {
     */
   def translate(query: String, tables: Seq[Patterns.TableInfo],
       config: Config = Config()): Option[String] = {
-    if (!enabled) return None
+    if (!config.enabled) return None
     try {
       val prompt = buildPrompt(query, tables)
       def esc(s: String) = s.flatMap {

@@ -97,11 +97,19 @@ object Behavior {
       outCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nRough = 64
-    val cuts = df.agg(percentile_approx(metric.cast("double"),
+    // cuts + N are pinned as literals (same reasoning as
+    // Layout.orderStats): percentile_approx is merge-order-sensitive
+    // and `b` fans out to the histogram and the rank path, so the cut
+    // array must be evaluated exactly once
+    val cutsRow = df.agg(percentile_approx(metric.cast("double"),
       array((1 until nRough).map(i => lit(i.toDouble / nRough)): _*),
-      lit(1000)).as("_cuts"), count(lit(1)).as("_N"))
-    val b = df.crossJoin(broadcast(cuts))
-      .withColumn("_b", coalesce(aggregate(col("_cuts"), lit(0),
+      lit(1000)).as("_cuts"), count(lit(1)).as("_N")).head()
+    val cutVals: Seq[Double] =
+      if (cutsRow.isNullAt(0)) Seq.empty else cutsRow.getSeq[Double](0)
+    val nTotal = cutsRow.getLong(1)
+    val b = df
+      .withColumn("_N", lit(nTotal))
+      .withColumn("_b", coalesce(aggregate(typedLit(cutVals), lit(0),
         (acc, c) => acc + when(metric.cast("double") > c, 1).otherwise(0)),
         lit(0)))
     val hist = b.groupBy(col("_b")).agg(count(lit(1)).as("_n"))

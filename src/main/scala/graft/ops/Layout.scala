@@ -178,11 +178,21 @@ object Layout {
       posExprs: Seq[Column]): DataFrame = {
     require(posExprs.nonEmpty, "need at least one position")
     val nRough = 64
-    val cuts = keys.agg(percentile_approx(col("_k").cast("double"),
+    // the cut array is PINNED: evaluated once, collected (≤63 doubles —
+    // a driver-side reduction, not a data collect), and inlined as a
+    // literal. percentile_approx is merge-order-sensitive, and the
+    // bucketed frame fans out to both the histogram and the per-bucket
+    // rank path — relying on Catalyst exchange reuse to deduplicate
+    // the subtree would let the two paths see DIFFERENT cut arrays if
+    // reuse is disabled or canonicalization misses, silently skewing
+    // every downstream rank
+    val cutsRow = keys.agg(percentile_approx(col("_k").cast("double"),
       array((1 until nRough).map(i => lit(i.toDouble / nRough)): _*),
-      lit(1000)).as("_cuts"))
-    val bucketed = keys.crossJoin(broadcast(cuts))
-      .withColumn("_b", coalesce(aggregate(col("_cuts"), lit(0),
+      lit(1000)).as("_cuts")).head()
+    val cutVals: Seq[Double] =
+      if (cutsRow.isNullAt(0)) Seq.empty else cutsRow.getSeq[Double](0)
+    val bucketed = keys
+      .withColumn("_b", coalesce(aggregate(typedLit(cutVals), lit(0),
         (acc, c) => acc + when(col("_k").cast("double") > c, 1).otherwise(0)),
         lit(0)))
       .select(col("_k"), col("_b"))

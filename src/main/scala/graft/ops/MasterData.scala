@@ -197,6 +197,92 @@ object MasterData {
         (col("id") === col("entity_id")).as("is_canonical"))
   }
 
+  // ---- incremental entity resolution (r9 verdict item 4) ----
+
+  /** The blocked-membership table an incremental linkage run stores:
+    * one row per (pass, block, record). Together with
+    * [[linkageBlockDfs]] and the provenance pairs of
+    * [[linkagePairsByKeys]] this is the complete stored state — all
+    * three are plain parquet-able frames a daily job reads and
+    * rewrites incrementally.
+    */
+  def linkageMembers(df: DataFrame, idCol: String, nameCol: String,
+      keys: Seq[(String, Column)]): DataFrame =
+    withKeys(df, idCol, nameCol, keys).map { case (p, b) =>
+      b.select(lit(p).as("pass"), col("blk"), col("id"), col("nm"))
+    }.reduce(_ unionByName _)
+
+  /** Per-block document frequencies of a membership table — one
+    * map-combinable count, stored so an increment never rescans the
+    * corpus to learn block sizes.
+    */
+  def linkageBlockDfs(members: DataFrame): DataFrame =
+    members.groupBy(col("pass"), col("blk"))
+      .agg(count(lit(1)).as("_df"))
+
+  /** Incremental candidate maintenance: absorb a record BATCH into
+    * stored linkage state without ever touching corpus² — the only
+    * corpus-scale inputs are scans (stored members join the batch's
+    * block keys; stored pairs anti-join the hot-block list). Exactly
+    * ≡ rebuilding [[linkagePairsByKeys]] over stored ∪ batch:
+    *   - blocks only GROW under a batch, so a block hot at store time
+    *     stays hot (it had no stored pairs, and contributes none now);
+    *   - a block the batch pushes over `maxBlockDf` turns hot NOW: its
+    *     stored pairs are RETRACTED via their (pass, blk) provenance —
+    *     this is why [[linkagePairsByKeys]] keeps provenance;
+    *   - every new pair involves ≥1 batch record, so candidate volume
+    *     is O(|batch| · blocksize), bounded by |batch| · maxBlockDf.
+    */
+  def linkagePairsIncrement(storedMembers: DataFrame,
+      storedDfs: DataFrame, storedPairs: DataFrame, batch: DataFrame,
+      idCol: String, nameCol: String, keys: Seq[(String, Column)],
+      maxDist: Int = 1, maxBlockDf: Int = 64): DataFrame = {
+    val bm = linkageMembers(batch, idCol, nameCol, keys)
+    val bdf = bm.groupBy(col("pass"), col("blk"))
+      .agg(count(lit(1)).as("_bdf"))
+    val hot = storedDfs.join(bdf, Seq("pass", "blk"), "full")
+      .filter(coalesce(col("_df"), lit(0L)) +
+        coalesce(col("_bdf"), lit(0L)) > maxBlockDf)
+      .select(col("pass"), col("blk"))
+    val keptPairs = storedPairs
+      .join(broadcast(hot), Seq("pass", "blk"), "left_anti")
+    val keptBatch = bm.join(broadcast(hot), Seq("pass", "blk"), "left_anti")
+    val keptAll = storedMembers.unionByName(bm)
+      .join(broadcast(hot), Seq("pass", "blk"), "left_anti")
+    val newPairs = keptBatch
+      .select(col("pass"), col("blk"), col("id").as("_ia"),
+        col("nm").as("_na"))
+      .join(keptAll.select(col("pass"), col("blk"), col("id").as("_ib"),
+        col("nm").as("_nb")), Seq("pass", "blk"))
+      .filter(col("_ia") =!= col("_ib"))
+      .filter(abs(length(col("_na")) - length(col("_nb"))) <= maxDist)
+      .select(col("pass"), col("blk"),
+        least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"),
+        levenshtein(col("_na"), col("_nb")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct() // a batch-batch pair arrives in both orientations
+    keptPairs.unionByName(newPairs)
+  }
+
+  /** Incremental [[resolveEntities]]: new pairs from
+    * [[linkagePairsIncrement]] (O(batch·blocksize) candidate work),
+    * then the same connected-components labeling over the maintained
+    * pair set — labels may change globally (a batch record can bridge
+    * two stored entities), which is inherent to entity resolution, but
+    * the CC loop moves (id, label) pairs whose count is the MATCH
+    * count, not the corpus.
+    */
+  def resolveEntitiesIncrement(records: DataFrame, idCol: String,
+      storedMembers: DataFrame, storedDfs: DataFrame,
+      storedPairs: DataFrame, batch: DataFrame, nameCol: String,
+      keys: Seq[(String, Column)], maxDist: Int = 1,
+      maxBlockDf: Int = 64): DataFrame =
+    entitiesFromPairs(records, idCol,
+      linkagePairsIncrement(storedMembers, storedDfs, storedPairs,
+        batch, idCol, nameCol, keys, maxDist, maxBlockDf)
+        .select(col("id_a"), col("id_b")).distinct())
+
   /** Type-2 slowly-changing-dimension merge: applies one batch of
     * updates to a dimension history, producing the new history. The
     * dimension carries (key, attr, valid_from, valid_to, is_current)
@@ -249,6 +335,70 @@ object MasterData {
       .select(col("key"), col("_r.attr"), col("_r.valid_from"),
         col("_r.valid_to"), col("_r.is_current"))
     hist.unionByName(joined)
+  }
+
+  /** Multi-change type-2 SCD merge: unlike [[scd2Merge]] (whose
+    * contract is a CDC-COMPACTED batch — at most one effective change
+    * per key, latest-wins, an intermediate version in the same batch
+    * is deliberately dropped), this merge honors a batch carrying
+    * SEVERAL genuine successive changes per key, emitting one version
+    * row per surviving change. Per key the batch collects into an
+    * eff-sorted array (map-combinable `collect_list`; per-key state is
+    * THAT KEY's batch updates, bounded by batch size, never the
+    * corpus), then a single fold builds the version chain:
+    *   - updates with eff ≤ the open row's valid_from drop (late
+    *     arrivals, as in [[scd2Merge]]);
+    *   - equal-eff updates resolve to the max attr (the same tie-break
+    *     as [[scd2Merge]]'s struct-max), by replacing the chain tail;
+    *   - an update whose attr equals the chain's running tail
+    *     collapses (a no-op change produces no version);
+    *   - unknown keys chain from their FIRST update (nothing to be
+    *     late against).
+    * Chain element i closes at element i+1's eff; the last stays open.
+    * Historical rows pass through untouched. The corpus-scale plan is
+    * one key-keyed aggregate + one key-keyed full-outer join + one
+    * explode — no window, no sort, same billion-row shape as
+    * [[scd2Merge]].
+    */
+  def scd2MergeMulti(dim: DataFrame, updates: DataFrame): DataFrame = {
+    val emptyChain = typedLit(Seq.empty[(Long, String)])
+      .cast("array<struct<eff:bigint,attr:string>>")
+    val u = updates
+      .groupBy(col("key"))
+      .agg(array_sort(collect_list(struct(col("eff"), col("attr"))))
+        .as("_us"))
+    val cur = dim.filter(col("is_current"))
+      .withColumn("_has_cur", lit(true))
+    val hist = dim.filter(!col("is_current"))
+      .select("key", "attr", "valid_from", "valid_to", "is_current")
+    val vfrom = coalesce(col("valid_from"), lit(Long.MinValue))
+    val seed = when(col("_has_cur").isNotNull,
+        array(struct(col("valid_from").as("eff"), col("attr"))))
+      .otherwise(emptyChain)
+    // `get` (0-based, null out-of-bounds) instead of element_at: the
+    // tail probe of an empty chain must be null, not an ANSI error
+    val chain = aggregate(
+      filter(coalesce(col("_us"), emptyChain),
+        x => x.getField("eff") > vfrom),
+      seed,
+      (acc, x) => {
+        val last = get(acc, size(acc) - 1)
+        val base = when(last.getField("eff") === x.getField("eff"),
+          slice(acc, lit(1), size(acc) - 1)).otherwise(acc)
+        val tail = get(base, size(base) - 1)
+        when(tail.getField("attr") <=> x.getField("attr"), base)
+          .otherwise(concat(base, array(x)))
+      })
+    val versions = transform(col("_chain"), (x, i) =>
+      struct(x.getField("attr").as("attr"),
+        x.getField("eff").as("valid_from"),
+        get(col("_chain"), i + 1).getField("eff").as("valid_to"),
+        (i === size(col("_chain")) - 1).as("is_current")))
+    hist.unionByName(cur.join(u, Seq("key"), "full")
+      .withColumn("_chain", chain)
+      .select(col("key"), explode(versions).as("_r"))
+      .select(col("key"), col("_r.attr"), col("_r.valid_from"),
+        col("_r.valid_to"), col("_r.is_current")))
   }
 
   /** CDC changelog apply: folds a change log (op ∈ I/U/D, monotone

@@ -95,13 +95,21 @@ object Skew {
   def joinSizeAudit(left: DataFrame, leftKey: String, right: DataFrame,
       rightKey: String, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val l = left.groupBy(col(leftKey).cast("long").as("key"))
+    // group on the RAW key column — a long cast would NULL out string
+    // or other non-numeric keys and silently drop them from an audit
+    // whose contract is the EXACT join output size
+    val l = left.groupBy(col(leftKey).as("key"))
       .agg(count(lit(1)).as("n_left"))
-    val r = right.groupBy(col(rightKey).cast("long").as("key"))
+    val r = right.groupBy(col(rightKey).as("key"))
       .agg(count(lit(1)).as("n_right"))
+    // the product runs in decimal, then casts back to long — under
+    // ANSI mode an extreme hot key (n_left·n_right > 2^63) raises
+    // instead of silently wrapping
     val perKey = l.join(r, Seq("key"))
       .select(col("key"), col("n_left"), col("n_right"),
-        (col("n_left") * col("n_right")).as("n_out"))
+        (col("n_left").cast("decimal(19,0)") *
+          col("n_right").cast("decimal(19,0)"))
+          .cast("long").as("n_out"))
     val tot = perKey.agg(sum(col("n_out")).as("_total"))
     val w = Window.orderBy(col("n_out").desc, col("key"))
     perKey.crossJoin(broadcast(tot))

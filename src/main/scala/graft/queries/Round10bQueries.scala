@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.MasterData
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-10 part 2 (r9 verdict item 4): incremental entity resolution
+  * — the daily-ingest path for the linkage family, matching
+  * `q_knn_increment`/`q_index_update`/`q_fingerprint_update`. The
+  * stored state (blocked members, per-block dfs, provenance pairs) is
+  * built ONCE under the tmp fixture root from the records NOT ≡ 0
+  * (mod 10); the timed op absorbs the ≡ 0 (mod 10) batch. The oracle
+  * is the FULL resolve over stored ∪ batch — the strongest possible
+  * incremental ≡ rebuild claim, because it is literally the q_entities
+  * oracle replayed over the same corpus and parameters.
+  */
+object Round10bQueries {
+
+  private def keys = MasterData.prefixKeys(col("nm"), 18, 30)
+
+  private def stored(s: SparkSession, dir: String): DataFrame =
+    Round9bQueries.namedCorpus(s, dir).filter(col("id") % 10 =!= 0)
+
+  private def batch(s: SparkSession, dir: String): DataFrame =
+    Round9bQueries.namedCorpus(s, dir).filter(col("id") % 10 === 0)
+
+  private def members(s: SparkSession, dir: String): DataFrame =
+    Tables.storedFixture(s, dir, "linkage_members_v1")(
+      MasterData.linkageMembers(stored(s, dir), "id", "nm", keys))
+
+  private def dfs(s: SparkSession, dir: String): DataFrame =
+    Tables.storedFixture(s, dir, "linkage_dfs_v1")(
+      MasterData.linkageBlockDfs(
+        MasterData.linkageMembers(stored(s, dir), "id", "nm", keys)))
+
+  private def pairs(s: SparkSession, dir: String): DataFrame =
+    Tables.storedFixture(s, dir, "linkage_pairs_v1")(
+      MasterData.linkagePairsByKeys(stored(s, dir), "id", "nm", keys,
+        maxDist = 1, maxBlockDf = 64))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_entities_increment" -> ((s, dir) =>
+      MasterData.resolveEntitiesIncrement(
+          Round9bQueries.namedCorpus(s, dir), "id",
+          members(s, dir), dfs(s, dir), pairs(s, dir),
+          batch(s, dir), "nm", keys, maxDist = 1, maxBlockDf = 64)
+        .orderBy(col("id"))))
+
+  /** Incremental ≡ rebuild: the oracle IS the full-resolve oracle. */
+  def oracles: Map[String, String] = Map(
+    "q_entities_increment" -> Round9bQueries.oracles("q_entities"))
+}

@@ -30,7 +30,7 @@ object Round9bQueries {
       element_at(arr, digit(math.pow(10, i).toLong) + 1)): _*)
   }
 
-  private[queries] def namedCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def namedCorpus(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(s, dir, "customer")
       .select(col("c_custkey").cast("long").as("id"))
     val named = base.select(col("id"), nameOf(col("id")).as("nm"))

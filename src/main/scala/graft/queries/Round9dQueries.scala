@@ -40,8 +40,7 @@ object Round9dQueries {
     * batch (vec_id ≡ 0 mod 10) is what the timed op absorbs.
     */
   private def ivfFixtureDir(s: SparkSession, dir: String): String = {
-    val key = "ivf_index_v1_" +
-      java.lang.Integer.toHexString(new java.io.File(dir).getAbsolutePath.hashCode)
+    val key = "ivf_index_v1_" + graft.Tables.dirFingerprint(dir)
     val root = new java.io.File(
       new java.io.File(sys.props("java.io.tmpdir"), "graft_fixtures"), key)
     if (!new java.io.File(root, "_ivf_centroids.txt").exists()) {
