@@ -68,11 +68,21 @@ object Bench {
       catch { case _: Throwable => () }
       spark.catalog.clearCache() // operators persist signature tables
     }
+    // a full warmup pass leaves ~300 queries of broadcast blocks and
+    // codegen classes awaiting reference-queue cleanup, and Spark's
+    // ContextCleaner only reclaims them when a GC runs — the r9
+    // artifact showed that cleanup churn landing on the first ~20
+    // ALPHABETICAL queries of timed pass 1 (q_c*/q_d* rows at 2-10x
+    // their own later passes). Force the collection to complete BEFORE
+    // timing starts, and again between passes, so no timed query pays
+    // for a previous pass's garbage.
+    def settle(): Unit = (1 to 3).foreach { _ => System.gc(); Thread.sleep(300) }
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
     val errors = scala.collection.mutable.LinkedHashSet[String]()
     // suite-major: pass p times every query once, so a co-tenant burst
     // localized in time contaminates at most one of a query's samples
     val samples: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
+      settle()
       names.map { name =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).count()

@@ -58,7 +58,8 @@ object SparkEntry {
     graft.queries.Round9dQueries.queries ++
     graft.queries.Round10aQueries.queries ++
     graft.queries.Round10bQueries.queries ++
-    graft.queries.Round10cQueries.queries
+    graft.queries.Round10cQueries.queries ++
+    graft.queries.Round10dQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -104,5 +105,6 @@ object SparkEntry {
     graft.queries.Round9dQueries.oracles ++
     graft.queries.Round10aQueries.oracles ++
     graft.queries.Round10bQueries.oracles ++
-    graft.queries.Round10cQueries.oracles
+    graft.queries.Round10cQueries.oracles ++
+    graft.queries.Round10dQueries.oracles
 }

@@ -85,4 +85,71 @@ object Joins {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bin")
   }
+
+  /** Interval-overlap join: pairs of intervals ([lo1,hi1], [lo2,hi2])
+    * that INTERSECT (inclusive bounds), optionally under equi-`keys`
+    * (the realistic shape: overlapping sessions PER USER, concurrent
+    * spans PER resource). The naive inequality join is a nested loop;
+    * binning turns it into an equi-join on (keys, bin) with both sides
+    * exploded to their covered bins. Unlike [[pointInRangeJoin]], an
+    * overlapping pair can share SEVERAL bins — the exactly-once trick
+    * is to keep a pair only in the FIRST bin both intervals cover,
+    * `floor(max(lo1,lo2)/binWidth)`, a pure per-row predicate: no
+    * `distinct`, no shuffle beyond the one equi-join. Explosion factor
+    * is O(interval width / binWidth) per row; pick binWidth near the
+    * typical width. Both sides are renamed with `l_`/`r_` prefixes in
+    * the output (self-join safe).
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      loCol: String, hiCol: String, binWidth: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, prefix: String): DataFrame = {
+      val renamed = df.columns.foldLeft(df) { (d, c) =>
+        if (keys.contains(c)) d else d.withColumnRenamed(c, s"$prefix$c")
+      }
+      renamed.withColumn("_bin", explode(sequence(
+        floor(col(s"$prefix$loCol") / binWidth).cast("long"),
+        floor(col(s"$prefix$hiCol") / binWidth).cast("long"))))
+    }
+    binned(left, "l_").join(binned(right, "r_"),
+        keys :+ "_bin")
+      .filter(col(s"l_$loCol") <= col(s"r_$hiCol") &&
+        col(s"r_$loCol") <= col(s"l_$hiCol"))
+      .filter(col("_bin") ===
+        floor(greatest(col(s"l_$loCol"), col(s"r_$loCol")) / binWidth)
+          .cast("long"))
+      .drop("_bin")
+  }
+
+  /** Coalesce overlapping-or-touching intervals per key into maximal
+    * disjoint spans, reporting per key the span count and total
+    * covered length Σ(span_hi − span_lo). The interval variant of
+    * gaps-and-islands: per key, sorted by (lo, hi), an interval opens
+    * a new span iff its lo exceeds the running max hi of everything
+    * before it; the span id is the running count of such opens. All
+    * windows are PARTITIONED by the key (per-key interval counts are
+    * bounded; key cardinality carries the parallelism), integers in,
+    * integers out — engine-replayable exactly.
+    */
+  def coalesceIntervals(df: DataFrame, keys: Seq[String], loCol: String,
+      hiCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kcols = keys.map(col)
+    val w = Window.partitionBy(kcols: _*)
+      .orderBy(col(loCol), col(hiCol))
+    val prevMax = max(col(hiCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = df
+      .withColumn("_open",
+        when(col(loCol) > coalesce(prevMax, lit(Long.MinValue)), 1L)
+          .otherwise(0L))
+      .withColumn("_span", sum(col("_open"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((kcols :+ col("_span")): _*)
+      .agg(min(col(loCol)).as("_slo"), max(col(hiCol)).as("_shi"))
+    spans.groupBy(kcols: _*)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("_shi") - col("_slo")).as("covered"))
+  }
 }

@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Window, WindowGroupLimit}
   * optimized logical plan: a query may contain at most its pinned
   * number of unpartitioned Window/WindowGroupLimit nodes, and a query
   * not pinned here may contain none, so adding a global window
-  * anywhere in the 269-query suite fails CI with the offending query
+  * anywhere in the full query suite (every SparkEntry entry) fails CI with the offending query
   * named.
   */
 class UnpartitionedWindowAuditSpec extends AnyFunSuite {
