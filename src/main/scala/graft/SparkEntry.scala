@@ -59,7 +59,9 @@ object SparkEntry {
     graft.queries.Round10aQueries.queries ++
     graft.queries.Round10bQueries.queries ++
     graft.queries.Round10cQueries.queries ++
-    graft.queries.Round10dQueries.queries
+    graft.queries.Round10dQueries.queries ++
+    graft.queries.Round10eQueries.queries ++
+    graft.queries.Round10fQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -106,5 +108,7 @@ object SparkEntry {
     graft.queries.Round10aQueries.oracles ++
     graft.queries.Round10bQueries.oracles ++
     graft.queries.Round10cQueries.oracles ++
-    graft.queries.Round10dQueries.oracles
+    graft.queries.Round10dQueries.oracles ++
+    graft.queries.Round10eQueries.oracles ++
+    graft.queries.Round10fQueries.oracles
 }

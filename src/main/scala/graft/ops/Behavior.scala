@@ -475,4 +475,60 @@ object Behavior {
         (greatest(col("_runmax"), lit(0L)) - col("_pre") >
           lit(alarmMeanDays) * col("_N")).as("alarm_neg"))
   }
+
+  /** Ordered-step funnel over the events log: for steps s₀…s_{m−1},
+    * a user reaches step i at m_i = the EARLIEST s_i event at or after
+    * their step-(i−1) time and within `windowSec` of their FIRST-step
+    * time (the classic conversion-window funnel). The chain is m−1
+    * dependent minima, but each is a per-user window aggregate over
+    * the SAME unordered user partition, so Catalyst stacks all m
+    * Window nodes on ONE user-key shuffle with no sort — never a
+    * per-step self-join. A null m_{i−1} nulls every later condition,
+    * so drop-off propagates for free.
+    *
+    * Returns one row per step: (step_idx, step, n_users,
+    * conv_prev │ NULL at step 0, conv_first). Counts are exact
+    * integers; the two ratios are single correctly rounded IEEE
+    * divisions — engine-exact. The summary is m rows regardless of
+    * corpus size; everything after the user shuffle is a per-user
+    * constant-column collapse plus an m-row frame.
+    */
+  def funnelSteps(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      windowSec: Long = 7L * 24 * 3600): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(steps.distinct.size == steps.size, "steps must be distinct")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("u"))
+    val base = events.select(col(userCol).cast("long").as("u"),
+      unix_timestamp(col(tsCol)).as("es"), col(typeCol).as("ty"))
+    val chained = steps.zipWithIndex.foldLeft(base) { case (df, (s, i)) =>
+      val cond =
+        if (i == 0) col("ty") === s
+        else col("ty") === s && col("es") >= col(s"m${i - 1}") &&
+          col("es") <= col("m0") + windowSec
+      df.withColumn(s"m$i", min(when(cond, col("es"))).over(w))
+    }
+    val perUser = chained.groupBy(col("u")).agg(
+      min(col("m0")).as("m0"),
+      (1 until steps.size).map(i => min(col(s"m$i")).as(s"m$i")): _*)
+    val counts = perUser.agg(
+      count(col("m0")).as("n0"),
+      (1 until steps.size).map(i => count(col(s"m$i")).as(s"n$i")): _*)
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      val n = col(s"n$i")
+      val prev = if (i == 0) lit(null).cast("long") else col(s"n${i - 1}")
+      struct(lit(i).as("step_idx"), lit(s).as("step"), n.as("n_users"),
+        when(prev.isNotNull && prev > 0,
+          round(n.cast("double") / prev.cast("double"), 6)).as("conv_prev"),
+        when(col("n0") > 0,
+          round(n.cast("double") / col("n0").cast("double"), 6))
+          .as("conv_first"))
+    }
+    counts
+      .select(explode(array(rows: _*)).as("_r"))
+      .select(col("_r.step_idx").as("step_idx"), col("_r.step").as("step"),
+        col("_r.n_users").as("n_users"), col("_r.conv_prev").as("conv_prev"),
+        col("_r.conv_first").as("conv_first"))
+  }
 }

@@ -836,4 +836,75 @@ object Similarity {
             .as(s"recall_at_$k"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Maximal-Marginal-Relevance diversity re-rank (Carbonell &
+    * Goldstein, SIGIR'98) of per-probe candidate lists: greedily pick
+    * k results maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), so
+    * near-duplicate hits stop crowding out coverage — the re-rank a
+    * retrieval-augmented training-data sampler runs after ANN.
+    *
+    * Determinism across engines is by INTEGER selection: relevance and
+    * pairwise cosines are quantized to micro-units (×10⁶, rounded
+    * half-away like both engines' ROUND) and the MMR score is the
+    * BIGINT λnum·srel − (λden−λnum)·maxsim, argmax broken on id — a
+    * total order with no float anywhere in a decision.
+    *
+    * Scale shape: greedy MMR is inherently sequential in k, but only
+    * ACROSS the k picks — each of the k rounds is one per-probe
+    * candidate×selected cosine pass (|cand|·i pairs per probe, both
+    * frames probe-partitioned equi-joins), one probe-partitioned
+    * row_number, zero global operations. `cands` should already be an
+    * ANN/brute-force top-c cut, so per-probe work is O(c·k) cosines —
+    * independent of corpus size; probes parallelize freely. The
+    * selected frame (≤ probes·k rows) is eagerly localCheckpoint'd
+    * each round: round i references it three times (anti-join, sim
+    * join, union), so a lazy persist would still ANALYZE a 3^k-node
+    * logical plan — the same optimizer blow-up as un-checkpointed
+    * pagerank — while the checkpoint truncates the lineage to the
+    * tiny materialized frame.
+    *
+    * Input columns: probeCol, idCol, relCol (cosine-like relevance in
+    * [−1, 1]), vecCol (numeric array). Returns (probeCol, idCol, pos
+    * 1..k, rel — the micro-quantized relevance).
+    */
+  def mmrRerank(cands: DataFrame, probeCol: String, idCol: String,
+      relCol: String, vecCol: String, k: Int,
+      lambdaNum: Int = 7, lambdaDen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    require(k >= 1 && lambdaDen >= 1 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      "need k >= 1 and 0 <= lambdaNum/lambdaDen <= 1")
+    val base = cands.select(col(probeCol).as("p"), col(idCol).as("id"),
+        round(col(relCol) * 1e6).cast("long").as("srel"), col(vecCol).as("v"))
+      .persist(MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("p"))
+    var selected: DataFrame = null
+    for (i <- 1 to k) {
+      val scored =
+        if (selected == null) base.withColumn("maxsim", lit(0L))
+        else {
+          val remaining = base.join(selected.select("p", "id"),
+            Seq("p", "id"), "left_anti")
+          val sims = remaining
+            .join(selected.select(col("p"), col("v").as("sv")), Seq("p"))
+            .groupBy(col("p"), col("id"))
+            .agg(max(round(cosine(col("v"), col("sv")) * 1e6).cast("long"))
+              .as("maxsim"))
+          remaining.join(sims, Seq("p", "id"))
+        }
+      val pick = scored
+        .withColumn("_rn", row_number().over(w.orderBy(
+          (lit(lambdaNum.toLong) * col("srel") -
+            lit((lambdaDen - lambdaNum).toLong) * col("maxsim")).desc,
+          col("id"))))
+        .filter(col("_rn") === 1)
+        .select(col("p"), col("id"), col("srel"), col("v"), lit(i).as("pos"))
+      selected =
+        (if (selected == null) pick else selected.unionByName(pick))
+          .localCheckpoint(true)
+    }
+    base.unpersist()
+    selected.select(col("p").as(probeCol), col("id").as(idCol), col("pos"),
+      round(col("srel").cast("double") / 1e6, 6).as("rel"))
+  }
 }
