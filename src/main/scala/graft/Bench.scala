@@ -79,10 +79,32 @@ object Bench {
     def settle(): Unit = (1 to 3).foreach { _ => System.gc(); Thread.sleep(300) }
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
     val errors = scala.collection.mutable.LinkedHashSet[String]()
+    // self-calibration (r10 verdict item 2): a fixed, deterministic
+    // CPU-bound probe — a constant-size in-memory aggregate, no IO, no
+    // shuffle variance — timed at the start of every pass, plus a
+    // /proc/loadavg sample. On a quiet box the probe lands in a narrow
+    // band (the committed reference in BASELINE.md); a contended run
+    // inflates it proportionally, so the artifact itself distinguishes
+    // co-tenancy from regression without a judge re-run.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        .selectExpr("sum(id * 3 + 1) AS s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    calibrate() // untimed codegen warmup for the probe itself
+    val calibrations = scala.collection.mutable.ArrayBuffer[Double]()
+    val loads = scala.collection.mutable.ArrayBuffer[Double]()
     // suite-major: pass p times every query once, so a co-tenant burst
     // localized in time contaminates at most one of a query's samples
     val samples: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
       settle()
+      loads += loadavg()
+      calibrations += calibrate()
       names.map { name =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).count()
@@ -127,8 +149,10 @@ object Bench {
     // contaminated run the min is the intrinsic cost floor, so a
     // median/min spread > 2x flags co-tenancy rather than a regression
     val minsJson = toJson(names.map(n => n -> byName(n).min))
+    val calJson = calibrations.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val loadJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":${toJson(results)},"mins":$minsJson,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"calibration":$calJson,"loadavg":$loadJson,"queries":${toJson(results)},"mins":$minsJson,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}"""
     // the committed bench_full.json is the contractual FULL-suite sf0.1
     // record — a smoke run at another SF (or a subset run) must not
     // clobber it (this exact clobber shipped twice; see ADVICE r5). Off-
@@ -144,7 +168,7 @@ object Bench {
     } catch { case _: Throwable => () }
     // errors surface in the JSON + stderr; exit stays 0 so the driver
     // still collects the line
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":${toJson(reported)},"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"calibration":$calJson,"loadavg":$loadJson,"queries":${toJson(reported)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -106,7 +106,15 @@ final class Dml(catalog: Catalog) {
   }
 
   /** D4: DELETE with mandatory single-equality WHERE, case-insensitive
-    * value match (reference `pkg/handlers/delete.go`).
+    * value match (reference `pkg/handlers/delete.go`). A NULL cell in
+    * the WHERE column never matches (the SURVEY §7 NULL-equivalence
+    * decision: the reference persists nil as the string "NULL",
+    * storage.go:56-61; this engine stores real NULLs and a NULL
+    * matches nothing, same as UPDATE's WHERE) — the kept-set filter
+    * must coalesce the three-valued comparison to "keep", or a NULL
+    * row silently vanishes from a delete that did not match it (found
+    * by the r11 DML fuzzer: `n rows deleted` said 0 while the row
+    * count dropped).
     */
   def delete(d: Delete): String = {
     val declared = catalog.columnsOf(d.table)
@@ -115,7 +123,7 @@ final class Dml(catalog: Catalog) {
     val df = catalog.load(d.table)
     val cond = lower(col(wcol._1).cast("string")) === lit(d.whereVal.toLowerCase)
     val n = df.filter(cond).count()
-    catalog.overwrite(d.table, df.filter(!cond))
+    catalog.overwrite(d.table, df.filter(!coalesce(cond, lit(false))))
     s"$n rows deleted"
   }
 }

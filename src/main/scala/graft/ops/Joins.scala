@@ -102,8 +102,17 @@ object Joins {
     */
   def intervalOverlapJoin(left: DataFrame, right: DataFrame,
       loCol: String, hiCol: String, binWidth: Long,
-      keys: Seq[String] = Nil): DataFrame = {
+      keys: Seq[String]): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // unkeyed binning would make `_bin` the SOLE join key: every row of
+    // a time slice lands in one shuffle partition — a skew degenerate at
+    // scale. The contract is keyed overlap (per user / per resource);
+    // for a genuinely global overlap join, bin against a composite key
+    // family or use a range-join strategy instead of this operator.
+    require(keys.nonEmpty,
+      "intervalOverlapJoin requires >= 1 equi-key: with keys = Nil the " +
+        "bin becomes the only join key and hot bins degenerate to " +
+        "single-partition shuffles at scale")
     def binned(df: DataFrame, prefix: String): DataFrame = {
       val renamed = df.columns.foldLeft(df) { (d, c) =>
         if (keys.contains(c)) d else d.withColumnRenamed(c, s"$prefix$c")

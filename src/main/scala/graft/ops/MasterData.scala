@@ -48,9 +48,12 @@ object MasterData {
         col("nm").as("nm_b")), Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .filter(abs(length(col("nm_a")) - length(col("nm_b"))) <= maxDist)
+      // thresholded levenshtein: banded O(len·maxDist) DP instead of
+      // O(len²), returning -1 past the threshold — for surviving pairs
+      // the value IS the true distance, so results are unchanged
       .select(col("blk"), col("id_a"), col("id_b"),
-        levenshtein(col("nm_a"), col("nm_b")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("nm_a"), col("nm_b"), maxDist).as("dist"))
+      .filter(col("dist").between(0, maxDist))
   }
 
   private def withKeys(df: DataFrame, idCol: String, nameCol: String,
@@ -157,6 +160,52 @@ object MasterData {
       .agg(coalesce(max(col("_bb").isNotNull), lit(false)).as("reachable"))
   }
 
+  /** [[linkagePairsByKeys]] restarted from STORED blocked state — the
+    * members table of [[linkageMembers]] plus the per-block dfs of
+    * [[linkageBlockDfs]], both plain parquet frames a linkage system
+    * maintains between runs. Candidate generation then pays only the
+    * hot-block anti-join and the bounded (pass, blk) self-join — the
+    * corpus is never rescanned and the blocking keys are never
+    * recomputed. Semantically identical to [[linkagePairsByKeys]] over
+    * the corpus the members were derived from: the per-pass hot-block
+    * drop is the same (members carry their pass), the length guard
+    * still runs before the levenshtein DP, and provenance is kept.
+    */
+  def linkagePairsFromMembers(members: DataFrame, dfs: DataFrame,
+      maxDist: Int = 1, maxBlockDf: Int = 64): DataFrame = {
+    require(maxDist >= 0 && maxBlockDf >= 2,
+      "need maxDist >= 0, maxBlockDf >= 2")
+    val hot = dfs.filter(col("_df") > maxBlockDf)
+      .select(col("pass"), col("blk"))
+    val kept = members.join(broadcast(hot), Seq("pass", "blk"), "left_anti")
+    kept.select(col("pass"), col("blk"), col("id").as("id_a"),
+        col("nm").as("nm_a"))
+      .join(kept.select(col("pass"), col("blk"), col("id").as("id_b"),
+        col("nm").as("nm_b")), Seq("pass", "blk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("nm_a")) - length(col("nm_b"))) <= maxDist)
+      // banded thresholded levenshtein — see [[linkagePairs]]
+      .select(col("pass"), col("blk"), col("id_a"), col("id_b"),
+        levenshtein(col("nm_a"), col("nm_b"), maxDist).as("dist"))
+      .filter(col("dist").between(0, maxDist))
+  }
+
+  /** [[resolveEntities]] over stored blocked state (see
+    * [[linkagePairsFromMembers]]): the timed work is candidate
+    * generation from the stored index, exact verification, and the
+    * connected-components labeling — the daily-run shape, where the
+    * corpus and its blocked index are state the previous run wrote.
+    */
+  def resolveEntitiesFromMembers(records: DataFrame, idCol: String,
+      members: DataFrame, dfs: DataFrame, maxDist: Int = 1,
+      maxBlockDf: Int = 64): DataFrame =
+    // no pre-distinct: connectedComponents dedups the symmetrized edge
+    // set anyway, so a cross-pass duplicate pair costs one exploded row,
+    // not an extra corpus-pairs shuffle
+    entitiesFromPairs(records, idCol,
+      linkagePairsFromMembers(members, dfs, maxDist, maxBlockDf)
+        .select(col("id_a"), col("id_b")))
+
   /** Entity resolution: [[linkagePairs]] candidates collapse into
     * entities via [[Dedup.connectedComponents]] (min-label
     * propagation, per-round checkpointed), each record labeled with
@@ -259,8 +308,8 @@ object MasterData {
       .select(col("pass"), col("blk"),
         least(col("_ia"), col("_ib")).as("id_a"),
         greatest(col("_ia"), col("_ib")).as("id_b"),
-        levenshtein(col("_na"), col("_nb")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("_na"), col("_nb"), maxDist).as("dist"))
+      .filter(col("dist").between(0, maxDist))
       .distinct() // a batch-batch pair arrives in both orientations
     keptPairs.unionByName(newPairs)
   }

@@ -845,23 +845,30 @@ object Similarity {
     *
     * Determinism across engines is by INTEGER selection: relevance and
     * pairwise cosines are quantized to micro-units (×10⁶, rounded
-    * half-away like both engines' ROUND) and the MMR score is the
-    * BIGINT λnum·srel − (λden−λnum)·maxsim, argmax broken on id — a
-    * total order with no float anywhere in a decision.
+    * half-away like both engines' ROUND). Pick 1 is argmax relevance
+    * (MMR's round 1 has an empty selected set, so the diversity term
+    * is identically 0 — ranking by srel directly also keeps λ = 0
+    * meaningful instead of degenerating to a constant score); picks
+    * 2..k are argmax of the BIGINT λnum·srel − (λden−λnum)·maxsim.
+    * Every tie breaks on id ascending — a total order with no float
+    * anywhere in a decision.
     *
-    * Scale shape: greedy MMR is inherently sequential in k, but only
-    * ACROSS the k picks — each of the k rounds is one per-probe
-    * candidate×selected cosine pass (|cand|·i pairs per probe, both
-    * frames probe-partitioned equi-joins), one probe-partitioned
-    * row_number, zero global operations. `cands` should already be an
-    * ANN/brute-force top-c cut, so per-probe work is O(c·k) cosines —
-    * independent of corpus size; probes parallelize freely. The
-    * selected frame (≤ probes·k rows) is eagerly localCheckpoint'd
-    * each round: round i references it three times (anti-join, sim
-    * join, union), so a lazy persist would still ANALYZE a 3^k-node
-    * logical plan — the same optimizer blow-up as un-checkpointed
-    * pagerank — while the checkpoint truncates the lineage to the
-    * tiny materialized frame.
+    * Scale shape: greedy MMR is inherently sequential in k, but the
+    * sequence is PER PROBE over an already-cut candidate list (`cands`
+    * should be an ANN/brute-force top-c cut), so it belongs inside one
+    * task, not across k cluster-wide rounds. The plan is: one
+    * probe-partitioned row_number (dense per-probe index, ordered by
+    * id so integer index ties replay id ties), ONE distributed
+    * self-join computing the Σ_p c_p² pairwise quantized cosines, one
+    * probe-keyed collect, then the greedy loop runs as a scalar
+    * function over each probe's O(c²) integer matrix — O(c·k)
+    * comparisons per probe, one row per probe through the function,
+    * probes parallelize freely, zero sequential jobs. (A previous
+    * version ran k cluster-wide rounds with a localCheckpoint each;
+    * the fixed per-round job overhead dominated the actual work by
+    * ~20× and did not amortize with scale.) The imperative greedy
+    * selection is a deliberate UDF: it is genuinely sequential
+    * per-group logic over bounded arrays, not a per-row hot path.
     *
     * Input columns: probeCol, idCol, relCol (cosine-like relevance in
     * [−1, 1]), vecCol (numeric array). Returns (probeCol, idCol, pos
@@ -871,40 +878,78 @@ object Similarity {
       relCol: String, vecCol: String, k: Int,
       lambdaNum: Int = 7, lambdaDen: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import org.apache.spark.sql.Row
     require(k >= 1 && lambdaDen >= 1 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
       "need k >= 1 and 0 <= lambdaNum/lambdaDen <= 1")
+    // eager localCheckpoint: the frame is referenced four times below
+    // (pair self-join twice, candidate collect, final id join-back), and
+    // the upstream candidate cut may be expensive — materialize once
     val base = cands.select(col(probeCol).as("p"), col(idCol).as("id"),
         round(col(relCol) * 1e6).cast("long").as("srel"), col(vecCol).as("v"))
-      .persist(MEMORY_AND_DISK)
-    val w = Window.partitionBy(col("p"))
-    var selected: DataFrame = null
-    for (i <- 1 to k) {
-      val scored =
-        if (selected == null) base.withColumn("maxsim", lit(0L))
-        else {
-          val remaining = base.join(selected.select("p", "id"),
-            Seq("p", "id"), "left_anti")
-          val sims = remaining
-            .join(selected.select(col("p"), col("v").as("sv")), Seq("p"))
-            .groupBy(col("p"), col("id"))
-            .agg(max(round(cosine(col("v"), col("sv")) * 1e6).cast("long"))
-              .as("maxsim"))
-          remaining.join(sims, Seq("p", "id"))
+      .withColumn("ix", row_number().over(
+        Window.partitionBy(col("p")).orderBy(col("id"))))
+      .localCheckpoint(true)
+    val sims = base.select(col("p"), col("ix").as("ia"), col("v").as("va"))
+      .join(base.select(col("p"), col("ix").as("ib"), col("v").as("vb")),
+        Seq("p"))
+      .filter(col("ia") < col("ib"))
+      .select(col("p"), col("ia"), col("ib"),
+        round(cosine(col("va"), col("vb")) * 1e6).cast("long").as("sim"))
+      .groupBy(col("p"))
+      .agg(collect_list(struct(col("ia"), col("ib"), col("sim"))).as("ss"))
+    val ln = lambdaNum.toLong
+    val dv = (lambdaDen - lambdaNum).toLong
+    val kk = k
+    val greedy = udf((cs: Seq[Row], ps: Seq[Row]) => {
+      val n = cs.size
+      val srel = new Array[Long](n) // slot ix-1 (dense per-probe index)
+      cs.foreach(r => srel(r.getInt(0) - 1) = r.getLong(1))
+      val sim = Array.ofDim[Long](n, n)
+      if (ps != null) ps.foreach { r =>
+        val a = r.getInt(0) - 1; val b = r.getInt(1) - 1
+        sim(a)(b) = r.getLong(2); sim(b)(a) = r.getLong(2)
+      }
+      val taken = new Array[Boolean](n)
+      val maxsim = new Array[Long](n)
+      val out = Seq.newBuilder[(Int, Int)]
+      var pos = 1
+      while (pos <= math.min(kk, n)) {
+        var best = -1
+        var i = 0
+        while (i < n) {
+          if (!taken(i) && (best < 0 || {
+            // ascending scan + strict > keeps the LOWEST index (= lowest
+            // id, by the row_number ordering) on score ties
+            if (pos == 1) srel(i) > srel(best)
+            else ln * srel(i) - dv * maxsim(i) >
+              ln * srel(best) - dv * maxsim(best)
+          })) best = i
+          i += 1
         }
-      val pick = scored
-        .withColumn("_rn", row_number().over(w.orderBy(
-          (lit(lambdaNum.toLong) * col("srel") -
-            lit((lambdaDen - lambdaNum).toLong) * col("maxsim")).desc,
-          col("id"))))
-        .filter(col("_rn") === 1)
-        .select(col("p"), col("id"), col("srel"), col("v"), lit(i).as("pos"))
-      selected =
-        (if (selected == null) pick else selected.unionByName(pick))
-          .localCheckpoint(true)
-    }
-    base.unpersist()
-    selected.select(col("p").as(probeCol), col("id").as(idCol), col("pos"),
-      round(col("srel").cast("double") / 1e6, 6).as("rel"))
+        taken(best) = true
+        out += ((best + 1, pos))
+        i = 0
+        while (i < n) {
+          // after pick 1 the selected set is a singleton: maxsim IS that
+          // sim, which may be NEGATIVE — assign, don't max against the
+          // zero-initialized slot
+          if (!taken(i) &&
+              (pos == 1 || sim(i)(best) > maxsim(i)))
+            maxsim(i) = sim(i)(best)
+          i += 1
+        }
+        pos += 1
+      }
+      out.result()
+    })
+    val picks = base
+      .groupBy(col("p"))
+      .agg(collect_list(struct(col("ix"), col("srel"))).as("cs"))
+      .join(sims, Seq("p"), "left") // single-candidate probes have no pairs
+      .select(col("p"), explode(greedy(col("cs"), col("ss"))).as("_k"))
+      .select(col("p"), col("_k._1").as("ix"), col("_k._2").as("pos"))
+    picks.join(base, Seq("p", "ix"))
+      .select(col("p").as(probeCol), col("id").as(idCol), col("pos"),
+        round(col("srel").cast("double") / 1e6, 6).as("rel"))
   }
 }

@@ -19,11 +19,13 @@ object Round10bQueries {
 
   private def keys = MasterData.prefixKeys(col("nm"), 18, 30)
 
+  // both sides derive from the STAGED corpus (r10 verdict item 3): the
+  // timed query reads parquet + filters instead of re-deriving names
   private def stored(s: SparkSession, dir: String): DataFrame =
-    Round9bQueries.namedCorpus(s, dir).filter(col("id") % 10 =!= 0)
+    Round9bQueries.corpusFixture(s, dir).filter(col("id") % 10 =!= 0)
 
   private def batch(s: SparkSession, dir: String): DataFrame =
-    Round9bQueries.namedCorpus(s, dir).filter(col("id") % 10 === 0)
+    Round9bQueries.corpusFixture(s, dir).filter(col("id") % 10 === 0)
 
   private def members(s: SparkSession, dir: String): DataFrame =
     Tables.storedFixture(s, dir, "linkage_members_v1")(
@@ -43,7 +45,7 @@ object Round10bQueries {
 
     "q_entities_increment" -> ((s, dir) =>
       MasterData.resolveEntitiesIncrement(
-          Round9bQueries.namedCorpus(s, dir), "id",
+          Round9bQueries.corpusFixture(s, dir), "id",
           members(s, dir), dfs(s, dir), pairs(s, dir),
           batch(s, dir), "nm", keys, maxDist = 1, maxBlockDf = 64)
         .orderBy(col("id"))))

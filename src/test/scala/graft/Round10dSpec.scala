@@ -46,6 +46,14 @@ class Round10dSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalOverlapJoin rejects an unkeyed call (bin-only join key skews at scale)") {
+    val df = Seq((1L, 0L, 10L)).toDF("id", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      Joins.intervalOverlapJoin(df, df, "lo", "hi", binWidth = 10L, keys = Nil)
+    }
+    assert(e.getMessage.contains("equi-key"))
+  }
+
   test("coalesceIntervals: overlaps and touches merge, gaps split; covered is exact") {
     val df = Seq(
       (1L, 0L, 10L), (1L, 5L, 20L),   // merge -> [0,20]
