@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 100x scale probe (r10 verdict item 4): the 10x probe
+  * ([[ScaleProbe]]) stops at 6M rows / 50k docs; this one runs ONLY
+  * the two worst cost families — dedup pair generation and entity
+  * resolution — at 100x (500k docs / 1.56M linkage records), reporting
+  * candidate-volume-vs-true-pairs and wall time so BASELINE.md can
+  * record whether candidate work grows NEAR-LINEARLY with the corpus.
+  *
+  * Corpus shape matters for that claim: the 10x probe's all-copies
+  * corpus (every doc x10) is the right worst case for verification
+  * cost, but scaling IT 10x more would square the per-group pair count
+  * (100-cliques) — an intrinsically quadratic duplication profile no
+  * pipeline exhibits. Real corpora grow with a roughly CONSTANT
+  * duplication rate, so the 100x synthesis keeps the 10x probe's
+  * duplication profile (each text in a 10-copy group) and scales the
+  * number of DISTINCT texts 10x instead: 10 replicas x 10 "families"
+  * of the sf0.1 base, where family g suffixes every token with g —
+  * zero shared shingles across families, identical text within a
+  * group. True-pair count is then exactly 10x the 10x probe's
+  * (5k docs x 10 families x C(10,2) = 2.25M vs 225k), so a
+  * near-linear candidate count at 10x the corpus is the pass
+  * criterion, and the per-group verify volume is unchanged.
+  *
+  * Entity resolution widens the round-9b digit-word name scheme to 7
+  * words (1.56M ids exceed the 6-digit namespace and would alias) and
+  * re-sizes the blocking keys exactly the way the operator's contract
+  * says to: forward prefix 30 (5 words = id mod 100000, ~15-row
+  * blocks), reverse prefix 36 (6 words = id div 10, ~10-row blocks) —
+  * block SIZE, and therefore candidate volume per record, stays
+  * constant; only the block COUNT scales with the corpus.
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleProbe100"
+  * Writes only under /tmp/graft_scale100.
+  */
+object ScaleProbe100 {
+
+  private val words = Seq("alpha", "bravo", "charl", "delta", "echox",
+    "foxtr", "golfx", "hotel", "india", "julie")
+
+  private def nameOf7(c: Column): Column = {
+    val arr = array(words.map(lit): _*)
+    def digit(p: Long) = ((c / p).cast("long") % 10).cast("int")
+    concat_ws("-", (0 until 7).map(i =>
+      element_at(arr, digit(math.pow(10, i).toLong) + 1)): _*)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = "/tmp/graft_scale100"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-probe-100x")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe100] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      spark.catalog.clearCache()
+    }
+
+    // ---- 500k-doc corpus: 10 families x 10 replicas of the 5k base ----
+    if (!Files.exists(Paths.get(s"$out/documents.parquet/_SUCCESS"))) {
+      val t0 = System.nanoTime()
+      val docs = Tables.load(spark, base, "documents")
+      (0 until 10).flatMap { g =>
+        (0 until 10).map { r =>
+          docs.select(
+            (col("doc_id") + lit((g * 10 + r) * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", "$1g" + g).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println(f"[probe100] one-off 100x corpus synthesis: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val docs = Tables.load(spark, out, "documents")
+    println(s"[probe100] cpus=$cpus docs=${docs.count()}")
+
+    // true pairs from the group structure (exact-text groups)
+    val truePairs = docs.groupBy(xxhash64(col("text")))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1) / 2).cast("long"))
+      .head().getLong(0)
+    // LSH candidate volume = the distinct band-collision pair count
+    // (threshold 0 keeps every candidate; est_jaccard >= 0 always)
+    val candidates = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 64, bands = 16, threshold = 0.0).count()
+    spark.catalog.clearCache()
+    println(s"[probe100] dedup: true pairs=$truePairs lsh candidates=$candidates " +
+      f"(candidate/true ratio ${candidates.toDouble / truePairs}%.3f; " +
+      "10x probe: 225k true pairs at 50k docs — near-linear = ~10x both)")
+    time("minhash LSH pairs (k=64, b=16, threshold 0.35), 500k docs") {
+      graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 64, bands = 16, threshold = 0.35).count()
+    }
+    time("LSH + exact-verified pairs (threshold 0.9), 500k docs") {
+      graft.ops.Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+        threshold = 0.9).count()
+    }
+
+    // ---- entity resolution over 1.56M records ----
+    val erDir = s"$out/er100"
+    if (!Files.exists(Paths.get(s"$erDir/corpus.parquet/_SUCCESS"))) {
+      val t0 = System.nanoTime()
+      val ids = spark.range(1, 1500001).select(col("id"))
+      val named = ids.select(col("id"), nameOf7(col("id")).as("nm"))
+      named.unionByName(
+        named.filter(col("id") % 25 === 0)
+          .select((col("id") + lit(1500001L)).as("id"),
+            concat(substring(col("nm"), 1, 40), lit("z")).as("nm")))
+        .write.mode("overwrite").parquet(s"$erDir/corpus.parquet")
+      println(f"[probe100] one-off 100x name corpus synthesis: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val corpus = spark.read.parquet(s"$erDir/corpus.parquet")
+    val erKeys = graft.ops.MasterData.prefixKeys(col("nm"), 30, 36)
+    locally {
+      val members = graft.ops.MasterData.linkageMembers(corpus, "id", "nm", erKeys)
+      val dfs = graft.ops.MasterData.linkageBlockDfs(members)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = dfs.filter(col("_df") <= 64)
+        .agg(coalesce(sum(col("_df") * (col("_df") - 1) / 2), lit(0L))
+          .cast("long")).head().getLong(0)
+      val dropped = dfs.filter(col("_df") > 64)
+        .agg(coalesce(sum(col("_df")), lit(0L)).cast("long")).head().getLong(0)
+      val n = corpus.count()
+      // planted pairs: one tail-edit variant per 25th id
+      println(s"[probe100] linkage: corpus=$n candidate pairs=$cand " +
+        s"(~${cand / math.max(n, 1)} per record; true pairs=${1500000 / 25}) " +
+        s"rows in dropped blocks=$dropped")
+      dfs.unpersist()
+      spark.catalog.clearCache()
+    }
+    time("entity resolution over the 100x name corpus (1.56M records)") {
+      graft.ops.MasterData.resolveEntities(corpus, "id", "nm",
+        prefixLen = 30, maxDist = 1, maxBlockDf = 64, revPrefixLen = 36).count()
+    }
+    // incremental: stored state built once, the timed op absorbs 1/10
+    locally {
+      val stored = corpus.filter(col("id") % 10 =!= 0)
+      val memDir = s"$erDir/members.parquet"
+      if (!Files.exists(Paths.get(s"$memDir/_SUCCESS"))) {
+        val t0 = System.nanoTime()
+        graft.ops.MasterData.linkageMembers(stored, "id", "nm", erKeys)
+          .write.mode("overwrite").parquet(memDir)
+        graft.ops.MasterData.linkageBlockDfs(spark.read.parquet(memDir))
+          .write.mode("overwrite").parquet(s"$erDir/dfs.parquet")
+        graft.ops.MasterData.linkagePairsByKeys(stored, "id", "nm", erKeys,
+            maxDist = 1, maxBlockDf = 64)
+          .write.mode("overwrite").parquet(s"$erDir/pairs.parquet")
+        println(f"[probe100] one-off linkage state build (1.4M stored): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      time("incremental entity resolution: 156k batch vs 1.4M stored state") {
+        graft.ops.MasterData.resolveEntitiesIncrement(corpus, "id",
+          spark.read.parquet(memDir),
+          spark.read.parquet(s"$erDir/dfs.parquet"),
+          spark.read.parquet(s"$erDir/pairs.parquet"),
+          corpus.filter(col("id") % 10 === 0), "nm", erKeys,
+          maxDist = 1, maxBlockDf = 64).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -61,7 +61,8 @@ object SparkEntry {
     graft.queries.Round10cQueries.queries ++
     graft.queries.Round10dQueries.queries ++
     graft.queries.Round10eQueries.queries ++
-    graft.queries.Round10fQueries.queries
+    graft.queries.Round10fQueries.queries ++
+    graft.queries.Round11aQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -110,5 +111,6 @@ object SparkEntry {
     graft.queries.Round10cQueries.oracles ++
     graft.queries.Round10dQueries.oracles ++
     graft.queries.Round10eQueries.oracles ++
-    graft.queries.Round10fQueries.oracles
+    graft.queries.Round10fQueries.oracles ++
+    graft.queries.Round11aQueries.oracles
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` payloads
@@ -104,6 +104,163 @@ object Multimodal {
   def metadataOnly(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("kind"), col("meta.format"),
       col("meta.width"), col("meta.height"), col("meta.duration_ms"))
+
+  // ---- real format-header parsing (r10 verdict item 8) --------------
+  //
+  // The stub codecs above fake DECODE; header parsing needs no codec at
+  // all — PNG, JPEG, and WAV dimensions/rates live at fixed or
+  // marker-addressed byte offsets defined by their public specs (PNG
+  //: RFC 2083 §3.1/§11.2.2 — 8-byte signature then the IHDR chunk;
+  // JPEG: ISO/IEC 10918-1 §B.2 — marker segments walked from SOI to a
+  // SOFn; WAV: RIFF little-endian 'fmt ' chunk). Everything below is
+  // in-plan byte arithmetic on the binary column (substring/hex/conv,
+  // all codegen'd) — no UDF, no library, column pruning intact.
+
+  /** Big-endian unsigned int read: bytes payload[off .. off+len-1]
+    * (1-based, like substring) as a long.
+    */
+  def beInt(payload: Column, off: Column, len: Int): Column =
+    conv(hex(substring(payload, off, lit(len))), 16, 10).cast("long")
+
+  def beInt(payload: Column, off: Int, len: Int): Column =
+    beInt(payload, lit(off), len)
+
+  /** Little-endian unsigned int read: the hex string's byte pairs
+    * reversed before the base-16 parse.
+    */
+  def leInt(payload: Column, off: Int, len: Int): Column =
+    conv(concat((len - 1 to 0 by -1).map(i =>
+      hex(substring(payload, lit(off + i), lit(1)))): _*), 16, 10)
+      .cast("long")
+
+  /** Big-endian encode of an int column into exactly `bytes` bytes. */
+  def beBytes(v: Column, bytes: Int): Column =
+    unhex(lpad(hex(v.cast("long")), bytes * 2, "0"))
+
+  /** Little-endian encode of an int column into exactly `bytes` bytes. */
+  def leBytes(v: Column, bytes: Int): Column = {
+    val h = lpad(hex(v.cast("long")), bytes * 2, "0")
+    unhex(concat((bytes - 1 to 0 by -1).map(i =>
+      substring(h, i * 2 + 1, 2)): _*))
+  }
+
+  private def ascii(s: String): Column =
+    unhex(lit(s.getBytes("US-ASCII").map("%02X".format(_)).mkString))
+
+  /** Synthesize payloads with REAL format headers, fields derived from
+    * the id (so an oracle can predict every parsed value from the
+    * generation rule alone): PNG (signature + IHDR with width/height),
+    * JPEG (SOI + APP0/JFIF, an id-dependent COM segment so the marker
+    * walk is not fixed-offset, + SOF0 with dimensions), WAV (RIFF +
+    * fmt chunk with channels/sample-rate/bit-depth). Every 97th
+    * payload's first byte is corrupted — malformed inputs must come
+    * back flagged, not crash the scan. Trailing fake body bytes follow
+    * each header (headers parse without reading the body).
+    */
+  def syntheticMediaHeaders(df: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val width = (id % 64) * 16 + 16
+    val height = (id % 48) * 16 + 16
+    val channels = id % 2 + 1
+    val sampleRate = (id % 5) * 8000 + 8000
+    val bits = (id % 2 + 2) * 8
+    val body = unhex(repeat(md5(id.cast("string")), (id % 8 + 1).cast("int")))
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A")), // signature
+      unhex(lit("0000000D")), ascii("IHDR"), // IHDR length + tag
+      beBytes(width, 4), beBytes(height, 4),
+      unhex(lit("0806000000")), // bit depth 8, RGBA, std methods
+      unhex(lit("DEADBEEF")), // CRC not validated by header parsing
+      body)
+    val com = when(id % 2 === 0, // optional COM segment: FFFE len=8
+      concat(unhex(lit("FFFE0008")), ascii("probe!")))
+      .otherwise(unhex(lit("")))
+    val jpeg = concat(
+      unhex(lit("FFD8")), // SOI
+      unhex(lit("FFE00010")), ascii("JFIF"), // APP0, length 16
+      unhex(lit("000101000048004800 00".replace(" ", ""))),
+      com,
+      unhex(lit("FFC0001108")), // SOF0, length 17, precision 8
+      beBytes(height, 2), beBytes(width, 2),
+      unhex(lit("03012200021101031101")),
+      body)
+    val dataLen = (id % 8 + 1) * 16
+    val wav = concat(
+      ascii("RIFF"), leBytes(dataLen + 36, 4), ascii("WAVE"),
+      ascii("fmt "), leBytes(lit(16), 4),
+      leBytes(lit(1), 2), // PCM
+      leBytes(channels, 2), leBytes(sampleRate, 4),
+      leBytes(sampleRate * channels * (bits / 8), 4), // byte rate
+      leBytes(channels * (bits / 8), 2), // block align
+      leBytes(bits, 2),
+      ascii("data"), leBytes(dataLen, 4),
+      body)
+    val intact = when(id % 3 === 0, png)
+      .when(id % 3 === 1, jpeg)
+      .otherwise(wav)
+    df.select(id.as("media_id"),
+      when(id % 97 === 0, // corrupt the first byte: X ^ 0xFF (lpad: conv
+        // emits unpadded hex and unhex(odd-length) is NULL)
+        concat(unhex(lpad(conv(beInt(intact, 1, 1).bitwiseXOR(255), 10, 16),
+            2, "0")),
+          substring(intact, 2, 1 << 30)))
+        .otherwise(intact).as("payload"))
+  }
+
+  /** Parse real PNG/JPEG/WAV headers from the binary column — pure
+    * in-plan byte arithmetic, no UDF. Returns per row the detected
+    * format (null if no known signature matches: the no-crash contract
+    * for malformed inputs), image width/height, and audio
+    * channels/sample-rate/bit-depth (nulls where inapplicable). The
+    * JPEG dimensions come from a bounded marker WALK (`aggregate` over
+    * `maxJpegSegments` steps): segments before the SOFn are skipped by
+    * their declared lengths, so APP0/COM/quantization tables of any
+    * size are handled — the walk reads only marker+length bytes, never
+    * the body.
+    */
+  def parseHeaders(media: DataFrame, payloadCol: String,
+      maxJpegSegments: Int = 8): DataFrame = {
+    val p = col(payloadCol)
+    val nullL = lit(null).cast("long")
+    val isPng = hex(substring(p, 1, 8)) === "89504E470D0A1A0A" &&
+      hex(substring(p, 13, 4)) === "49484452" // IHDR tag
+    val isJpeg = hex(substring(p, 1, 2)) === "FFD8"
+    val isWav = hex(substring(p, 1, 4)) === "52494646" && // RIFF
+      hex(substring(p, 9, 8)) === "57415645666D7420" // WAVE + "fmt "
+    // JPEG marker walk: state = (next marker offset, height, width);
+    // a SOFn (C0/C1/C2) fills the dims and pins the state; any other
+    // segment advances offset by 2 (marker) + declared length
+    val sofTypes = Seq(0xC0L, 0xC1L, 0xC2L)
+    val walk = aggregate(
+      sequence(lit(1), lit(maxJpegSegments)),
+      struct(lit(3L).as("off"), nullL.as("h"), nullL.as("w")),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val mark = beInt(p, off, 1)
+        val typ = beInt(p, off + 1, 1)
+        val segLen = beInt(p, off + 2, 2)
+        when(acc.getField("h").isNotNull || mark =!= 255, acc) // done/lost sync
+          .when(typ.isin(sofTypes.map(Long.box): _*),
+            struct(off.as("off"),
+              beInt(p, off + 5, 2).as("h"), beInt(p, off + 7, 2).as("w")))
+          .otherwise(struct((off + segLen + 2).as("off"),
+            nullL.as("h"), nullL.as("w")))
+      })
+    media
+      .withColumn("format",
+        when(isPng, "png").when(isJpeg, "jpeg").when(isWav, "wav"))
+      .withColumn("_walk", when(isJpeg, walk))
+      .withColumn("width",
+        when(isPng, beInt(p, 17, 4))
+          .when(isJpeg, col("_walk.w")))
+      .withColumn("height",
+        when(isPng, beInt(p, 21, 4))
+          .when(isJpeg, col("_walk.h")))
+      .withColumn("channels", when(isWav, leInt(p, 23, 2)))
+      .withColumn("sample_rate", when(isWav, leInt(p, 25, 4)))
+      .withColumn("bit_depth", when(isWav, leInt(p, 35, 2)))
+      .drop("_walk")
+  }
 
   /** Exact duplicate detection over opaque media payloads — the first
     * dedup pass of any image/audio corpus (the same asset re-scraped

@@ -1,0 +1,118 @@
+package graft
+
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 part 1: real PNG/JPEG/WAV header parsing. The in-plan byte
+  * walk is checked three ways: hand-built payloads with known fields,
+  * an INDEPENDENT JVM-side byte reader over the synthesized payloads
+  * (java.nio, no Spark — if the synthesis emitted malformed headers,
+  * plan and reader would agree on garbage, so the reader asserts the
+  * spec'd magic bytes too), and the corrupted-payload no-crash path.
+  */
+class Round11aSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def parse1(payload: Array[Byte]) =
+    Multimodal.parseHeaders(
+      Seq((1L, payload)).toDF("media_id", "payload"), "payload")
+      .select("format", "width", "height", "channels", "sample_rate",
+        "bit_depth")
+      .head()
+
+  test("PNG: signature + IHDR dims at the spec'd offsets") {
+    // 8-byte signature, IHDR length 13, tag, width 640, height 480
+    val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x80, 0, 0, 1, 0xE0,
+      8, 6, 0, 0, 0).map(_.toByte)
+    val r = parse1(png)
+    assert(r.getString(0) === "png")
+    assert(r.getLong(1) === 640L && r.getLong(2) === 480L)
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("JPEG: the marker walk skips arbitrary segments to the SOFn") {
+    def seg(marker: Int, content: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, marker.toByte,
+        ((content.length + 2) >> 8).toByte, ((content.length + 2) & 0xFF).toByte) ++ content
+    val jpeg = Array(0xFF, 0xD8).map(_.toByte) ++
+      seg(0xE0, "JFIF".getBytes ++ Array.fill[Byte](10)(1)) ++
+      seg(0xFE, "a comment".getBytes) ++
+      seg(0xDB, Array.fill[Byte](65)(3)) ++ // quantization table
+      seg(0xC2, Array[Byte](8, 1, 0x2C, 2, 0x58, 3) ++ // progressive SOF2: h=300 w=600
+        Array.fill[Byte](9)(0x11))
+    val r = parse1(jpeg)
+    assert(r.getString(0) === "jpeg")
+    assert(r.getLong(1) === 600L && r.getLong(2) === 300L)
+  }
+
+  test("WAV: little-endian fmt fields") {
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    val wav = "RIFF".getBytes ++ le(36, 4) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le(16, 4) ++ le(1, 2) ++ le(2, 2) ++
+      le(44100, 4) ++ le(44100 * 2 * 2, 4) ++ le(4, 2) ++ le(16, 2) ++
+      "data".getBytes ++ le(0, 4)
+    val r = parse1(wav)
+    assert(r.getString(0) === "wav")
+    assert(r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getLong(3) === 2L && r.getLong(4) === 44100L && r.getLong(5) === 16L)
+  }
+
+  test("synthesized headers parse to the generation rule; an independent JVM reader agrees") {
+    val media = Multimodal.syntheticMediaHeaders(
+      spark.range(1, 300).toDF("doc_id"), "doc_id")
+    val parsed = Multimodal.parseHeaders(media, "payload")
+      .select("media_id", "format", "width", "height", "channels",
+        "sample_rate", "bit_depth").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val payloads = media.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    def be(b: Array[Byte], off: Int, n: Int): Long =
+      (0 until n).foldLeft(0L)((a, i) => (a << 8) | (b(off + i) & 0xFF))
+    def le(b: Array[Byte], off: Int, n: Int): Long =
+      (n - 1 to 0 by -1).foldLeft(0L)((a, i) => (a << 8) | (b(off + i) & 0xFF))
+    (1L until 300L).foreach { id =>
+      val p = payloads(id)
+      val r = parsed(id)
+      if (id % 97 == 0) {
+        assert(r.isNullAt(1), s"id=$id corrupt payload must not parse")
+      } else if (id % 3 == 0) { // png
+        assert(be(p, 0, 4) === 0x89504E47L && new String(p, 12, 4) === "IHDR")
+        assert(r.getString(1) === "png")
+        assert(r.getLong(2) === be(p, 16, 4) && r.getLong(2) === (id % 64) * 16 + 16)
+        assert(r.getLong(3) === be(p, 20, 4) && r.getLong(3) === (id % 48) * 16 + 16)
+      } else if (id % 3 == 1) { // jpeg: walk markers independently
+        assert(be(p, 0, 2) === 0xFFD8L)
+        var off = 2
+        var dims: Option[(Long, Long)] = None
+        while (dims.isEmpty && off + 4 < p.length) {
+          assert((p(off) & 0xFF) === 0xFF, s"id=$id lost marker sync")
+          val typ = p(off + 1) & 0xFF
+          if (typ >= 0xC0 && typ <= 0xC2)
+            // 0-based from the marker: +4 precision, +5..6 height, +7..8 width
+            dims = Some((be(p, off + 7, 2), be(p, off + 5, 2))) // (w, h)
+          else off += 2 + be(p, off + 2, 2).toInt
+        }
+        assert(r.getString(1) === "jpeg")
+        assert(dims.contains((r.getLong(2), r.getLong(3))), s"id=$id")
+        assert(r.getLong(2) === (id % 64) * 16 + 16)
+        assert(r.getLong(3) === (id % 48) * 16 + 16)
+      } else { // wav
+        assert(new String(p, 0, 4) === "RIFF" && new String(p, 8, 4) === "WAVE")
+        assert(r.getString(1) === "wav")
+        assert(r.getLong(4) === le(p, 22, 2) && r.getLong(4) === id % 2 + 1)
+        assert(r.getLong(5) === le(p, 24, 4) && r.getLong(5) === (id % 5) * 8000 + 8000)
+        assert(r.getLong(6) === le(p, 34, 2) && r.getLong(6) === (id % 2 + 2) * 8)
+      }
+    }
+  }
+
+  test("payloads too short to hold any header flag as unparsed, not an error") {
+    val r = parse1(Array[Byte](1, 2, 3))
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(3))
+  }
+}
