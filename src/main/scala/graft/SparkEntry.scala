@@ -62,7 +62,9 @@ object SparkEntry {
     graft.queries.Round10dQueries.queries ++
     graft.queries.Round10eQueries.queries ++
     graft.queries.Round10fQueries.queries ++
-    graft.queries.Round11aQueries.queries
+    graft.queries.Round11aQueries.queries ++
+    graft.queries.Round11bQueries.queries ++
+    graft.queries.Round11cQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -112,5 +114,7 @@ object SparkEntry {
     graft.queries.Round10dQueries.oracles ++
     graft.queries.Round10eQueries.oracles ++
     graft.queries.Round10fQueries.oracles ++
-    graft.queries.Round11aQueries.oracles
+    graft.queries.Round11aQueries.oracles ++
+    graft.queries.Round11bQueries.oracles ++
+    graft.queries.Round11cQueries.oracles
 }

@@ -514,4 +514,97 @@ object Graphs {
       (sum((col("degree") < k).cast("long")) === 0L).as("converged"))
     out.crossJoin(broadcast(conv))
   }
+
+  /** Link prediction over an undirected item graph given as
+    * (item_a < item_b) edges — the graph-completion step behind
+    * "related items you haven't linked yet" and graph-based data
+    * augmentation. For every NON-adjacent pair sharing at least one
+    * common neighbor, the score is the common-neighbor count
+    * (Liben-Nowell & Kleinberg '03), tie-broken by preferential
+    * attachment deg(u)·deg(v) then the neighbor id — every term an
+    * exact BIGINT, so the per-node top-`k` is a total order both
+    * engines replay branch for branch.
+    *
+    * Skew guard (the no-silent-caps discipline): a wedge-center node of
+    * degree d fans out d² candidate rows, so nodes with degree >
+    * `maxDeg` are excluded from the CENTER role before the two-path
+    * join — wedge volume is then Σ_w deg(w)² ≤ maxDeg·|E|. They remain
+    * eligible as ENDPOINTS (their links are still predictable through
+    * low-degree centers). Dropped hubs are not silent: [[hubAudit]]
+    * counts them and the edges they touch. Scale shape: one adjacency
+    * distinct, one bounded two-path equi-join, aggregates at candidate
+    * grain, and the per-node top-k compiles to WindowGroupLimit.
+    */
+  def linkPrediction(edgeDf: DataFrame, maxDeg: Int = 64,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    require(maxDeg >= 2 && k >= 1, "need maxDeg >= 2, k >= 1")
+    val e = edgeDf.select(col("item_a").cast("long").as("a"),
+      col("item_b").cast("long").as("b")).distinct()
+      .persist(MEMORY_AND_DISK)
+    // explode-symmetrize, not a self-union: a union evaluates the edge
+    // subtree once per branch; the explode reads the persisted frame once
+    val adj = e.select(explode(array(
+        struct(col("a").as("u"), col("b").as("w")),
+        struct(col("b").as("u"), col("a").as("w")))).as("_e"))
+      .select(col("_e.u").as("u"), col("_e.w").as("w"))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .persist(MEMORY_AND_DISK)
+    val hubs = deg.filter(col("deg") > maxDeg)
+      .select(col("u").as("w"))
+    val mid = adj.join(broadcast(hubs), Seq("w"), "left_anti")
+    val cand = mid
+      .join(mid.select(col("w"), col("u").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+      .join(e.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti") // predicted links must be NEW
+    val scored = cand
+      .join(deg.select(col("u"), col("deg").as("_du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("_dv")), Seq("v"))
+      .withColumn("pa", col("_du") * col("_dv"))
+    // same trick for the symmetric output: one evaluation of `scored`
+    val sym = scored.select(explode(array(
+        struct(col("u").as("node"), col("v").as("other")),
+        struct(col("v").as("node"), col("u").as("other")))).as("_p"),
+        col("cn"), col("pa"))
+      .select(col("_p.node").as("node"), col("_p.other").as("other"),
+        col("cn"), col("pa"))
+    sym.withColumn("_rn", row_number().over(
+        Window.partitionBy(col("node"))
+          .orderBy(col("cn").desc, col("pa").desc, col("other"))))
+      .filter(col("_rn") <= k)
+      .select(col("node"), col("other"), col("cn"), col("pa"),
+        col("_rn").as("rank"))
+  }
+
+  /** The wedge-center hub audit for [[linkPrediction]]: how many nodes
+    * the `maxDeg` cap excludes from the center role, the edges
+    * touching them, and the kept-node count — one degree aggregate
+    * plus one semi-join count, never a pair.
+    */
+  def hubAudit(edgeDf: DataFrame, maxDeg: Int = 64): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist: the (possibly expensive) edge build feeds the degree
+    // aggregate AND both hub-touch semi-joins
+    val e = edgeDf.select(col("item_a").cast("long").as("a"),
+      col("item_b").cast("long").as("b")).distinct()
+      .persist(MEMORY_AND_DISK)
+    val deg = e.select(explode(array(col("a"), col("b"))).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val hubs = deg.filter(col("deg") > maxDeg).select(col("u"))
+    val nHubs = deg.agg(
+      coalesce(sum((col("deg") > maxDeg).cast("long")), lit(0L))
+        .as("n_hubs_dropped"),
+      coalesce(sum((col("deg") <= maxDeg).cast("long")), lit(0L))
+        .as("n_nodes_kept"))
+    val touched = e
+      .join(hubs.select(col("u").as("a")), Seq("a"), "left_semi")
+      .unionByName(
+        e.join(hubs.select(col("u").as("b")), Seq("b"), "left_semi"))
+      .distinct()
+      .agg(count(lit(1)).as("n_edges_touching_hubs"))
+    nHubs.crossJoin(touched)
+  }
 }

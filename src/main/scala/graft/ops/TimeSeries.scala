@@ -137,4 +137,48 @@ object TimeSeries {
       .select(col("k"), col("_r.lag").as("lag"),
         col("_r.n_pairs").as("n_pairs"), col("_r.acf").as("acf"))
   }
+
+  /** Rolling LOCAL TREND per series: the exact ordinary-least-squares
+    * slope of daily count vs day over each key's trailing `window`
+    * OBSERVED days — the "is this series rising or falling right now"
+    * diagnostic a drift monitor thresholds (EWMA answers "is today far
+    * from baseline"; this answers "which way is the baseline moving").
+    *
+    * All five regression moments (count, Σx, Σy, Σxy, Σx²; x = epoch
+    * day, y = daily count) are BIGINT sums over ONE key-partitioned
+    * ROWS-frame window; slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is
+    * computed in double only AFTER the exact sums — one IEEE division
+    * of two exact integers, correctly ROUNDed, so both engines emit
+    * identical bits. A window with fewer than 2 observed days has no
+    * slope (NULL; the denominator is 0 exactly when n ≤ 1 since
+    * observed day_idx are distinct). mean_level = ROUND(Σy/n, 6) rides
+    * along as the window's level.
+    *
+    * Scale shape: corpus → (key, day) counts in one map-combinable
+    * aggregate, then one window sort per key over ≤366 rows/key/year —
+    * identical to [[ewmaDaily]]. BIGINT bounds: x ≈ 2·10⁴ epoch days,
+    * so Σxy stays exact for daily counts up to ~10¹⁴ per key; beyond
+    * that widen the moment sums to decimal(38,0).
+    */
+  def rollingTrend(events: DataFrame, tsCol: String, keyCol: String,
+      window: Int = 7): DataFrame = {
+    require(window >= 2 && window <= 60, "2 <= window <= 60")
+    val win = Window.partitionBy(col("k")).orderBy(col("day_idx"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    dailyCounts(events, tsCol, keyCol)
+      .withColumn("_cnt", count(lit(1)).over(win))
+      .withColumn("_sx", sum(col("day_idx")).over(win))
+      .withColumn("_sy", sum(col("n")).over(win))
+      .withColumn("_sxy", sum(col("day_idx") * col("n")).over(win))
+      .withColumn("_sxx", sum(col("day_idx") * col("day_idx")).over(win))
+      .select(col("k"), col("day_idx"), col("n"),
+        col("_cnt").as("n_obs"),
+        when(col("_cnt") * col("_sxx") - col("_sx") * col("_sx") > 0,
+          round((col("_cnt") * col("_sxy") - col("_sx") * col("_sy"))
+            .cast("double") /
+            (col("_cnt") * col("_sxx") - col("_sx") * col("_sx"))
+              .cast("double"), 6)).as("slope"),
+        round(col("_sy").cast("double") / col("_cnt").cast("double"), 6)
+          .as("mean_level"))
+  }
 }

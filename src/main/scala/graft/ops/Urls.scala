@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for web-corpus dedup — the normalization pass
+  * that runs BEFORE any URL-keyed dedup/join, collapsing the crawl's
+  * cosmetic variants (case, default ports, www, tracking params, param
+  * order, trailing slashes, fragments) onto one canonical key. Pure
+  * per-row string expressions (regexp/split/array_sort — all
+  * codegen'd): zero shuffle, so at 100 TB this rides the scan and the
+  * only exchange is whatever the caller groups by afterwards.
+  *
+  * Canonical form (documented contract, applied in this order):
+  *   - scheme and host lowercased; only http/https canonicalize —
+  *     anything else (or no scheme) yields NULL, the caller's
+  *     malformed bucket;
+  *   - leading `www.` stripped; the scheme's default port (:80 /
+  *     :443) stripped — a NON-default port is kept;
+  *   - fragment dropped;
+  *   - query params: tracking params dropped (utm_*, fbclid, gclid,
+  *     ref), the rest SORTED (param order is transport noise);
+  *   - trailing slashes stripped from the path (`/a/` ≡ `/a`, and the
+  *     bare root `/` ≡ none).
+  */
+object Urls {
+
+  def canonical(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val host0 = regexp_replace(hostport, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val path = regexp_replace(
+      regexp_extract(rest, "^[^/?#]*([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // tracking params drop via regex, NOT a filter() lambda: lambda
+    // higher-order functions knock the whole downstream stage (e.g. the
+    // caller's hash aggregate) out of whole-stage codegen — measured 4x
+    // on a 300k-row group-by-canonical. Pattern: a tracking k=v at the
+    // string head (no &) or after one (& consumed with it), then any
+    // leading & left when the head param was tracked.
+    val kept = regexp_replace(
+      regexp_replace(query,
+        "(^|&)(utm_[^=&]*|fbclid|gclid|ref)=[^&]*", "$1"),
+      "^&+|&+$|&(?=&)", "")
+    val sortedQ = array_join(sort_array(split(kept, "&")), "&")
+    when(scheme.isin("http", "https") && host =!= "",
+      concat(scheme, lit("://"), host, path,
+        when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit(""))))
+  }
+}

@@ -148,7 +148,7 @@ object Round8hQueries {
   /** (user, hour, item) baskets with the oversized-basket guard
     * mirrored from Graphs.itemCooccurrence (cap 100).
     */
-  private val basketSql: String =
+  private[queries] val basketSql: String =
     """b AS (SELECT DISTINCT user_id AS u, DATE_TRUNC('hour', ts) AS h,
            CAST(json_extract(props, '$.k') AS BIGINT) AS item
          FROM events),
