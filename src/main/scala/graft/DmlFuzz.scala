@@ -199,11 +199,14 @@ object DmlFuzz {
               Some(s"DELETE FROM $table WHERE ${ansiMatch(wc, w)}"),
               Some(s"$nHit rows deleted"))
           case _ => // a statement the dialect must REJECT, state unchanged
-            val sql = rnd.nextInt(4) match {
+            val sql = rnd.nextInt(7) match {
               case 0 => s"INSERT INTO $table (id) VALUES ('abc')" // bad INT
               case 1 => s"UPDATE $table SET ghost = 1" // unknown column
               case 2 => s"DELETE FROM $table" // mandatory WHERE
-              case _ => s"INSERT INTO $table (id, ID) VALUES (1, 2)" // dup col
+              case 3 => s"INSERT INTO $table (id, ID) VALUES (1, 2)" // dup col
+              case 4 => s"UPDATE $table SET score = 'nan.x'" // bad DECIMAL
+              case 5 => s"UPDATE $table SET flag = 'maybe'" // bad BOOL
+              case _ => s"DELETE FROM $table WHERE ghost = 1" // unknown col
             }
             steps += Step(sql, None, None)
         }

@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   *     ref), the rest SORTED (param order is transport noise);
   *   - trailing slashes stripped from the path (`/a/` ≡ `/a`, and the
   *     bare root `/` ≡ none).
+  *
+  * Out-of-contract, deliberately: userinfo (`user:pass@host`) is kept
+  * as part of the lowercased authority — these are DEDUP KEYS, not
+  * fetchable URLs, and two crawl records differing only in credential
+  * case are the same document; percent-encoding is NOT normalized
+  * (`%7E` ≢ `~` here — full RFC 3986 normalization needs a decode
+  * table, and for dedup keying the false-negative cost of skipping it
+  * is a few extra variants, not a correctness loss).
   */
 object Urls {
 

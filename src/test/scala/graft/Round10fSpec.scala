@@ -43,6 +43,22 @@ class Round10fSpec extends AnyFunSuite {
     assert(got.map(_.getLong(1)).toSeq === Seq(9L, 2L, 5L))
   }
 
+  test("lambda = 0 ranks pick 1 by relevance, later picks purely by diversity") {
+    // the r10 ADVICE defect: with lambdaNum = 0 the old round-1 score
+    // was a constant (0*srel - penalty*0) and degenerated to min-id.
+    // Contract now: pick 1 = max relevance; picks 2+ minimize the max
+    // similarity to the selected set (ties on id).
+    val df = cands(
+      (1L, 0.95, Array(1.0, 0.0)),   // leader
+      (2L, 0.90, Array(1.0, 1e-9)),  // near-dup of leader
+      (3L, 0.10, Array(0.0, 1.0)))   // orthogonal, low relevance
+    val got = Similarity.mmrRerank(df, "probe_id", "vec_id", "rel", "v",
+        k = 2, lambdaNum = 0, lambdaDen = 1)
+      .orderBy("pos").collect().map(_.getLong(1)).toSeq
+    // NOT min-id twice: 1 (highest rel), then 3 (most diverse)
+    assert(got === Seq(1L, 3L))
+  }
+
   test("probes rerank independently; short candidate lists just stop early") {
     val df = Seq(
       (0L, 1L, 0.9, Array(1.0, 0.0)),

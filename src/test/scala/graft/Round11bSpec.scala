@@ -82,6 +82,83 @@ class Round11bSpec extends AnyFunSuite {
     assert(got(2).getDouble(5) === 3.0) // mean level (1+3+5)/3
   }
 
+  test("linkPrediction matches a brute-force reference on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 10 + rnd.nextInt(8)
+      val es = (for {
+        a <- 1 to n; b <- a + 1 to n if rnd.nextInt(4) == 0
+      } yield (a.toLong, b.toLong)).toSeq
+      if (es.nonEmpty) {
+        val maxDeg = 2 + rnd.nextInt(4)
+        val k = 1 + rnd.nextInt(3)
+        val adj: Map[Long, Set[Long]] = {
+          val m = scala.collection.mutable.Map[Long, Set[Long]]()
+            .withDefaultValue(Set.empty)
+          es.foreach { case (a, b) => m(a) += b; m(b) += a }
+          m.toMap.withDefaultValue(Set.empty)
+        }
+        val deg = adj.map { case (v, s) => v -> s.size.toLong }
+          .withDefaultValue(0L)
+        val centers = adj.keySet.filter(v => deg(v) <= maxDeg)
+        val nodes = adj.keySet
+        val cand = for {
+          u <- nodes.toSeq; v <- nodes.toSeq
+          if u < v && !adj(u).contains(v)
+          cn = (adj(u) & adj(v) & centers).size.toLong
+          if cn > 0
+        } yield (u, v, cn, deg(u) * deg(v))
+        val expected = (cand ++ cand.map(c => (c._2, c._1, c._3, c._4)))
+          .groupBy(_._1).toSeq.flatMap { case (node, cs) =>
+            cs.map(c => (node, c._2, c._3, c._4))
+              .sortBy(c => (-c._3, -c._4, c._2)).take(k)
+              .zipWithIndex.map { case (c, i) => (c._1, c._2, c._3, c._4, i + 1) }
+          }.sorted
+        val got = Graphs.linkPrediction(es.toDF("item_a", "item_b"),
+            maxDeg = maxDeg, k = k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getInt(4))).toSeq.sorted
+        assert(got === expected, s"trial=$trial maxDeg=$maxDeg k=$k")
+      }
+    }
+  }
+
+  test("rollingTrend matches a naive exact-OLS reference on random series") {
+    val rnd = new scala.util.Random(7)
+    val w = 4
+    val rows = for {
+      key <- Seq("a", "b", "c")
+      day <- (0 until 15).filter(_ => rnd.nextInt(3) > 0) // gaps
+    } yield (key, 19000L + day, 1 + rnd.nextInt(50))
+    val ev = rows.flatMap { case (key, day, cnt) =>
+      Seq.fill(cnt)((s"${key}_$day", key,
+        new java.sql.Timestamp(day * 86400L * 1000L)))
+    }.toDF("event_id", "event_type", "ts")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (key, ks) =>
+      val sorted = ks.sortBy(_._2)
+      sorted.indices.map { i =>
+        val win = sorted.slice(math.max(0, i - w + 1), i + 1)
+        val cnt = win.size.toLong
+        val sx = win.map(_._2).sum
+        val sy = win.map(_._3.toLong).sum
+        val sxy = win.map(r => r._2 * r._3).sum
+        val sxx = win.map(r => r._2 * r._2).sum
+        val den = cnt * sxx - sx * sx
+        val slope = if (den > 0)
+          Some(r6((cnt * sxy - sx * sy).toDouble / den.toDouble)) else None
+        (key, sorted(i)._2, sorted(i)._3.toLong, cnt, slope,
+          r6(sy.toDouble / cnt.toDouble))
+      }
+    }.sorted
+    val got = TimeSeries.rollingTrend(ev, "ts", "event_type", window = w)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getDouble(5))).toSeq.sorted
+    assert(got === expected)
+  }
+
   test("rollingTrend windows are key-partitioned (no global sort)") {
     val ev = Seq(("a", "x", new java.sql.Timestamp(0L)),
       ("b", "y", new java.sql.Timestamp(86400000L)))

@@ -45,6 +45,11 @@ class Round11cSpec extends AnyFunSuite {
       Some("https://e.com/p")))
   }
 
+  test("userinfo stays in the (lowercased) authority — dedup keys, not fetchable URLs") {
+    assert(canon("https://User:Pw@e.com/x", "https://user:pw@e.com/x") ===
+      Seq(Some("https://user:pw@e.com/x"), Some("https://user:pw@e.com/x")))
+  }
+
   test("non-http schemes and schemeless strings yield NULL") {
     assert(canon("ftp://e.com/f", "not a url 7", "mailto:x@e.com",
       "//protocol-relative.com/x") === Seq(None, None, None, None))
