@@ -41,6 +41,25 @@ object Tables {
     }
   }
 
+  /** [[load]] plus an explicit-count key repartition — the small-file
+    * parallelism lever. The driver testdata is ONE parquet file (one
+    * row group) per table = one input split, so a CPU-heavy per-row
+    * stage (shingle/bigram explodes, regex chains, per-chunk language
+    * ID) serializes into a single task no matter how many cores exist;
+    * measured 5x on q_url_canonical. The count is explicit because AQE
+    * would coalesce the tiny exchange straight back to one partition.
+    * At 100 TB the scan's natural splits provide this parallelism and
+    * the extra shuffle is pure overhead — use plain [[load]] there;
+    * this helper prices the map-side spread that real splits give for
+    * free.
+    */
+  def loadSpread(spark: SparkSession, dir: String, name: String,
+      key: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    load(spark, dir, name)
+      .repartition(spark.sparkContext.defaultParallelism, col(key))
+  }
+
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -35,7 +35,8 @@ object CompositionQueries {
       // qualifying pair escapes candidacy only if all 16 bands miss:
       // P ≤ (1−0.9⁴)¹⁶ ≈ 4e-8 per pair; fixed seeds make the outcome
       // deterministic, and it is verified at all three SFs).
-      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = Tables.loadSpread(s, dir, "documents", "doc_id")
+        .select(col("doc_id"), col("text"))
       val off = docs.agg(max(col("doc_id"))).head().getAs[Number](0).longValue + 1L
       val pat = concat(lit("p"), col("doc_id").cast("string"),
         lit(" q"), col("doc_id").cast("string"), lit(" "))

@@ -93,7 +93,7 @@ object PipelineQueries {
         .orderBy(col("fp"))
     }),
     "q_dedup_ngram" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+      Dedup.ngramJaccardPairs(Tables.loadSpread(s, dir, "documents", "doc_id"), "doc_id", "text",
           n = 3, threshold = 0.2, maxShingleDf = 50)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -104,7 +104,7 @@ object PipelineQueries {
       // band with est_jaccard exactly 1.0 — LSH recall as an
       // oracle-checked number. Organic-threshold behavior stays
       // spec-verified against brute force in PipelineOpsSpec.
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents", "doc_id")
         .select(col("doc_id").as("id"), col("text"))
       val (planted, off) = withPlantedCopies(docs, "id", 20)
       Dedup.minhashLshPairs(planted,
@@ -136,7 +136,7 @@ object PipelineQueries {
     "q_dedup_simhash" -> ((s, dir) => {
       // planted-recall form: identical text votes identically on all 64
       // bits, so every planted pair must verify at Hamming distance 0
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents", "doc_id")
         .select(col("doc_id").as("id"), col("text"))
       val (planted, off) = withPlantedCopies(docs, "id", 20)
       Dedup.simhashPairs(planted, "id", "text", maxHamming = 3)

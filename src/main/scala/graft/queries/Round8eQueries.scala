@@ -34,7 +34,7 @@ object Round8eQueries {
       // planted exact copies (J = 1.0) survive every cut; organic
       // J≈0.9 boundary pairs populate the lower thresholds — one
       // verified-pairs run feeds the whole curve
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents", "doc_id")
         .select(col("doc_id").as("id"), col("text"))
       val off = broadcast(docs.agg((max(col("id")) + 1L).as("_off")))
       val planted = docs.filter(col("id") % 20 === 0).crossJoin(off)

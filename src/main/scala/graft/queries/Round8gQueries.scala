@@ -86,7 +86,7 @@ object Round8gQueries {
       // share every interior token run with their source: the winnow
       // guarantee forces shared fingerprints, so each planted pair MUST
       // appear — alongside any organic passage overlaps
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents", "doc_id")
         .select(col("doc_id").as("id"), col("text"))
       val off = broadcast(docs.agg((max(col("id")) + 1L).as("_off")))
       val copies = docs.filter(col("id") % 101 === 0).crossJoin(off)
@@ -101,7 +101,7 @@ object Round8gQueries {
     "q_dedup_plan" -> ((s, dir) =>
       // same pair parameters as q_dedup_cluster, so the oracle reuses
       // that query's proven recursive-CTE component derivation
-      Dedup.dedupClusterPlan(Tables.load(s, dir, "documents"),
+      Dedup.dedupClusterPlan(Tables.loadSpread(s, dir, "documents", "doc_id"),
           "doc_id", "text", trainPct = 80,
           n = 3, threshold = 0.2, maxShingleDf = 50)
         .orderBy(col("id"))),
