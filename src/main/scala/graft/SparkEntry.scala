@@ -65,7 +65,8 @@ object SparkEntry {
     graft.queries.Round11aQueries.queries ++
     graft.queries.Round11bQueries.queries ++
     graft.queries.Round11cQueries.queries ++
-    graft.queries.Round11dQueries.queries
+    graft.queries.Round11dQueries.queries ++
+    graft.queries.Round11eQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -118,5 +119,6 @@ object SparkEntry {
     graft.queries.Round11aQueries.oracles ++
     graft.queries.Round11bQueries.oracles ++
     graft.queries.Round11cQueries.oracles ++
-    graft.queries.Round11dQueries.oracles
+    graft.queries.Round11dQueries.oracles ++
+    graft.queries.Round11eQueries.oracles
 }

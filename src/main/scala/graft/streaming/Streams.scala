@@ -106,6 +106,46 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"))
 
+  /** In-window value trend per event type: the exact OLS slope of each
+    * event's value (in cents) against its OFFSET into the window — the
+    * "is this metric rising or falling within the hour" signal a drift
+    * monitor consumes per (window, type). All five regression moments
+    * are plain BIGINT sums, so the whole thing is ONE watermarked
+    * map-combinable aggregate: it runs unchanged as a writeStream
+    * (state = five longs per open (window, type); the watermark evicts
+    * closed windows) and as the batch plan the oracle replays. x is
+    * the in-window second offset computed per row as ut mod windowSec
+    * (tumbling windows are epoch-aligned, so no reference to the
+    * window struct is needed pre-aggregation), which keeps Σx² exact
+    * in a long; y casts through DECIMAL(18,2) so the cents are the
+    * same integers in both engines. Slope = (nΣxy − ΣxΣy)/(nΣx² −
+    * (Σx)²), one IEEE division after the exact sums; a window whose
+    * events all share one second has no slope (NULL).
+    */
+  def windowedTrend(events: DataFrame, windowSec: Long = 21600L,
+      watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val agg = events
+      .withWatermark("ts", watermark)
+      .withColumn("_x", pmod(unix_timestamp(col("ts")), lit(windowSec)))
+      .withColumn("_y",
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+      .groupBy(window(col("ts"), s"$windowSec seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"))
+    agg.select(col("window.start").as("window_start"), col("event_type"),
+      col("n"),
+      when(col("n") * col("_sxx") - col("_sx") * col("_sx") > 0,
+        round((col("n") * col("_sxy") - col("_sx") * col("_sy"))
+          .cast("double") /
+          (col("n") * col("_sxx") - col("_sx") * col("_sx"))
+            .cast("double"), 6)).as("slope_cents_per_sec"),
+      round(col("_sy").cast("double") / (col("n") * 100L).cast("double"), 6)
+        .as("mean_value"))
+  }
+
   /** Streaming per-user rate limiting: (window, user) event counts
     * with a watermark — the same streamable aggregate shape as
     * [[windowedCounts]], keyed by user — filtered to windows where the

@@ -53,6 +53,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("streaming in-window value trend over a file source equals the batch result") {
+    val dir = Files.createTempDirectory("graftstream")
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = Streams.windowedTrend(stream, windowSec = 3600L)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("trend_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("window_start", "event_type", "n", "slope_cents_per_sec",
+        "mean_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getDouble(4))).toSet
+    val got = key(spark.table("trend_out"))
+    val want = key(Streams.windowedTrend(events, windowSec = 3600L))
+    assert(got == want && want.nonEmpty)
+  }
+
   test("streaming windowed approx-distinct over a file source equals the batch result") {
     val dir = Files.createTempDirectory("grafthll")
     events.write.mode("overwrite").parquet(s"$dir/in")
