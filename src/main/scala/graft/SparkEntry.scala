@@ -66,7 +66,8 @@ object SparkEntry {
     graft.queries.Round11bQueries.queries ++
     graft.queries.Round11cQueries.queries ++
     graft.queries.Round11dQueries.queries ++
-    graft.queries.Round11eQueries.queries
+    graft.queries.Round11eQueries.queries ++
+    graft.queries.Round11fQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -120,5 +121,6 @@ object SparkEntry {
     graft.queries.Round11bQueries.oracles ++
     graft.queries.Round11cQueries.oracles ++
     graft.queries.Round11dQueries.oracles ++
-    graft.queries.Round11eQueries.oracles
+    graft.queries.Round11eQueries.oracles ++
+    graft.queries.Round11fQueries.oracles
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization for web-corpus dedup — the normalization pass
@@ -58,5 +58,78 @@ object Urls {
     when(scheme.isin("http", "https") && host =!= "",
       concat(scheme, lit("://"), host, path,
         when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit(""))))
+  }
+
+  /** The path component of a URL (no scheme/authority/query/fragment),
+    * shared by [[canonical]] and [[applyRules]].
+    */
+  def pathOf(url: Column): Column =
+    regexp_extract(regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+      "^[^/?#]*([^?#]*)", 1)
+
+  /** The CANONICAL host of a URL — lowercased, `www.` and any port
+    * stripped — the grain [[applyRules]] keys on (rule hosts are
+    * canonical hosts, consistent with [[canonical]]'s dedup-key
+    * contract; strict RFC 9309 treats www.x and x as distinct
+    * authorities, but a crawl-governance table over canonical keys
+    * wants one row per logical site).
+    */
+  def hostOf(url: Column): Column =
+    regexp_replace(regexp_replace(lower(regexp_extract(
+      regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+      "^([^/?#]*)", 1)), ":[0-9]+$", ""), "^www\\.", "")
+
+  /** Robots-style allow/deny rule application (RFC 9309 semantics):
+    * per (host, path-prefix, allow) rule set, a URL's verdict comes
+    * from its host's MOST SPECIFIC matching rule — longest prefix
+    * wins, an exact-length tie goes to ALLOW, and a URL matching no
+    * rule is allowed (the REP default). Plain prefix compare
+    * (`startswith`), not LIKE/regex, so rule text never needs
+    * escaping.
+    *
+    * Scale shape: the rule table is crawl-config sized — BROADCAST —
+    * so the whole pass is one broadcast join on host + a per-URL
+    * max-over-matches aggregate at URL grain; the corpus never
+    * shuffles. Returns the input plus (matched_prefix, allowed).
+    */
+  def applyRules(urls: DataFrame, urlCol: String,
+      rules: DataFrame): DataFrame = {
+    val u = urls.withColumn("_host", hostOf(col(urlCol)))
+      .withColumn("_path", pathOf(col(urlCol)))
+    val r = rules.select(col("host").as("_host"),
+      col("prefix").as("_pfx"), col("allow").as("_allow"))
+    // winner per URL: (longest prefix, allow-on-tie) via struct max —
+    // BOOLEAN sorts false < true, so allow wins equal lengths
+    val joined = u.join(broadcast(r), Seq("_host"), "left")
+      .withColumn("_hit",
+        when(col("_path").startsWith(col("_pfx")),
+          struct(length(col("_pfx")).as("l"), col("_allow").as("a"),
+            col("_pfx").as("p"))))
+    joined.groupBy(urls.columns.map(col): _*)
+      .agg(max(col("_hit")).as("_w"))
+      .select((urls.columns.map(col) :+
+        col("_w.p").as("matched_prefix") :+
+        coalesce(col("_w.a"), lit(true)).as("allowed")): _*)
+  }
+
+  /** Incremental canonical-set maintenance — the daily-crawl path:
+    * advance a stored (canonical, n_urls, keep_id) set by a batch of
+    * newly crawled URLs WITHOUT re-canonicalizing the corpus. The
+    * batch canonicalizes and aggregates alone (O(|batch|)), then one
+    * canonical-keyed merge folds it in; count-sum and id-min are
+    * commutative monoids over any partition of the URL set, so the
+    * increment equals a full rebuild EXACTLY (the q_url_increment
+    * oracle is literally the full-rebuild SQL).
+    */
+  def maintainCanonicalSet(stored: DataFrame, batch: DataFrame,
+      urlCol: String, idCol: String): DataFrame = {
+    val b = batch.select(col(idCol).as("_id"),
+        canonical(col(urlCol)).as("canonical"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_urls"), min(col("_id")).as("keep_id"))
+    stored.select(col("canonical"), col("n_urls"), col("keep_id"))
+      .unionByName(b)
+      .groupBy(col("canonical"))
+      .agg(sum(col("n_urls")).as("n_urls"), min(col("keep_id")).as("keep_id"))
   }
 }
