@@ -50,6 +50,39 @@ class Round11cSpec extends AnyFunSuite {
       Seq(Some("https://user:pw@e.com/x"), Some("https://user:pw@e.com/x")))
   }
 
+  test("canonicalization is idempotent over randomized URL shapes") {
+    // canonical(canonical(u)) must equal canonical(u): a canonical key
+    // fed back through the normalizer (as re-crawled URLs are) must not
+    // drift. Randomized over the cosmetic-variant space.
+    val rnd = new scala.util.Random(13)
+    val urls = (1 to 300).map { i =>
+      val scheme = if (rnd.nextBoolean()) "https" else "http"
+      val schemeR = if (rnd.nextBoolean()) scheme.toUpperCase else scheme
+      val www = if (rnd.nextBoolean()) "www." else ""
+      val host = s"${www}Host${rnd.nextInt(5)}.Example.com"
+      val port = rnd.nextInt(4) match {
+        case 0 => if (scheme == "http") ":80" else ":443"
+        case 1 => ":8080"
+        case _ => ""
+      }
+      val path = Seq.fill(rnd.nextInt(3))(s"p${rnd.nextInt(9)}")
+        .mkString("/", "/", if (rnd.nextBoolean()) "/" else "")
+      val params = rnd.shuffle(Seq("a=1", "b=2", "utm_source=x", "ref=y")
+        .take(rnd.nextInt(5)))
+      val q = if (params.isEmpty) "" else params.mkString("?", "&", "")
+      val frag = if (rnd.nextBoolean()) "#sec" else ""
+      (i.toLong, s"$schemeR://$host$port$path$q$frag")
+    }.toDF("id", "url")
+    val twice = urls.select(
+        Urls.canonical(col("url")).as("c1"),
+        Urls.canonical(Urls.canonical(col("url"))).as("c2"))
+      .collect()
+    twice.foreach { r =>
+      assert(!r.isNullAt(0), "generated URLs are all well-formed")
+      assert(r.getString(0) === r.getString(1), r.getString(0))
+    }
+  }
+
   test("non-http schemes and schemeless strings yield NULL") {
     assert(canon("ftp://e.com/f", "not a url 7", "mailto:x@e.com",
       "//protocol-relative.com/x") === Seq(None, None, None, None))
