@@ -43,7 +43,10 @@ object Bench {
     "q_text_chunks", "q_train_split", "q_topk", "q_window_rank",
     "q_unpivot", "q_global_agg",
     "q_tpch_q3", "q_tpch_q5", "q_sessionize", "q_tf_idf",
-    "q_dedup_cluster", "q_bigram_pmi", "q_concurrency", "q_tpch_q18")
+    "q_dedup_cluster", "q_bigram_pmi", "q_concurrency", "q_tpch_q18",
+    // round-11 cost families, tracked individually since their records
+    "q_entities", "q_entities_increment", "q_mmr_rerank",
+    "q_url_canonical", "q_link_predict", "q_lang_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
