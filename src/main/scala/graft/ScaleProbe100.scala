@@ -169,6 +169,57 @@ object ScaleProbe100 {
           maxDist = 1, maxBlockDf = 64).count()
       }
     }
+
+    // ---- round-11 families at 100x ----
+    // URL canonicalization + rule matching over 30M generated URLs
+    // (15M ids x base+variant, the q_url_canonical shapes): per-row
+    // string work rides the scan, the only exchange is the final
+    // group-by-canonical — throughput should track row count linearly.
+    locally {
+      val ids = spark.range(1L, 15000001L, 1L, 64).select(col("id"))
+      val hostBase = concat(lit("shop"), (col("id") % 997).cast("string"),
+        lit(".example.com"))
+      val pathBase = concat(lit("/item/"), col("id").cast("string"))
+      val base = concat(lit("https://"), hostBase, pathBase,
+        when(col("id") % 3 === 0, lit("?a=1&b=2")).otherwise(lit("")))
+      val variant = concat(lit("HTTPS://WWW."), upper(hostBase),
+        lit(":443"), pathBase, lit("/?utm_source=mail#frag"))
+      val urls = ids.select(explode(array(
+          struct((col("id") * 2).as("url_id"), base.as("url")),
+          struct((col("id") * 2 + 1).as("url_id"), variant.as("url"))))
+          .as("_u"))
+        .select(col("_u.url_id").as("url_id"), col("_u.url").as("url"))
+      time("URL canonicalization + group-by-canonical, 30M urls") {
+        urls.select(graft.ops.Urls.canonical(col("url")).as("c"))
+          .groupBy(col("c")).agg(count(lit(1))).count()
+      }
+      import spark.implicits._
+      val rulesDf = (0 until 997).flatMap(h => Seq(
+          (s"shop$h.example.com", "/item", h % 2 == 0),
+          (s"shop$h.example.com", "/item/1", true)))
+        .toDF("host", "prefix", "allow")
+      time("robots-rule verdicts (1,994 rules, broadcast), 30M urls") {
+        graft.ops.Urls.applyRules(urls, "url", rulesDf)
+          .groupBy(col("allowed")).agg(count(lit(1))).count()
+      }
+    }
+    // link prediction over a synthesized 1M-node bounded-degree graph
+    // (ring + 3 chord families -> degree 8 for every node, no hubs):
+    // wedge volume is exactly sum(deg^2)/2-ish = bounded by maxDeg*|E|,
+    // so candidate work scales with EDGES, not nodes^2.
+    locally {
+      val n = 1000000L
+      val nodes = spark.range(0L, n, 1L, 64).select(col("id"))
+      val edges = (Seq(1L, 7919L, 104729L, 999983L)).map { step =>
+        nodes.select(col("id").as("raw_a"),
+            pmod(col("id") + step, lit(n)).as("raw_b"))
+          .select(least(col("raw_a"), col("raw_b")).as("item_a"),
+            greatest(col("raw_a"), col("raw_b")).as("item_b"))
+      }.reduce(_ unionByName _)
+      time("link prediction top-3, 1M nodes / 4M edges (deg 8, no hubs)") {
+        graft.ops.Graphs.linkPrediction(edges, maxDeg = 64, k = 3).count()
+      }
+    }
     spark.stop()
   }
 }
