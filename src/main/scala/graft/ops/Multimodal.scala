@@ -222,10 +222,16 @@ object Multimodal {
       maxJpegSegments: Int = 8): DataFrame = {
     val p = col(payloadCol)
     val nullL = lit(null).cast("long")
-    val isPng = hex(substring(p, 1, 8)) === "89504E470D0A1A0A" &&
+    // minimum lengths cover every fixed-offset field read below: a
+    // payload TRUNCATED mid-header must flag as unparsed, not misparse
+    // the partially-present bytes as a smaller shifted value (beInt/
+    // leInt over a short substring silently return the prefix bytes)
+    val isPng = length(p) >= 24 &&
+      hex(substring(p, 1, 8)) === "89504E470D0A1A0A" &&
       hex(substring(p, 13, 4)) === "49484452" // IHDR tag
-    val isJpeg = hex(substring(p, 1, 2)) === "FFD8"
-    val isWav = hex(substring(p, 1, 4)) === "52494646" && // RIFF
+    val isJpeg = length(p) >= 4 && hex(substring(p, 1, 2)) === "FFD8"
+    val isWav = length(p) >= 36 &&
+      hex(substring(p, 1, 4)) === "52494646" && // RIFF
       hex(substring(p, 9, 8)) === "57415645666D7420" // WAVE + "fmt "
     // JPEG marker walk: state = (next marker offset, height, width);
     // a SOFn (C0/C1/C2) fills the dims and pins the state; any other
@@ -240,7 +246,8 @@ object Multimodal {
         val typ = beInt(p, off + 1, 1)
         val segLen = beInt(p, off + 2, 2)
         when(acc.getField("h").isNotNull || mark =!= 255, acc) // done/lost sync
-          .when(typ.isin(sofTypes.map(Long.box): _*),
+          .when(typ.isin(sofTypes.map(Long.box): _*) &&
+              length(p) >= off + 8, // dims fully present, not truncated
             struct(off.as("off"),
               beInt(p, off + 5, 2).as("h"), beInt(p, off + 7, 2).as("w")))
           .otherwise(struct((off + segLen + 2).as("off"),

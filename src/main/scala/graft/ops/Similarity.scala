@@ -883,8 +883,14 @@ object Similarity {
       "need k >= 1 and 0 <= lambdaNum/lambdaDen <= 1")
     // eager localCheckpoint: the frame is referenced four times below
     // (pair self-join twice, candidate collect, final id join-back), and
-    // the upstream candidate cut may be expensive — materialize once
-    val base = cands.select(col(probeCol).as("p"), col(idCol).as("id"),
+    // the upstream candidate cut may be expensive — materialize once.
+    // Null-relevance / null-vector candidates are unrankable and DROP
+    // here (documented contract): the greedy fold reads srel/sim as
+    // primitive longs, so a null reaching it would abort the query
+    // instead of degrading.
+    val base = cands
+      .filter(col(relCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(probeCol).as("p"), col(idCol).as("id"),
         round(col(relCol) * 1e6).cast("long").as("srel"), col(vecCol).as("v"))
       .withColumn("ix", row_number().over(
         Window.partitionBy(col("p")).orderBy(col("id"))))
@@ -893,8 +899,11 @@ object Similarity {
       .join(base.select(col("p"), col("ix").as("ib"), col("v").as("vb")),
         Seq("p"))
       .filter(col("ia") < col("ib"))
+      // coalesce: a degenerate (zero-norm) vector's cosine is NULL/NaN;
+      // quantize it to 0 similarity rather than NPE-ing the greedy fold
       .select(col("p"), col("ia"), col("ib"),
-        round(cosine(col("va"), col("vb")) * 1e6).cast("long").as("sim"))
+        coalesce(round(cosine(col("va"), col("vb")) * 1e6).cast("long"),
+          lit(0L)).as("sim"))
       .groupBy(col("p"))
       .agg(collect_list(struct(col("ia"), col("ib"), col("sim"))).as("ss"))
     val ln = lambdaNum.toLong

@@ -43,7 +43,11 @@ object Urls {
       .otherwise(host0)
     val path = regexp_replace(
       regexp_extract(rest, "^[^/?#]*([^?#]*)", 1), "/+$", "")
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // query extracted from the PRE-FRAGMENT part only: a '?' inside the
+    // fragment (the SPA router shape, https://app.com/#/search?q=1) is
+    // fragment content and must drop with it, not resurface as a query
+    val query = regexp_extract(regexp_replace(url, "#.*$", ""),
+      "\\?(.*)$", 1)
     // tracking params drop via regex, NOT a filter() lambda: lambda
     // higher-order functions knock the whole downstream stage (e.g. the
     // caller's hash aggregate) out of whole-stage codegen — measured 4x
@@ -87,26 +91,37 @@ object Urls {
     * (`startswith`), not LIKE/regex, so rule text never needs
     * escaping.
     *
-    * Scale shape: the rule table is crawl-config sized — BROADCAST —
-    * so the whole pass is one broadcast join on host + a per-URL
-    * max-over-matches aggregate at URL grain; the corpus never
-    * shuffles. Returns the input plus (matched_prefix, allowed).
+    * Scale shape: the crawl-config-sized rule table collapses to one
+    * ARRAY of (prefix, allow) per host (a rules-side aggregate, never
+    * corpus-sized) and BROADCASTs; the corpus side is one broadcast
+    * join on host plus a per-row fold over that host's rule array —
+    * a pure projection, so input cardinality is preserved EXACTLY
+    * (duplicate rows stay duplicated) and the corpus never shuffles.
+    * Returns the input plus (matched_prefix, allowed).
     */
   def applyRules(urls: DataFrame, urlCol: String,
       rules: DataFrame): DataFrame = {
-    val u = urls.withColumn("_host", hostOf(col(urlCol)))
-      .withColumn("_path", pathOf(col(urlCol)))
-    val r = rules.select(col("host").as("_host"),
-      col("prefix").as("_pfx"), col("allow").as("_allow"))
-    // winner per URL: (longest prefix, allow-on-tie) via struct max —
-    // BOOLEAN sorts false < true, so allow wins equal lengths
-    val joined = u.join(broadcast(r), Seq("_host"), "left")
-      .withColumn("_hit",
-        when(col("_path").startsWith(col("_pfx")),
-          struct(length(col("_pfx")).as("l"), col("_allow").as("a"),
-            col("_pfx").as("p"))))
-    joined.groupBy(urls.columns.map(col): _*)
-      .agg(max(col("_hit")).as("_w"))
+    val perHost = rules.groupBy(col("host").as("_host"))
+      .agg(collect_list(struct(col("prefix").as("p"), col("allow").as("a")))
+        .as("_rules"))
+    val noRules = typedLit(Seq.empty[(String, Boolean)])
+      .cast("array<struct<p:string,a:boolean>>")
+    val noHit = lit(null).cast("struct<p:string,a:boolean>")
+    val path = pathOf(col(urlCol))
+    // winner fold: longest prefix, allow on an exact-length tie
+    val winner = aggregate(
+      filter(coalesce(col("_rules"), noRules),
+        r => path.startsWith(r.getField("p"))),
+      noHit,
+      (acc, r) =>
+        when(acc.isNull ||
+            length(r.getField("p")) > length(acc.getField("p")) ||
+            (length(r.getField("p")) === length(acc.getField("p")) &&
+              r.getField("a") && !acc.getField("a")), r)
+          .otherwise(acc))
+    urls.withColumn("_host", hostOf(col(urlCol)))
+      .join(broadcast(perHost), Seq("_host"), "left")
+      .withColumn("_w", winner)
       .select((urls.columns.map(col) :+
         col("_w.p").as("matched_prefix") :+
         coalesce(col("_w.a"), lit(true)).as("allowed")): _*)

@@ -17,44 +17,45 @@ import org.apache.spark.sql.functions._
   */
 object Round11cQueries {
 
+  /** The synthetic crawl shared by the whole URL family (q_url_canonical
+    * here; q_url_rules / q_url_increment in Round11f — ONE generator, so
+    * the engine inputs and the shared full-rebuild oracle cannot drift
+    * apart). Per order id: a clean URL and a cosmetic variant; every
+    * 13th id's rows are malformed non-URLs. loadSpread: the ~20-regex
+    * canonicalization downstream must not serialize into the single
+    * task a one-file table otherwise yields (5 s → 1.2 s measured).
+    */
+  private[queries] def syntheticUrls(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.loadSpread(s, dir, "orders", "o_orderkey")
+      .select(col("o_orderkey").cast("long").as("id"))
+    val hostBase = concat(lit("shop"), (col("id") % 7).cast("string"),
+      lit(".example.com"))
+    val pathBase = concat(lit("/item/"), col("id").cast("string"))
+    val base = concat(lit("https://"), hostBase, pathBase,
+      when(col("id") % 3 === 0, lit("?a=1&b=2")).otherwise(lit("")))
+    val variant = concat(lit("HTTPS://WWW."), upper(hostBase),
+      lit(":443"), pathBase, lit("/"),
+      when(col("id") % 3 === 0, lit("?utm_source=mail&b=2&a=1"))
+        .otherwise(lit("?utm_source=mail")),
+      lit("#frag"))
+    val malformed = concat(lit("not a url "), col("id").cast("string"))
+    o.select(explode(array(
+        struct((col("id") * 2).as("url_id"),
+          when(col("id") % 13 === 0, malformed).otherwise(base).as("url")),
+        struct((col("id") * 2 + 1).as("url_id"),
+          when(col("id") % 13 === 0, malformed).otherwise(variant)
+            .as("url")))).as("_u"))
+      .select(col("_u.url_id").as("url_id"), col("_u.url").as("url"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "q_url_canonical" -> ((s, dir) => {
-      // repartition BEFORE the regex-heavy projection: the sf0.1 orders
-      // table is one parquet file = one input split, so without it the
-      // ~20-regex-per-row canonicalization runs in a single task (5s
-      // measured; 0.4s spread over the cores). At 100 TB the scan's
-      // natural splits provide this parallelism and the shuffle is
-      // unnecessary — it buys CPU spread only when splits < cores.
-      // (explicit N: AQE would coalesce a bare repartition's tiny
-      // shuffle back to one partition, reserializing the single task)
-      val o = Tables.load(s, dir, "orders")
-        .select(col("o_orderkey").cast("long").as("id"))
-        .repartition(s.sparkContext.defaultParallelism, col("id"))
-      val hostBase = concat(lit("shop"), (col("id") % 7).cast("string"),
-        lit(".example.com"))
-      val pathBase = concat(lit("/item/"), col("id").cast("string"))
-      val base = concat(lit("https://"), hostBase, pathBase,
-        when(col("id") % 3 === 0, lit("?a=1&b=2")).otherwise(lit("")))
-      val variant = concat(lit("HTTPS://WWW."), upper(hostBase),
-        lit(":443"), pathBase, lit("/"),
-        when(col("id") % 3 === 0, lit("?utm_source=mail&b=2&a=1"))
-          .otherwise(lit("?utm_source=mail")),
-        lit("#frag"))
-      val malformed = concat(lit("not a url "), col("id").cast("string"))
-      val urls = o.select(explode(array(
-          struct((col("id") * 2).as("url_id"),
-            when(col("id") % 13 === 0, malformed).otherwise(base)
-              .as("url")),
-          struct((col("id") * 2 + 1).as("url_id"),
-            when(col("id") % 13 === 0, malformed).otherwise(variant)
-              .as("url")))).as("_u"))
-        .select(col("_u.url_id").as("url_id"), col("_u.url").as("url"))
-      urls.select(col("url_id"), Urls.canonical(col("url")).as("canonical"))
+    "q_url_canonical" -> ((s, dir) =>
+      syntheticUrls(s, dir)
+        .select(col("url_id"), Urls.canonical(col("url")).as("canonical"))
         .groupBy(col("canonical"))
         .agg(count(lit(1)).as("n_urls"), min(col("url_id")).as("keep_id"))
-        .orderBy(col("canonical").asc_nulls_first)
-    }))
+        .orderBy(col("canonical").asc_nulls_first)))
 
   def oracles: Map[String, String] = Map(
     "q_url_canonical" ->

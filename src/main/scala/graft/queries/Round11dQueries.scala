@@ -33,13 +33,10 @@ object Round11dQueries {
         when(col("doc_id") % 5 === 0, lit(FrHead)).otherwise(lit("")),
         col("text"),
         when(col("doc_id") % 3 === 0, lit(DeTail)).otherwise(lit("")))
-      // explicit repartition before the chunk explode + per-chunk
-      // language ID: the single-file documents table is one input
-      // split, which would serialize the CPU-heavy projection into one
-      // task (the q_url_canonical finding; at 100 TB the scan's natural
-      // splits make this shuffle unnecessary)
-      val chunks = Tables.load(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      // loadSpread: the chunk explode + per-chunk language ID must not
+      // serialize into the single task a one-file table otherwise
+      // yields (see Tables.loadSpread)
+      val chunks = Tables.loadSpread(s, dir, "documents", "doc_id")
         .select(col("doc_id"),
           posexplode(TextAnalysis.chunkTokens(text2, ChunkSize, 0)))
         .select(col("doc_id"), col("pos").cast("long").as("idx"),

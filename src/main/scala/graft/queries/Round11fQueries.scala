@@ -14,30 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Round11fQueries {
 
-  /** The q_url_canonical synthetic crawl, factored for reuse. */
-  private[queries] def syntheticUrls(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(s, dir, "orders")
-      .select(col("o_orderkey").cast("long").as("id"))
-      .repartition(s.sparkContext.defaultParallelism, col("id"))
-    val hostBase = concat(lit("shop"), (col("id") % 7).cast("string"),
-      lit(".example.com"))
-    val pathBase = concat(lit("/item/"), col("id").cast("string"))
-    val base = concat(lit("https://"), hostBase, pathBase,
-      when(col("id") % 3 === 0, lit("?a=1&b=2")).otherwise(lit("")))
-    val variant = concat(lit("HTTPS://WWW."), upper(hostBase),
-      lit(":443"), pathBase, lit("/"),
-      when(col("id") % 3 === 0, lit("?utm_source=mail&b=2&a=1"))
-        .otherwise(lit("?utm_source=mail")),
-      lit("#frag"))
-    val malformed = concat(lit("not a url "), col("id").cast("string"))
-    o.select(explode(array(
-        struct((col("id") * 2).as("url_id"),
-          when(col("id") % 13 === 0, malformed).otherwise(base).as("url")),
-        struct((col("id") * 2 + 1).as("url_id"),
-          when(col("id") % 13 === 0, malformed).otherwise(variant)
-            .as("url")))).as("_u"))
-      .select(col("_u.url_id").as("url_id"), col("_u.url").as("url"))
-  }
+  /** The shared synthetic crawl lives in [[Round11cQueries.syntheticUrls]]
+    * — one generator for the whole URL family, so the q_url_increment
+    * oracle (which IS Round11c's full-rebuild SQL) can never diverge
+    * from the engine input.
+    */
+  private def syntheticUrls(s: SparkSession, dir: String): DataFrame =
+    Round11cQueries.syntheticUrls(s, dir)
 
   /** Crawl-governance rules over the synthetic hosts: shop0 denies
     * /item but re-allows /item/1 (longest prefix flips the verdict for

@@ -115,4 +115,21 @@ class Round11aSpec extends AnyFunSuite {
     val r = parse1(Array[Byte](1, 2, 3))
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(3))
   }
+
+  test("a payload truncated mid-header flags as unparsed instead of misparsing the prefix bytes") {
+    // a valid WAV signature (RIFF..WAVEfmt , 16 bytes) cut off before
+    // the fmt fields: channels/sample-rate must NOT come back as the
+    // partially-available bytes parsed into a smaller shifted value
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    val truncated = "RIFF".getBytes ++ le(36, 4) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le(16, 4) ++ le(1, 2) ++ le(2, 1) // cut mid-channels
+    val r = parse1(truncated)
+    assert(r.isNullAt(0) && r.isNullAt(3) && r.isNullAt(4))
+    // and a JPEG whose SOF dims are cut off keeps format but null dims
+    val cutJpeg = Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x11, 0x08, 0x01)
+      .map(_.toByte)
+    val j = parse1(cutJpeg)
+    assert(j.getString(0) === "jpeg" && j.isNullAt(1) && j.isNullAt(2))
+  }
 }

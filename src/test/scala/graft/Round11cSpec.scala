@@ -45,6 +45,18 @@ class Round11cSpec extends AnyFunSuite {
       Some("https://e.com/p")))
   }
 
+  test("a '?' inside the fragment is fragment content, not a query (SPA router URLs)") {
+    assert(canon(
+      "https://app.example.com/#/search?q=1",
+      "https://app.example.com/",
+      "https://e.com/p#frag?x=1",
+      "https://e.com/p?a=1#frag?b=2") === Seq(
+      Some("https://app.example.com"),
+      Some("https://app.example.com"),
+      Some("https://e.com/p"),
+      Some("https://e.com/p?a=1")))
+  }
+
   test("userinfo stays in the (lowercased) authority — dedup keys, not fetchable URLs") {
     assert(canon("https://User:Pw@e.com/x", "https://user:pw@e.com/x") ===
       Seq(Some("https://user:pw@e.com/x"), Some("https://user:pw@e.com/x")))

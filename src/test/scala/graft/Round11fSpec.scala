@@ -47,6 +47,13 @@ class Round11fSpec extends AnyFunSuite {
       (2L, Some("/a"), false)))
   }
 
+  test("applyRules preserves input cardinality exactly — duplicate rows stay duplicated") {
+    val dup = Seq((1L, "https://e.com/a/x"), (1L, "https://e.com/a/x"),
+      (2L, "https://other.com/y")).toDF("url_id", "url")
+    val got = Urls.applyRules(dup, "url", rules).collect()
+    assert(got.length === 3, "a pure projection must not collapse duplicates")
+  }
+
   test("maintainCanonicalSet over any split equals the one-shot aggregate") {
     val urls = (1L to 40L).map(i =>
       (i, s"https://e.com/p/${i % 7}")).toDF("url_id", "url")
