@@ -46,9 +46,14 @@ object Bench {
     "q_dedup_cluster", "q_bigram_pmi", "q_concurrency", "q_tpch_q18",
     // round-11 cost families, tracked individually since their records
     "q_entities", "q_entities_increment", "q_mmr_rerank",
-    "q_url_canonical", "q_link_predict", "q_lang_spans")
+    "q_url_canonical", "q_link_predict", "q_lang_spans",
+    // round-12 fixture-staging targets (PQ training state + the dedup
+    // sweep block's shared shingling), tracked through their records
+    "q_pq_gain", "q_pq_trained", "q_pq_topk", "q_dedup_plan",
+    "q_dedup_sweep", "q_winnow_pairs", "q_media_headers")
 
   def main(args: Array[String]): Unit = {
+    val wallStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -104,11 +109,19 @@ object Bench {
     val loads = scala.collection.mutable.ArrayBuffer[Double]()
     // suite-major: pass p times every query once, so a co-tenant burst
     // localized in time contaminates at most one of a query's samples
+    // per-pass WALL clock (r11 verdict item 2): the calibration case
+    // study in BASELINE.md showed host co-tenancy that neither the CPU
+    // probe nor loadavg fully sees — but suite wall time does (997 s vs
+    // 890 s for identical work was the clearest tell). Each pass's wall
+    // covers settle + calibration + every query, so the array is
+    // directly comparable across runs of the same suite.
+    val walls = scala.collection.mutable.ArrayBuffer[Double]()
     val samples: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
+      val passStart = System.nanoTime()
       settle()
       loads += loadavg()
       calibrations += calibrate()
-      names.map { name =>
+      val passTimes = names.map { name =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case e: Throwable =>
@@ -120,6 +133,8 @@ object Bench {
         spark.catalog.clearCache()
         name -> t
       }
+      walls += (System.nanoTime() - passStart) / 1e9
+      passTimes
     }
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
@@ -154,8 +169,10 @@ object Bench {
     val minsJson = toJson(names.map(n => n -> byName(n).min))
     val calJson = calibrations.map(t => f"$t%.3f").mkString("[", ",", "]")
     val loadJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
+    val wallJson = walls.map(t => f"$t%.1f").mkString("[", ",", "]")
+    val wallTotal = f"${(System.nanoTime() - wallStart) / 1e9}%.1f"
     val fullLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"calibration":$calJson,"loadavg":$loadJson,"queries":${toJson(results)},"mins":$minsJson,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"calibration":$calJson,"loadavg":$loadJson,"wall":$wallJson,"wall_total":$wallTotal,"queries":${toJson(results)},"mins":$minsJson,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}"""
     // the committed bench_full.json is the contractual FULL-suite sf0.1
     // record — a smoke run at another SF (or a subset run) must not
     // clobber it (this exact clobber shipped twice; see ADVICE r5). Off-
@@ -171,7 +188,7 @@ object Bench {
     } catch { case _: Throwable => () }
     // errors surface in the JSON + stderr; exit stays 0 so the driver
     // still collects the line
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"calibration":$calJson,"loadavg":$loadJson,"queries":${toJson(reported)},"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"calibration":$calJson,"loadavg":$loadJson,"wall":$wallJson,"wall_total":$wallTotal,"queries":${toJson(reported)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -67,7 +67,20 @@ object Dedup {
     * shingles), which both bounds skew and removes noise.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5, maxShingleDf: Int = 1000): DataFrame =
+    ngramJaccardPairsFromShingles(
+      explodedShingleHashes(df, idCol, textCol, n, distinct = true),
+      threshold, maxShingleDf)
+
+  /** [[ngramJaccardPairs]] over a PRE-BUILT distinct (id, shingle)
+    * frame ([[explodedShingleHashes]] output) — the form a pipeline
+    * uses when the shingle table is persisted state shared across
+    * queries (threshold sweeps, cluster plans, and the pair list all
+    * derive from ONE shingle build; at 100 TB the shingle frame is a
+    * written table, not something each query re-derives from text).
+    */
+  def ngramJaccardPairsFromShingles(shingles: DataFrame,
+      threshold: Double, maxShingleDf: Int): DataFrame = {
     // Persist the exploded shingle table FIRST: every downstream job
     // (the hot-shingle aggregate, its broadcast subplan, the anti-join,
     // the sizes aggregate, both self-join sides) would otherwise
@@ -75,7 +88,7 @@ object Dedup {
     // cost when re-run 4-5x per invocation. Shingles travel as 64-bit
     // hashes, so the persisted/shuffled rows are two longs, not
     // (long, string). Compact rows, spillable.
-    val raw = explodedShingleHashes(df, idCol, textCol, n, distinct = true)
+    val raw = shingles
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     raw.count() // materialize once, eagerly
     // Stop-shingle removal via aggregate + broadcast anti-join: the hot
@@ -187,7 +200,17 @@ object Dedup {
     * uncapped Jaccard is what external engines reproduce.
     */
   def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 64, bands: Int = 16, n: Int = 3, threshold: Double = 0.9): DataFrame = {
+      k: Int = 64, bands: Int = 16, n: Int = 3, threshold: Double = 0.9): DataFrame =
+    lshVerifiedPairsFromShingles(
+      explodedShingleHashes(df, idCol, textCol, n, distinct = true),
+      k, bands, threshold)
+
+  /** [[lshVerifiedPairs]] over a PRE-BUILT distinct (id, shingle)
+    * frame — the persisted-shingle-table form (see
+    * [[ngramJaccardPairsFromShingles]]).
+    */
+  def lshVerifiedPairsFromShingles(shingles: DataFrame,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.9): DataFrame = {
     require(bands > 0 && bands <= k && k % bands == 0,
       s"need bands to divide k, got k=$k bands=$bands")
     // ONE tokenize+shingle pass feeds everything: the signature build
@@ -196,7 +219,7 @@ object Dedup {
     // are bit-identical to minhashSignature's), and the table then
     // serves the sizes aggregate and both sides of the intersection
     // join. Rows are two longs, spillable.
-    val sh = explodedShingleHashes(df, idCol, textCol, n, distinct = true)
+    val sh = shingles
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.count() // materialize once, eagerly (the ngramJaccardPairs rule)
     val mins: Seq[Column] = (0 until k).map(i =>
@@ -809,9 +832,19 @@ object Dedup {
     */
   def dedupSweep(df: DataFrame, idCol: String, textCol: String,
       thresholds: Seq[Double], k: Int = 64, bands: Int = 16,
-      n: Int = 3): DataFrame = {
+      n: Int = 3): DataFrame =
+    dedupSweepFromShingles(
+      explodedShingleHashes(df, idCol, textCol, n, distinct = true),
+      thresholds, k, bands)
+
+  /** [[dedupSweep]] over a PRE-BUILT distinct (id, shingle) frame —
+    * the persisted-shingle-table form (see
+    * [[ngramJaccardPairsFromShingles]]).
+    */
+  def dedupSweepFromShingles(shingles: DataFrame,
+      thresholds: Seq[Double], k: Int = 64, bands: Int = 16): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
-    val pairs = lshVerifiedPairs(df, idCol, textCol, k, bands, n,
+    val pairs = lshVerifiedPairsFromShingles(shingles, k, bands,
       threshold = thresholds.min)
     pairs.withColumn("threshold", explode(typedlit(thresholds.sorted)))
       .filter(col("jaccard") >= col("threshold"))
@@ -871,9 +904,25 @@ object Dedup {
     */
   def winnowMatchPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4, minShared: Int = 2,
-      maxFpDf: Int = 1000): DataFrame = {
-    val fps = widen(df).select(col(idCol).cast("long").as("id"),
-        explode(TextAnalysis.winnowFingerprints(col(textCol), k, w)).as("fp"))
+      maxFpDf: Int = 1000): DataFrame =
+    winnowMatchPairsFromFps(explodedWinnowFps(df, idCol, textCol, k, w),
+      minShared, maxFpDf)
+
+  /** The exploded (id, fp) winnow-fingerprint frame — the persisted
+    * index form of [[winnowMatchPairs]]'s input (a MOSS deployment
+    * fingerprints each document once and stores the postings).
+    */
+  def explodedWinnowFps(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame =
+    widen(df).select(col(idCol).cast("long").as("id"),
+      explode(TextAnalysis.winnowFingerprints(col(textCol), k, w)).as("fp"))
+
+  /** [[winnowMatchPairs]] over a PRE-BUILT (id, fp) fingerprint frame
+    * ([[explodedWinnowFps]] output).
+    */
+  def winnowMatchPairsFromFps(fingerprints: DataFrame,
+      minShared: Int = 2, maxFpDf: Int = 1000): DataFrame = {
+    val fps = fingerprints
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxFpDf).select(col("fp"))
@@ -904,8 +953,19 @@ object Dedup {
     */
   def dedupClusterPlan(df: DataFrame, idCol: String, textCol: String,
       trainPct: Int, n: Int = 3, threshold: Double = 0.2,
-      maxShingleDf: Int = 1000): DataFrame = {
-    val pairs = ngramJaccardPairs(df, idCol, textCol, n, threshold, maxShingleDf)
+      maxShingleDf: Int = 1000): DataFrame =
+    dedupClusterPlanFromShingles(df, idCol, textCol,
+      explodedShingleHashes(df, idCol, textCol, n, distinct = true),
+      trainPct, threshold, maxShingleDf)
+
+  /** [[dedupClusterPlan]] with the pair build running over a PRE-BUILT
+    * distinct (id, shingle) frame for `df` (the persisted-shingle-table
+    * form); the quality scores still come from the text column.
+    */
+  def dedupClusterPlanFromShingles(df: DataFrame, idCol: String,
+      textCol: String, shingles: DataFrame, trainPct: Int,
+      threshold: Double = 0.2, maxShingleDf: Int = 1000): DataFrame = {
+    val pairs = ngramJaccardPairsFromShingles(shingles, threshold, maxShingleDf)
     val cc = connectedComponents(pairs)
     val scored = df.select(col(idCol).cast("long").as("id"),
       TextAnalysis.bpeishTokenCount(col(textCol)).as("score"))

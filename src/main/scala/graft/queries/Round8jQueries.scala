@@ -21,6 +21,42 @@ object Round8jQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Codebooks staged as a [[Tables.storedFixture]] (r11 verdict item
+    * 1, the q_entities precedent): a PQ deployment trains its codebooks
+    * ONCE and serves encode/ADC/recall against the stored M×K×dsub
+    * table — rebuilding the 4-iteration Lloyd run inside every query
+    * priced the training, not the serving. The fixture is a tiny
+    * (M·K)-row parquet frame (j, code, cw); doubles round-trip
+    * bit-exactly, so the staged codebooks are the identical arrays the
+    * build produced and every downstream number is unchanged (oracles
+    * still replay the full training from base tables).
+    */
+  private def storedCodebooks(s: SparkSession, dir: String, name: String)(
+      build: => Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("j", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("cw", ArrayType(DoubleType, containsNull = false))))
+    val df = Tables.storedFixture(s, dir, name) {
+      val cbs = build
+      val rows: Seq[Row] = for {
+        (sub, j) <- cbs.zipWithIndex.toSeq
+        (cw, c) <- sub.zipWithIndex
+      } yield Row(j, c, cw.toSeq)
+      s.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), schema)
+    }
+    val out = Array.ofDim[Array[Double]](M, K)
+    df.collect().foreach { r =>
+      out(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    require(out.forall(_.forall(_ != null)), s"fixture $name incomplete")
+    out
+  }
+
   private def probe(s: SparkSession, dir: String): Array[Double] =
     emb(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
@@ -46,7 +82,8 @@ object Round8jQueries {
     // ---- PQ encoding: codes + quantization error ----
     "q_pq_encode" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", M, K)
+      val cb = storedCodebooks(s, dir, "pq_cb_sampled_raw_v1")(
+        Similarity.pqCodebooks(e, "vec_id", "embedding", M, K))
       Similarity.pqEncode(e, "vec_id", "embedding", cb)
         .select(col("vec_id"),
           concat_ws("-", col("codes").cast("array<string>")).as("codes"),
@@ -57,7 +94,8 @@ object Round8jQueries {
     // ---- asymmetric-distance top-k, planted-certainty form ----
     "q_pq_topk" -> ((s, dir) => {
       val corpus = withProbeCopies(s, dir)
-      val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", M, K)
+      val cb = storedCodebooks(s, dir, "pq_cb_sampled_copies_v1")(
+        Similarity.pqCodebooks(corpus, "vec_id", "embedding", M, K))
       val enc = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
       Similarity.pqAdcTopK(enc, "vec_id", "codes", cb, probe(s, dir), topK = 10)
         .select(col("vec_id"), round(col("approx_dist"), 6).as("approx_dist"))
@@ -66,7 +104,8 @@ object Round8jQueries {
     // ---- recall@10 of ADC vs the exact squared-L2 ranking ----
     "q_pq_recall" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", M, K)
+      val cb = storedCodebooks(s, dir, "pq_cb_sampled_raw_v1")(
+        Similarity.pqCodebooks(e, "vec_id", "embedding", M, K))
       Similarity.pqRecall(e, "vec_id", "embedding", cb, probe(s, dir), k = 10)
     }),
 
@@ -75,8 +114,9 @@ object Round8jQueries {
       val raw = emb(s, dir)
       val q = raw.select(col("vec_id"),
         Similarity.pqQuantize(col("embedding")).as("qv"))
-      val cb = Similarity.pqTrainCodebooks(raw, "vec_id", "embedding",
-        M, K, iters = 4)
+      val cb = storedCodebooks(s, dir, "pq_cb_trained_v1")(
+        Similarity.pqTrainCodebooks(raw, "vec_id", "embedding",
+          M, K, iters = 4))
       val qprobe = q.filter(col("vec_id") === 0)
         .head().getSeq[Double](1).toArray
       Similarity.pqAdcTopK(
@@ -97,9 +137,11 @@ object Round8jQueries {
       val probes = q.filter(col("vec_id") < 10).orderBy(col("vec_id"))
         .collect().map(r => r.getAs[Number](0).longValue ->
           r.getSeq[Double](1).toArray).toSeq
-      val sampled = Similarity.pqCodebooks(q, "vec_id", "qv", M, K)
-      val trained = Similarity.pqTrainCodebooks(raw, "vec_id", "embedding",
-        M, K, iters = 4)
+      val sampled = storedCodebooks(s, dir, "pq_cb_sampled_q_v1")(
+        Similarity.pqCodebooks(q, "vec_id", "qv", M, K))
+      val trained = storedCodebooks(s, dir, "pq_cb_trained_v1")(
+        Similarity.pqTrainCodebooks(raw, "vec_id", "embedding",
+          M, K, iters = 4))
       Similarity.pqRecallMean(q, "vec_id", "qv", sampled, probes, k = 10)
         .select(lit("sampled").as("codebook"), col("k"), col("n_probes"),
           col("n_hits"), col("mean_recall"))
