@@ -152,17 +152,26 @@ object Multimodal {
     * generation rule alone): PNG (signature + IHDR with width/height),
     * JPEG (SOI + APP0/JFIF, an id-dependent COM segment so the marker
     * walk is not fixed-offset, + SOF0 with dimensions), WAV (RIFF +
-    * fmt chunk with channels/sample-rate/bit-depth). Every 97th
-    * payload's first byte is corrupted — malformed inputs must come
-    * back flagged, not crash the scan. Trailing fake body bytes follow
-    * each header (headers parse without reading the body).
+    * fmt chunk with channels/sample-rate/bit-depth), GIF (89a
+    * signature + logical-screen dims), and WebP (RIFF/WEBP with the
+    * id cycling all three bitstream variants: lossy VP8 with the
+    * 9D 01 2A sync code, lossless VP8L with the packed 14-bit dims,
+    * extended VP8X with the 24-bit canvas) — the reference's full
+    * image-extension surface (insert.go:183-226 names .gif/.webp; its
+    * data dir ships a real 1.webp). Every 97th payload's first byte is
+    * corrupted — malformed inputs must come back flagged, not crash
+    * the scan. Trailing fake body bytes follow each header (headers
+    * parse without reading the body).
     */
   def syntheticMediaHeaders(df: DataFrame, idCol: String): DataFrame = {
     val id = col(idCol).cast("long")
     val width = (id % 64) * 16 + 16
     val height = (id % 48) * 16 + 16
     val channels = id % 2 + 1
-    val sampleRate = (id % 5) * 8000 + 8000
+    // modulus 7 is coprime to the 5-way format cycle, so sample rates
+    // still vary across the wav class (a 5-aligned modulus would pin
+    // every wav payload to one rate and blind the oracle to the field)
+    val sampleRate = (id % 7) * 4000 + 8000
     val bits = (id % 2 + 2) * 8
     val body = unhex(repeat(md5(id.cast("string")), (id % 8 + 1).cast("int")))
     val png = concat(
@@ -195,9 +204,39 @@ object Multimodal {
       leBytes(bits, 2),
       ascii("data"), leBytes(dataLen, 4),
       body)
-    val intact = when(id % 3 === 0, png)
-      .when(id % 3 === 1, jpeg)
-      .otherwise(wav)
+    // GIF: 6-byte version signature, then the logical screen descriptor
+    // (LE width, LE height, packed GCT byte, bg index, aspect ratio)
+    val gif = concat(
+      ascii("GIF89a"),
+      leBytes(width, 2), leBytes(height, 2),
+      unhex(lit("910000")),
+      body)
+    // WebP: RIFF container; the bitstream chunk cycles the three
+    // public variants so the parse covers all of them
+    val webpVariant = (id / 5).cast("long") % 3 // integer id/5 (ids are small positives)
+    val vp8 = concat( // lossy: 3-byte frame tag, sync 9D 01 2A, LE dims
+      ascii("VP8 "), leBytes(dataLen + 10, 4),
+      unhex(lit("000000")), unhex(lit("9D012A")),
+      leBytes(width, 2), leBytes(height, 2), body)
+    val vp8l = concat( // lossless: 2F signature, 14+14-bit packed dims
+      ascii("VP8L"), leBytes(dataLen + 5, 4),
+      unhex(lit("2F")),
+      leBytes((width - 1) + (height - 1) * lit(16384L), 4), body)
+    val vp8x = concat( // extended: flags + 24-bit canvas minus-one dims
+      ascii("VP8X"), leBytes(lit(10), 4),
+      unhex(lit("02000000")),
+      leBytes(width - 1, 3), leBytes(height - 1, 3), body)
+    val webpChunk = when(webpVariant === 0, vp8)
+      .when(webpVariant === 1, vp8l)
+      .otherwise(vp8x)
+    val webp = concat(
+      ascii("RIFF"), leBytes(length(webpChunk) + 4, 4), ascii("WEBP"),
+      webpChunk)
+    val intact = when(id % 5 === 0, png)
+      .when(id % 5 === 1, jpeg)
+      .when(id % 5 === 2, wav)
+      .when(id % 5 === 3, gif)
+      .otherwise(webp)
     df.select(id.as("media_id"),
       when(id % 97 === 0, // corrupt the first byte: X ^ 0xFF (lpad: conv
         // emits unpadded hex and unhex(odd-length) is NULL)
@@ -207,8 +246,8 @@ object Multimodal {
         .otherwise(intact).as("payload"))
   }
 
-  /** Parse real PNG/JPEG/WAV headers from the binary column — pure
-    * in-plan byte arithmetic, no UDF. Returns per row the detected
+  /** Parse real PNG/JPEG/WAV/GIF/WebP headers from the binary column —
+    * pure in-plan byte arithmetic, no UDF. Returns per row the detected
     * format (null if no known signature matches: the no-crash contract
     * for malformed inputs), image width/height, and audio
     * channels/sample-rate/bit-depth (nulls where inapplicable). The
@@ -216,7 +255,13 @@ object Multimodal {
     * `maxJpegSegments` steps): segments before the SOFn are skipped by
     * their declared lengths, so APP0/COM/quantization tables of any
     * size are handled — the walk reads only marker+length bytes, never
-    * the body.
+    * the body. GIF dims are the fixed-offset little-endian
+    * logical-screen descriptor; WebP dims branch on the first RIFF
+    * chunk's tag: lossy VP8 (LE 14-bit dims after the 9D 01 2A sync
+    * code), lossless VP8L (14+14-bit dims packed after the 2F
+    * signature byte), extended VP8X (24-bit LE canvas dims minus one).
+    * An unknown or truncated WebP chunk keeps format 'webp' with null
+    * dims, like a truncated JPEG SOF.
     */
   def parseHeaders(media: DataFrame, payloadCol: String,
       maxJpegSegments: Int = 8): DataFrame = {
@@ -233,6 +278,23 @@ object Multimodal {
     val isWav = length(p) >= 36 &&
       hex(substring(p, 1, 4)) === "52494646" && // RIFF
       hex(substring(p, 9, 8)) === "57415645666D7420" // WAVE + "fmt "
+    val isGif = length(p) >= 13 && // signature + full screen descriptor
+      hex(substring(p, 1, 6)).isin("474946383761", "474946383961") // GIF87a/89a
+    val isWebp = length(p) >= 16 &&
+      hex(substring(p, 1, 4)) === "52494646" && // RIFF
+      hex(substring(p, 9, 4)) === "57454250" // WEBP
+    val chunkTag = hex(substring(p, 13, 4))
+    // lossy VP8: sync code 9D 01 2A at the frame-header offset; dims
+    // are the low 14 bits of each LE short (high bits are scaling)
+    val isVp8 = isWebp && chunkTag === "56503820" && length(p) >= 30 &&
+      hex(substring(p, 24, 3)) === "9D012A"
+    // lossless VP8L: 2F signature; width-1 in bits 0..13 of the packed
+    // LE word, height-1 in bits 14..27
+    val isVp8l = isWebp && chunkTag === "5650384C" && length(p) >= 25 &&
+      hex(substring(p, 21, 1)) === "2F"
+    val vp8lBits = leInt(p, 22, 4)
+    // extended VP8X: 24-bit LE canvas dims minus one after flags+reserved
+    val isVp8x = isWebp && chunkTag === "56503858" && length(p) >= 30
     // JPEG marker walk: state = (next marker offset, height, width);
     // a SOFn (C0/C1/C2) fills the dims and pins the state; any other
     // segment advances offset by 2 (marker) + declared length
@@ -255,14 +317,23 @@ object Multimodal {
       })
     media
       .withColumn("format",
-        when(isPng, "png").when(isJpeg, "jpeg").when(isWav, "wav"))
+        when(isPng, "png").when(isJpeg, "jpeg").when(isWav, "wav")
+          .when(isGif, "gif").when(isWebp, "webp"))
       .withColumn("_walk", when(isJpeg, walk))
       .withColumn("width",
         when(isPng, beInt(p, 17, 4))
-          .when(isJpeg, col("_walk.w")))
+          .when(isJpeg, col("_walk.w"))
+          .when(isGif, leInt(p, 7, 2))
+          .when(isVp8, leInt(p, 27, 2).bitwiseAND(lit(16383L)))
+          .when(isVp8l, vp8lBits.bitwiseAND(lit(16383L)) + 1L)
+          .when(isVp8x, leInt(p, 25, 3) + 1L))
       .withColumn("height",
         when(isPng, beInt(p, 21, 4))
-          .when(isJpeg, col("_walk.h")))
+          .when(isJpeg, col("_walk.h"))
+          .when(isGif, leInt(p, 9, 2))
+          .when(isVp8, leInt(p, 29, 2).bitwiseAND(lit(16383L)))
+          .when(isVp8l, shiftright(vp8lBits, 14).bitwiseAND(lit(16383L)) + 1L)
+          .when(isVp8x, leInt(p, 28, 3) + 1L))
       .withColumn("channels", when(isWav, leInt(p, 23, 2)))
       .withColumn("sample_rate", when(isWav, leInt(p, 25, 4)))
       .withColumn("bit_depth", when(isWav, leInt(p, 35, 2)))
