@@ -67,7 +67,8 @@ object SparkEntry {
     graft.queries.Round11cQueries.queries ++
     graft.queries.Round11dQueries.queries ++
     graft.queries.Round11eQueries.queries ++
-    graft.queries.Round11fQueries.queries
+    graft.queries.Round11fQueries.queries ++
+    graft.queries.Round12aQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -122,5 +123,6 @@ object SparkEntry {
     graft.queries.Round11cQueries.oracles ++
     graft.queries.Round11dQueries.oracles ++
     graft.queries.Round11eQueries.oracles ++
-    graft.queries.Round11fQueries.oracles
+    graft.queries.Round11fQueries.oracles ++
+    graft.queries.Round12aQueries.oracles
 }
