@@ -50,6 +50,10 @@ object ScaleProbe100 {
   }
 
   def main(args: Array[String]): Unit = {
+    // optional args = section subset (dedup | er | url | graph | knn)
+    // so a new family can be probed without re-timing the others
+    def enabled(section: String): Boolean =
+      args.isEmpty || args.contains(section)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = "/tmp/graft_scale100"
@@ -70,6 +74,7 @@ object ScaleProbe100 {
     }
 
     // ---- 500k-doc corpus: 10 families x 10 replicas of the 5k base ----
+    if (enabled("dedup")) locally {
     if (!Files.exists(Paths.get(s"$out/documents.parquet/_SUCCESS"))) {
       val t0 = System.nanoTime()
       val docs = Tables.load(spark, base, "documents")
@@ -108,8 +113,10 @@ object ScaleProbe100 {
       graft.ops.Dedup.lshVerifiedPairs(docs, "doc_id", "text",
         threshold = 0.9).count()
     }
+    }
 
     // ---- entity resolution over 1.56M records ----
+    if (enabled("er")) locally {
     val erDir = s"$out/er100"
     if (!Files.exists(Paths.get(s"$erDir/corpus.parquet/_SUCCESS"))) {
       val t0 = System.nanoTime()
@@ -169,13 +176,14 @@ object ScaleProbe100 {
           maxDist = 1, maxBlockDf = 64).count()
       }
     }
+    }
 
     // ---- round-11 families at 100x ----
     // URL canonicalization + rule matching over 30M generated URLs
     // (15M ids x base+variant, the q_url_canonical shapes): per-row
     // string work rides the scan, the only exchange is the final
     // group-by-canonical — throughput should track row count linearly.
-    locally {
+    if (enabled("url")) locally {
       val ids = spark.range(1L, 15000001L, 1L, 64).select(col("id"))
       val hostBase = concat(lit("shop"), (col("id") % 997).cast("string"),
         lit(".example.com"))
@@ -207,7 +215,7 @@ object ScaleProbe100 {
     // (ring + 3 chord families -> degree 8 for every node, no hubs):
     // wedge volume is exactly sum(deg^2)/2-ish = bounded by maxDeg*|E|,
     // so candidate work scales with EDGES, not nodes^2.
-    locally {
+    if (enabled("graph")) locally {
       val n = 1000000L
       val nodes = spark.range(0L, n, 1L, 64).select(col("id"))
       val edges = (Seq(1L, 7919L, 104729L, 999983L)).map { step =>
@@ -218,6 +226,76 @@ object ScaleProbe100 {
       }.reduce(_ unionByName _)
       time("link prediction top-3, 1M nodes / 4M edges (deg 8, no hubs)") {
         graft.ops.Graphs.linkPrediction(edges, maxDeg = 64, k = 3).count()
+      }
+    }
+
+    // ---- kNN graph / semantic dedup at 100x (r11 verdict item 4) ----
+    // 200k 64-dim vectors with PLANTED CLIQUE structure: 20k anchor
+    // directions x 10 near-identical replicas (relative perturbation
+    // 1e-3 → intra-clique angle ~1e-3 rad, inter-anchor angles
+    // effectively random). True near-neighbor pairs = 20k x C(10,2) =
+    // 900k — the same constant-duplication-rate profile as the dedup
+    // corpus above. nBits is the SCALE KNOB of hyperplane LSH and the
+    // probe MEASURES it rather than assuming: random co-bucketing per
+    // table is ~C(n/2^nBits, 2)·2^nBits pairs, so holding nBits fixed
+    // across a 10x corpus grows random collisions ~100x (the fixed-bits
+    // CONTROL row shows exactly that), while growing buckets with the
+    // corpus (13 bits at 20k → 16 bits at 200k, constant ~2.4-3
+    // vectors/bucket load) holds candidate/true near-constant — the
+    // property that carries to a billion vectors. Recall is safe at
+    // either setting: a clique pair splits on one hyperplane with
+    // P ≈ θ/π ≈ 3e-4, so even 16 bits keeps ~99.5% of true pairs per
+    // table and 4 independent tables push recall to ~1.
+    if (enabled("knn")) locally {
+      val tables = 4
+      // hash-derived dims, not sin(g·j): a linear-phase family aliases
+      // (anchors at regular id deltas come out near-parallel), which
+      // would plant unintended cross-clique near-dups; xxhash64 per
+      // (anchor, dim) gives independent uniform dims, so inter-anchor
+      // cosines concentrate at N(0, 1/64) and only the cliques are true
+      def pr(a: Column, j: Column, seed: Int): Column =
+        (xxhash64(a, j, lit(seed)) % 1001L).cast("double") / lit(500.0)
+      def vecs(nCliques: Int): org.apache.spark.sql.DataFrame =
+        spark.range(0L, nCliques * 10L, 1L, 64)
+          .select(col("id"),
+            transform(sequence(lit(1), lit(64)), j =>
+              pr((col("id") / 10).cast("long"), j, 1)
+                + lit(1e-3) * pr(col("id"), j, 2)).as("vec"))
+      def candVolume(df: org.apache.spark.sql.DataFrame, nBits: Int): Long = {
+        val signed = graft.ops.Similarity.withLshSignatures(
+            df, "id", "vec", nBits, tables)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = (0 until tables).map { t =>
+          val slim = signed.select(col("id"), col(s"sig$t").as("s"))
+          slim.select(col("id").as("src"), col("s"))
+            .join(slim.select(col("id").as("dst"), col("s")), Seq("s"))
+            .filter(col("src") < col("dst"))
+            .select(col("src"), col("dst"))
+        }.reduce(_ unionByName _).dropDuplicates("src", "dst").count()
+        signed.unpersist(blocking = false)
+        n
+      }
+      Seq((2000, 13, "load-matched small"),
+          (20000, 16, "load-matched 10x — near-linear = ratio holds"),
+          (20000, 13, "fixed-bits CONTROL — random collisions go ~100x"))
+        .foreach { case (nCliques, nBits, note) =>
+          val trues = nCliques * 45L
+          val cand = candVolume(vecs(nCliques), nBits)
+          println(s"[probe100] knn-lsh: cliques=$nCliques vectors=${nCliques * 10} " +
+            s"nBits=$nBits true pairs=$trues lsh candidates=$cand " +
+            f"(candidate/true ratio ${cand.toDouble / trues}%.3f; $note)")
+          spark.catalog.clearCache()
+        }
+      time(s"kNN graph top-5 (nBits=16, tables=$tables), 200k vectors") {
+        graft.ops.Similarity.knnGraphLsh(vecs(20000), "id", "vec",
+          k = 5, nBits = 16, tables = tables).count()
+      }
+      time("semantic dedup (cosine >= 0.95 cliques -> keep one), 200k vectors") {
+        val out = graft.ops.Similarity.semanticDedup(vecs(20000), "id", "vec",
+          threshold = 0.95, nBits = 16)
+        val kept = out.filter(col("keep")).count()
+        println(s"[probe100]   kept=$kept of 200000 (planted optimum 20000)")
+        kept
       }
     }
     spark.stop()
