@@ -19,13 +19,23 @@ import org.apache.spark.sql.functions._
   * dedup would hold.
   *
   * Run: SPARK_GRAFT_CPUS=8 sbt "runMain graft.StreamStateProbe"
-  * Writes only under /tmp/graft_scale10. Results → BASELINE.md.
+  * Writes only under /tmp/graft_scale{N}. Results → BASELINE.md.
+  *
+  * SPARK_GRAFT_STREAM_SCALE (default 10) sets the feed multiplier:
+  * 100 replays a 10M-event feed (20M for the duplicated dedup feed)
+  * through the same 32 time slices — the r11 item-8 probe completing
+  * the 100x story for the streaming family. The PASS criterion is
+  * scale-free by construction: max state rows must track the
+  * watermark HORIZON (a slice or two of keys), so at 10x the feed the
+  * per-slice state grows 10x but the bound-as-%-of-input must stay
+  * FLAT — state ∝ horizon × rate, never ∝ stream length.
   */
 object StreamStateProbe {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = "/tmp/graft_scale10"
+    val scale = sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALE", "10").toInt
+    val out = s"/tmp/graft_scale$scale"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-stream-state-probe")
@@ -43,16 +53,16 @@ object StreamStateProbe {
     val joinIn = s"$out/stream_join_in.parquet"
     if (!Files.exists(Paths.get(s"$dedupIn/_SUCCESS"))) {
       val e = Tables.load(spark, base, "events")
-      val ev10 = (0 until 10).map(i => e.withColumn("event_id",
+      val evN = (0 until scale).map(i => e.withColumn("event_id",
           col("event_id") + lit(i * 100000000L)))
         .reduce(_ unionAll _)
       // dedup feed: every event delivered exactly twice (at-least-once)
-      ev10.unionAll(ev10)
+      evN.unionAll(evN)
         .repartitionByRange(32, col("ts")).sortWithinPartitions(col("ts"))
         .write.mode("overwrite").parquet(dedupIn)
-      ev10.repartitionByRange(32, col("ts")).sortWithinPartitions(col("ts"))
+      evN.repartitionByRange(32, col("ts")).sortWithinPartitions(col("ts"))
         .write.mode("overwrite").parquet(joinIn)
-      println(s"[probe] staged range-sorted stream feeds under $out")
+      println(s"[probe] staged range-sorted ${scale}x stream feeds under $out")
     }
 
     def runAudit(label: String, inDir: String,
