@@ -70,11 +70,14 @@ object Round8jQueries {
   private def withProbeCopies(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val off = e.agg(max(col("vec_id"))).head().getAs[Number](0).longValue + 1L
+    // ONE explode of the probe row, not 9 unioned single-row scans —
+    // the previous reduce(unionByName) plan re-scanned embeddings 10x
     val probeRow = e.filter(col("vec_id") === 0)
-    e.unionByName((0 until 9).map(i =>
-        probeRow.select((lit(off + i)).as("vec_id"), col("embedding"),
-          col("label")))
-      .reduce(_ unionByName _))
+    e.unionByName(probeRow
+      .select(explode(sequence(lit(0L), lit(8L))).as("_i"),
+        col("embedding"), col("label"))
+      .select((col("_i") + lit(off)).as("vec_id"), col("embedding"),
+        col("label")))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
