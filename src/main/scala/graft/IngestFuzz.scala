@@ -128,7 +128,7 @@ object IngestFuzz {
       // 1. the imported table itself: all-TEXT parity + null layout
       selects += SelCase("all", s"SELECT * FROM $table",
         s"SELECT * FROM $table",
-        rows.map(r => r.map(identity[Any])))
+        rows) // Vector is covariant: Seq[Vector[String]] <: Seq[Vector[Any]]
       // 2. either a string-equality filter or a dual-regime numeric one
       if (rnd.nextBoolean()) {
         val i = rnd.nextInt(nCols)
@@ -136,7 +136,7 @@ object IngestFuzz {
         selects += SelCase("filter",
           s"SELECT * FROM $table WHERE ${header(i)} = '$w'",
           s"SELECT * FROM $table WHERE ${header(i)} = '$w'",
-          rows.filter(r => r(i) != null && r(i) == w).map(r => r.map(identity[Any])))
+          rows.filter(r => r(i) != null && r(i) == w))
       } else {
         val i = rnd.nextInt(nCols)
         val op = pick(rnd, Seq("=", "!=", "<", "<=", ">", ">="))
@@ -144,8 +144,7 @@ object IngestFuzz {
         selects += SelCase("filter",
           s"SELECT * FROM $table WHERE ${header(i)} $op $litText",
           s"SELECT * FROM $table WHERE ${cmpAnsi(header(i), op, litText)}",
-          rows.filter(r => cmpModel(r(i), op, litText.toDouble, litText))
-            .map(r => r.map(identity[Any])))
+          rows.filter(r => cmpModel(r(i), op, litText.toDouble, litText)))
       }
       // 3. aggregates: COUNT skips the import's nulls, SUM coerces the
       // mixed TEXT column (non-numeric cells skipped; empty sum → 0)

@@ -51,7 +51,11 @@ object ScaleProbe100 {
 
   def main(args: Array[String]): Unit = {
     // optional args = section subset (dedup | er | url | graph | knn)
-    // so a new family can be probed without re-timing the others
+    // so a new family can be probed without re-timing the others; an
+    // unknown name must fail loudly, not silently probe nothing
+    val sections = Set("dedup", "er", "url", "graph", "knn")
+    require(args.forall(sections), s"unknown section in ${args.toSeq}; " +
+      s"valid: ${sections.mkString("|")}")
     def enabled(section: String): Boolean =
       args.isEmpty || args.contains(section)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -34,7 +34,10 @@ object Round12aQueries {
         lit("/p/"), (id % 37).cast("string"),
         when(id % 5 === 0, lit("/")).otherwise(lit("")),
         when(id % 4 === 0, lit("?utm_source=a&z=9")).otherwise(lit("")))
-      Tables.load(s, dir, "documents")
+      // loadSpread: the ~20-regex canonicalization stack (plus the
+      // IDNA fold) is per-row CPU work that would serialize on the
+      // single-file test table's one split (the q_url_canonical rule)
+      Tables.loadSpread(s, dir, "documents", "doc_id")
         .select(id.as("url_id"), Urls.canonicalIdn(url).as("canonical"))
         .orderBy(col("url_id"))
     }))

@@ -37,11 +37,14 @@ class OpsLayerBoundarySpec extends AnyFunSuite {
       .flatMap { f =>
         val src = new String(
           java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        // strip line comments and scaladoc so prose mentioning the
-        // helper (contract docs) doesn't trip the code-level check
-        val code = src.linesIterator
-          .map(l => l.takeWhile(_ != '/')) // cuts line/scaladoc comments
-          .mkString("\n")
+        // strip comments PROPERLY before the code-level check: block/
+        // scaladoc comments first (non-greedy, dotall), then // line
+        // tails. A naive cut-at-first-'/' would both miss references
+        // after any path or division slash and false-positive on
+        // scaladoc prose documenting the contract.
+        val code = src
+          .replaceAll("(?s)/\\*.*?\\*/", "")
+          .replaceAll("//.*", "")
         if (code.contains("loadSpread") || code.contains("Tables."))
           Some(f.getName)
         else None
