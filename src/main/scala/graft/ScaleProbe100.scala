@@ -50,10 +50,10 @@ object ScaleProbe100 {
   }
 
   def main(args: Array[String]): Unit = {
-    // optional args = section subset (dedup | er | url | graph | knn)
+    // optional args = section subset (see `sections` below)
     // so a new family can be probed without re-timing the others; an
     // unknown name must fail loudly, not silently probe nothing
-    val sections = Set("dedup", "er", "url", "graph", "knn")
+    val sections = Set("dedup", "er", "url", "graph", "knn", "cc")
     require(args.forall(sections), s"unknown section in ${args.toSeq}; " +
       s"valid: ${sections.mkString("|")}")
     def enabled(section: String): Boolean =
@@ -230,6 +230,37 @@ object ScaleProbe100 {
       }.reduce(_ unionByName _)
       time("link prediction top-3, 1M nodes / 4M edges (deg 8, no hubs)") {
         graft.ops.Graphs.linkPrediction(edges, maxDeg = 64, k = 3).count()
+      }
+    }
+
+    // ---- connected components at 100x: the dedup-cluster step ----
+    // Two regimes: (a) the REAL shape — the 500k-doc corpus's LSH pair
+    // graph (10-cliques, diameter 1: converges in ~2 certified
+    // rounds), pairs built OUTSIDE the timer so the probe isolates CC;
+    // (b) the ADVERSARIAL shape — a 1M-node ring, ONE component of
+    // diameter 500k, where plain min-propagation would need 500k
+    // rounds and the pointer-jumping step must close it in ~log2(d)
+    // ≈ 20 — the property that makes the loop safe on path-shaped
+    // contamination chains at any scale.
+    if (enabled("cc")) locally {
+      val docs = Tables.load(spark, out, "documents")
+      val ccPairs = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 64, bands = 16, threshold = 0.35)
+        .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[probe100] cc input pairs: ${ccPairs.count()}")
+      time("connected components, 500k-node dup-clique graph (2.5M pairs)") {
+        graft.ops.Dedup.connectedComponents(ccPairs).count()
+      }
+      ccPairs.unpersist()
+      val n = 1000000L
+      val ring = spark.range(0L, n, 1L, 64)
+        .select(col("id").as("id_a"), pmod(col("id") + 1L, lit(n)).as("id_b"))
+      time("connected components, 1M-node ring (diameter 500k, log-d jumping)") {
+        val cc = graft.ops.Dedup.connectedComponents(ring)
+        val comps = cc.agg(countDistinct(col("cluster_id"))).head().getLong(0)
+        require(comps == 1L, s"ring must be one component, got $comps")
+        cc.count()
       }
     }
 
