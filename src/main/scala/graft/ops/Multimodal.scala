@@ -218,13 +218,19 @@ object Multimodal {
       ascii("VP8 "), leBytes(dataLen + 10, 4),
       unhex(lit("000000")), unhex(lit("9D012A")),
       leBytes(width, 2), leBytes(height, 2), body)
+    // VP8L bit 28 is the public alpha_is_used hint; VP8X carries the
+    // feature flags byte (0x10 alpha, 0x02 animation) — both derived
+    // from the id so the oracle predicts the parsed booleans
+    val hasAlpha = when(id % 2 === 0, 1L).otherwise(0L)
+    val hasAnim = when(id % 3 === 0, 1L).otherwise(0L)
     val vp8l = concat( // lossless: 2F signature, 14+14-bit packed dims
       ascii("VP8L"), leBytes(dataLen + 5, 4),
       unhex(lit("2F")),
-      leBytes((width - 1) + (height - 1) * lit(16384L), 4), body)
+      leBytes((width - 1) + (height - 1) * lit(16384L)
+        + hasAlpha * lit(268435456L), 4), body)
     val vp8x = concat( // extended: flags + 24-bit canvas minus-one dims
       ascii("VP8X"), leBytes(lit(10), 4),
-      unhex(lit("02000000")),
+      leBytes(hasAlpha * 16L + hasAnim * 2L, 1), unhex(lit("000000")),
       leBytes(width - 1, 3), leBytes(height - 1, 3), body)
     val webpChunk = when(webpVariant === 0, vp8)
       .when(webpVariant === 1, vp8l)
@@ -237,13 +243,30 @@ object Multimodal {
       .when(id % 5 === 2, wav)
       .when(id % 5 === 3, gif)
       .otherwise(webp)
-    df.select(id.as("media_id"),
-      when(id % 97 === 0, // corrupt the first byte: X ^ 0xFF (lpad: conv
-        // emits unpadded hex and unhex(odd-length) is NULL)
-        concat(unhex(lpad(conv(beInt(intact, 1, 1).bitwiseXOR(255), 10, 16),
-            2, "0")),
-          substring(intact, 2, 1 << 30)))
-        .otherwise(intact).as("payload"))
+    // CollapseProject barriers: the trivially-true nondeterministic
+    // guards pin each stage into its OWN projection (and codegen
+    // stage). Collapsed, the five-format expression gets inlined three
+    // times by the corruption branch and once more PER PARSED FIELD by
+    // a downstream parseHeaders — the merged method passes Janino's
+    // 64 KB limit ("Code grows beyond 64 KB") and the whole stage
+    // silently falls back to the interpreted path (measured 0.57 →
+    // 0.91 s at sf0.1). Staged, each method holds ONE copy: stage 1
+    // materializes the intact five-format payload, stage 2 applies the
+    // every-97th first-byte corruption (X ^ 0xFF; lpad because conv
+    // emits unpadded hex and unhex(odd-length) is NULL) over the
+    // column. Values are unchanged — monotonically_increasing_id() >= 0
+    // is always true.
+    def barrier(c: Column): Column =
+      when(monotonically_increasing_id() >= 0, c)
+    val mid = col("media_id")
+    val ic = col("_intact")
+    df.select(id.as("media_id"), barrier(intact).as("_intact"))
+      .select(mid,
+        barrier(when(mid % 97 === 0,
+            concat(unhex(lpad(conv(beInt(ic, 1, 1).bitwiseXOR(255), 10, 16),
+                2, "0")),
+              substring(ic, 2, 1 << 30)))
+          .otherwise(ic)).as("payload"))
   }
 
   /** Parse real PNG/JPEG/WAV/GIF/WebP headers from the binary column —
@@ -337,6 +360,16 @@ object Multimodal {
       .withColumn("channels", when(isWav, leInt(p, 23, 2)))
       .withColumn("sample_rate", when(isWav, leInt(p, 25, 4)))
       .withColumn("bit_depth", when(isWav, leInt(p, 35, 2)))
+      // WebP feature booleans — the decode-path/frame-sampling decision
+      // inputs: VP8X flags byte (0x10 alpha, 0x02 animation), VP8L's
+      // bit-28 alpha_is_used hint; plain lossy VP8 has neither channel
+      .withColumn("has_alpha",
+        when(isVp8x, beInt(p, 21, 1).bitwiseAND(lit(16L)) =!= 0L)
+          .when(isVp8l, shiftright(vp8lBits, 28).bitwiseAND(lit(1L)) === 1L)
+          .when(isVp8, lit(false)))
+      .withColumn("has_animation",
+        when(isVp8x, beInt(p, 21, 1).bitwiseAND(lit(2L)) =!= 0L)
+          .when(isVp8l || isVp8, lit(false)))
       .drop("_walk")
   }
 

@@ -35,6 +35,7 @@ object Round11aQueries {
         .select(col("media_id"), col("format"),
           col("width"), col("height"), col("channels"),
           col("sample_rate"), col("bit_depth"),
+          col("has_alpha"), col("has_animation"),
           col("format").isNotNull.as("parse_ok"))
         .orderBy(col("media_id"))))
 
@@ -58,6 +59,12 @@ object Round11aQueries {
                 END AS sample_rate,
            CASE WHEN doc_id % 97 <> 0 AND doc_id % 5 = 2
                 THEN CAST((doc_id % 2 + 2) * 8 AS BIGINT) END AS bit_depth,
+           CASE WHEN doc_id % 97 <> 0 AND doc_id % 5 = 4 THEN
+                CASE WHEN (doc_id // 5) % 3 = 0 THEN FALSE
+                     ELSE doc_id % 2 = 0 END END AS has_alpha,
+           CASE WHEN doc_id % 97 <> 0 AND doc_id % 5 = 4 THEN
+                CASE WHEN (doc_id // 5) % 3 = 2 THEN doc_id % 3 = 0
+                     ELSE FALSE END END AS has_animation,
            doc_id % 97 <> 0 AS parse_ok
          FROM documents ORDER BY media_id""")
 }

@@ -21,7 +21,7 @@ class Round11aSpec extends AnyFunSuite {
     Multimodal.parseHeaders(
       Seq((1L, payload)).toDF("media_id", "payload"), "payload")
       .select("format", "width", "height", "channels", "sample_rate",
-        "bit_depth")
+        "bit_depth", "has_alpha", "has_animation")
       .head()
 
   private def le(v: Long, n: Int): Array[Byte] =
@@ -93,6 +93,8 @@ class Round11aSpec extends AnyFunSuite {
     val r = parse1(vp8)
     assert(r.getString(0) === "webp")
     assert(r.getLong(1) === 640L && r.getLong(2) === 480L)
+    // plain lossy VP8 has no alpha channel and cannot animate
+    assert(r.getBoolean(6) === false && r.getBoolean(7) === false)
     // a VP8 chunk without the sync code keeps format, nulls the dims
     val noSync = riff("VP8 ".getBytes ++ le(10, 4) ++
       Array[Byte](0, 0, 0, 1, 2, 3) ++ le(640, 2) ++ le(480, 2))
@@ -100,24 +102,35 @@ class Round11aSpec extends AnyFunSuite {
     assert(rn.getString(0) === "webp" && rn.isNullAt(1) && rn.isNullAt(2))
   }
 
-  test("WebP VP8L (lossless): 14+14-bit packed dims minus one") {
+  test("WebP VP8L (lossless): 14+14-bit packed dims minus one, bit-28 alpha hint") {
     val w = 800L; val h = 600L
-    val bits = (w - 1) | ((h - 1) << 14)
-    val vp8l = "RIFF".getBytes ++ le(17, 4) ++ "WEBP".getBytes ++
-      "VP8L".getBytes ++ le(9, 4) ++ Array(0x2F.toByte) ++ le(bits, 4) ++
-      Array.fill[Byte](4)(9)
-    val r = parse1(vp8l)
+    def lossless(alpha: Long) = {
+      val bits = (w - 1) | ((h - 1) << 14) | (alpha << 28)
+      "RIFF".getBytes ++ le(17, 4) ++ "WEBP".getBytes ++
+        "VP8L".getBytes ++ le(9, 4) ++ Array(0x2F.toByte) ++ le(bits, 4) ++
+        Array.fill[Byte](4)(9)
+    }
+    val r = parse1(lossless(0))
     assert(r.getString(0) === "webp")
     assert(r.getLong(1) === 800L && r.getLong(2) === 600L)
+    assert(r.getBoolean(6) === false && r.getBoolean(7) === false)
+    val ra = parse1(lossless(1))
+    // the alpha bit must not bleed into the packed dims
+    assert(ra.getLong(1) === 800L && ra.getLong(2) === 600L)
+    assert(ra.getBoolean(6) === true && ra.getBoolean(7) === false)
   }
 
-  test("WebP VP8X (extended): 24-bit LE canvas dims minus one") {
-    val vp8x = "RIFF".getBytes ++ le(22, 4) ++ "WEBP".getBytes ++
-      "VP8X".getBytes ++ le(10, 4) ++ Array[Byte](0x02, 0, 0, 0) ++
-      le(1920 - 1, 3) ++ le(1080 - 1, 3) ++ Array.fill[Byte](4)(5)
-    val r = parse1(vp8x)
+  test("WebP VP8X (extended): 24-bit LE canvas dims minus one, feature flags") {
+    def ext(flags: Int) =
+      "RIFF".getBytes ++ le(22, 4) ++ "WEBP".getBytes ++
+        "VP8X".getBytes ++ le(10, 4) ++ Array[Byte](flags.toByte, 0, 0, 0) ++
+        le(1920 - 1, 3) ++ le(1080 - 1, 3) ++ Array.fill[Byte](4)(5)
+    val r = parse1(ext(0x12)) // alpha + animation
     assert(r.getString(0) === "webp")
     assert(r.getLong(1) === 1920L && r.getLong(2) === 1080L)
+    assert(r.getBoolean(6) === true && r.getBoolean(7) === true)
+    val r0 = parse1(ext(0x00))
+    assert(r0.getBoolean(6) === false && r0.getBoolean(7) === false)
   }
 
   test("synthesized headers parse to the generation rule; an independent JVM reader agrees") {
@@ -125,7 +138,8 @@ class Round11aSpec extends AnyFunSuite {
       spark.range(1, 300).toDF("doc_id"), "doc_id")
     val parsed = Multimodal.parseHeaders(media, "payload")
       .select("media_id", "format", "width", "height", "channels",
-        "sample_rate", "bit_depth").collect()
+        "sample_rate", "bit_depth", "has_alpha", "has_animation")
+      .collect()
       .map(r => r.getLong(0) -> r).toMap
     val payloads = media.collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
@@ -179,19 +193,27 @@ class Round11aSpec extends AnyFunSuite {
           case 0 => "VP8 "; case 1 => "VP8L"; case _ => "VP8X"
         }
         assert(tag === expTag, s"id=$id variant cycle")
-        val (w, h) = tag match {
+        val (w, h, alpha, anim) = tag match {
           case "VP8 " =>
             assert(be(p, 23, 3) === 0x9D012AL, s"id=$id missing VP8 sync")
-            (rle(p, 26, 2) & 0x3FFF, rle(p, 28, 2) & 0x3FFF)
+            (rle(p, 26, 2) & 0x3FFF, rle(p, 28, 2) & 0x3FFF, false, false)
           case "VP8L" =>
             assert((p(20) & 0xFF) === 0x2F, s"id=$id missing VP8L signature")
             val bits = rle(p, 21, 4)
-            ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+            ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1,
+              ((bits >> 28) & 1) == 1, false)
           case _ =>
-            (rle(p, 24, 3) + 1, rle(p, 27, 3) + 1)
+            val flags = p(20) & 0xFF
+            (rle(p, 24, 3) + 1, rle(p, 27, 3) + 1,
+              (flags & 0x10) != 0, (flags & 0x02) != 0)
         }
         assert(r.getLong(2) === w && r.getLong(2) === expW, s"id=$id")
         assert(r.getLong(3) === h && r.getLong(3) === expH, s"id=$id")
+        assert(r.getBoolean(7) === alpha, s"id=$id alpha")
+        assert(r.getBoolean(8) === anim, s"id=$id animation")
+        // and the flags themselves follow the generation rule
+        assert(alpha === (tag != "VP8 " && id % 2 == 0), s"id=$id alpha rule")
+        assert(anim === (tag == "VP8X" && id % 3 == 0), s"id=$id anim rule")
       }
     }
   }
