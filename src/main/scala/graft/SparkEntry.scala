@@ -68,7 +68,8 @@ object SparkEntry {
     graft.queries.Round11dQueries.queries ++
     graft.queries.Round11eQueries.queries ++
     graft.queries.Round11fQueries.queries ++
-    graft.queries.Round12aQueries.queries
+    graft.queries.Round12aQueries.queries ++
+    graft.queries.Round12bQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -124,5 +125,6 @@ object SparkEntry {
     graft.queries.Round11dQueries.oracles ++
     graft.queries.Round11eQueries.oracles ++
     graft.queries.Round11fQueries.oracles ++
-    graft.queries.Round12aQueries.oracles
+    graft.queries.Round12aQueries.oracles ++
+    graft.queries.Round12bQueries.oracles
 }

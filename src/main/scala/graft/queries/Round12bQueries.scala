@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Preferences
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 part 2: preference-data QA — the audit pass an RLHF/DPO
+  * pipeline runs over pairwise comparison labels before a reward model
+  * ever sees them. Comparisons are synthesized in-plan from documents
+  * with every field a deterministic function of the id, with all three
+  * defect classes PLANTED so each audit's positive rows are certain:
+  * every 13th comparison is re-emitted reversed (a direct conflict),
+  * and every 250th id adds a 101>102>103>101 majority triple on its
+  * own prompt (an intransitivity certificate no reward model can fit).
+  * The oracle replays the synthesis and the integer vote arithmetic
+  * end to end.
+  */
+object Round12bQueries {
+
+  /** (prompt, win, lose) comparison rows: base votes (winner by the
+    * id mod 3 rule), reversed duplicates for the conflict class, and
+    * the planted 3-cycles.
+    */
+  private def comparisons(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val prompt = id % 50
+    val a = (id * 7 + 1) % 20
+    val b = (id * 11 + 3) % 20
+    val aWins = id % 3 =!= 0
+    val win = when(aWins, a).otherwise(b)
+    val lose = when(aWins, b).otherwise(a)
+    def cmpRow(p: org.apache.spark.sql.Column,
+        w: org.apache.spark.sql.Column, l: org.apache.spark.sql.Column) =
+      struct(p.as("prompt"), w.as("win"), l.as("lose"))
+    val emptyRow = array().cast("array<struct<prompt:bigint,win:bigint,lose:bigint>>")
+    val base = when(a =!= b, array(cmpRow(prompt, win, lose)))
+      .otherwise(emptyRow)
+    val conflict = when(a =!= b && id % 13 === 0,
+        array(cmpRow(prompt, lose, win)))
+      .otherwise(emptyRow)
+    val cyclePrompt = (id / 250).cast("long") % 50
+    val cycle = when(id % 250 === 0, array(
+        cmpRow(cyclePrompt, lit(101L), lit(102L)),
+        cmpRow(cyclePrompt, lit(102L), lit(103L)),
+        cmpRow(cyclePrompt, lit(103L), lit(101L))))
+      .otherwise(emptyRow)
+    Tables.load(s, dir, "documents")
+      .select(explode(concat(base, conflict, cycle)).as("c"))
+      .select(col("c.prompt").as("prompt"), col("c.win").as("win"),
+        col("c.lose").as("lose"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- direction conflicts per (prompt, unordered pair) ----
+    "q_pref_conflicts" -> ((s, dir) =>
+      Preferences.conflictAudit(comparisons(s, dir), "prompt", "win", "lose")
+        .orderBy(col("prompt"), col("lo"), col("hi"))),
+
+    // ---- exact win rates + Copeland strength per completion ----
+    "q_pref_winrate" -> ((s, dir) =>
+      Preferences.winRates(comparisons(s, dir), "prompt", "win", "lose")
+        .orderBy(col("prompt"), col("completion"))),
+
+    // ---- majority-preference 3-cycles (intransitivity) ----
+    "q_pref_cycles" -> ((s, dir) =>
+      Preferences.majorityCycles(comparisons(s, dir), "prompt", "win", "lose")
+        .orderBy(col("prompt"))))
+
+  /** The synthesis as a shared CTE: base + reversed-conflict + planted
+    * cycle rows, each field the same integer function of doc_id.
+    */
+  private val cmpSql: String =
+    """cmp AS (
+         SELECT doc_id % 50 AS prompt,
+           CASE WHEN doc_id % 3 <> 0 THEN (doc_id * 7 + 1) % 20
+                ELSE (doc_id * 11 + 3) % 20 END AS win,
+           CASE WHEN doc_id % 3 <> 0 THEN (doc_id * 11 + 3) % 20
+                ELSE (doc_id * 7 + 1) % 20 END AS lose
+         FROM documents WHERE (doc_id * 7 + 1) % 20 <> (doc_id * 11 + 3) % 20
+         UNION ALL
+         SELECT doc_id % 50,
+           CASE WHEN doc_id % 3 <> 0 THEN (doc_id * 11 + 3) % 20
+                ELSE (doc_id * 7 + 1) % 20 END,
+           CASE WHEN doc_id % 3 <> 0 THEN (doc_id * 7 + 1) % 20
+                ELSE (doc_id * 11 + 3) % 20 END
+         FROM documents
+         WHERE (doc_id * 7 + 1) % 20 <> (doc_id * 11 + 3) % 20
+           AND doc_id % 13 = 0
+         UNION ALL
+         SELECT (doc_id // 250) % 50, c.w, c.l
+         FROM documents
+         CROSS JOIN (VALUES (101, 102), (102, 103), (103, 101)) AS c(w, l)
+         WHERE doc_id % 250 = 0),
+       votes AS (
+         SELECT prompt, LEAST(win, lose) AS lo, GREATEST(win, lose) AS hi,
+           CAST(SUM(CASE WHEN win < lose THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lo_wins,
+           CAST(SUM(CASE WHEN win > lose THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hi_wins
+         FROM cmp GROUP BY 1, 2, 3)"""
+
+  def oracles: Map[String, String] = Map(
+
+    "q_pref_conflicts" ->
+      s"""WITH $cmpSql
+         SELECT prompt, lo, hi, n_lo_wins, n_hi_wins,
+           (n_lo_wins > 0 AND n_hi_wins > 0) AS conflicted,
+           ABS(n_lo_wins - n_hi_wins) AS margin
+         FROM votes ORDER BY prompt, lo, hi""",
+
+    "q_pref_winrate" ->
+      s"""WITH $cmpSql,
+         sides AS (
+           SELECT prompt, win AS completion, 1 AS w FROM cmp
+           UNION ALL
+           SELECT prompt, lose, 0 FROM cmp)
+         SELECT prompt, completion,
+           CAST(SUM(w) AS BIGINT) AS wins,
+           CAST(SUM(1 - w) AS BIGINT) AS losses,
+           CAST(COUNT(*) AS BIGINT) AS games,
+           ROUND(CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS win_rate,
+           CAST(SUM(w) - SUM(1 - w) AS BIGINT) AS copeland
+         FROM sides GROUP BY 1, 2 ORDER BY prompt, completion""",
+
+    "q_pref_cycles" ->
+      s"""WITH $cmpSql,
+         edges AS (
+           SELECT prompt,
+             CASE WHEN n_lo_wins > n_hi_wins THEN lo ELSE hi END AS src,
+             CASE WHEN n_lo_wins > n_hi_wins THEN hi ELSE lo END AS dst
+           FROM votes WHERE n_lo_wins <> n_hi_wins)
+         SELECT e1.prompt, CAST(COUNT(*) AS BIGINT) AS n_cycles
+         FROM edges e1
+         JOIN edges e2 ON e1.prompt = e2.prompt AND e1.dst = e2.src
+         JOIN edges e3 ON e2.prompt = e3.prompt AND e2.dst = e3.src
+           AND e3.dst = e1.src
+         WHERE e1.src < e2.src AND e1.src < e3.src
+         GROUP BY e1.prompt ORDER BY e1.prompt""")
+}

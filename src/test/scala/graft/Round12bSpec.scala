@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.Preferences
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 part 2: preference-data QA. Randomized comparisons are
+  * checked against brute-force Scala counts; planted defects
+  * (hand-built conflicts and a known 3-cycle) must surface exactly.
+  */
+class Round12bSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7L)
+  // 400 random comparisons over 6 prompts x 8 completions
+  private lazy val cmp = (1 to 400).map { _ =>
+    val p = rnd.nextInt(6).toLong
+    val a = rnd.nextInt(8).toLong
+    val b = (a + 1 + rnd.nextInt(7)) % 8
+    (p, a, b)
+  }
+  private lazy val cmpDf = cmp.toDF("prompt", "win", "lose")
+
+  test("winRates matches brute force on random comparisons") {
+    val got = Preferences.winRates(cmpDf, "prompt", "win", "lose")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6)))
+      .toMap
+    val wins = cmp.groupBy(c => (c._1, c._2)).view.mapValues(_.size.toLong)
+    val losses = cmp.groupBy(c => (c._1, c._3)).view.mapValues(_.size.toLong)
+    val keys = (wins.keySet ++ losses.keySet).toSeq
+    assert(got.size === keys.size)
+    keys.foreach { k =>
+      val w = wins.getOrElse(k, 0L); val l = losses.getOrElse(k, 0L)
+      val (gw, gl, gg, grate, gcope) = got(k)
+      assert(gw === w && gl === l && gg === w + l, s"$k")
+      assert(math.abs(grate - w.toDouble / (w + l)) < 1e-6 + 1e-9, s"$k rate")
+      assert(gcope === w - l, s"$k copeland")
+    }
+  }
+
+  test("conflictAudit: directions sum to the group's votes; conflicts iff both seen") {
+    val got = Preferences.conflictAudit(cmpDf, "prompt", "win", "lose")
+      .collect()
+    val byPair = cmp.groupBy(c => (c._1, math.min(c._2, c._3), math.max(c._2, c._3)))
+    assert(got.length === byPair.size)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val votes = byPair(key)
+      val loWins = votes.count(c => c._2 < c._3).toLong
+      assert(r.getLong(3) === loWins)
+      assert(r.getLong(4) === votes.size - loWins)
+      assert(r.getBoolean(5) === (loWins > 0 && loWins < votes.size))
+      assert(r.getLong(6) === math.abs(2 * loWins - votes.size))
+    }
+  }
+
+  test("majorityCycles finds a planted 3-cycle once and ignores transitive prompts") {
+    // prompt 1: a>b (2:1), b>c, c>a — one majority cycle;
+    // prompt 2: a>b, b>c, a>c — transitive, no cycle
+    val planted = Seq(
+      (1L, 10L, 11L), (1L, 10L, 11L), (1L, 11L, 10L),
+      (1L, 11L, 12L), (1L, 12L, 10L),
+      (2L, 10L, 11L), (2L, 11L, 12L), (2L, 10L, 12L)
+    ).toDF("prompt", "win", "lose")
+    val got = Preferences.majorityCycles(planted, "prompt", "win", "lose")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L))
+  }
+
+  test("a tied pair contributes no majority edge") {
+    val tied = Seq((1L, 10L, 11L), (1L, 11L, 10L),
+      (1L, 11L, 12L), (1L, 12L, 10L)).toDF("prompt", "win", "lose")
+    // the 10-11 edge is tied away, so no triangle can close
+    assert(Preferences.majorityCycles(tied, "prompt", "win", "lose")
+      .collect().isEmpty)
+  }
+}
