@@ -567,6 +567,42 @@ object TextAnalysis {
           col("n_words").cast("double"), 6))
   }
 
+  /** [[bpeEncodeStats]] with an already-trained merge sequence — the
+    * serving shape of tokenizer encoding: production encodes a corpus
+    * against a STORED vocabulary (the merges a training job wrote),
+    * it never retrains per batch. `merges` is the (lhs, rhs) chain in
+    * training order (a tokenizer file is a few-KB artifact — driver-
+    * side by nature, like the PQ codebooks). With the merges in hand
+    * the per-word symbol count is a pure codegen'd string-replace
+    * chain over the (source, word) count frame — ONE corpus-scale
+    * shuffle (that groupBy) and zero driver round-trips, versus
+    * training's per-iteration collect.
+    *
+    * Applying the replaces in merge order to the bracketed string is
+    * exactly the lineage [[bpeTrain]]'s vocab frame carries, so the
+    * stats are identical to [[bpeEncodeStats]] run at the same
+    * iteration count.
+    */
+  def bpeEncodeStatsFromMerges(df: DataFrame, textCol: String,
+      srcCol: String, merges: Seq[(String, String)]): DataFrame = {
+    val s0 = regexp_replace(col("w"), "(.)", "<$1>")
+    val sN = merges.foldLeft(s0) { case (c, (l, r)) =>
+      replace(c, lit(s"<$l><$r>"), lit(s"<$l$r>"))
+    }
+    val nSym = size(split(regexp_replace(sN, "^<|>$", ""), "><"))
+      .cast("long")
+    df.select(col(srcCol).as("source"),
+        explode(bpeTrainableWords(col(textCol))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .select(col("source"), col("c"), nSym.as("n_sym"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("n_sym")).as("n_bpe_tokens"))
+      .withColumn("avg_symbols",
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double"), 6))
+  }
+
   /** Per-source token-distribution divergence: KL(source ‖ corpus)
     * over unigram distributions, plus the source's share of the global
     * vocabulary — the drift statistic a mixture pipeline watches to

@@ -13,22 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object Round8hQueries {
 
-  /** user ↔ item edges from events: item = props.k offset into its own
-    * id space; symmetrized so rank flows both ways through the
-    * bipartite graph.
-    */
   /** The item key inside events.props JSON. */
   private val itemOf: Column =
     get_json_object(col("props"), "$.k").cast("long")
 
-  private def clickEdges(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events")
-    val item: Column = lit(1000000L) +
-      get_json_object(col("props"), "$.k").cast("long")
-    Graphs.edges(ev, col("user_id"), item)
-      .unionByName(Graphs.edges(ev, item, col("user_id")))
-      .distinct()
-  }
+  /** user ↔ item edges from events (item = props.k offset into its own
+    * id space; symmetrized so rank flows both ways through the
+    * bipartite graph), read as STORED state via [[GraphFixtures]] —
+    * see that object's doc for the staging rationale.
+    */
+  private def clickEdges(s: SparkSession, dir: String): DataFrame =
+    GraphFixtures.clickEdges(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -73,10 +68,9 @@ object Round8hQueries {
         .orderBy(col("item_a"), col("item_b"))),
 
     // ---- per-node triangle counts over the co-click graph ----
+    // (pair table read as stored state — GraphFixtures)
     "q_triangles" -> ((s, dir) =>
-      Graphs.triangleCounts(
-          Graphs.itemCooccurrence(Tables.load(s, dir, "events"), "user_id",
-            date_trunc("hour", col("ts")), itemOf, minSupport = 1))
+      Graphs.triangleCounts(GraphFixtures.hourCoclickPairs1(s, dir))
         .orderBy(col("item"))),
 
     // ---- incremental co-occurrence maintenance ----

@@ -13,9 +13,6 @@ import org.apache.spark.sql.functions._
   */
 object Round8rQueries {
 
-  private val itemOf =
-    get_json_object(col("props"), "$.k").cast("long")
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- IVF probe/recall sweep on planted geometry ----
@@ -47,10 +44,9 @@ object Round8rQueries {
     "q_kcore" -> ((s, dir) =>
       // day-grain baskets: the hour-grain graph is too sparse to hold
       // any 3-core below sf0.1, which would make the row vacuous at
-      // the gate SF
+      // the gate SF. Pair table read as stored state — GraphFixtures.
       Graphs.kCore(
-          Graphs.itemCooccurrence(Tables.load(s, dir, "events"), "user_id",
-              date_trunc("day", col("ts")), itemOf, minSupport = 2)
+          GraphFixtures.dayCoclickPairs2(s, dir)
             .select(col("item_a").as("src"), col("item_b").as("dst")),
           k = 3, rounds = 4)
         .orderBy(col("node"))))

@@ -24,10 +24,10 @@ object Round8sQueries {
         .orderBy(col("item"), col("rank"))),
 
     // ---- degree assortativity of the co-click graph ----
+    // (day-grain pair table read as stored state — GraphFixtures)
     "q_assortativity" -> ((s, dir) =>
       Graphs.degreeAssortativity(
-        Graphs.itemCooccurrence(Tables.load(s, dir, "events"), "user_id",
-            date_trunc("day", col("ts")), itemOf, minSupport = 2)
+        GraphFixtures.dayCoclickPairs2(s, dir)
           .select(col("item_a").as("src"), col("item_b").as("dst")))))
 
   private val basketSql: String =
