@@ -29,6 +29,18 @@ package graft
   * (Spark's default CSV escape is backslash, so `"a""b"` round-trips
   * differently than RFC 4180 engines), no quoted-empty fields, first
   * cell of every row non-empty (Spark skips fully-empty lines).
+  *
+  * Two generated constructs are documented SUPERSETS of the reference,
+  * not parity: short rows null-fill here, while the reference's Go
+  * csv.Reader (default FieldsPerRecord) returns ErrFieldCount on any
+  * ragged row and ImportCSV aborts (`importer.go:59-66`); and cell
+  * whitespace is preserved verbatim here, while the reference trims it
+  * (TrimLeadingSpace + per-cell TrimSpace, `importer.go:27,76`). This
+  * fuzzer's model pins the ENGINE's documented behavior on both;
+  * [[IngestDivergence]] fuzzes the full divergence zone (those two
+  * plus doubled quotes, quoted newlines, BOM, quoted-empty, bare
+  * quotes) against a faithful Go-csv model and classifies every
+  * outcome in CI.
   */
 object IngestFuzz {
 

@@ -78,22 +78,28 @@ object ScaleProbe100 {
     }
 
     // ---- 500k-doc corpus: 10 families x 10 replicas of the 5k base ----
-    if (enabled("dedup")) locally {
-    if (!Files.exists(Paths.get(s"$out/documents.parquet/_SUCCESS"))) {
-      val t0 = System.nanoTime()
-      val docs = Tables.load(spark, base, "documents")
-      (0 until 10).flatMap { g =>
-        (0 until 10).map { r =>
-          docs.select(
-            (col("doc_id") + lit((g * 10 + r) * 10000000L)).as("doc_id"),
-            regexp_replace(col("text"), "(\\S+)", "$1g" + g).as("text"),
-            col("lang"), col("source"), col("n_chars"))
-        }
-      }.reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$out/documents.parquet")
-      println(f"[probe100] one-off 100x corpus synthesis: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // Staged on first use by ANY section that reads it (dedup and cc),
+    // so each section is independently runnable on a fresh machine.
+    def corpus100(): org.apache.spark.sql.DataFrame = {
+      if (!Files.exists(Paths.get(s"$out/documents.parquet/_SUCCESS"))) {
+        val t0 = System.nanoTime()
+        val docs = Tables.load(spark, base, "documents")
+        (0 until 10).flatMap { g =>
+          (0 until 10).map { r =>
+            docs.select(
+              (col("doc_id") + lit((g * 10 + r) * 10000000L)).as("doc_id"),
+              regexp_replace(col("text"), "(\\S+)", "$1g" + g).as("text"),
+              col("lang"), col("source"), col("n_chars"))
+          }
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        println(f"[probe100] one-off 100x corpus synthesis: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      Tables.load(spark, out, "documents")
     }
-    val docs = Tables.load(spark, out, "documents")
+
+    if (enabled("dedup")) locally {
+    val docs = corpus100()
     println(s"[probe100] cpus=$cpus docs=${docs.count()}")
 
     // true pairs from the group structure (exact-text groups)
@@ -243,7 +249,7 @@ object ScaleProbe100 {
     // ≈ 20 — the property that makes the loop safe on path-shaped
     // contamination chains at any scale.
     if (enabled("cc")) locally {
-      val docs = Tables.load(spark, out, "documents")
+      val docs = corpus100() // stages the corpus if dedup didn't run
       val ccPairs = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
           k = 64, bands = 16, threshold = 0.35)
         .select(col("id_a"), col("id_b"))

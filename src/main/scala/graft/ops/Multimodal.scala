@@ -213,7 +213,10 @@ object Multimodal {
       body)
     // WebP: RIFF container; the bitstream chunk cycles the three
     // public variants so the parse covers all of them
-    val webpVariant = (id / 5).cast("long") % 3 // integer id/5 (ids are small positives)
+    // exact integral divide (SQL DIV), not double-divide-then-truncate:
+    // the double path silently diverges from the oracle's integer `//`
+    // past ~2^52, and ids at corpus scale are unbounded
+    val webpVariant = call_function("div", id, lit(5L)) % 3
     val vp8 = concat( // lossy: 3-byte frame tag, sync 9D 01 2A, LE dims
       ascii("VP8 "), leBytes(dataLen + 10, 4),
       unhex(lit("000000")), unhex(lit("9D012A")),

@@ -27,13 +27,21 @@ object Preferences {
   /** Normalize a comparison to its unordered pair plus a direction
     * flag: (lo, hi, lo_won). The pair key makes both directions of the
     * same matchup land in one group.
+    *
+    * Degenerate self-comparisons (win == lose — a completion "beating"
+    * itself) are DROPPED, and that is the public contract: such a row
+    * carries no preference signal, and classifying it either way would
+    * silently inflate one side of a (lo, lo) group the conflict audit
+    * can never flag (the oracle side's strict `win < lose` / `win >
+    * lose` branches drop it the same way).
     */
   private def normalized(df: DataFrame, promptCol: String,
       winCol: String, loseCol: String): DataFrame =
-    df.select(col(promptCol).as("prompt"),
-      least(col(winCol), col(loseCol)).as("lo"),
-      greatest(col(winCol), col(loseCol)).as("hi"),
-      (col(winCol) <= col(loseCol)).as("lo_won"))
+    df.filter(col(winCol) =!= col(loseCol))
+      .select(col(promptCol).as("prompt"),
+        least(col(winCol), col(loseCol)).as("lo"),
+        greatest(col(winCol), col(loseCol)).as("hi"),
+        (col(winCol) < col(loseCol)).as("lo_won"))
 
   /** Per (prompt, unordered pair): votes in each direction, the vote
     * margin, and the conflict flag (both directions observed). One

@@ -39,7 +39,9 @@ object Round12bQueries {
     val conflict = when(a =!= b && id % 13 === 0,
         array(cmpRow(prompt, lose, win)))
       .otherwise(emptyRow)
-    val cyclePrompt = (id / 250).cast("long") % 50
+    // exact integral divide (SQL DIV) — the double-divide-then-cast
+    // form diverges from the oracle's integer `//` past ~2^52
+    val cyclePrompt = call_function("div", id, lit(250L)) % 50
     val cycle = when(id % 250 === 0, array(
         cmpRow(cyclePrompt, lit(101L), lit(102L)),
         cmpRow(cyclePrompt, lit(102L), lit(103L)),
