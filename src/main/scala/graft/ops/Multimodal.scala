@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * with a typed metadata struct, plus the decode / feature-extract /
   * resize / frame-sample plumbing a training pipeline needs.
   *
-  * The actual codec calls are STUBBED (this container has no image or
-  * audio libraries): `decodeStub` derives deterministic fake features
-  * from the payload bytes. Everything around the stub — schema, batch
-  * shape (per-partition iteration), partitioning, column pruning — is
-  * real and tested; swapping the stub body for a JNI/library call is a
-  * one-function change.
+  * The decode path is REAL (r12 verdict item 5): [[extractFeatures]]
+  * parses PNG payloads (chunk walk + CRC32 verify + Inflater over the
+  * IDAT zlib stream + scanline de-filter) and WAV payloads (RIFF chunk
+  * walk + 16-bit PCM samples) with nothing but the JDK, and features
+  * derive from the decoded pixels/samples. The container has no video
+  * codec, so frame sampling alone remains a clearly-marked stub
+  * ([[sampleFramesStub]]); the spec cross-checks the PNG/WAV decoders
+  * against the JDK's independent ImageIO / AudioSystem readers.
   *
   * Scale notes: payloads stay in the `binary` column (parquet keeps
   * them out of dictionary encoding); metadata lives in a separate
@@ -25,8 +27,8 @@ object Multimodal {
       format: String, width: Int, height: Int, duration_ms: Long)
 
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-      feature: Array[Float], thumb_bytes: Long, n_frames: Long,
-      byte_wsum: Long)
+      feature: Array[Float], n_units: Long, unit_sum: Long,
+      unit_min: Long, unit_max: Long, decode_ok: Boolean)
 
   /** Synthesize a media table from any keyed table: payload = repeated
     * md5 bytes of the key (deterministic), metadata derived from it.
@@ -50,45 +52,265 @@ object Multimodal {
     * batch shape, in Scala: one iterator per partition so a real
     * implementation can amortize codec/model setup across the batch).
     *
-    * STUB: the `decodeOne` body fakes 8 float features from payload
-    * bytes; a real build would decode the image/audio here.
+    * REAL decode (r12 verdict item 5 — the stub era is over): PNG
+    * payloads are parsed chunk by chunk with CRC verification and
+    * their IDAT streams inflated with `java.util.zip.Inflater` to
+    * grayscale pixels; WAV payloads walk the RIFF chunks and read the
+    * 16-bit PCM samples. Features derive from DECODED content — the
+    * integer-exact face (n_units / unit_sum / unit_min / unit_max over
+    * pixels or samples) is oracle-checked from the generation rule,
+    * the float vector is spec-pinned. Malformed payloads come back
+    * `decode_ok=false` with zeroed stats — a bad file must flag, not
+    * crash the scan (the header-family discipline).
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition setup would open the codec/model ONCE here
+      // per-partition setup (a real model/codec pool) would open here;
+      // Inflater/CRC32 are cheap enough to construct per row
       rows.map(decodeOne)
     }
   }
 
   private def decodeOne(m: MediaRow): MediaFeatures = {
-    // --- STUB: deterministic fake decode -------------------------------
-    // Real implementation: decode m.payload with an image/audio codec,
-    // run the feature extractor. Deterministic fake: 8 features from a
-    // rolling byte hash, so tests are exact and reproducible.
-    var h = 1125899906842597L
-    val feats = new Array[Float](8)
-    var i = 0
-    var wsum = 0L // position-weighted byte sum: exact-integer digest of
-    // the decoded bytes, the cross-engine-checkable face of this stub
-    // (sum_{i} (i+1)*byte_i; <= 128 bytes * 255 * 128 — no overflow)
-    m.payload.foreach { b =>
-      h = h * 31 + (b & 0xff)
-      feats(i % 8) += ((h % 1000).toFloat / 1000.0f)
-      wsum += (i + 1).toLong * (b & 0xff)
-      i += 1
+    val decoded: Option[Array[Int]] =
+      try {
+        if (isPng(m.payload)) Some(decodePngGray(m.payload))
+        else if (isWav(m.payload)) Some(decodeWavPcm16(m.payload))
+        else None
+      } catch { case _: Exception => None }
+    decoded match {
+      case Some(units) if units.nonEmpty =>
+        var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        var sq = 0.0
+        units.foreach { u =>
+          s += u; if (u < mn) mn = u; if (u > mx) mx = u
+          sq += u.toDouble * u
+        }
+        val n = units.length
+        val feats = Array(
+          (s.toDouble / n).toFloat, mn.toFloat, mx.toFloat,
+          math.sqrt(sq / n).toFloat, units.head.toFloat,
+          units.last.toFloat, n.toFloat, (mx - mn).toFloat)
+        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
+          feats, n.toLong, s, mn, mx, decode_ok = true)
+      case _ =>
+        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
+          new Array[Float](8), 0L, 0L, 0L, 0L, decode_ok = false)
     }
-    // -------------------------------------------------------------------
-    MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, feats,
-      thumbnailStub(m.payload).length.toLong,
-      sampleFramesStub(m.payload, 4).length.toLong, wsum)
   }
 
-  /** Resize/thumbnail STUB: a real build re-encodes; the fake keeps the
-    * first 16 payload bytes (shape-preserving: binary → smaller binary).
+  // ---- real codecs (JDK-only: Inflater + CRC32/Adler32) --------------
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def isPng(p: Array[Byte]): Boolean =
+    p.length > 8 && p.take(8).sameElements(PngSig)
+
+  private def isWav(p: Array[Byte]): Boolean =
+    p.length > 12 && new String(p, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(p, 8, 4, "US-ASCII") == "WAVE"
+
+  private def beIntAt(p: Array[Byte], off: Int): Int =
+    ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+      ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+
+  private def leIntAt(p: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L
+    for (i <- len - 1 to 0 by -1) v = (v << 8) | (p(off + i) & 0xff)
+    v
+  }
+
+  /** Full PNG decode for the 8-bit grayscale / filter-0 subset this
+    * library synthesizes: chunk walk with per-chunk CRC32
+    * verification, IDAT concatenation, zlib inflate, scanline
+    * de-filtering. Throws on any structural violation — the caller
+    * flags, never crashes.
     */
-  def thumbnailStub(payload: Array[Byte]): Array[Byte] =
-    payload.take(16)
+  private[graft] def decodePngGray(p: Array[Byte]): Array[Int] = {
+    require(isPng(p), "bad PNG signature")
+    var off = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var end = false
+    while (!end) {
+      require(off + 8 <= p.length, "truncated chunk header")
+      val len = beIntAt(p, off)
+      val typ = new String(p, off + 4, 4, "US-ASCII")
+      require(off + 12 + len <= p.length, s"truncated $typ chunk")
+      val crc = new java.util.zip.CRC32()
+      crc.update(p, off + 4, 4 + len)
+      require(crc.getValue == (beIntAt(p, off + 8 + len) & 0xffffffffL),
+        s"$typ CRC mismatch")
+      typ match {
+        case "IHDR" =>
+          w = beIntAt(p, off + 8); h = beIntAt(p, off + 12)
+          require(p(off + 16) == 8 && p(off + 17) == 0,
+            "only 8-bit grayscale supported")
+        case "IDAT" => idat.write(p, off + 8, len)
+        case "IEND" => end = true
+        case _ => // ancillary chunks skipped
+      }
+      off += 12 + len
+    }
+    require(w > 0 && h > 0, "no IHDR before IDAT/IEND")
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val raw = new Array[Byte](h * (w + 1))
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val k = inf.inflate(raw, got, raw.length - got)
+      require(k > 0 || !inf.needsInput(), "truncated IDAT stream")
+      got += k
+    }
+    inf.end()
+    require(got == raw.length, s"inflated $got of ${raw.length} bytes")
+    val px = new Array[Int](w * h)
+    for (r <- 0 until h) {
+      require(raw(r * (w + 1)) == 0, "only filter 0 supported")
+      for (c <- 0 until w) px(r * w + c) = raw(r * (w + 1) + 1 + c) & 0xff
+    }
+    px
+  }
+
+  /** WAV 16-bit PCM decode: RIFF chunk walk to `fmt ` (must declare
+    * PCM/16-bit) and `data`, samples read little-endian signed.
+    */
+  private[graft] def decodeWavPcm16(p: Array[Byte]): Array[Int] = {
+    require(isWav(p), "bad RIFF/WAVE header")
+    var off = 12
+    var bits = -1L
+    var samples: Array[Int] = null
+    while (off + 8 <= p.length) {
+      val typ = new String(p, off, 4, "US-ASCII")
+      val len = leIntAt(p, off + 4, 4).toInt
+      require(off + 8 + len <= p.length, s"truncated $typ chunk")
+      typ match {
+        case "fmt " =>
+          require(leIntAt(p, off + 8, 2) == 1L, "only PCM supported")
+          bits = leIntAt(p, off + 22, 2)
+          require(bits == 16L, "only 16-bit supported")
+        case "data" =>
+          require(bits == 16L, "data chunk before fmt")
+          samples = Array.tabulate(len / 2)(i =>
+            (leIntAt(p, off + 8 + i * 2, 2).toInt << 16) >> 16)
+        case _ => // other chunks skipped
+      }
+      off += 8 + len
+    }
+    require(samples != null, "no data chunk")
+    samples
+  }
+
+  // ---- decodable payload synthesis ------------------------------------
+
+  /** CRC-framed PNG chunk. */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be(v: Int): Array[Byte] = Array((v >>> 24).toByte,
+      (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val t = typ.getBytes("US-ASCII")
+    out.write(be(data.length)); out.write(t); out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    out.write(be(crc.getValue.toInt))
+    out.toByteArray
+  }
+
+  /** Deterministic zlib stream: one STORED deflate block (level-0
+    * output is a zlib-spec construction, so payload bytes — and
+    * therefore n_bytes — are an exact function of the content, unlike
+    * compressed output whose length would depend on the library
+    * version) plus the Adler-32 trailer.
+    */
+  private def storedZlib(data: Array[Byte]): Array[Byte] = {
+    require(data.length <= 0xffff, "single stored block only")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x78); out.write(0x01) // zlib header, 32K window, fastest
+    out.write(0x01) // final stored block
+    out.write(data.length & 0xff); out.write((data.length >>> 8) & 0xff)
+    val nlen = data.length ^ 0xffff
+    out.write(nlen & 0xff); out.write((nlen >>> 8) & 0xff)
+    out.write(data)
+    val ad = new java.util.zip.Adler32()
+    ad.update(data)
+    val a = ad.getValue
+    out.write(((a >>> 24) & 0xff).toInt); out.write(((a >>> 16) & 0xff).toInt)
+    out.write(((a >>> 8) & 0xff).toInt); out.write((a & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** A real, decodable 8-bit grayscale PNG: w = id%8+2, h = id%6+2,
+    * row-major pixel k = (id + k) mod 256. n_bytes = 68 + h·(w+1).
+    */
+  def pngPayload(id: Long): Array[Byte] = {
+    val w = (id % 8 + 2).toInt; val h = (id % 6 + 2).toInt
+    val raw = new Array[Byte](h * (w + 1))
+    var k = 0
+    for (r <- 0 until h) {
+      raw(r * (w + 1)) = 0 // filter: none
+      for (c <- 0 until w) {
+        raw(r * (w + 1) + 1 + c) = ((id + k) % 256).toByte; k += 1
+      }
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    ihdr.write(Array((w >>> 24).toByte, (w >>> 16).toByte,
+      (w >>> 8).toByte, w.toByte))
+    ihdr.write(Array((h >>> 24).toByte, (h >>> 16).toByte,
+      (h >>> 8).toByte, h.toByte))
+    ihdr.write(8); ihdr.write(0); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    PngSig ++ pngChunk("IHDR", ihdr.toByteArray) ++
+      pngChunk("IDAT", storedZlib(raw)) ++
+      pngChunk("IEND", Array.empty[Byte])
+  }
+
+  /** A real 16-bit mono PCM WAV: n = id%50+10 samples, sample k =
+    * ((id·31 + k·7) mod 65536) − 32768, rate 8000 + (id%7)·4000.
+    * n_bytes = 44 + 2n.
+    */
+  def wavPayload(id: Long): Array[Byte] = {
+    val n = (id % 50 + 10).toInt
+    val rate = (8000 + (id % 7) * 4000).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii4(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le(v: Long, bytes: Int): Unit =
+      (0 until bytes).foreach(i => out.write(((v >>> (8 * i)) & 0xff).toInt))
+    ascii4("RIFF"); le(36L + 2 * n, 4); ascii4("WAVE")
+    ascii4("fmt "); le(16, 4); le(1, 2); le(1, 2) // PCM, mono
+    le(rate, 4); le(rate * 2L, 4); le(2, 2); le(16, 2)
+    ascii4("data"); le(2L * n, 4)
+    (0 until n).foreach { k =>
+      val s = ((id * 31 + k * 7) % 65536 - 32768).toInt
+      le(s & 0xffff, 2)
+    }
+    out.toByteArray
+  }
+
+  /** A decodable media table from any keyed table: even ids get a real
+    * PNG, odd ids a real WAV, every 97th payload's first byte is
+    * corrupted (malformed inputs must flag, not crash). Synthesis is a
+    * typed map — it stands in for the payload SCAN a real pipeline
+    * does; the decode after it is the genuine per-partition work.
+    */
+  def decodableMedia(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val row =
+        if (id % 2 == 0) {
+          val w = (id % 8 + 2).toInt; val h = (id % 6 + 2).toInt
+          MediaRow(id, "image", pngPayload(id), "png", w, h, 0L)
+        } else {
+          val n = id % 50 + 10
+          val rate = 8000 + (id % 7) * 4000
+          MediaRow(id, "audio", wavPayload(id), "wav", 0, 0,
+            n * 1000 / rate)
+        }
+      if (id % 97 == 0) row.payload(0) = 0x42 // corrupt
+      row
+    }
+  }
 
   /** Frame sampling STUB for video payloads: every k-th 16-byte block
     * stands in for every k-th frame.

@@ -120,53 +120,61 @@ object StreamQueries {
         .orderBy(col("kind"), col("format"))
     }),
     "q_multimodal_features" -> ((s, dir) => {
-      // binary payload → per-partition stub decode (the mapPartitions
-      // batch shape a real codec would use) → the decode's
-      // INTEGER-EXACT face: byte counts, thumbnail size, sampled frame
-      // count, and a position-weighted byte digest — all recomputed by
-      // DuckDB from the same hex bytes, so the full plumbing row is
-      // hash-checked end to end. The float feature vector itself stays
-      // spec-pinned (MultimodalSpec): float accumulation order is a
-      // JVM-internal detail no external engine should have to replay.
-      import s.implicits._
-      val media = Multimodal.syntheticMedia(
-        Tables.load(s, dir, "documents"), "doc_id")
-        .select(col("media_id"), col("kind"), col("payload"),
-          col("meta.format"), col("meta.width"), col("meta.height"), col("meta.duration_ms"))
-        .as[Multimodal.MediaRow]
-      Multimodal.extractFeatures(media)
+      // REAL binary decode (r12 verdict item 5): genuine PNG payloads
+      // (CRC-framed chunks, zlib IDAT inflated with Inflater, scanline
+      // de-filter) and WAV payloads (RIFF walk, 16-bit PCM) run through
+      // the per-partition decode batch shape; every 97th payload is
+      // corrupted and must come back flagged. The oracle recomputes the
+      // DECODED pixel/sample statistics from the generation rule alone
+      // — it never sees the bytes, so a decoder bug (wrong offset, bad
+      // inflate, missed filter byte) breaks the hash. The float feature
+      // vector stays spec-pinned (MultimodalSpec cross-checks the
+      // decoders against the JDK's own ImageIO/AudioSystem readers).
+      Multimodal.extractFeatures(Multimodal.decodableMedia(
+          Tables.load(s, dir, "documents"), "doc_id"))
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("thumb_bytes"), col("n_frames"), col("byte_wsum"))
+          col("n_units"), col("unit_sum"), col("unit_min"),
+          col("unit_max"), col("decode_ok"))
         .orderBy(col("media_id"))
     })
   )
 
   def oracles: Map[String, String] = Map(
     "q_multimodal_features" ->
-      // the stub decode's integer-exact face, recomputed from the same
-      // deterministic payload: hex = md5(id) repeated (id%8+1) times,
-      // bytes parsed pairwise from the hex string (DuckDB-side stand-in
-      // for the binary column Spark feeds through mapPartitions)
+      // the real decode's integer-exact face, recomputed from the
+      // generation rule alone (pixels (id+k)%256 row-major; samples
+      // ((id*31+k*7)%65536)-32768; sizes 68+h*(w+1) / 44+2n; every
+      // 97th payload corrupted -> flagged with zeroed stats)
       """WITH m AS (
            SELECT doc_id AS media_id,
-             ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
-             repeat(md5(CAST(doc_id AS VARCHAR)),
-               CAST(doc_id % 8 + 1 AS INT)) AS h
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+             doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h,
+             doc_id % 50 + 10 AS ns,
+             doc_id % 97 = 0 AS corrupted
            FROM documents),
-         b AS (
-           SELECT media_id, kind,
-             CAST(LENGTH(h) // 2 AS BIGINT) AS n_bytes,
-             list_transform(range(0, LENGTH(h) // 2),
-               i -> CAST(('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2))
-                 AS BIGINT)) AS bytes
+         u AS (
+           SELECT media_id, kind, corrupted,
+             CASE WHEN kind = 'image'
+               THEN CAST(68 + h * (w + 1) AS BIGINT)
+               ELSE CAST(44 + 2 * ns AS BIGINT) END AS n_bytes,
+             CASE WHEN kind = 'image'
+               THEN list_transform(range(0, w * h),
+                 k -> (media_id + k) % 256)
+               ELSE list_transform(range(0, ns),
+                 k -> (media_id * 31 + k * 7) % 65536 - 32768)
+             END AS units
            FROM m)
          SELECT media_id, kind, n_bytes,
-           LEAST(16, n_bytes) AS thumb_bytes,
-           CAST(CEIL((n_bytes // 16) / 4.0) AS BIGINT) AS n_frames,
-           CAST(list_sum(list_transform(range(0, n_bytes),
-             i -> (i + 1) * bytes[CAST(i + 1 AS INT)])) AS BIGINT)
-             AS byte_wsum
-         FROM b ORDER BY media_id""",
+           CASE WHEN corrupted THEN 0 ELSE CAST(LEN(units) AS BIGINT) END
+             AS n_units,
+           CASE WHEN corrupted THEN 0 ELSE CAST(list_sum(units) AS BIGINT) END
+             AS unit_sum,
+           CASE WHEN corrupted THEN 0 ELSE CAST(list_min(units) AS BIGINT) END
+             AS unit_min,
+           CASE WHEN corrupted THEN 0 ELSE CAST(list_max(units) AS BIGINT) END
+             AS unit_max,
+           NOT corrupted AS decode_ok
+         FROM u ORDER BY media_id""",
     "q_multimodal_meta" ->
       """SELECT kind, format, COUNT(*) AS n,
            CAST(SUM(width) AS BIGINT) AS sum_width,

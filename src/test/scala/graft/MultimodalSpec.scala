@@ -25,34 +25,79 @@ class MultimodalSpec extends AnyFunSuite {
     assert(payload.length % 16 == 0 && payload.nonEmpty)
   }
 
-  test("feature extraction: stub decode is deterministic, batch-shaped") {
-    val media = Multimodal.syntheticMedia(docs, "doc_id")
-      .select(col("media_id"), col("kind"), col("payload"), col("meta.format"),
-        col("meta.width"), col("meta.height"), col("meta.duration_ms"))
-      .as[Multimodal.MediaRow]
-    val feats = Multimodal.extractFeatures(media).orderBy("media_id").limit(10).collect()
-    assert(feats.length == 10)
+  test("real decode: deterministic, batch-shaped, corrupted payloads flagged") {
+    val media = Multimodal.decodableMedia(docs, "doc_id")
+    val feats = Multimodal.extractFeatures(media).orderBy("media_id").limit(200).collect()
+    assert(feats.length == 200)
     assert(feats.forall(_.feature.length == 8))
-    assert(feats.forall(f => f.thumb_bytes == math.min(16, f.n_bytes)))
-    // determinism
-    val again = Multimodal.extractFeatures(media).orderBy("media_id").limit(10).collect()
+    feats.foreach { f =>
+      assert(f.decode_ok === (f.media_id % 97 != 0),
+        s"media ${f.media_id}: corruption flag")
+    }
+    val again = Multimodal.extractFeatures(media).orderBy("media_id").limit(200).collect()
     assert(feats.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
   }
 
-  test("stub decode's integer face matches an independent recomputation") {
+  test("decoded stats match the generation rule (pixels/samples, not bytes)") {
+    val media = Multimodal.decodableMedia(docs, "doc_id")
+    val feats = Multimodal.extractFeatures(media).orderBy("media_id")
+      .filter(col("decode_ok")).limit(50).collect()
+    feats.foreach { f =>
+      val id = f.media_id
+      val units: Seq[Long] =
+        if (id % 2 == 0) {
+          val w = id % 8 + 2; val h = id % 6 + 2
+          (0L until w * h).map(k => (id + k) % 256)
+        } else (0L until id % 50 + 10).map(k => (id * 31 + k * 7) % 65536 - 32768)
+      assert(f.n_units === units.length.toLong, s"media $id n_units")
+      assert(f.unit_sum === units.sum, s"media $id unit_sum")
+      assert(f.unit_min === units.min, s"media $id unit_min")
+      assert(f.unit_max === units.max, s"media $id unit_max")
+      // floats derive from the same decoded units
+      assert(f.feature(6) === units.length.toFloat)
+      assert(f.feature(1) === units.min.toFloat)
+      assert(f.feature(2) === units.max.toFloat)
+    }
+  }
+
+  test("PNG decoder cross-checked against the JDK's independent ImageIO reader") {
+    Seq(0L, 2L, 4L, 96L, 1234L, 99998L).foreach { id =>
+      val payload = Multimodal.pngPayload(id)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      assert(img != null, s"ImageIO rejected pngPayload($id)")
+      val w = img.getWidth; val h = img.getHeight
+      assert(w == (id % 8 + 2).toInt && h == (id % 6 + 2).toInt)
+      val viaImageIo = for (r <- 0 until h; c <- 0 until w)
+        yield img.getRaster.getSample(c, r, 0)
+      assert(Multimodal.decodePngGray(payload).toSeq === viaImageIo,
+        s"pixel mismatch vs ImageIO for id $id")
+    }
+  }
+
+  test("WAV decoder cross-checked against the JDK's independent AudioSystem reader") {
+    Seq(1L, 3L, 97L, 555L, 99999L).foreach { id =>
+      val payload = Multimodal.wavPayload(id)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      assert(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
+      assert(fmt.getSampleRate.toInt == (8000 + (id % 7) * 4000).toInt)
+      val bytes = in.readAllBytes()
+      val viaAudio = (0 until bytes.length / 2).map(i =>
+        (((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)) << 16) >> 16)
+      assert(Multimodal.decodeWavPcm16(payload).toSeq === viaAudio,
+        s"sample mismatch vs AudioSystem for id $id")
+    }
+  }
+
+  test("undecodable payloads (no known magic) flag instead of crashing") {
     val media = Multimodal.syntheticMedia(docs, "doc_id")
       .select(col("media_id"), col("kind"), col("payload"), col("meta.format"),
         col("meta.width"), col("meta.height"), col("meta.duration_ms"))
       .as[Multimodal.MediaRow]
-    val raw = media.orderBy("media_id").limit(10).collect()
-    val feats = Multimodal.extractFeatures(media).orderBy("media_id").limit(10).collect()
-    raw.zip(feats).foreach { case (m, f) =>
-      val wsum = m.payload.zipWithIndex.map { case (b, i) =>
-        (i + 1).toLong * (b & 0xff) }.sum
-      assert(f.byte_wsum === wsum)
-      // frames = 16-byte blocks sampled every 4th, starting at block 0
-      assert(f.n_frames === (m.payload.length / 16 + 3) / 4)
-    }
+    val feats = Multimodal.extractFeatures(media).limit(10).collect()
+    assert(feats.forall(f => !f.decode_ok && f.n_units == 0L))
   }
 
   test("metadata-only query prunes the payload column from the parquet scan") {
