@@ -53,7 +53,8 @@ object ScaleProbe100 {
     // optional args = section subset (see `sections` below)
     // so a new family can be probed without re-timing the others; an
     // unknown name must fail loudly, not silently probe nothing
-    val sections = Set("dedup", "er", "url", "graph", "knn", "cc")
+    val sections = Set("dedup", "er", "url", "graph", "knn", "cc",
+      "graphx", "pref")
     require(args.forall(sections), s"unknown section in ${args.toSeq}; " +
       s"valid: ${sections.mkString("|")}")
     def enabled(section: String): Boolean =
@@ -236,6 +237,155 @@ object ScaleProbe100 {
       }.reduce(_ unionByName _)
       time("link prediction top-3, 1M nodes / 4M edges (deg 8, no hubs)") {
         graft.ops.Graphs.linkPrediction(edges, maxDeg = 64, k = 3).count()
+      }
+    }
+
+    // ---- graph analytics at 100x (r12 verdict item 4): PageRank /
+    // k-core / triangles on a 1M-node graph with a PLANTED HUB ----
+    // The base is the link-prediction probe's 4-ring union (uniform
+    // degree 8, 4M undirected a<b edges); the hub sits at id n/2 with
+    // half its neighbors below and half above — the worst case for the
+    // id-ordered wedge join in Graphs.triangleCounts, whose first join
+    // produces Σ_b in(b)·out(b) rows: a mid-id hub of degree d
+    // contributes (d/2)² wedges. The probe MEASURES that quadratic law
+    // (wedge rows at d = 0 / 2k / 20k) instead of asserting it, then
+    // shows the serving-path mitigation: the same degree guard the
+    // co-click builder applies via keptBaskets (basket cap 100) keeps
+    // enumeration flat, and Graphs.hubAudit reports the exclusion —
+    // the no-silent-caps discipline at 1M-node scale.
+    if (enabled("graphx")) locally {
+      val n = 1000000L
+      val hub = n / 2
+      val nodes = spark.range(0L, n, 1L, 64).select(col("id"))
+      val ringEdges = Seq(1L, 7919L, 104729L, 999983L).map { step =>
+        nodes.select(col("id").as("raw_a"),
+            pmod(col("id") + step, lit(n)).as("raw_b"))
+          .select(least(col("raw_a"), col("raw_b")).as("item_a"),
+            greatest(col("raw_a"), col("raw_b")).as("item_b"))
+      }.reduce(_ unionByName _)
+      def hubEdges(d: Long) = spark.range(1L, d / 2 + 1, 1L, 32)
+        .select(explode(array(
+          struct((lit(hub) - col("id")).as("item_a"), lit(hub).as("item_b")),
+          struct(lit(hub).as("item_a"), (lit(hub) + col("id")).as("item_b"))))
+          .as("e"))
+        .select(col("e.item_a"), col("e.item_b"))
+      def withHub(d: Long) =
+        if (d == 0) ringEdges else ringEdges.unionByName(hubEdges(d))
+
+      // 1. the wedge-volume growth law (first-join row count)
+      Seq(0L, 2000L, 20000L).foreach { d =>
+        val e = withHub(d).distinct()
+          .select(col("item_a").as("a"), col("item_b").as("b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        time(f"triangle wedge volume, 1M nodes, hub degree $d%d") {
+          val w = e.join(e.select(col("a").as("b"), col("b").as("c")),
+            Seq("b")).count()
+          println(s"[probe100]   wedges=$w (hub contributes ~${d * d / 4})")
+          w
+        }
+        e.unpersist()
+      }
+
+      // 2. full triangle enumeration: uncapped at hub=2k (tolerable
+      // 1M-wedge bump), then hub=20k under the serving-path degree
+      // guard (cap 100, mirroring keptBaskets) — must run ring-flat
+      val t2k = withHub(2000L)
+      time("triangleCounts UNCAPPED, 1M nodes / 4M edges, hub degree 2k") {
+        graft.ops.Graphs.triangleCounts(t2k).count()
+      }
+      val t20k = withHub(20000L)
+      val deg = t20k
+        .select(explode(array(col("item_a"), col("item_b"))).as("u"))
+        .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val hubs = deg.filter(col("deg") > 100).select(col("u"))
+      val capped = t20k
+        .join(hubs.select(col("u").as("item_a")), Seq("item_a"), "left_anti")
+        .join(hubs.select(col("u").as("item_b")), Seq("item_b"), "left_anti")
+      time("triangleCounts with degree guard (cap 100), hub degree 20k") {
+        graft.ops.Graphs.triangleCounts(capped).count()
+      }
+      time("hubAudit (maxDeg=100), 1M nodes, hub degree 20k") {
+        val a = graft.ops.Graphs.hubAudit(t20k, maxDeg = 100).head()
+        println(s"[probe100]   audit: hubs_dropped=${a.getLong(0)} " +
+          s"nodes_kept=${a.getLong(1)} edges_touching=${a.getLong(2)}")
+        1L
+      }
+
+      // 3. PageRank and k-core on the hubbed graph (symmetrized 8M+
+      // directed edges): the iteration machinery at 1M-node scale
+      val sym20k = withHub(20000L)
+        .select(col("item_a").as("src"), col("item_b").as("dst"))
+      val both = sym20k.unionByName(
+        sym20k.select(col("dst").as("src"), col("src").as("dst")))
+      time("pageRankFixedPoint(iters=3), 1M nodes / 8M directed edges, hub 20k") {
+        graft.ops.Graphs.pageRankFixedPoint(both, iters = 3).count()
+      }
+      time("kCore(k=3, rounds=4), 1M nodes / 4M+ edges, hub 20k") {
+        graft.ops.Graphs.kCore(
+          sym20k.select(col("src"), col("dst")), k = 3, rounds = 4).count()
+      }
+    }
+
+    // ---- preference majority-cycles at 100x (r12 verdict item 7):
+    // the Σdeg² claim under a planted dense-prompt adversary ----
+    // q_pref_cycles' cost claim is that the two triangle self-joins are
+    // bounded by Σ_prompt deg², never corpus². The probe plants one
+    // ADVERSARIAL prompt with C completions and all C(C,2) pairs voted
+    // (deterministic mixed orientation so real cycles exist) on top of
+    // a 100k-prompt bounded-budget base (8 votes/prompt — the practical
+    // shape): doubling C holds the corpus ~constant while wedge volume
+    // grows ~C³ — if wall tracks the wedge count and not the corpus,
+    // the bound is the Σdeg² term, measured.
+    if (enabled("pref")) locally {
+      val basePrompts = 100000L
+      // 8 bounded votes per prompt over 6 completions, orientation
+      // flipped by (prompt + k) parity
+      val pairs = Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0),
+        (0, 2), (1, 3))
+      val base = spark.range(0L, basePrompts, 1L, 32)
+        .select(col("id").as("prompt"),
+          explode(array(pairs.zipWithIndex.map { case ((a, b), k) =>
+            val flip = (col("id") + k) % 2 === 0
+            struct(when(flip, lit(a.toLong)).otherwise(lit(b.toLong)).as("win"),
+              when(flip, lit(b.toLong)).otherwise(lit(a.toLong)).as("lose"))
+          }: _*)).as("v"))
+        .select(col("prompt"), col("v.win"), col("v.lose"))
+      def dense(c: Long) = spark.range(0L, c, 1L, 32).select(col("id").as("i"))
+        .join(spark.range(0L, c, 1L, 32).select(col("id").as("j")),
+          col("i") < col("j"))
+        .select(lit(-1L).as("prompt"),
+          when((col("i") + col("j")) % 3 === 0, col("j")).otherwise(col("i"))
+            .as("win"),
+          when((col("i") + col("j")) % 3 === 0, col("i")).otherwise(col("j"))
+            .as("lose"))
+      Seq(250L, 500L).foreach { c =>
+        val votes = base.unionByName(dense(c))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nVotes = votes.count()
+        // measure the wedge term the claim bounds: majority edges
+        // joined to themselves on (prompt, dst=src)
+        val audit = graft.ops.Preferences.conflictAudit(votes,
+          "prompt", "win", "lose")
+        val edges = audit.filter(col("n_lo_wins") =!= col("n_hi_wins"))
+          .select(col("prompt"),
+            when(col("n_lo_wins") > col("n_hi_wins"), col("lo"))
+              .otherwise(col("hi")).as("src"),
+            when(col("n_lo_wins") > col("n_hi_wins"), col("hi"))
+              .otherwise(col("lo")).as("dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val wedges = edges.as("e1")
+          .join(edges.as("e2"), col("e1.prompt") === col("e2.prompt") &&
+            col("e1.dst") === col("e2.src")).count()
+        time(f"majorityCycles, 100k prompts + dense C=$c%d " +
+            f"($nVotes%d votes, $wedges%d wedges)") {
+          val out = graft.ops.Preferences.majorityCycles(votes,
+            "prompt", "win", "lose")
+          val cyc = out.agg(coalesce(sum(col("n_cycles")), lit(0L)))
+            .head().getLong(0)
+          println(s"[probe100]   total cycles=$cyc")
+          cyc
+        }
+        edges.unpersist(); votes.unpersist()
       }
     }
 

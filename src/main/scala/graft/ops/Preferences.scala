@@ -82,6 +82,50 @@ object Preferences {
         round(col("wins").cast("double") / col("games").cast("double"), 6))
       .withColumn("copeland", col("wins") - col("losses"))
 
+  /** Per-rater agreement with the per-pair majority — the
+    * preference-data twin of inter-annotator kappa: for every decided
+    * (prompt, unordered pair) matchup (strict vote majority; ties carry
+    * no consensus), how often does each rater's vote land on the
+    * majority side? The chronically-disagreeing rater this surfaces is
+    * the first thing an RLHF data audit quarantines. A rater's own
+    * vote counts toward the majority it is compared against (the
+    * standard consensus-agreement convention; with ≥3 raters a pair is
+    * never decided by one vote alone).
+    *
+    * Returns (rater, n_votes, n_decided, n_majority, agreement) with
+    * agreement = n_majority / n_decided rounded to 6 dp (NULL when the
+    * rater has no votes on decided pairs). All counts exact BIGINTs;
+    * self-comparisons (win == lose) are dropped per the [[normalized]]
+    * contract.
+    *
+    * Scale shape: ONE comparison-grain shuffle (the pair groupBy); the
+    * join back from votes to their pair's majority reuses the same
+    * (prompt, lo, hi) key, and the final aggregate is rater-grain.
+    */
+  def raterAgreement(df: DataFrame, promptCol: String, winCol: String,
+      loseCol: String, raterCol: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val v = df.filter(col(winCol) =!= col(loseCol))
+      .select(col(promptCol).as("prompt"),
+        least(col(winCol), col(loseCol)).as("lo"),
+        greatest(col(winCol), col(loseCol)).as("hi"),
+        (col(winCol) < col(loseCol)).as("lo_won"),
+        col(raterCol).as("rater"))
+      .persist(MEMORY_AND_DISK) // feeds the pair aggregate AND the join
+    val p = v.groupBy(col("prompt"), col("lo"), col("hi"))
+      .agg(sum(when(col("lo_won"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("lo_won"), 0L).otherwise(1L)).as("n_hi"))
+    val decided = col("n_lo") =!= col("n_hi")
+    v.join(p, Seq("prompt", "lo", "hi"))
+      .groupBy(col("rater"))
+      .agg(count(lit(1)).as("n_votes"),
+        sum(when(decided, 1L).otherwise(0L)).as("n_decided"),
+        sum(when(decided && col("lo_won") === (col("n_lo") > col("n_hi")),
+          1L).otherwise(0L)).as("n_majority"))
+      .withColumn("agreement", round(col("n_majority").cast("double") /
+        when(col("n_decided") > 0, col("n_decided").cast("double")), 6))
+  }
+
   /** Majority-preference 3-cycles per prompt: a → b is a majority edge
     * iff strictly more votes prefer a over b; a directed triangle
     * a→b→c→a is the smallest intransitivity certificate. Each cycle is

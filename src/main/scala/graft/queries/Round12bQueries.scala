@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Round12bQueries {
 
-  /** (prompt, win, lose) comparison rows: base votes (winner by the
-    * id mod 3 rule), reversed duplicates for the conflict class, and
-    * the planted 3-cycles.
+  /** (prompt, win, lose, rater) comparison rows: base votes (winner by
+    * the id mod 3 rule, rater (id·3+1) mod 7), reversed duplicates for
+    * the conflict class (cast by a DIFFERENT rater, (id·5+2) mod 7 —
+    * disagreement is a rater property), and the planted 3-cycles
+    * (rater 6).
     */
   private def comparisons(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
@@ -31,26 +33,29 @@ object Round12bQueries {
     val win = when(aWins, a).otherwise(b)
     val lose = when(aWins, b).otherwise(a)
     def cmpRow(p: org.apache.spark.sql.Column,
-        w: org.apache.spark.sql.Column, l: org.apache.spark.sql.Column) =
-      struct(p.as("prompt"), w.as("win"), l.as("lose"))
-    val emptyRow = array().cast("array<struct<prompt:bigint,win:bigint,lose:bigint>>")
-    val base = when(a =!= b, array(cmpRow(prompt, win, lose)))
+        w: org.apache.spark.sql.Column, l: org.apache.spark.sql.Column,
+        r: org.apache.spark.sql.Column) =
+      struct(p.as("prompt"), w.as("win"), l.as("lose"), r.as("rater"))
+    val emptyRow = array().cast(
+      "array<struct<prompt:bigint,win:bigint,lose:bigint,rater:bigint>>")
+    val base = when(a =!= b,
+        array(cmpRow(prompt, win, lose, (id * 3 + 1) % 7)))
       .otherwise(emptyRow)
     val conflict = when(a =!= b && id % 13 === 0,
-        array(cmpRow(prompt, lose, win)))
+        array(cmpRow(prompt, lose, win, (id * 5 + 2) % 7)))
       .otherwise(emptyRow)
     // exact integral divide (SQL DIV) — the double-divide-then-cast
     // form diverges from the oracle's integer `//` past ~2^52
     val cyclePrompt = call_function("div", id, lit(250L)) % 50
     val cycle = when(id % 250 === 0, array(
-        cmpRow(cyclePrompt, lit(101L), lit(102L)),
-        cmpRow(cyclePrompt, lit(102L), lit(103L)),
-        cmpRow(cyclePrompt, lit(103L), lit(101L))))
+        cmpRow(cyclePrompt, lit(101L), lit(102L), lit(6L)),
+        cmpRow(cyclePrompt, lit(102L), lit(103L), lit(6L)),
+        cmpRow(cyclePrompt, lit(103L), lit(101L), lit(6L))))
       .otherwise(emptyRow)
     Tables.load(s, dir, "documents")
       .select(explode(concat(base, conflict, cycle)).as("c"))
       .select(col("c.prompt").as("prompt"), col("c.win").as("win"),
-        col("c.lose").as("lose"))
+        col("c.lose").as("lose"), col("c.rater").as("rater"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -68,7 +73,16 @@ object Round12bQueries {
     // ---- majority-preference 3-cycles (intransitivity) ----
     "q_pref_cycles" -> ((s, dir) =>
       Preferences.majorityCycles(comparisons(s, dir), "prompt", "win", "lose")
-        .orderBy(col("prompt"))))
+        .orderBy(col("prompt"))),
+
+    // ---- per-rater majority-agreement audit (r12 verdict item 7) ----
+    // the conflict class is planted on rater (id*5+2)%7, so the
+    // disagreement concentrates on specific raters — the audit must
+    // separate them from the consensus raters
+    "q_rater_agreement" -> ((s, dir) =>
+      Preferences.raterAgreement(comparisons(s, dir), "prompt", "win",
+          "lose", "rater")
+        .orderBy(col("rater"))))
 
   /** The synthesis as a shared CTE: base + reversed-conflict + planted
     * cycle rows, each field the same integer function of doc_id.
@@ -102,6 +116,41 @@ object Round12bQueries {
            CAST(SUM(CASE WHEN win > lose THEN 1 ELSE 0 END) AS BIGINT)
              AS n_hi_wins
          FROM cmp GROUP BY 1, 2, 3)"""
+
+  /** The synthesis with the rater field, for the agreement oracle. */
+  private val cmpRaterSql: String =
+    """cmpr AS (
+         SELECT doc_id % 50 AS prompt,
+           CASE WHEN doc_id % 3 <> 0 THEN (doc_id * 7 + 1) % 20
+                ELSE (doc_id * 11 + 3) % 20 END AS win,
+           CASE WHEN doc_id % 3 <> 0 THEN (doc_id * 11 + 3) % 20
+                ELSE (doc_id * 7 + 1) % 20 END AS lose,
+           (doc_id * 3 + 1) % 7 AS rater
+         FROM documents WHERE (doc_id * 7 + 1) % 20 <> (doc_id * 11 + 3) % 20
+         UNION ALL
+         SELECT doc_id % 50,
+           CASE WHEN doc_id % 3 <> 0 THEN (doc_id * 11 + 3) % 20
+                ELSE (doc_id * 7 + 1) % 20 END,
+           CASE WHEN doc_id % 3 <> 0 THEN (doc_id * 7 + 1) % 20
+                ELSE (doc_id * 11 + 3) % 20 END,
+           (doc_id * 5 + 2) % 7
+         FROM documents
+         WHERE (doc_id * 7 + 1) % 20 <> (doc_id * 11 + 3) % 20
+           AND doc_id % 13 = 0
+         UNION ALL
+         SELECT (doc_id // 250) % 50, c.w, c.l, 6
+         FROM documents
+         CROSS JOIN (VALUES (101, 102), (102, 103), (103, 101)) AS c(w, l)
+         WHERE doc_id % 250 = 0),
+       vr AS (
+         SELECT prompt, LEAST(win, lose) AS lo, GREATEST(win, lose) AS hi,
+           win < lose AS lo_won, rater
+         FROM cmpr),
+       pr AS (
+         SELECT prompt, lo, hi,
+           SUM(CASE WHEN lo_won THEN 1 ELSE 0 END) AS n_lo,
+           SUM(CASE WHEN lo_won THEN 0 ELSE 1 END) AS n_hi
+         FROM vr GROUP BY 1, 2, 3)"""
 
   def oracles: Map[String, String] = Map(
 
@@ -140,5 +189,23 @@ object Round12bQueries {
          JOIN edges e3 ON e2.prompt = e3.prompt AND e2.dst = e3.src
            AND e3.dst = e1.src
          WHERE e1.src < e2.src AND e1.src < e3.src
-         GROUP BY e1.prompt ORDER BY e1.prompt""")
+         GROUP BY e1.prompt ORDER BY e1.prompt""",
+
+    "q_rater_agreement" ->
+      s"""WITH $cmpRaterSql
+         SELECT vr.rater,
+           CAST(COUNT(*) AS BIGINT) AS n_votes,
+           CAST(SUM(CASE WHEN pr.n_lo <> pr.n_hi THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_decided,
+           CAST(SUM(CASE WHEN pr.n_lo <> pr.n_hi
+               AND vr.lo_won = (pr.n_lo > pr.n_hi) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_majority,
+           ROUND(CAST(SUM(CASE WHEN pr.n_lo <> pr.n_hi
+               AND vr.lo_won = (pr.n_lo > pr.n_hi) THEN 1 ELSE 0 END)
+               AS DOUBLE) /
+             NULLIF(CAST(SUM(CASE WHEN pr.n_lo <> pr.n_hi THEN 1 ELSE 0 END)
+               AS DOUBLE), 0), 6) AS agreement
+         FROM vr JOIN pr ON vr.prompt = pr.prompt AND vr.lo = pr.lo
+           AND vr.hi = pr.hi
+         GROUP BY vr.rater ORDER BY rater""")
 }
