@@ -128,7 +128,10 @@ object Multimodal {
     * de-filtering. Throws on any structural violation — the caller
     * flags, never crashes.
     */
-  private[graft] def decodePngGray(p: Array[Byte]): Array[Int] = {
+  private[graft] def decodePngGray(p: Array[Byte]): Array[Int] =
+    decodePngGrayDims(p)._3
+
+  private[graft] def decodePngGrayDims(p: Array[Byte]): (Int, Int, Array[Int]) = {
     require(isPng(p), "bad PNG signature")
     var off = 8
     var w = -1; var h = -1
@@ -171,7 +174,7 @@ object Multimodal {
       require(raw(r * (w + 1)) == 0, "only filter 0 supported")
       for (c <- 0 until w) px(r * w + c) = raw(r * (w + 1) + 1 + c) & 0xff
     }
-    px
+    (w, h, px)
   }
 
   /** WAV 16-bit PCM decode: RIFF chunk walk to `fmt ` (must declare
@@ -241,18 +244,19 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** A real, decodable 8-bit grayscale PNG: w = id%8+2, h = id%6+2,
-    * row-major pixel k = (id + k) mod 256. n_bytes = 68 + h·(w+1).
+  /** Encode 8-bit grayscale pixels (row-major, values 0–255) as a real
+    * PNG: IHDR + one stored-deflate IDAT + IEND, filter 0 per row.
+    * Deterministic byte-for-byte, so encoded SIZE is an exact function
+    * of the dimensions: 68 + h·(w+1) bytes.
     */
-  def pngPayload(id: Long): Array[Byte] = {
-    val w = (id % 8 + 2).toInt; val h = (id % 6 + 2).toInt
+  private[graft] def pngEncodeGray(w: Int, h: Int,
+      px: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && px.length == w * h, "bad dimensions")
     val raw = new Array[Byte](h * (w + 1))
-    var k = 0
     for (r <- 0 until h) {
       raw(r * (w + 1)) = 0 // filter: none
-      for (c <- 0 until w) {
-        raw(r * (w + 1) + 1 + c) = ((id + k) % 256).toByte; k += 1
-      }
+      for (c <- 0 until w)
+        raw(r * (w + 1) + 1 + c) = (px(r * w + c) & 0xff).toByte
     }
     val ihdr = new java.io.ByteArrayOutputStream()
     ihdr.write(Array((w >>> 24).toByte, (w >>> 16).toByte,
@@ -263,6 +267,15 @@ object Multimodal {
     PngSig ++ pngChunk("IHDR", ihdr.toByteArray) ++
       pngChunk("IDAT", storedZlib(raw)) ++
       pngChunk("IEND", Array.empty[Byte])
+  }
+
+  /** A real, decodable 8-bit grayscale PNG: w = id%8+2, h = id%6+2,
+    * row-major pixel k = (id + k) mod 256. n_bytes = 68 + h·(w+1).
+    */
+  def pngPayload(id: Long): Array[Byte] = {
+    val w = (id % 8 + 2).toInt; val h = (id % 6 + 2).toInt
+    pngEncodeGray(w, h,
+      Array.tabulate(w * h)(k => ((id + k) % 256).toInt))
   }
 
   /** A real 16-bit mono PCM WAV: n = id%50+10 samples, sample k =
@@ -309,6 +322,52 @@ object Multimodal {
         }
       if (id % 97 == 0) row.payload(0) = 0x42 // corrupt
       row
+    }
+  }
+
+  final case class MediaThumb(media_id: Long, src_w: Int, src_h: Int,
+      thumb_w: Int, thumb_h: Int, thumb_bytes: Long, px_sum: Long,
+      px_min: Long, px_max: Long, thumb_ok: Boolean)
+
+  /** REAL thumbnail pipeline (closing the resize stub): decode the PNG
+    * payload, 2×2 box-average downsample (exact integer: the 4-pixel
+    * sum DIV 4; odd trailing row/column dropped), RE-ENCODE as a real
+    * PNG via [[pngEncodeGray]], then RE-DECODE the encoded thumbnail
+    * and report ITS pixel stats — the full round trip, so a defect
+    * anywhere in decode, downsample, encode, or the second decode
+    * breaks the oracle (which predicts the stats from the generation
+    * rule alone). `thumb_bytes` is the encoded thumbnail's exact size
+    * (stored-deflate encoding is byte-deterministic: 68 + h·(w+1)).
+    * Non-image and malformed payloads come back flagged.
+    */
+  def thumbnails(media: Dataset[MediaRow]): Dataset[MediaThumb] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        try {
+          require(isPng(m.payload), "not a PNG")
+          val (w, h, px) = decodePngGrayDims(m.payload)
+          val tw = w / 2; val th = h / 2
+          require(tw > 0 && th > 0, "too small to thumbnail")
+          val tpx = Array.tabulate(tw * th) { k =>
+            val r = k / tw; val c = k % tw
+            (px(2 * r * w + 2 * c) + px(2 * r * w + 2 * c + 1) +
+              px((2 * r + 1) * w + 2 * c) +
+              px((2 * r + 1) * w + 2 * c + 1)) / 4
+          }
+          val encoded = pngEncodeGray(tw, th, tpx)
+          val back = decodePngGray(encoded) // full round trip
+          var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          back.foreach { u =>
+            s += u; if (u < mn) mn = u; if (u > mx) mx = u
+          }
+          MediaThumb(m.media_id, w, h, tw, th, encoded.length.toLong,
+            s, mn, mx, thumb_ok = true)
+        } catch { case _: Exception =>
+          MediaThumb(m.media_id, 0, 0, 0, 0, 0L, 0L, 0L, 0L,
+            thumb_ok = false)
+        }
+      }
     }
   }
 

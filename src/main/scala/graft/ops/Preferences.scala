@@ -126,6 +126,24 @@ object Preferences {
         when(col("n_decided") > 0, col("n_decided").cast("double")), 6))
   }
 
+  /** Per-rater position-bias audit: of each rater's votes, how many
+    * chose the completion that was SHOWN FIRST — the classic
+    * presentation-order artifact in pairwise preference collection
+    * (a rater who clicks the first option regardless of content shows
+    * a share near 1.0; an order-blind rater sits near the dataset's
+    * base rate). Pure counting: one rater-grain aggregation, exact
+    * BIGINTs, one rounded division.
+    */
+  def positionBias(df: DataFrame, winCol: String, firstCol: String,
+      raterCol: String): DataFrame =
+    df.groupBy(col(raterCol).as("rater"))
+      .agg(count(lit(1)).as("n_votes"),
+        sum((col(winCol) === col(firstCol)).cast("long"))
+          .as("n_first_won"))
+      .withColumn("first_win_share",
+        round(col("n_first_won").cast("double") /
+          col("n_votes").cast("double"), 6))
+
   /** Majority-preference 3-cycles per prompt: a → b is a majority edge
     * iff strictly more votes prefer a over b; a directed triangle
     * a→b→c→a is the smallest intransitivity certificate. Each cycle is

@@ -18,11 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Round12bQueries {
 
-  /** (prompt, win, lose, rater) comparison rows: base votes (winner by
-    * the id mod 3 rule, rater (id·3+1) mod 7), reversed duplicates for
-    * the conflict class (cast by a DIFFERENT rater, (id·5+2) mod 7 —
-    * disagreement is a rater property), and the planted 3-cycles
-    * (rater 6).
+  /** (prompt, win, lose, rater, first) comparison rows: base votes
+    * (winner by the id mod 3 rule, rater (id·3+1) mod 7), reversed
+    * duplicates for the conflict class (cast by a DIFFERENT rater,
+    * (id·5+2) mod 7 — disagreement is a rater property), and the
+    * planted 3-cycles (rater 6). `first` is the completion SHOWN
+    * first: an (id·13+5) mod 10 coin for base rows — except rater 3,
+    * the planted position-follower, whose vote always lands on the
+    * first-shown — the reversed coin for conflict rows, and the
+    * written order for cycles.
     */
   private def comparisons(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
@@ -34,28 +38,32 @@ object Round12bQueries {
     val lose = when(aWins, b).otherwise(a)
     def cmpRow(p: org.apache.spark.sql.Column,
         w: org.apache.spark.sql.Column, l: org.apache.spark.sql.Column,
-        r: org.apache.spark.sql.Column) =
-      struct(p.as("prompt"), w.as("win"), l.as("lose"), r.as("rater"))
-    val emptyRow = array().cast(
-      "array<struct<prompt:bigint,win:bigint,lose:bigint,rater:bigint>>")
+        r: org.apache.spark.sql.Column, fw: org.apache.spark.sql.Column) =
+      struct(p.as("prompt"), w.as("win"), l.as("lose"), r.as("rater"),
+        when(fw, w).otherwise(l).as("first"))
+    val emptyRow = array().cast("array<struct<prompt:bigint,win:bigint," +
+      "lose:bigint,rater:bigint,first:bigint>>")
+    val coin = (id * 13 + 5) % 10 < 5
     val base = when(a =!= b,
-        array(cmpRow(prompt, win, lose, (id * 3 + 1) % 7)))
+        array(cmpRow(prompt, win, lose, (id * 3 + 1) % 7,
+          coin || (id * 3 + 1) % 7 === 3)))
       .otherwise(emptyRow)
     val conflict = when(a =!= b && id % 13 === 0,
-        array(cmpRow(prompt, lose, win, (id * 5 + 2) % 7)))
+        array(cmpRow(prompt, lose, win, (id * 5 + 2) % 7, !coin)))
       .otherwise(emptyRow)
     // exact integral divide (SQL DIV) — the double-divide-then-cast
     // form diverges from the oracle's integer `//` past ~2^52
     val cyclePrompt = call_function("div", id, lit(250L)) % 50
     val cycle = when(id % 250 === 0, array(
-        cmpRow(cyclePrompt, lit(101L), lit(102L), lit(6L)),
-        cmpRow(cyclePrompt, lit(102L), lit(103L), lit(6L)),
-        cmpRow(cyclePrompt, lit(103L), lit(101L), lit(6L))))
+        cmpRow(cyclePrompt, lit(101L), lit(102L), lit(6L), lit(true)),
+        cmpRow(cyclePrompt, lit(102L), lit(103L), lit(6L), lit(true)),
+        cmpRow(cyclePrompt, lit(103L), lit(101L), lit(6L), lit(true))))
       .otherwise(emptyRow)
     Tables.load(s, dir, "documents")
       .select(explode(concat(base, conflict, cycle)).as("c"))
       .select(col("c.prompt").as("prompt"), col("c.win").as("win"),
-        col("c.lose").as("lose"), col("c.rater").as("rater"))
+        col("c.lose").as("lose"), col("c.rater").as("rater"),
+        col("c.first").as("first"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -82,6 +90,15 @@ object Round12bQueries {
     "q_rater_agreement" -> ((s, dir) =>
       Preferences.raterAgreement(comparisons(s, dir), "prompt", "win",
           "lose", "rater")
+        .orderBy(col("rater"))),
+
+    // ---- per-rater position-bias audit ----
+    // rater 3 is the planted position-follower (their vote always
+    // lands on the first-shown completion → share 1.0); everyone else
+    // sits near the synthesis coin's base rate
+    "q_pref_position" -> ((s, dir) =>
+      Preferences.positionBias(comparisons(s, dir), "win", "first",
+          "rater")
         .orderBy(col("rater"))))
 
   /** The synthesis as a shared CTE: base + reversed-conflict + planted
@@ -207,5 +224,31 @@ object Round12bQueries {
                AS DOUBLE), 0), 6) AS agreement
          FROM vr JOIN pr ON vr.prompt = pr.prompt AND vr.lo = pr.lo
            AND vr.hi = pr.hi
-         GROUP BY vr.rater ORDER BY rater""")
+         GROUP BY vr.rater ORDER BY rater""",
+
+    "q_pref_position" ->
+      // win == first reduces to the synthesis' fw flag, replayed per
+      // row class (base: coin OR rater-3 plant; conflict: reversed
+      // coin; cycles: written order)
+      """WITH pos AS (
+           SELECT (doc_id * 3 + 1) % 7 AS rater,
+             CASE WHEN (doc_id * 13 + 5) % 10 < 5
+                 OR (doc_id * 3 + 1) % 7 = 3 THEN 1 ELSE 0 END AS fw
+           FROM documents
+           WHERE (doc_id * 7 + 1) % 20 <> (doc_id * 11 + 3) % 20
+           UNION ALL
+           SELECT (doc_id * 5 + 2) % 7,
+             CASE WHEN (doc_id * 13 + 5) % 10 < 5 THEN 0 ELSE 1 END
+           FROM documents
+           WHERE (doc_id * 7 + 1) % 20 <> (doc_id * 11 + 3) % 20
+             AND doc_id % 13 = 0
+           UNION ALL
+           SELECT 6, 1 FROM documents
+           CROSS JOIN (VALUES (1), (2), (3)) AS c(k)
+           WHERE doc_id % 250 = 0)
+         SELECT rater, CAST(COUNT(*) AS BIGINT) AS n_votes,
+           CAST(SUM(fw) AS BIGINT) AS n_first_won,
+           ROUND(CAST(SUM(fw) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS first_win_share
+         FROM pos GROUP BY rater ORDER BY rater""")
 }

@@ -136,7 +136,17 @@ object StreamQueries {
           col("n_units"), col("unit_sum"), col("unit_min"),
           col("unit_max"), col("decode_ok"))
         .orderBy(col("media_id"))
-    })
+    }),
+    "q_media_thumbs" -> ((s, dir) =>
+      // the REAL resize pipeline: decode PNG → 2x2 box-average (exact
+      // integer DIV 4) → re-encode as a real PNG → RE-DECODE the
+      // encoded thumbnail and report its pixel stats — a defect in any
+      // of the four stages breaks the hash. thumb_bytes is exact
+      // because the stored-deflate encoder is byte-deterministic.
+      // Audio and corrupted payloads must come back flagged.
+      Multimodal.thumbnails(Multimodal.decodableMedia(
+          Tables.load(s, dir, "documents"), "doc_id"))
+        .toDF().orderBy(col("media_id")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -175,6 +185,44 @@ object StreamQueries {
              AS unit_max,
            NOT corrupted AS decode_ok
          FROM u ORDER BY media_id""",
+    "q_media_thumbs" ->
+      // the 2x2 box-average replayed from the generation rule: source
+      // pixel (r,c) = (id + r*w + c) % 256, thumb pixel = 4-pixel sum
+      // // 4; encoded size 68 + th*(tw+1) (stored-deflate determinism)
+      """WITH m AS (
+           SELECT doc_id AS media_id, doc_id % 8 + 2 AS w,
+             doc_id % 6 + 2 AS h,
+             (doc_id % 2 = 0 AND doc_id % 97 <> 0) AS ok
+           FROM documents),
+         t AS (
+           SELECT media_id, w, h, w // 2 AS tw, h // 2 AS th, ok,
+             CASE WHEN ok THEN list_transform(
+               range(0, (w // 2) * (h // 2)), k ->
+                 ((media_id + (2 * (k // (w // 2))) * w
+                     + 2 * (k % (w // 2))) % 256
+                  + (media_id + (2 * (k // (w // 2))) * w
+                     + 2 * (k % (w // 2)) + 1) % 256
+                  + (media_id + (2 * (k // (w // 2)) + 1) * w
+                     + 2 * (k % (w // 2))) % 256
+                  + (media_id + (2 * (k // (w // 2)) + 1) * w
+                     + 2 * (k % (w // 2)) + 1) % 256) // 4)
+             ELSE [] END AS tpx
+           FROM m)
+         SELECT media_id,
+           CAST(CASE WHEN ok THEN w ELSE 0 END AS INT) AS src_w,
+           CAST(CASE WHEN ok THEN h ELSE 0 END AS INT) AS src_h,
+           CAST(CASE WHEN ok THEN tw ELSE 0 END AS INT) AS thumb_w,
+           CAST(CASE WHEN ok THEN th ELSE 0 END AS INT) AS thumb_h,
+           CAST(CASE WHEN ok THEN 68 + th * (tw + 1) ELSE 0 END AS BIGINT)
+             AS thumb_bytes,
+           CAST(CASE WHEN ok THEN list_sum(tpx) ELSE 0 END AS BIGINT)
+             AS px_sum,
+           CAST(CASE WHEN ok THEN list_min(tpx) ELSE 0 END AS BIGINT)
+             AS px_min,
+           CAST(CASE WHEN ok THEN list_max(tpx) ELSE 0 END AS BIGINT)
+             AS px_max,
+           ok AS thumb_ok
+         FROM t ORDER BY media_id""",
     "q_multimodal_meta" ->
       """SELECT kind, format, COUNT(*) AS n,
            CAST(SUM(width) AS BIGINT) AS sum_width,

@@ -91,6 +91,40 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("thumbnails: decode -> box-average -> re-encode -> re-decode round trip") {
+    val media = Multimodal.decodableMedia(docs, "doc_id")
+    val thumbs = Multimodal.thumbnails(media).orderBy("media_id")
+      .limit(100).collect()
+    thumbs.foreach { t =>
+      val id = t.media_id
+      if (id % 2 == 0 && id % 97 != 0) {
+        assert(t.thumb_ok, s"media $id should thumbnail")
+        val w = (id % 8 + 2).toInt; val h = (id % 6 + 2).toInt
+        assert(t.src_w == w && t.src_h == h)
+        assert(t.thumb_w == w / 2 && t.thumb_h == h / 2)
+        assert(t.thumb_bytes == 68L + (h / 2) * (w / 2 + 1))
+        // independent recomputation of the box average from the rule
+        val tw = w / 2
+        val tpx = (0 until tw * (h / 2)).map { k =>
+          val r = k / tw; val c = k % tw
+          def p(rr: Int, cc: Int) = ((id + rr * w + cc) % 256).toInt
+          (p(2 * r, 2 * c) + p(2 * r, 2 * c + 1) +
+            p(2 * r + 1, 2 * c) + p(2 * r + 1, 2 * c + 1)) / 4
+        }
+        assert(t.px_sum == tpx.map(_.toLong).sum, s"media $id px_sum")
+        assert(t.px_min == tpx.min && t.px_max == tpx.max)
+        // the re-encoded thumbnail is a REAL PNG: ImageIO reads it
+        val enc = Multimodal.pngEncodeGray(tw, h / 2, tpx.toArray)
+        assert(enc.length.toLong == t.thumb_bytes)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(enc))
+        assert(img != null && img.getWidth == tw && img.getHeight == h / 2)
+      } else {
+        assert(!t.thumb_ok && t.px_sum == 0L, s"media $id must flag")
+      }
+    }
+  }
+
   test("undecodable payloads (no known magic) flag instead of crashing") {
     val media = Multimodal.syntheticMedia(docs, "doc_id")
       .select(col("media_id"), col("kind"), col("payload"), col("meta.format"),
