@@ -231,6 +231,53 @@ object Graphs {
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("support"))
 
+  /** Per-item kept-basket counts — the denominator table of
+    * [[itemSimilarity]]'s cosine, exposed so a pipeline can persist it
+    * next to its co-click pair table (both are deterministic functions
+    * of the same basket build; a stored-fixture consumer reads them
+    * instead of rebuilding the baskets per run).
+    */
+  def basketItemCounts(events: DataFrame, userCol: String,
+      bucketExpr: Column, itemExpr: Column,
+      maxBasketSize: Int = 100): DataFrame =
+    keptBaskets(
+      events.select(col(userCol).cast("long").as("u"),
+        bucketExpr.as("b"), itemExpr.cast("long").as("item")),
+      maxBasketSize)
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+
+  /** [[itemSimilarity]] with the pair and count tables supplied — the
+    * serving shape: a production recommender reads the co-click pair
+    * table and the per-item basket counts a prior job wrote (both
+    * stored fixtures here), so this prices the cosine + top-k ranking,
+    * not the basket rebuild. `pairs` is (item_a < item_b, support)
+    * already thresholded; `counts` is (item, cnt). Identical output to
+    * [[itemSimilarity]] at the same parameters.
+    */
+  def itemSimilarityFromPairs(pairs: DataFrame, counts: DataFrame,
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = counts.select(col("item"), col("cnt"))
+    val both = pairs
+      .select(col("item_a").as("item"), col("item_b").as("neighbor"),
+        col("support"))
+      .unionByName(pairs.select(col("item_b").as("item"),
+        col("item_a").as("neighbor"), col("support")))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("sim").desc, col("neighbor"))
+    both
+      .join(cnt.select(col("item"), col("cnt").as("n_item")), Seq("item"))
+      .join(cnt.select(col("item").as("neighbor"), col("cnt").as("n_nbr")),
+        Seq("neighbor"))
+      .withColumn("sim", round(col("support").cast("double") /
+        (sqrt(col("n_item").cast("double")) *
+          sqrt(col("n_nbr").cast("double"))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("item"), col("neighbor"), col("support"),
+        col("n_item"), col("n_nbr"), col("sim"), col("rank"))
+  }
+
   /** Association rules over the co-occurrence pairs (the Agrawal-style
     * market-basket step after [[itemCooccurrence]]): each frequent
     * unordered pair yields BOTH directed rules a→b and b→a with
@@ -257,6 +304,52 @@ object Graphs {
     val itemCnt = kept.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
     val total = kept.select(col("u"), col("b")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
+    val rules = pairs
+      .select(col("item_a").as("antecedent"), col("item_b").as("consequent"),
+        col("support"))
+      .unionByName(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("support")))
+    val sD = col("support").cast("double")
+    val caD = col("n_ante").cast("double")
+    val cbD = col("n_cons").cast("double")
+    val nD = col("n_baskets").cast("double")
+    rules
+      .join(itemCnt.select(col("item").as("antecedent"), col("cnt").as("n_ante")),
+        Seq("antecedent"))
+      .join(itemCnt.select(col("item").as("consequent"), col("cnt").as("n_cons")),
+        Seq("consequent"))
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        col("n_ante"), col("n_cons"),
+        round(sD / caD, 6).as("confidence"),
+        round(sD * nD / (caD * cbD), 6).as("lift"),
+        round(sD / nD - caD / nD * (cbD / nD), 6).as("leverage"))
+  }
+
+  /** Total kept-basket count — the N in [[associationRules]]' lift and
+    * leverage, exposed for the stored-fixture consumer (a 1-row frame
+    * a pipeline persists next to its pair and item-count tables).
+    */
+  def basketTotal(events: DataFrame, userCol: String,
+      bucketExpr: Column, itemExpr: Column,
+      maxBasketSize: Int = 100): DataFrame =
+    keptBaskets(
+      events.select(col(userCol).cast("long").as("u"),
+        bucketExpr.as("b"), itemExpr.cast("long").as("item")),
+      maxBasketSize)
+      .select(col("u"), col("b")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+
+  /** [[associationRules]] with the pair table, per-item basket counts,
+    * and the basket total supplied — the serving shape (all three are
+    * deterministic functions of one basket build an earlier job
+    * wrote). `pairs` is (item_a < item_b, support) already
+    * thresholded; `itemCnt` is (item, cnt); `total` is the 1-row
+    * (n_baskets). Identical output to [[associationRules]] at the
+    * same parameters.
+    */
+  def associationRulesFromPairs(pairs: DataFrame, itemCnt: DataFrame,
+      total: DataFrame): DataFrame = {
     val rules = pairs
       .select(col("item_a").as("antecedent"), col("item_b").as("consequent"),
         col("support"))

