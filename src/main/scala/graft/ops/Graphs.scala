@@ -300,30 +300,12 @@ object Graphs {
       events.select(col(userCol).cast("long").as("u"),
         bucketExpr.as("b"), itemExpr.cast("long").as("item")),
       maxBasketSize).persist(MEMORY_AND_DISK)
-    val pairs = pairCounts(kept).filter(col("support") >= minSupport)
-    val itemCnt = kept.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-    val total = kept.select(col("u"), col("b")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    val rules = pairs
-      .select(col("item_a").as("antecedent"), col("item_b").as("consequent"),
-        col("support"))
-      .unionByName(pairs.select(col("item_b").as("antecedent"),
-        col("item_a").as("consequent"), col("support")))
-    val sD = col("support").cast("double")
-    val caD = col("n_ante").cast("double")
-    val cbD = col("n_cons").cast("double")
-    val nD = col("n_baskets").cast("double")
-    rules
-      .join(itemCnt.select(col("item").as("antecedent"), col("cnt").as("n_ante")),
-        Seq("antecedent"))
-      .join(itemCnt.select(col("item").as("consequent"), col("cnt").as("n_cons")),
-        Seq("consequent"))
-      .crossJoin(broadcast(total))
-      .select(col("antecedent"), col("consequent"), col("support"),
-        col("n_ante"), col("n_cons"),
-        round(sD / caD, 6).as("confidence"),
-        round(sD * nD / (caD * cbD), 6).as("lift"),
-        round(sD / nD - caD / nD * (cbD / nD), 6).as("leverage"))
+    // delegate to the FromPairs tail (same rationale as itemSimilarity)
+    associationRulesFromPairs(
+      pairCounts(kept).filter(col("support") >= minSupport),
+      kept.groupBy(col("item")).agg(count(lit(1)).as("cnt")),
+      kept.select(col("u"), col("b")).distinct()
+        .agg(count(lit(1)).as("n_baskets")))
   }
 
   /** Total kept-basket count — the N in [[associationRules]]' lift and
@@ -499,32 +481,16 @@ object Graphs {
   def itemSimilarity(events: DataFrame, userCol: String,
       bucketExpr: Column, itemExpr: Column, minSupport: Long = 2,
       topK: Int = 5, maxBasketSize: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val kept = keptBaskets(
       events.select(col(userCol).cast("long").as("u"),
         bucketExpr.as("b"), itemExpr.cast("long").as("item")),
       maxBasketSize).persist(MEMORY_AND_DISK)
-    val pairs = pairCounts(kept).filter(col("support") >= minSupport)
-    val cnt = kept.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-    val both = pairs
-      .select(col("item_a").as("item"), col("item_b").as("neighbor"),
-        col("support"))
-      .unionByName(pairs.select(col("item_b").as("item"),
-        col("item_a").as("neighbor"), col("support")))
-    val w = Window.partitionBy(col("item"))
-      .orderBy(col("sim").desc, col("neighbor"))
-    both
-      .join(cnt.select(col("item"), col("cnt").as("n_item")), Seq("item"))
-      .join(cnt.select(col("item").as("neighbor"), col("cnt").as("n_nbr")),
-        Seq("neighbor"))
-      .withColumn("sim", round(col("support").cast("double") /
-        (sqrt(col("n_item").cast("double")) *
-          sqrt(col("n_nbr").cast("double"))), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("item"), col("neighbor"), col("support"),
-        col("n_item"), col("n_nbr"), col("sim"), col("rank"))
+    // delegate to the FromPairs tail so the build path and the
+    // stored-fixture serving path cannot silently de-synchronize
+    itemSimilarityFromPairs(
+      pairCounts(kept).filter(col("support") >= minSupport),
+      kept.groupBy(col("item")).agg(count(lit(1)).as("cnt")), topK)
   }
 
   /** Degree assortativity of an undirected edge frame: the Pearson

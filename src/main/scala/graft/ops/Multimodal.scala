@@ -141,7 +141,10 @@ object Multimodal {
       require(off + 8 <= p.length, "truncated chunk header")
       val len = beIntAt(p, off)
       val typ = new String(p, off + 4, 4, "US-ASCII")
-      require(off + 12 + len <= p.length, s"truncated $typ chunk")
+      // Long arithmetic: a hostile 32-bit length must not wrap the
+      // bounds check (flag, never hang or over-read)
+      require(len >= 0 && off + 12L + len <= p.length,
+        s"bad $typ chunk length $len")
       val crc = new java.util.zip.CRC32()
       crc.update(p, off + 4, 4 + len)
       require(crc.getValue == (beIntAt(p, off + 8 + len) & 0xffffffffL),
@@ -164,6 +167,10 @@ object Multimodal {
     var got = 0
     while (got < raw.length && !inf.finished()) {
       val k = inf.inflate(raw, got, raw.length - got)
+      // zero progress must terminate: a stream demanding more input is
+      // truncated, one demanding a preset dictionary (FDICT — legal
+      // zlib, illegal in PNG) would otherwise spin this loop forever
+      require(!inf.needsDictionary(), "preset dictionary not supported")
       require(k > 0 || !inf.needsInput(), "truncated IDAT stream")
       got += k
     }
@@ -187,8 +194,10 @@ object Multimodal {
     var samples: Array[Int] = null
     while (off + 8 <= p.length) {
       val typ = new String(p, off, 4, "US-ASCII")
-      val len = leIntAt(p, off + 4, 4).toInt
-      require(off + 8 + len <= p.length, s"truncated $typ chunk")
+      // unsigned Long read: a hostile size field must not wrap the
+      // bounds check into a stuck (off += 0 or negative) walk
+      val len = leIntAt(p, off + 4, 4)
+      require(off + 8L + len <= p.length, s"bad $typ chunk length $len")
       typ match {
         case "fmt " =>
           require(leIntAt(p, off + 8, 2) == 1L, "only PCM supported")
@@ -196,11 +205,12 @@ object Multimodal {
           require(bits == 16L, "only 16-bit supported")
         case "data" =>
           require(bits == 16L, "data chunk before fmt")
-          samples = Array.tabulate(len / 2)(i =>
+          samples = Array.tabulate((len / 2).toInt)(i =>
             (leIntAt(p, off + 8 + i * 2, 2).toInt << 16) >> 16)
         case _ => // other chunks skipped
       }
-      off += 8 + len
+      // RIFF word alignment: odd-length chunks carry a pad byte
+      off += (8L + len + (len % 2)).toInt
     }
     require(samples != null, "no data chunk")
     samples

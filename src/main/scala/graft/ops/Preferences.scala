@@ -131,12 +131,14 @@ object Preferences {
     * presentation-order artifact in pairwise preference collection
     * (a rater who clicks the first option regardless of content shows
     * a share near 1.0; an order-blind rater sits near the dataset's
-    * base rate). Pure counting: one rater-grain aggregation, exact
-    * BIGINTs, one rounded division.
+    * base rate). Degenerate win == lose self-comparisons are dropped,
+    * same contract as [[normalized]]. Pure counting: one rater-grain
+    * aggregation, exact BIGINTs, one rounded division.
     */
-  def positionBias(df: DataFrame, winCol: String, firstCol: String,
-      raterCol: String): DataFrame =
-    df.groupBy(col(raterCol).as("rater"))
+  def positionBias(df: DataFrame, winCol: String, loseCol: String,
+      firstCol: String, raterCol: String): DataFrame =
+    df.filter(col(winCol) =!= col(loseCol))
+      .groupBy(col(raterCol).as("rater"))
       .agg(count(lit(1)).as("n_votes"),
         sum((col(winCol) === col(firstCol)).cast("long"))
           .as("n_first_won"))

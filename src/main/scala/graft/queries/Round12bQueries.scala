@@ -20,13 +20,16 @@ object Round12bQueries {
 
   /** (prompt, win, lose, rater, first) comparison rows: base votes
     * (winner by the id mod 3 rule, rater (id·3+1) mod 7), reversed
-    * duplicates for the conflict class (cast by a DIFFERENT rater,
-    * (id·5+2) mod 7 — disagreement is a rater property), and the
+    * duplicates for the conflict class — cast by a PROVABLY different
+    * rater, (base + 1 + id mod 5) mod 7: the shift is in 1..5, never
+    * ≡ 0 (mod 7), so it cannot collide with the base rater (the naive
+    * (id·5+2) mod 7 collided for every id ≡ 3 (mod 7)) — and the
     * planted 3-cycles (rater 6). `first` is the completion SHOWN
-    * first: an (id·13+5) mod 10 coin for base rows — except rater 3,
-    * the planted position-follower, whose vote always lands on the
-    * first-shown — the reversed coin for conflict rows, and the
-    * written order for cycles.
+    * first: an (id·13+5) mod 10 coin — except any vote cast by rater
+    * 3, the planted position-follower, which lands on the first-shown
+    * REGARDLESS of row class, so their q_pref_position share is
+    * exactly 1.0 by construction; conflict rows otherwise show the
+    * reversed coin, cycles the written order.
     */
   private def comparisons(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
@@ -40,16 +43,16 @@ object Round12bQueries {
         w: org.apache.spark.sql.Column, l: org.apache.spark.sql.Column,
         r: org.apache.spark.sql.Column, fw: org.apache.spark.sql.Column) =
       struct(p.as("prompt"), w.as("win"), l.as("lose"), r.as("rater"),
-        when(fw, w).otherwise(l).as("first"))
+        when(fw || r === 3, w).otherwise(l).as("first"))
     val emptyRow = array().cast("array<struct<prompt:bigint,win:bigint," +
       "lose:bigint,rater:bigint,first:bigint>>")
     val coin = (id * 13 + 5) % 10 < 5
-    val base = when(a =!= b,
-        array(cmpRow(prompt, win, lose, (id * 3 + 1) % 7,
-          coin || (id * 3 + 1) % 7 === 3)))
+    val baseRater = (id * 3 + 1) % 7
+    val confRater = (baseRater + 1 + id % 5) % 7
+    val base = when(a =!= b, array(cmpRow(prompt, win, lose, baseRater, coin)))
       .otherwise(emptyRow)
     val conflict = when(a =!= b && id % 13 === 0,
-        array(cmpRow(prompt, lose, win, (id * 5 + 2) % 7, !coin)))
+        array(cmpRow(prompt, lose, win, confRater, !coin)))
       .otherwise(emptyRow)
     // exact integral divide (SQL DIV) — the double-divide-then-cast
     // form diverges from the oracle's integer `//` past ~2^52
@@ -97,8 +100,8 @@ object Round12bQueries {
     // lands on the first-shown completion → share 1.0); everyone else
     // sits near the synthesis coin's base rate
     "q_pref_position" -> ((s, dir) =>
-      Preferences.positionBias(comparisons(s, dir), "win", "first",
-          "rater")
+      Preferences.positionBias(comparisons(s, dir), "win", "lose",
+          "first", "rater")
         .orderBy(col("rater"))))
 
   /** The synthesis as a shared CTE: base + reversed-conflict + planted
@@ -150,7 +153,7 @@ object Round12bQueries {
                 ELSE (doc_id * 7 + 1) % 20 END,
            CASE WHEN doc_id % 3 <> 0 THEN (doc_id * 7 + 1) % 20
                 ELSE (doc_id * 11 + 3) % 20 END,
-           (doc_id * 5 + 2) % 7
+           ((doc_id * 3 + 1) % 7 + 1 + doc_id % 5) % 7
          FROM documents
          WHERE (doc_id * 7 + 1) % 20 <> (doc_id * 11 + 3) % 20
            AND doc_id % 13 = 0
@@ -227,9 +230,9 @@ object Round12bQueries {
          GROUP BY vr.rater ORDER BY rater""",
 
     "q_pref_position" ->
-      // win == first reduces to the synthesis' fw flag, replayed per
-      // row class (base: coin OR rater-3 plant; conflict: reversed
-      // coin; cycles: written order)
+      // win == first reduces to the synthesis' (fw OR rater = 3) flag,
+      // replayed per row class (base: coin; conflict: reversed coin,
+      // rater (base+1+id%5)%7; cycles: written order, rater 6)
       """WITH pos AS (
            SELECT (doc_id * 3 + 1) % 7 AS rater,
              CASE WHEN (doc_id * 13 + 5) % 10 < 5
@@ -237,8 +240,10 @@ object Round12bQueries {
            FROM documents
            WHERE (doc_id * 7 + 1) % 20 <> (doc_id * 11 + 3) % 20
            UNION ALL
-           SELECT (doc_id * 5 + 2) % 7,
-             CASE WHEN (doc_id * 13 + 5) % 10 < 5 THEN 0 ELSE 1 END
+           SELECT ((doc_id * 3 + 1) % 7 + 1 + doc_id % 5) % 7,
+             CASE WHEN (doc_id * 13 + 5) % 10 >= 5
+                 OR ((doc_id * 3 + 1) % 7 + 1 + doc_id % 5) % 7 = 3
+               THEN 1 ELSE 0 END
            FROM documents
            WHERE (doc_id * 7 + 1) % 20 <> (doc_id * 11 + 3) % 20
              AND doc_id % 13 = 0

@@ -76,4 +76,44 @@ class Round12bSpec extends AnyFunSuite {
     assert(Preferences.majorityCycles(tied, "prompt", "win", "lose")
       .collect().isEmpty)
   }
+
+  test("raterAgreement: ties excluded from n_decided, all-tied rater gets NULL, self-pairs dropped") {
+    // pair (10,11): 2 votes 10>11 (raters 0,1) vs 1 vote 11>10 (rater 2)
+    //   → decided, majority = 10; pair (11,12): 1-1 tie (raters 0,2);
+    // rater 3 votes ONLY on the tied pair → n_decided 0, agreement NULL
+    // (a 2-2 tie after their vote); rater 4 casts a self-comparison —
+    // dropped entirely per the normalized() contract
+    val votes = Seq(
+      (1L, 10L, 11L, 0L), (1L, 10L, 11L, 1L), (1L, 11L, 10L, 2L),
+      (1L, 11L, 12L, 0L), (1L, 12L, 11L, 2L),
+      (1L, 11L, 12L, 3L), (1L, 12L, 11L, 3L),
+      (1L, 9L, 9L, 4L)
+    ).toDF("prompt", "win", "lose", "rater")
+    val got = Preferences.raterAgreement(votes, "prompt", "win", "lose",
+        "rater").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(!got.contains(4L), "self-comparison-only rater must vanish")
+    assert(got(0L) === ((2L, 1L, 1L, Some(1.0)))) // 10>11 decided+majority; 11-12 tied
+    assert(got(1L) === ((1L, 1L, 1L, Some(1.0))))
+    assert(got(2L) === ((2L, 1L, 0L, Some(0.0)))) // against the 10>11 majority
+    assert(got(3L) === ((2L, 0L, 0L, None))) // only tied pairs → NULL
+  }
+
+  test("positionBias: self-pairs dropped, planted follower reads exactly 1.0") {
+    val votes = Seq(
+      (1L, 10L, 11L, 0L, 10L), // rater 0 picked the first-shown
+      (1L, 10L, 11L, 0L, 11L), // ... and once the second-shown
+      (1L, 11L, 12L, 3L, 11L), // rater 3 always first-shown
+      (1L, 12L, 10L, 3L, 12L),
+      (1L, 9L, 9L, 5L, 9L) // self-comparison: dropped
+    ).toDF("prompt", "win", "lose", "rater", "first")
+    val got = Preferences.positionBias(votes, "win", "lose", "first",
+        "rater").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(!got.contains(5L), "self-comparison-only rater must vanish")
+    assert(got(0L) === ((2L, 1L, 0.5)))
+    assert(got(3L) === ((2L, 2L, 1.0)))
+  }
 }
