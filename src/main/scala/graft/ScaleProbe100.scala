@@ -54,7 +54,7 @@ object ScaleProbe100 {
     // so a new family can be probed without re-timing the others; an
     // unknown name must fail loudly, not silently probe nothing
     val sections = Set("dedup", "er", "url", "graph", "knn", "cc",
-      "graphx", "pref")
+      "graphx", "pref", "media")
     require(args.forall(sections), s"unknown section in ${args.toSeq}; " +
       s"valid: ${sections.mkString("|")}")
     def enabled(section: String): Boolean =
@@ -386,6 +386,39 @@ object ScaleProbe100 {
           cyc
         }
         edges.unpersist(); votes.unpersist()
+      }
+    }
+
+    // ---- real multimodal decode at 100x (round 13) ----
+    // 1M decodable payloads (500k real PNGs + 500k real WAVs, every
+    // 97th corrupted): the decode is per-row JDK work with NO shuffle
+    // at all — the scale question is pure throughput, so the probe
+    // reports wall + decoded-unit volume for the feature pass and the
+    // full decode→downsample→re-encode→re-decode thumbnail round trip,
+    // and asserts the corruption-flag count lands exactly on the
+    // generation rule (a decoder that silently mis-flags at volume
+    // would corrupt a training corpus quietly).
+    if (enabled("media")) locally {
+      val n = 1000000L
+      val ids = spark.range(0L, n, 1L, 64).select(col("id").as("doc_id"))
+      val media = graft.ops.Multimodal.decodableMedia(ids, "doc_id")
+      time("extractFeatures (real PNG/WAV decode), 1M payloads") {
+        val f = graft.ops.Multimodal.extractFeatures(media)
+          .agg(sum(col("n_units")),
+            sum(when(col("decode_ok"), 0L).otherwise(1L))).head()
+        val flagged = f.getLong(1)
+        val expect = (n + 96) / 97
+        require(flagged == expect, s"flagged $flagged, expected $expect")
+        println(s"[probe100]   decoded units=${f.getLong(0)} " +
+          s"flagged=$flagged (exactly the planted 1/97)")
+        f.getLong(0)
+      }
+      time("thumbnails (decode->downsample->re-encode->re-decode), 1M payloads") {
+        val t = graft.ops.Multimodal.thumbnails(media)
+          .agg(sum(col("px_sum")),
+            sum(when(col("thumb_ok"), 1L).otherwise(0L))).head()
+        println(s"[probe100]   thumb px_sum=${t.getLong(0)} ok=${t.getLong(1)}")
+        t.getLong(1)
       }
     }
 

@@ -146,6 +146,27 @@ object Preferences {
         round(col("n_first_won").cast("double") /
           col("n_votes").cast("double"), 6))
 
+  /** Per-rater length-bias audit: of each rater's votes with
+    * different-length completions, how many chose the LONGER one — the
+    * verbosity artifact reward models inherit from raters who equate
+    * length with quality. Equal-length votes (including degenerate
+    * self-comparisons) count as `n_len_ties` and stay out of the share
+    * denominator (NULL when a rater has only ties). Callers supply the
+    * two length columns, so the audit works for any length source
+    * (token counts, characters, a metadata join). One rater-grain
+    * aggregation, exact BIGINTs, one rounded division.
+    */
+  def lengthBias(df: DataFrame, winLen: Column, loseLen: Column,
+      rater: Column): DataFrame =
+    df.groupBy(rater.as("rater"))
+      .agg(count(lit(1)).as("n_votes"),
+        sum((winLen > loseLen).cast("long")).as("n_longer_won"),
+        sum((winLen === loseLen).cast("long")).as("n_len_ties"))
+      .withColumn("longer_win_share",
+        round(col("n_longer_won").cast("double") /
+          when(col("n_votes") - col("n_len_ties") > 0,
+            (col("n_votes") - col("n_len_ties")).cast("double")), 6))
+
   /** Majority-preference 3-cycles per prompt: a → b is a majority edge
     * iff strictly more votes prefer a over b; a directed triangle
     * a→b→c→a is the smallest intransitivity certificate. Each cycle is

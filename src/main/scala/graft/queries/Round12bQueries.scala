@@ -102,7 +102,19 @@ object Round12bQueries {
     "q_pref_position" -> ((s, dir) =>
       Preferences.positionBias(comparisons(s, dir), "win", "lose",
           "first", "rater")
-        .orderBy(col("rater"))))
+        .orderBy(col("rater"))),
+
+    // ---- per-rater length-bias audit ----
+    // completion length by the deterministic rule (c*37) mod 97 + 10;
+    // lengths never tie on this synthesis (completions 0..19 and
+    // 101..103 are distinct mod 97), so n_len_ties pins at 0 and the
+    // share is a pure structural measurement the oracle replays
+    "q_pref_lenbias" -> ((s, dir) => {
+      def lenOf(c: org.apache.spark.sql.Column) = (c * 37) % 97 + 10
+      Preferences.lengthBias(comparisons(s, dir), lenOf(col("win")),
+          lenOf(col("lose")), col("rater"))
+        .orderBy(col("rater"))
+    }))
 
   /** The synthesis as a shared CTE: base + reversed-conflict + planted
     * cycle rows, each field the same integer function of doc_id.
@@ -255,5 +267,19 @@ object Round12bQueries {
            CAST(SUM(fw) AS BIGINT) AS n_first_won,
            ROUND(CAST(SUM(fw) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
              AS first_win_share
-         FROM pos GROUP BY rater ORDER BY rater""")
+         FROM pos GROUP BY rater ORDER BY rater""",
+
+    "q_pref_lenbias" ->
+      s"""WITH $cmpRaterSql
+         SELECT rater, CAST(COUNT(*) AS BIGINT) AS n_votes,
+           CAST(SUM(CASE WHEN (win * 37) % 97 + 10 > (lose * 37) % 97 + 10
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_longer_won,
+           CAST(SUM(CASE WHEN (win * 37) % 97 + 10 = (lose * 37) % 97 + 10
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ties,
+           ROUND(CAST(SUM(CASE WHEN (win * 37) % 97 + 10 >
+                 (lose * 37) % 97 + 10 THEN 1 ELSE 0 END) AS DOUBLE) /
+             NULLIF(CAST(COUNT(*) - SUM(CASE WHEN (win * 37) % 97 + 10 =
+                 (lose * 37) % 97 + 10 THEN 1 ELSE 0 END) AS DOUBLE), 0),
+             6) AS longer_win_share
+         FROM cmpr GROUP BY rater ORDER BY rater""")
 }

@@ -116,4 +116,21 @@ class Round12bSpec extends AnyFunSuite {
     assert(got(0L) === ((2L, 1L, 0.5)))
     assert(got(3L) === ((2L, 2L, 1.0)))
   }
+
+  test("lengthBias: ties counted but excluded from the share; all-ties rater gets NULL") {
+    // lengths: rater 0 votes longer-won then shorter-won then a tie;
+    // rater 1 votes only equal-length pairs → NULL share
+    val votes = Seq(
+      (1L, 30L, 10L, 0L), // longer won
+      (1L, 10L, 30L, 0L), // shorter won
+      (1L, 20L, 20L, 0L), // tie
+      (1L, 15L, 15L, 1L), (1L, 7L, 7L, 1L)
+    ).toDF("prompt", "winlen", "loselen", "rater")
+    val got = Preferences.lengthBias(votes, col("winlen"), col("loselen"),
+        col("rater")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(0L) === ((3L, 1L, 1L, Some(0.5))))
+    assert(got(1L) === ((2L, 0L, 2L, None)))
+  }
 }
