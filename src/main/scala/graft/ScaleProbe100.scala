@@ -420,6 +420,23 @@ object ScaleProbe100 {
         println(s"[probe100]   thumb px_sum=${t.getLong(0)} ok=${t.getLong(1)}")
         t.getLong(1)
       }
+      // real animated-GIF video: synthesize + LZW-encode AND decode +
+      // frame-sample 1M payloads (2-5 frames each, ~3.5M frames) — the
+      // whole path is per-partition map work, so wall scales linearly
+      // with payload count and the flag count must stay EXACTLY the
+      // planted 1/97 (no silent decode losses at scale)
+      val video = graft.ops.Multimodal.decodableVideo(ids, "doc_id")
+      time("sampleFrames (real GIF LZW decode, every 2nd frame), 1M videos") {
+        val v = graft.ops.Multimodal.sampleFrames(video, everyK = 2)
+          .agg(sum(col("px_sum")), count(lit(1)),
+            sum(when(col("decode_ok"), 0L).otherwise(1L))).head()
+        val flagged = v.getLong(2)
+        val expect = (n + 96) / 97
+        require(flagged == expect, s"flagged $flagged, expected $expect")
+        println(s"[probe100]   sampled frames=${v.getLong(1) - flagged} " +
+          s"px_sum=${v.getLong(0)} flagged=$flagged (exactly 1/97)")
+        v.getLong(1)
+      }
     }
 
     // ---- connected components at 100x: the dedup-cluster step ----

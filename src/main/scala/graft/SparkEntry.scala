@@ -69,7 +69,8 @@ object SparkEntry {
     graft.queries.Round11eQueries.queries ++
     graft.queries.Round11fQueries.queries ++
     graft.queries.Round12aQueries.queries ++
-    graft.queries.Round12bQueries.queries
+    graft.queries.Round12bQueries.queries ++
+    graft.queries.Round13aQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -126,5 +127,6 @@ object SparkEntry {
     graft.queries.Round11eQueries.oracles ++
     graft.queries.Round11fQueries.oracles ++
     graft.queries.Round12aQueries.oracles ++
-    graft.queries.Round12bQueries.oracles
+    graft.queries.Round12bQueries.oracles ++
+    graft.queries.Round13aQueries.oracles
 }

@@ -143,10 +143,4 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("payload"), s"payload not pruned:\n$plan")
   }
 
-  test("frame sampling stub picks every k-th block") {
-    val payload = Array.tabulate(160)(_.toByte)
-    val frames = Multimodal.sampleFramesStub(payload, everyK = 3)
-    assert(frames.length == 4) // blocks 0,3,6,9 of 10
-    assert(frames.head.toSeq == payload.take(16).toSeq)
-  }
 }
