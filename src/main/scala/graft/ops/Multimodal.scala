@@ -597,6 +597,13 @@ object Multimodal {
     def le16(off: Int): Int = u8(off) | (u8(off + 1) << 8)
     val w = le16(6); val h = le16(8)
     require(w > 0 && h > 0, "bad logical screen size")
+    // Long product: 65535x65535 overflows Int; and a hostile header
+    // declaring huge (but representable) dims must flag BEFORE the
+    // decoder pre-allocates w*h slots — an OutOfMemoryError is an
+    // Error, which the callers' `catch Exception` deliberately does
+    // not swallow, so without this bound a 40-byte payload could kill
+    // the executor instead of producing a flagged row
+    require(w.toLong * h <= (1L << 24), s"frame size $w x $h too large")
     val packed = u8(10)
     require((packed & 0x80) != 0, "global color table required")
     val gctSize = 1 << ((packed & 7) + 1)
@@ -645,33 +652,48 @@ object Multimodal {
     (w, h, frames.toSeq)
   }
 
-  /** A real animated GIF "video": w = id%6+2, h = id%4+2, nf = id%3+2
-    * full frames over the 4-gray palette; frame f's pixel k (row-major)
-    * has color index (id + 7f + k) mod 4, i.e. gray ((id+7f+k)%4)·85.
+  /** The video dimension rule, shared by payload synthesis and table
+    * metadata so the two cannot silently desynchronize. */
+  private def videoDims(id: Long): (Int, Int) =
+    ((id % 6 + 2).toInt, (id % 4 + 2).toInt)
+
+  /** Shared frame synthesis: nf full frames over the 4-gray palette,
+    * frame f's pixel k (row-major) has color index
+    * (id + offsetOf(f) + k) mod 4.
     */
-  def videoPayload(id: Long): Array[Byte] = {
-    val w = (id % 6 + 2).toInt; val h = (id % 4 + 2).toInt
-    val nf = (id % 3 + 2).toInt
+  private def videoGif(id: Long, nf: Int,
+      offsetOf: Int => Long): Array[Byte] = {
+    val (w, h) = videoDims(id)
     gifEncodeAnimated(w, h, (0 until nf).map(f =>
-      Array.tabulate(w * h)(k => ((id + 7L * f + k) % 4).toInt)))
+      Array.tabulate(w * h)(k => ((id + offsetOf(f) + k) % 4).toInt)))
   }
 
-  /** A decodable video table: every id gets a real animated GIF, every
-    * 97th payload's first byte is corrupted (malformed inputs must
-    * flag, not crash — the family-wide discipline).
+  /** Shared table builder: metadata derives from the SAME rules as the
+    * payload bytes; every 97th payload's first byte is corrupted
+    * (malformed inputs must flag, not crash — the family discipline).
     */
-  def decodableVideo(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+  private def videoRows(df: DataFrame, idCol: String, nfOf: Long => Long,
+      payloadOf: Long => Array[Byte]): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].map { id =>
-      val w = (id % 6 + 2).toInt; val h = (id % 4 + 2).toInt
-      val nf = id % 3 + 2
-      val row = MediaRow(id, "video", videoPayload(id), "gif", w, h,
-        nf * 100L) // 10 cs per frame
+      val (w, h) = videoDims(id)
+      val row = MediaRow(id, "video", payloadOf(id), "gif", w, h,
+        nfOf(id) * 100L) // 10 cs per frame
       if (id % 97 == 0) row.payload(0) = 0x42 // corrupt
       row
     }
   }
+
+  /** A real animated GIF "video": w = id%6+2, h = id%4+2, nf = id%3+2
+    * full frames; frame f's offset is 7f, i.e. gray ((id+7f+k)%4)·85.
+    */
+  def videoPayload(id: Long): Array[Byte] =
+    videoGif(id, (id % 3 + 2).toInt, f => 7L * f)
+
+  /** A decodable video table over [[videoPayload]]. */
+  def decodableVideo(df: DataFrame, idCol: String): Dataset[MediaRow] =
+    videoRows(df, idCol, _ % 3 + 2, videoPayload)
 
   /** A scene-structured video: same container as [[videoPayload]] but
     * frame f's pixel offset is the TRIANGLE number f(f+1)/2, so the
@@ -680,28 +702,12 @@ object Multimodal {
     * pixel two palette steps (delta 2: a hard cut), some in between.
     * nf = id%3+3 frames guarantees at least two consecutive pairs.
     */
-  def videoScenePayload(id: Long): Array[Byte] = {
-    val w = (id % 6 + 2).toInt; val h = (id % 4 + 2).toInt
-    val nf = (id % 3 + 3).toInt
-    gifEncodeAnimated(w, h, (0 until nf).map { f =>
-      val tri = f.toLong * (f + 1) / 2
-      Array.tabulate(w * h)(k => ((id + tri + k) % 4).toInt)
-    })
-  }
+  def videoScenePayload(id: Long): Array[Byte] =
+    videoGif(id, (id % 3 + 3).toInt, f => f.toLong * (f + 1) / 2)
 
-  /** Scene-structured video table; every 97th payload corrupted. */
-  def decodableVideoScenes(df: DataFrame, idCol: String): Dataset[MediaRow] = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long")).as[Long].map { id =>
-      val w = (id % 6 + 2).toInt; val h = (id % 4 + 2).toInt
-      val nf = id % 3 + 3
-      val row = MediaRow(id, "video", videoScenePayload(id), "gif", w, h,
-        nf * 100L)
-      if (id % 97 == 0) row.payload(0) = 0x42
-      row
-    }
-  }
+  /** Scene-structured video table over [[videoScenePayload]]. */
+  def decodableVideoScenes(df: DataFrame, idCol: String): Dataset[MediaRow] =
+    videoRows(df, idCol, _ % 3 + 3, videoScenePayload)
 
   final case class SceneChange(media_id: Long, frame_idx: Long,
       n_px: Long, sum_abs_diff: Long, is_cut: Boolean, decode_ok: Boolean)
@@ -712,7 +718,12 @@ object Multimodal {
     * `thresholdPerPx` (integer compare: sum > threshold·n_px — no
     * float in the cut decision). The temporal primitive behind
     * cut-aware frame sampling in a video training pipeline. Malformed
-    * payloads come back as one flagged row.
+    * payloads come back as one flagged row, and a VALID single-frame
+    * video (no pairs exist) emits one frame_idx=0 zero-difference row
+    * — pair rows always carry frame_idx >= 1, so the marker is
+    * unambiguous and every input media_id stays accounted for in the
+    * output (a downstream join can never confuse "one frame" with
+    * "row lost").
     */
   def sceneChanges(media: Dataset[MediaRow],
       thresholdPerPx: Int): Dataset[SceneChange] = {
@@ -722,7 +733,10 @@ object Multimodal {
         try {
           val (w, h, frames) = decodeGifFramesGray(m.payload)
           val nPx = (w * h).toLong
-          (1 until frames.size).map { f =>
+          if (frames.size < 2)
+            Seq(SceneChange(m.media_id, 0L, nPx, 0L, is_cut = false,
+              decode_ok = true))
+          else (1 until frames.size).map { f =>
             var s = 0L
             var k = 0
             while (k < frames(f).length) {

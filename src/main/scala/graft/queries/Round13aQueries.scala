@@ -65,9 +65,13 @@ object Round13aQueries {
     // peak amplitude — all from the REAL WAV decode; the odd ids of
     // decodableMedia are the audio class, every 97th corrupted
     "q_audio_quality" -> ((s, dir) => {
+      // pre-filter to the odd-id audio class BEFORE synthesis — the
+      // even ids would otherwise build full PNG payloads only to be
+      // dropped (half the per-row work wasted in the hot path)
       Multimodal.audioQuality(
-          Multimodal.decodableMedia(Tables.load(s, dir, "documents"), "doc_id")
-            .filter((m: Multimodal.MediaRow) => m.kind == "audio"),
+          Multimodal.decodableMedia(
+            Tables.load(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+            "doc_id"),
           clipAbs = 32000, silentAbs = 1000)
         .toDF().orderBy(col("media_id"))
     })

@@ -86,6 +86,34 @@ class VideoFramesSpec extends AnyFunSuite {
     }
   }
 
+  test("single-frame videos emit the frame_idx=0 marker row, never vanish") {
+    import spark.implicits._
+    val one = Multimodal.gifEncodeAnimated(3, 2, Seq(Array.fill(6)(1)))
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(42L, "video", one, "gif", 3, 2, 100L)))
+    val rows = Multimodal.sceneChanges(ds, thresholdPerPx = 100).collect()
+    assert(rows.length === 1)
+    assert(rows.head.frame_idx === 0L && rows.head.sum_abs_diff === 0L &&
+      rows.head.decode_ok && !rows.head.is_cut && rows.head.n_px === 6L)
+  }
+
+  test("hostile declared dimensions flag before allocation") {
+    // a ~30-byte payload declaring a 40000x40000 frame must flag via
+    // the size bound, not pre-allocate 1.6G pixel slots (the resulting
+    // OutOfMemoryError would be an Error, escaping the callers'
+    // catch-Exception and killing the executor)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    le16(40000); le16(40000)
+    out.write(0xF1); out.write(0); out.write(0)
+    (0 until 12).foreach(_ => out.write(0x33))
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.decodeGifFramesGray(out.toByteArray)
+    }
+    assert(ex.getMessage.contains("too large"))
+  }
+
   test("hostile payloads flag — never crash, hang, or blow memory") {
     val good = Multimodal.videoPayload(6L)
     def flagsAsError(p: Array[Byte]): Boolean =
