@@ -59,6 +59,37 @@ object Round13aQueries {
         .orderBy(col("media_id"))
     }),
 
+    // ---- frame-caption alignment (cross-modal pairing) ----
+    // the clip-caption pairing op a multimodal training pipeline runs:
+    // sampled frames (REAL decode, t = frame_idx*100 ms) LEFT-join the
+    // caption whose [start, end) window covers t — captions are
+    // id%3+1 segments of 150 ms, deliberately misaligned with the
+    // 100 ms frame grid so covered, boundary, and UNCAPTIONED frames
+    // all occur (a lost caption must surface as a null row, not
+    // silently drop the frame). The join is an equality key on
+    // media_id plus an interval filter; per-media caption counts are
+    // <= 3, so at 100 TB this is one bounded equi-join, never a range
+    // cross product
+    "q_video_captions" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val frames = Multimodal.sampleFrames(
+          Multimodal.decodableVideoScenes(docs, "doc_id"), everyK = 2)
+        .toDF().filter(col("decode_ok"))
+        .select(col("media_id"), col("frame_idx"),
+          (col("frame_idx") * 100).as("t_ms"))
+      val caps = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id").as("media_id"),
+          explode(sequence(lit(0L), col("doc_id") % 3)).as("cj"))
+        .select(col("media_id"), col("cj"),
+          (col("cj") * 150).as("cs"), (col("cj") * 150 + 150).as("ce"),
+          ((col("media_id") + col("cj")) % 5 + 1).as("cap_tokens"))
+      frames.join(caps, frames("media_id") === caps("media_id") &&
+          col("t_ms") >= col("cs") && col("t_ms") < col("ce"), "left")
+        .select(frames("media_id"), col("frame_idx"), col("t_ms"),
+          col("cj").as("cap_idx"), col("cap_tokens"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // ---- audio screening over decoded PCM samples ----
     // the quality pass a speech corpus runs before transcription:
     // clipping / silence counts, BIGINT-exact energy (sum of squares),
@@ -165,6 +196,30 @@ object Round13aQueries {
          SELECT media_id, CAST(fi AS BIGINT) AS frame_idx,
            sad AS sum_abs_diff
          FROM r WHERE rn = 1 ORDER BY media_id""",
+
+    "q_video_captions" ->
+      // the alignment replayed from both generation rules: sampled
+      // frames at t = 2k*100 ms, captions [150j, 150j+150) for
+      // j in 0..id%3; a frame lands in caption floor(t/150) when that
+      // index exists, else null
+      """WITH m AS (
+           SELECT doc_id AS media_id, doc_id % 3 + 3 AS nf,
+             doc_id % 3 + 1 AS nc
+           FROM documents WHERE doc_id % 97 <> 0),
+         fr AS (
+           SELECT media_id, UNNEST(range(0, nf)) AS fi, nc FROM m),
+         sf AS (
+           SELECT media_id, fi, fi * 100 AS t_ms, nc
+           FROM fr WHERE fi % 2 = 0),
+         c AS (
+           SELECT media_id, UNNEST(range(0, nc)) AS cj FROM m)
+         SELECT sf.media_id, CAST(sf.fi AS BIGINT) AS frame_idx,
+           CAST(sf.t_ms AS BIGINT) AS t_ms,
+           CAST(c.cj AS BIGINT) AS cap_idx,
+           CAST((c.media_id + c.cj) % 5 + 1 AS BIGINT) AS cap_tokens
+         FROM sf LEFT JOIN c ON sf.media_id = c.media_id
+           AND sf.t_ms >= c.cj * 150 AND sf.t_ms < c.cj * 150 + 150
+         ORDER BY sf.media_id, frame_idx""",
 
     "q_audio_quality" ->
       // the decoded-sample screening replayed from the generation

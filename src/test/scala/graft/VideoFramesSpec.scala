@@ -191,6 +191,29 @@ class VideoFramesSpec extends AnyFunSuite {
     }
   }
 
+  test("frame-caption alignment: covered and uncaptioned frames both accounted") {
+    import org.apache.spark.sql.functions._
+    val df = graft.queries.Round13aQueries.queries("q_video_captions")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      val id = r.getLong(0); val t = r.getLong(2)
+      val nc = id % 3 + 1
+      val expect = t / 150 // the covering caption index, if it exists
+      if (expect < nc) {
+        assert(!r.isNullAt(3) && r.getLong(3) === expect,
+          s"media $id t=$t cap_idx")
+        assert(r.getLong(4) === (id + expect) % 5 + 1,
+          s"media $id t=$t cap_tokens")
+      } else {
+        assert(r.isNullAt(3) && r.isNullAt(4),
+          s"media $id t=$t must be uncaptioned")
+      }
+    }
+    // both classes must actually occur, or the audit proves nothing
+    assert(df.exists(_.isNullAt(3)) && df.exists(!_.isNullAt(3)))
+  }
+
   test("q_video_frames corruption rows pin to the planted 1/97") {
     import org.apache.spark.sql.functions._
     val df = graft.queries.Round13aQueries.queries("q_video_frames")(
