@@ -68,12 +68,52 @@ class GifPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Greedy-LZW parse model (the parse every LZW encoder with a
+    * 4096-entry dictionary and reset-on-full policy produces): returns
+    * (mid-stream clears, peak code width). Independent of the codec's
+    * bitstream layout — it asserts the test DATA forces the deep-
+    * dictionary paths, so a future "simpler" pixel fill that stops
+    * exercising them fails here rather than silently narrowing
+    * coverage (r13 advice: the old `k * 2654435761L % 4` fill reduced
+    * to `k % 4`, whose dictionary peaked at 696 entries — no 12-bit
+    * codes, zero clears).
+    */
+  private def lzwParseStats(px: Array[Int], nSyms: Int): (Int, Int) = {
+    var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var next = nSyms + 2 // after clear + EOI codes
+    var clears = 0
+    var peakWidth = 0
+    var cur = -1
+    px.foreach { s =>
+      if (cur < 0) cur = s
+      else dict.get((cur, s)) match {
+        case Some(code) => cur = code
+        case None =>
+          // emit `cur` at the current width, then add the new entry
+          var width = 2
+          while ((1 << width) < next + 1) width += 1
+          peakWidth = math.max(peakWidth, width)
+          dict((cur, s)) = next
+          next += 1
+          if (next >= 4096) { dict.clear(); next = nSyms + 2; clears += 1 }
+          cur = s
+      }
+    }
+    (clears, peakWidth)
+  }
+
   test("large single frames force 12-bit codes and mid-stream clears, both validated externally") {
-    // 300x200 = 60k incompressible-ish pixels: the dictionary passes
-    // 4096 entries several times, so the clear-reset path is exercised
-    // repeatedly and ImageIO must still agree
+    // 300x200 = 60k seeded-random pixels: incompressible, so the
+    // dictionary passes 4096 entries several times — the clear-reset
+    // path is exercised repeatedly and ImageIO must still agree
     val w = 300; val h = 200
-    val px = Array.tabulate(w * h)(k => (k * 2654435761L % 4).toInt)
+    val rnd = new scala.util.Random(1L)
+    val px = Array.fill(w * h)(rnd.nextInt(4))
+    // assert the premise, not just the round-trip: this data must
+    // actually force 12-bit codes and >=2 mid-stream clears
+    val (clears, peakWidth) = lzwParseStats(px, nSyms = 4)
+    assert(clears >= 2, s"pixel fill no longer forces mid-stream clears (got $clears)")
+    assert(peakWidth === 12, s"pixel fill no longer forces 12-bit codes (peak $peakWidth)")
     val payload = Multimodal.gifEncodeAnimated(w, h, Seq(px))
     val (_, _, decoded) = Multimodal.decodeGifFramesGray(payload)
     assert(decoded.head.sameElements(px.map(_ * 85)))
