@@ -171,8 +171,6 @@ object Bench {
     val loadJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
     val wallJson = walls.map(t => f"$t%.1f").mkString("[", ",", "]")
     val wallTotal = f"${(System.nanoTime() - wallStart) / 1e9}%.1f"
-    val fullLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"calibration":$calJson,"loadavg":$loadJson,"wall":$wallJson,"wall_total":$wallTotal,"queries":${toJson(results)},"mins":$minsJson,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}"""
     // the committed bench_full.json is the contractual FULL-suite sf0.1
     // record — a smoke run at another SF (or a subset run) must not
     // clobber it (this exact clobber shipped twice; see ADVICE r5). Off-
@@ -181,6 +179,56 @@ object Bench {
     // demote a real contract run, and ".../archive-sf0.1" must not be
     // promoted into one
     val isContractRun = new java.io.File(sfDir).getName == "sf0.1" && args.isEmpty
+    // ---- contention discard signals (r13 verdict item 8) ----
+    // BASELINE.md's three-signal reading rule, computed INTO the
+    // artifact so a contended run self-identifies instead of relying on
+    // prose: (1) the calibration probe's quiet band (<= 0.37 s on this
+    // box; >= 0.40 has meant discard in every documented case), (2)
+    // per-pass wall vs the pinned record's walls scaled by suite size,
+    // (3) the median inflation ratio over queries shared with the
+    // pinned record (>= 0.1 s floor keeps sub-100ms noise out). The
+    // pinned reference is the bench_full.json present at launch — on a
+    // contract run that is the last committed record.
+    case class Prior(queries: Map[String, Double], walls: Seq[Double], n: Int)
+    val prior: Option[Prior] =
+      if (!isContractRun) None
+      else try {
+        val f = new java.io.File("bench_full.json")
+        if (!f.exists()) None
+        else {
+          import scala.jdk.CollectionConverters._
+          val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+          val qmap = root.get("queries").fields().asScala
+            .map(e => e.getKey -> e.getValue.asDouble).toMap
+          val pw = root.get("wall").elements().asScala.map(_.asDouble).toSeq
+          Some(Prior(qmap, pw, root.get("n_queries").asInt))
+        }
+      } catch { case _: Throwable => None }
+    val calMax = if (calibrations.nonEmpty) calibrations.max else 0.0
+    val sharedRatio: Option[Double] = prior.flatMap { p =>
+      val rs = results.collect {
+        case (n, v) if p.queries.get(n).exists(_ >= 0.1) => v / p.queries(n)
+      }
+      if (rs.size >= 20) Some(median(rs)) else None
+    }
+    val wallRatio: Option[Double] = prior.flatMap { p =>
+      if (p.walls.nonEmpty && p.n > 0 && walls.nonEmpty)
+        Some(median(walls.toSeq) /
+          (median(p.walls) * results.size.toDouble / p.n))
+      else None
+    }
+    val sigVerdict =
+      if (calMax >= 0.40 || sharedRatio.exists(_ >= 1.15) ||
+          wallRatio.exists(_ >= 1.15)) "contended"
+      else if (calMax <= 0.37 && sharedRatio.forall(_ <= 1.10) &&
+          wallRatio.forall(_ <= 1.10)) "quiet"
+      else "borderline"
+    def optJson(o: Option[Double]): String =
+      o.map(v => f"$v%.3f").getOrElse("null")
+    val signalsJson =
+      s"""{"calibration_max":${f"$calMax%.3f"},"calibration_quiet_band":0.37,"calibration_discard_band":0.40,"shared_median_ratio":${optJson(sharedRatio)},"wall_per_query_ratio":${optJson(wallRatio)},"ratio_discard_band":1.15,"vs_record_n_queries":${prior.map(_.n.toString).getOrElse("null")},"verdict":"$sigVerdict"}"""
+    val fullLine =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"calibration":$calJson,"loadavg":$loadJson,"wall":$wallJson,"wall_total":$wallTotal,"discard_signals":$signalsJson,"queries":${toJson(results)},"mins":$minsJson,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}"""
     val fullPath = if (isContractRun) "bench_full.json" else "bench_full_smoke.json"
     try {
       val w = new java.io.PrintWriter(fullPath)
@@ -188,7 +236,7 @@ object Bench {
     } catch { case _: Throwable => () }
     // errors surface in the JSON + stderr; exit stays 0 so the driver
     // still collects the line
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"calibration":$calJson,"loadavg":$loadJson,"wall":$wallJson,"wall_total":$wallTotal,"queries":${toJson(reported)},"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"calibration":$calJson,"loadavg":$loadJson,"wall":$wallJson,"wall_total":$wallTotal,"discard_signals":$signalsJson,"queries":${toJson(reported)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
