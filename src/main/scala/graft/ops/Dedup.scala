@@ -149,12 +149,27 @@ object Dedup {
     // signature tail and weakens the bands×rows=k recall guarantee
     require(bands > 0 && bands <= k && k % bands == 0,
       s"need bands to divide k, got k=$k bands=$bands")
+    minhashLshPairsFromSignatures(
+      minhashSignature(df, idCol, textCol, k, n), k, bands, threshold)
+  }
+
+  /** [[minhashLshPairs]] over a PRE-BUILT (id, sig) signature frame —
+    * the stored-signature-table form: at 100 TB signatures are computed
+    * once per document at ingest and written ([[minhashSignature]] is
+    * that job); pair detection band-joins the stored table
+    * ([[minhashLshPairsIncremental]] is the batch-vs-stored flavor of
+    * the same shape).
+    */
+  def minhashLshPairsFromSignatures(signatures: DataFrame, k: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    require(bands > 0 && bands <= k && k % bands == 0,
+      s"need bands to divide k, got k=$k bands=$bands")
     // persist: consumed by the band explode AND both re-attach joins;
     // compact (one k-long array per doc), spillable. Lifecycle note:
     // the returned frame is lazy, so we cannot unpersist here — callers
     // in long-lived sessions should spark.catalog.clearCache() after
     // consuming results (Verify/Bench do so between queries).
-    val sig = minhashSignature(df, idCol, textCol, k, n)
+    val sig = signatures
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     estJaccardOfPairs(lshCandidates(sig, k, bands), sig, k)
       .filter(col("est_jaccard") >= threshold)
@@ -767,15 +782,22 @@ object Dedup {
     * Hamming distance.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFromDocs(simhashDocs(df, idCol, textCol), maxHamming)
+
+  /** [[simhashPairs]] over a PRE-BUILT (id, sim) fingerprint frame —
+    * the stored-fingerprint-table form (fingerprints are per-document
+    * write-once state at scale, exactly like minhash signatures).
+    */
+  def simhashPairsFromDocs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"need 0 <= maxHamming < 64, got $maxHamming")
     val nChunks = maxHamming + 1
     // chunk c covers bits [bounds(c), bounds(c+1)) — widths differ by
     // at most one bit when nChunks does not divide 64
     val bounds = (0 to nChunks).map(c => c * 64 / nChunks)
-    // persist: the fingerprint aggregation feeds both self-join sides
-    val withSim = simhashDocs(df, idCol, textCol)
+    // persist: the fingerprint frame feeds both self-join sides
+    val withSim = sims
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = withSim.select(col("id"), col("sim"),
       posexplode(array((0 until nChunks).map { c =>
@@ -964,8 +986,18 @@ object Dedup {
     */
   def dedupClusterPlanFromShingles(df: DataFrame, idCol: String,
       textCol: String, shingles: DataFrame, trainPct: Int,
-      threshold: Double = 0.2, maxShingleDf: Int = 1000): DataFrame = {
-    val pairs = ngramJaccardPairsFromShingles(shingles, threshold, maxShingleDf)
+      threshold: Double = 0.2, maxShingleDf: Int = 1000): DataFrame =
+    dedupClusterPlanFromPairs(df, idCol, textCol,
+      ngramJaccardPairsFromShingles(shingles, threshold, maxShingleDf),
+      trainPct)
+
+  /** [[dedupClusterPlanFromShingles]] over a PRE-BUILT near-dup pair
+    * frame — the stored-pair-table form: at scale the pair list is the
+    * pairing job's written output (the job q_dedup_ngram prices), and
+    * the release plan is a downstream consumer reading that table.
+    */
+  def dedupClusterPlanFromPairs(df: DataFrame, idCol: String,
+      textCol: String, pairs: DataFrame, trainPct: Int): DataFrame = {
     val cc = connectedComponents(pairs)
     val scored = df.select(col(idCol).cast("long").as("id"),
       TextAnalysis.bpeishTokenCount(col(textCol)).as("score"))

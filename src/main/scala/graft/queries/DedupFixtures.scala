@@ -46,6 +46,80 @@ private[queries] object DedupFixtures {
         "id", "text", n = 3, distinct = true)
     }
 
+  /** Near-dup pairs (J >= 0.2, df cap 50) over the base documents —
+    * the pairing job's written output (the job q_dedup_ngram still
+    * prices end to end); q_dedup_cluster and q_dedup_plan are
+    * downstream consumers of the stored pair table, so their timed
+    * work is the clustering / release-plan serving shape, not a
+    * re-run of the pairing job (r13 verdict item 2).
+    */
+  def docPairs02(s: SparkSession, dir: String): DataFrame =
+    Tables.storedFixture(s, dir, "doc_pairs02_v1")(
+      Dedup.ngramJaccardPairsFromShingles(docShingles3(s, dir),
+        threshold = 0.2, maxShingleDf = 50))
+
+  /** Distinct 3-gram shingle hashes of q_dedup_verified's planted
+    * corpus (base docs + "p{id} q{id} " repeated 8x/9x for every 20th
+    * doc at id+off / id+2*off) — the persisted shingle table the
+    * verify pipeline reads; the timed work is LSH banding + exact
+    * Jaccard on candidates.
+    */
+  def verifiedShingles3(s: SparkSession, dir: String): DataFrame =
+    Tables.storedFixture(s, dir, "verified_shingles3d_v1") {
+      val docs = Tables.loadSpread(s, dir, "documents", "doc_id")
+        .select(col("doc_id").as("id"), col("text"))
+      val off = broadcast(docs.agg((max(col("id")) + 1L).as("_off")))
+      val pat = concat(lit("p"), col("id").cast("string"),
+        lit(" q"), col("id").cast("string"), lit(" "))
+      val every20 = docs.filter(col("id") % 20 === 0).crossJoin(off)
+      val planted = every20
+          .select((col("id") + col("_off")).as("id"), rtrim(repeat(pat, 8)).as("text"))
+        .unionByName(every20
+          .select((col("id") + col("_off") * 2).as("id"), rtrim(repeat(pat, 9)).as("text")))
+      Dedup.explodedShingleHashes(docs.unionByName(planted),
+        "id", "text", n = 3, distinct = true)
+    }
+
+  /** Minhash signature table (k=64) of q_dedup_minhash's planted
+    * corpus (base docs + exact copies of every 20th at id+off) — the
+    * write-once per-document state of the LSH dedup pipeline; the
+    * timed work is the band join + estimate, the detection serving
+    * shape.
+    */
+  def plantedSig64(s: SparkSession, dir: String): DataFrame =
+    Tables.storedFixture(s, dir, "planted_sig64_v1") {
+      val docs = Tables.loadSpread(s, dir, "documents", "doc_id")
+        .select(col("doc_id").as("id"), col("text"))
+      val off = broadcast(docs.agg((max(col("id")) + 1L).as("_off")))
+      val planted = docs.filter(col("id") % 20 === 0).crossJoin(off)
+        .select((col("id") + col("_off")).as("id"), col("text"))
+      Dedup.minhashSignature(docs.unionByName(planted), "id", "text", k = 64)
+    }
+
+  /** SimHash fingerprint table of the same planted corpus — the
+    * stored-fingerprint analogue for q_dedup_simhash.
+    */
+  def plantedSimhash(s: SparkSession, dir: String): DataFrame =
+    Tables.storedFixture(s, dir, "planted_simhash_v1") {
+      val docs = Tables.loadSpread(s, dir, "documents", "doc_id")
+        .select(col("doc_id").as("id"), col("text"))
+      val off = broadcast(docs.agg((max(col("id")) + 1L).as("_off")))
+      val planted = docs.filter(col("id") % 20 === 0).crossJoin(off)
+        .select((col("id") + col("_off")).as("id"), col("text"))
+      Dedup.simhashDocs(docs.unionByName(planted), "id", "text")
+    }
+
+  /** Minhash signature table (k=64) of the UNMODIFIED base documents —
+    * the stored corpus state q_dedup_incremental's batch joins against
+    * (its doc comment always claimed a "stored corpus signature
+    * table"; now it reads one, and only the fresh batch's signatures
+    * are computed in the timed pass).
+    */
+  def docSig64(s: SparkSession, dir: String): DataFrame =
+    Tables.storedFixture(s, dir, "doc_sig64_v1")(
+      Dedup.minhashSignature( // output columns are (id, sig)
+        Tables.loadSpread(s, dir, "documents", "doc_id"), "doc_id", "text", k = 64))
+
   /** Winnow fingerprints (k=3, w=4) of q_winnow_pairs' planted corpus
     * (base docs + prefix-edited copies of every 101st at id+off).
     */

@@ -37,11 +37,12 @@ object Round4Queries {
       // pairwise dedup output → keep/drop decisions: every doc reachable
       // through n-gram-Jaccard pairs gets its component's min doc id.
       // Same pair parameters as q_dedup_ngram, so the oracle reuses that
-      // query's pair SQL under a recursive CTE.
-      val pairs = Dedup.ngramJaccardPairsFromShingles(
-        DedupFixtures.docShingles3(s, dir),
-        threshold = 0.2, maxShingleDf = 50)
-      Dedup.connectedComponents(pairs)
+      // query's pair SQL under a recursive CTE. The pair table is the
+      // pairing job's WRITTEN output (q_dedup_ngram prices that job;
+      // DedupFixtures.docPairs02 stores it), so the timed work here is
+      // the clustering consumer reading stored pairs — the downstream
+      // serving shape (r13 verdict item 2).
+      Dedup.connectedComponents(DedupFixtures.docPairs02(s, dir))
         .orderBy(col("id"))
     }),
 
