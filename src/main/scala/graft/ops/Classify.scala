@@ -35,9 +35,16 @@ object Classify {
     * centroid: cos = BIGINT dot / (sqrt·sqrt of BIGINT norms), argmax
     * under the total order (cos DESC, source ASC).
     */
-  private def predictions(train: DataFrame, test: DataFrame): DataFrame = {
-    val cen = train.groupBy(col("source").as("s"), col("w"))
-      .agg(sum(col("c")).as("sc"))
+  private def predictions(train: DataFrame, test: DataFrame): DataFrame =
+    predictionsFromCentroids(
+      train.groupBy(col("source").as("s"), col("w")).agg(sum(col("c")).as("sc")),
+      test)
+
+  /** [[predictions]] from a PRE-BUILT (s, w, sc) centroid table — the
+    * stored-model form (centroid norms re-derive from the model table
+    * itself, a model-sized aggregate).
+    */
+  private def predictionsFromCentroids(cen: DataFrame, test: DataFrame): DataFrame = {
     val sn = cen.groupBy(col("s")).agg(sum(col("sc") * col("sc")).as("n2"))
     val dn = test.groupBy(col("id")).agg(sum(col("c") * col("c")).as("d2"))
     val dot = test.join(cen, Seq("w"))
@@ -79,6 +86,41 @@ object Classify {
       .persist(MEMORY_AND_DISK)
     val pred = predictions(tw.filter(col("hex") < trainHexLt),
       tw.filter(col("hex") >= trainHexLt).select(col("id"), col("w"), col("c")))
+    confusionOf(docs, idCol, srcCol, salt, trainHexLt, pred)
+  }
+
+  /** The (s, w, sc) centroid model table for the `trainHexLt` train
+    * split — the write-once training artifact
+    * [[centroidConfusionFromCentroids]] scores against.
+    */
+  def trainCentroids(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String, salt: String = "cls",
+      trainHexLt: String = "c"): DataFrame =
+    tokenCounts(docs, idCol, srcCol, textCol, salt)
+      .filter(col("hex") < trainHexLt)
+      .groupBy(col("source").as("s"), col("w"))
+      .agg(sum(col("c")).as("sc"))
+
+  /** [[centroidConfusion]] scoring a PRE-TRAINED centroid table — the
+    * train-once / score-many serving shape: the timed work is
+    * tokenizing the held-out split, the dot-product join against the
+    * stored model, and the confusion rollup. Bit-identical output to
+    * [[centroidConfusion]] when `centroids` was built by
+    * [[trainCentroids]] with the same salt and split.
+    */
+  def centroidConfusionFromCentroids(docs: DataFrame, idCol: String,
+      srcCol: String, textCol: String, centroids: DataFrame,
+      salt: String = "cls", trainHexLt: String = "c"): DataFrame = {
+    val test = tokenCounts(docs, idCol, srcCol, textCol, salt)
+      .filter(col("hex") >= trainHexLt)
+      .select(col("id"), col("w"), col("c"))
+    confusionOf(docs, idCol, srcCol, salt, trainHexLt,
+      predictionsFromCentroids(centroids, test))
+  }
+
+  /** Held-out confusion rollup shared by both entry points. */
+  private def confusionOf(docs: DataFrame, idCol: String, srcCol: String,
+      salt: String, trainHexLt: String, pred: DataFrame): DataFrame =
     docs.select(col(idCol).cast("long").as("id"), col(srcCol).as("source"))
       .withColumn("hex",
         substring(md5(concat_ws(":", lit(salt), col("id"))), 1, 1))
@@ -87,7 +129,6 @@ object Classify {
       .groupBy(col("source").as("true_source"),
         coalesce(col("pred_source"), lit("none")).as("pred_source"))
       .agg(count(lit(1)).as("n_docs"))
-  }
 
   /** Learning curve for the centroid classifier: accuracy on one FIXED
     * held-out set (split digit ≥ 'c', never trained on) as the train
