@@ -437,6 +437,23 @@ object ScaleProbe100 {
           s"px_sum=${v.getLong(0)} flagged=$flagged (exactly 1/97)")
         v.getLong(1)
       }
+      // baseline JPEG decode at 100x (round 14): 1M real baseline-JFIF
+      // payloads, 1-12 DCT blocks each (marker walk + canonical
+      // Huffman + dequant + separable IDCT per block) — per-row JDK
+      // work, no shuffle, and the corruption flag count must stay
+      // EXACTLY the planted 1/97
+      val jpeg = graft.ops.Multimodal.decodableJpeg(ids, "doc_id")
+      time("extractFeatures (real JPEG Huffman+IDCT decode), 1M payloads") {
+        val j = graft.ops.Multimodal.extractFeatures(jpeg)
+          .agg(sum(col("n_units")),
+            sum(when(col("decode_ok"), 0L).otherwise(1L))).head()
+        val flagged = j.getLong(1)
+        val expect = (n + 96) / 97
+        require(flagged == expect, s"flagged $flagged, expected $expect")
+        println(s"[probe100]   decoded px=${j.getLong(0)} " +
+          s"flagged=$flagged (exactly the planted 1/97)")
+        j.getLong(0)
+      }
     }
 
     // ---- connected components at 100x: the dedup-cluster step ----

@@ -70,7 +70,8 @@ object SparkEntry {
     graft.queries.Round11fQueries.queries ++
     graft.queries.Round12aQueries.queries ++
     graft.queries.Round12bQueries.queries ++
-    graft.queries.Round13aQueries.queries
+    graft.queries.Round13aQueries.queries ++
+    graft.queries.Round14Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -128,5 +129,6 @@ object SparkEntry {
     graft.queries.Round11fQueries.oracles ++
     graft.queries.Round12aQueries.oracles ++
     graft.queries.Round12bQueries.oracles ++
-    graft.queries.Round13aQueries.oracles
+    graft.queries.Round13aQueries.oracles ++
+    graft.queries.Round14Queries.oracles
 }

@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-14 pack: the baseline-grayscale JPEG decode as a first-class
+  * driver row (r13 verdict item 3 — the first extension in the
+  * reference's IMAGE resolver list, `pkg/handlers/insert.go:199`, and
+  * the last real-corpus format that was still header-only).
+  */
+object Round14Queries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- real baseline JPEG decode + feature extraction ----
+    "q_media_jpeg" -> ((s, dir) => {
+      // genuine baseline JFIF payloads (standard Annex K Huffman
+      // tables, all-ones quant) built from 8x8-constant blocks, which
+      // are DC-only and round-trip bit-exactly — so the oracle
+      // recomputes the DECODED pixel statistics from the generation
+      // rule alone and a decoder bug anywhere (marker walk, Huffman,
+      // dequant, zigzag, IDCT, level shift) breaks the hash. Every
+      // 97th payload is corrupted and must flag, not crash.
+      // JpegCodecSpec cross-checks the decoder against ImageIO on
+      // NON-constant images and on ImageIO-encoded streams.
+      Multimodal.extractFeatures(Multimodal.decodableJpeg(
+          Tables.load(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("n_units"), col("unit_sum"),
+          col("unit_min"), col("unit_max"), col("decode_ok"))
+        .orderBy(col("media_id"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+
+    "q_media_jpeg" ->
+      // generation rule: bw = id%4+1, bh = id%3+1 blocks of 8x8, block
+      // (bi, bj) filled with (id + 7*bi + 13*bj) % 256; every 97th
+      // payload corrupted -> flagged with zeroed stats
+      """WITH m AS (
+           SELECT doc_id AS media_id, doc_id % 4 + 1 AS bw,
+             doc_id % 3 + 1 AS bh, doc_id % 97 = 0 AS corrupted
+           FROM documents),
+         u AS (
+           SELECT media_id, bw, bh, corrupted,
+             flatten(list_transform(range(0, bh), bi ->
+               list_transform(range(0, bw), bj ->
+                 (media_id + 7 * bi + 13 * bj) % 256))) AS blocks
+           FROM m)
+         SELECT media_id,
+           CASE WHEN corrupted THEN 0
+             ELSE CAST(64 * bw * bh AS BIGINT) END AS n_units,
+           CASE WHEN corrupted THEN 0
+             ELSE CAST(64 * list_sum(blocks) AS BIGINT) END AS unit_sum,
+           CASE WHEN corrupted THEN 0
+             ELSE CAST(list_min(blocks) AS BIGINT) END AS unit_min,
+           CASE WHEN corrupted THEN 0
+             ELSE CAST(list_max(blocks) AS BIGINT) END AS unit_max,
+           NOT corrupted AS decode_ok
+         FROM u ORDER BY media_id""")
+}

@@ -1,0 +1,147 @@
+package graft
+
+import graft.ops.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The from-scratch baseline-grayscale JPEG codec (r13 verdict item 3)
+  * against the JDK's INDEPENDENT ImageIO JPEG reader/writer — the
+  * GifPropertySpec discipline: a merely self-consistent
+  * encoder/decoder pair (symmetric Huffman or zigzag bug) fails here.
+  * ImageIO comparisons allow max |diff| <= 1 per pixel: ISO/IEC
+  * 10918-1 Annex A permits that much IDCT variance between conforming
+  * decoders (ImageIO uses libjpeg's scaled-integer islow IDCT, ours is
+  * the orthonormal separable double form). Block-constant images are
+  * DC-only and must round-trip bit-exactly through OUR decoder — the
+  * property the q_media_jpeg generation-rule oracle leans on.
+  */
+class JpegCodecSpec extends AnyFunSuite {
+
+  // Raw raster samples, NOT getRGB: a grayscale JPEG decodes to
+  // TYPE_BYTE_GRAY, whose getRGB applies the linear-gray -> sRGB gamma
+  // conversion (observed |diff| up to 73 on mid-grays) — the raster
+  // holds the actual decoded JPEG samples.
+  private def imageIoDecode(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    assert(img != null, "ImageIO could not read the payload")
+    val w = img.getWidth; val h = img.getHeight
+    val r = img.getRaster
+    val px = Array.tabulate(w * h)(k => r.getSample(k % w, k / w, 0))
+    (w, h, px)
+  }
+
+  private def imageIoEncodeGray(w: Int, h: Int,
+      px: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    for (k <- px.indices) r.setSample(k % w, k / w, 0, px(k) & 0xff)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out),
+      "ImageIO has no JPEG writer")
+    out.toByteArray
+  }
+
+  private def maxAbsDiff(a: Array[Int], b: Array[Int]): Int =
+    a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+
+  test("block-constant images round-trip bit-exactly (the oracle premise)") {
+    for (id <- 0L to 40L) {
+      val payload = Multimodal.jpegPayload(id)
+      val bw = (id % 4 + 1).toInt; val bh = (id % 3 + 1).toInt
+      val w = 8 * bw; val h = 8 * bh
+      val expected = Array.tabulate(w * h) { k =>
+        val bi = (k / w) / 8; val bj = (k % w) / 8
+        ((id + 7 * bi + 13 * bj) % 256).toInt
+      }
+      val (dw, dh, px) = Multimodal.decodeJpegGrayDims(payload)
+      assert(dw === w && dh === h, s"id $id dims")
+      assert(px.sameElements(expected), s"id $id pixels not bit-exact")
+      // the independent JDK reader agrees within the Annex A tolerance
+      val (iw, ih, ipx) = imageIoDecode(payload)
+      assert(iw === w && ih === h, s"id $id ImageIO dims")
+      assert(maxAbsDiff(px, ipx) <= 1, s"id $id vs ImageIO")
+    }
+  }
+
+  test("our decoder matches ImageIO within +/-1 on random non-constant images") {
+    val rnd = new scala.util.Random(20260816L)
+    for (i <- 0 until 20) {
+      // odd dims exercise the 8x8 edge-replication padding + crop
+      val w = rnd.nextInt(40) + 1
+      val h = rnd.nextInt(40) + 1
+      val px = Array.fill(w * h)(rnd.nextInt(256))
+      val payload = Multimodal.jpegEncodeGray(w, h, px)
+      val (dw, dh, got) = Multimodal.decodeJpegGrayDims(payload)
+      assert(dw === w && dh === h, s"case $i dims")
+      val (iw, ih, ipx) = imageIoDecode(payload)
+      assert(iw === w && ih === h, s"case $i ImageIO dims")
+      assert(maxAbsDiff(got, ipx) <= 1, s"case $i decode vs ImageIO")
+      // the all-ones quant table loses only DCT rounding: both decoders
+      // stay near the source pixels (a loose sanity bound, not a spec
+      // guarantee — rounding the AC coefficients perturbs each pixel by
+      // at most sum |round err * basis| < 64 * 0.5 * 0.25 = 8)
+      assert(maxAbsDiff(got, px) <= 8, s"case $i decode vs source")
+    }
+  }
+
+  test("our decoder reads ImageIO-ENCODED JPEGs (independent encoder, real quant tables)") {
+    val rnd = new scala.util.Random(7L)
+    for (i <- 0 until 12) {
+      val w = rnd.nextInt(60) + 1
+      val h = rnd.nextInt(60) + 1
+      // smooth gradient + mild noise: a realistic compressible field
+      val px = Array.tabulate(w * h) { k =>
+        val r = k / w; val c = k % w
+        math.min(255, math.max(0, 3 * r + 2 * c + rnd.nextInt(9) - 4))
+      }
+      val payload = imageIoEncodeGray(w, h, px)
+      val (dw, dh, got) = Multimodal.decodeJpegGrayDims(payload)
+      assert(dw === w && dh === h, s"case $i dims")
+      // compare against ImageIO's OWN decode of its own encode: both
+      // decoders see identical quantized coefficients, so only IDCT
+      // variance separates them
+      val (_, _, ipx) = imageIoDecode(payload)
+      assert(maxAbsDiff(got, ipx) <= 1, s"case $i vs ImageIO round trip")
+    }
+  }
+
+  test("restart markers: DRI-segmented streams decode with DC prediction resets") {
+    // ImageIO's writer can be asked for restart intervals via param?
+    // No public knob — so synthesize the check the other way: our
+    // encoder never emits DRI, so splice one in is not possible
+    // without re-coding. Instead decode an ImageIO payload with DRI
+    // if the platform writer emits one; otherwise assert our reader's
+    // marker walk at least tolerates a DRI segment header.
+    // Deterministic construction: encode, then inject a DRI segment
+    // (interval 0 = disabled) before SOS — a legal stream our decoder
+    // must walk past.
+    val px = Array.tabulate(64)(k => k * 3 % 256)
+    val payload = Multimodal.jpegEncodeGray(8, 8, px)
+    // find SOS (FFDA) and inject FFDD 0004 0000 before it
+    val idx = payload.sliding(2).indexWhere(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xda)
+    assert(idx > 0, "SOS not found")
+    val dri = Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x00).map(_.toByte)
+    val spliced = payload.take(idx) ++ dri ++ payload.drop(idx)
+    val (w, h, got) = Multimodal.decodeJpegGrayDims(spliced)
+    assert(w === 8 && h === 8)
+    assert(got.sameElements(Multimodal.decodeJpegGray(payload)))
+  }
+
+  test("malformed payloads flag instead of crashing") {
+    val good = Multimodal.jpegPayload(5L)
+    // corrupted signature
+    val c1 = good.clone(); c1(0) = 0x42
+    intercept[Exception](Multimodal.decodeJpegGray(c1))
+    // truncated entropy data
+    val c2 = good.take(good.length - 6)
+    intercept[Exception](Multimodal.decodeJpegGray(c2))
+    // progressive SOF marker
+    val c3 = good.clone()
+    val sof = c3.sliding(2).indexWhere(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc0)
+    c3(sof + 1) = 0xc2.toByte
+    intercept[Exception](Multimodal.decodeJpegGray(c3))
+  }
+}
