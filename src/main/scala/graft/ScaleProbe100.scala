@@ -54,7 +54,7 @@ object ScaleProbe100 {
     // so a new family can be probed without re-timing the others; an
     // unknown name must fail loudly, not silently probe nothing
     val sections = Set("dedup", "er", "url", "graph", "knn", "cc",
-      "graphx", "pref", "media")
+      "graphx", "pref", "media", "captions")
     require(args.forall(sections), s"unknown section in ${args.toSeq}; " +
       s"valid: ${sections.mkString("|")}")
     def enabled(section: String): Boolean =
@@ -454,6 +454,77 @@ object ScaleProbe100 {
           s"flagged=$flagged (exactly the planted 1/97)")
         j.getLong(0)
       }
+    }
+
+    // ---- cross-modal caption-join adversary at 100x (round 14) ----
+    // q_video_captions ships under a "per-media captions <= 3, bounded
+    // equi-join" claim; this probe plants ONE pathological media with
+    // 10^4 caption segments among 1M media (5 sampled frames each) and
+    // MEASURES that the join stays |frames_m| x |caps_m|-bounded: the
+    // hub adds 5 x 10^4 = 50k intermediate pairs (per-key work, one
+    // task), the output row count is IDENTICAL (left join, <= 1
+    // covering caption per frame), and wall stays flat vs the no-hub
+    // control. captionAudit must report the hub non-silently — the
+    // hubAudit discipline applied to cross-modal pairing.
+    if (enabled("captions")) locally {
+      val n = 1000000L
+      val hubId = 500000L
+      val media = spark.range(0L, n, 1L, 32).select(col("id").as("media_id"))
+      val frames = media.select(col("media_id"),
+          explode(sequence(lit(0L), lit(4L))).as("frame_idx"))
+        .select(col("media_id"), col("frame_idx"),
+          (col("frame_idx") * 200).as("t_ms"))
+      def capsOf(hubCaps: Long): org.apache.spark.sql.DataFrame = {
+        val organic = media
+          .filter(if (hubCaps > 0) col("media_id") =!= hubId else lit(true))
+          .select(col("media_id"),
+            explode(sequence(lit(0L), col("media_id") % 3)).as("cj"))
+        val withHub =
+          if (hubCaps > 0) organic.unionByName(
+            spark.range(0L, hubCaps, 1L, 32)
+              .select(lit(hubId).as("media_id"), col("id").as("cj")))
+          else organic
+        withHub.select(col("media_id"), col("cj"),
+          (col("cj") * 150).as("cs"), (col("cj") * 150 + 150).as("ce"))
+      }
+      def runJoin(caps: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = frames.as("f").join(caps.as("c"),
+            col("f.media_id") === col("c.media_id") &&
+              col("t_ms") >= col("cs") && col("t_ms") < col("ce"), "left")
+          .agg(count(lit(1)),
+            sum(when(col("cj").isNotNull, 1L).otherwise(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      // organic matched rows: frame t in {0,200,400,600,800}, captions
+      // cover [0, 150*(m%3+1)) -> 1 + [m%3>=1] + [m%3>=2] per media;
+      // count the id-residue classes explicitly (1M % 3 != 0)
+      val m0 = (n + 2) / 3; val m1 = (n + 1) / 3; val m2 = n / 3
+      val organicMatched = m0 * 1 + m1 * 2 + m2 * 3
+      runJoin(capsOf(0L)) // untimed codegen/JIT warmup (the Bench rule)
+      time("caption join, 1M media x 5 frames, organic <=3 caps/media") {
+        val (rows, matched) = runJoin(capsOf(0L))
+        require(rows == 5L * n, s"row count $rows != ${5L * n}")
+        require(matched == organicMatched,
+          s"matched $matched != $organicMatched")
+        rows
+      }
+      time("caption join, same + ONE media with 10^4 caption segments") {
+        val (rows, matched) = runJoin(capsOf(10000L))
+        require(rows == 5L * n, s"row count $rows != ${5L * n}")
+        // the hub media (500000 % 3 = 2 -> 3 matched organically) now
+        // matches all 5 frames: +2 rows, nothing else may move
+        require(matched == organicMatched + 2,
+          s"matched $matched != ${organicMatched + 2}")
+        rows
+      }
+      val audit = graft.ops.Multimodal.captionAudit(
+        capsOf(10000L), "media_id", maxCapsPerMedia = 64).head()
+      require(audit.getLong(0) == 1L &&
+        audit.getLong(1) == 10000L && audit.getLong(3) == 10000L,
+        s"caption audit silent on the planted hub: $audit")
+      println(s"[probe100]   captionAudit: media_over_cap=${audit.getLong(0)} " +
+        s"rows_over=${audit.getLong(1)} max_caps=${audit.getLong(3)} " +
+        "(the planted 10^4-segment media, non-silent)")
     }
 
     // ---- connected components at 100x: the dedup-cluster step ----

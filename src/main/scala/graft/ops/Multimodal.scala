@@ -386,6 +386,29 @@ object Multimodal {
     }
   }
 
+  /** Caption-table audit for the frame-caption alignment join (the
+    * hubAudit discipline applied to cross-modal pairing, r13 verdict
+    * item 4): the media_id equi-join fans |frames| x |captions| rows
+    * per media BEFORE the interval filter prunes to covering captions,
+    * so a media with a pathological caption count (a runaway ASR
+    * segmenter, a subtitle bomb) is a per-key skew hazard the pipeline
+    * must SEE, not silently absorb. One aggregate over the caption
+    * table: media over the cap, the caption rows they carry, media
+    * within it, and the observed max — never a join.
+    */
+  def captionAudit(caps: DataFrame, mediaCol: String,
+      maxCapsPerMedia: Int = 64): DataFrame =
+    caps.groupBy(col(mediaCol).cast("long").as("media_id"))
+      .agg(count(lit(1)).as("n_caps"))
+      .agg(
+        coalesce(sum((col("n_caps") > maxCapsPerMedia).cast("long")),
+          lit(0L)).as("n_media_over_cap"),
+        coalesce(sum(when(col("n_caps") > maxCapsPerMedia, col("n_caps"))
+          .otherwise(0L)), lit(0L)).as("n_caption_rows_over"),
+        coalesce(sum((col("n_caps") <= maxCapsPerMedia).cast("long")),
+          lit(0L)).as("n_media_ok"),
+        coalesce(max(col("n_caps")), lit(0L)).as("max_caps"))
+
   // ---- real baseline JPEG codec (JDK-only, grayscale subset) ---------
   //
   // The JPEG bitstream is a public spec (ISO/IEC 10918-1, ITU T.81):

@@ -30,6 +30,21 @@ object Round14Queries {
         .select(col("media_id"), col("n_units"), col("unit_sum"),
           col("unit_min"), col("unit_max"), col("decode_ok"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- caption-table skew audit (cross-modal pairing guard) ----
+    "q_caption_audit" -> ((s, dir) => {
+      // the hubAudit discipline applied to q_video_captions' caption
+      // side: the media_id equi-join fans |frames| x |captions| per
+      // media, so caption-count skew must surface in an audit row, not
+      // silently inflate a join. Cap 2 so the synthetic corpus's
+      // 3-caption media (doc_id % 3 == 2) land over it — the audit has
+      // something real to count at every SF.
+      val caps = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id").as("media_id"),
+          explode(sequence(lit(0L), col("doc_id") % 3)).as("cj"))
+      Multimodal.captionAudit(caps, "media_id", maxCapsPerMedia = 2)
     }))
 
   def oracles: Map[String, String] = Map(
@@ -58,5 +73,18 @@ object Round14Queries {
            CASE WHEN corrupted THEN 0
              ELSE CAST(list_max(blocks) AS BIGINT) END AS unit_max,
            NOT corrupted AS decode_ok
-         FROM u ORDER BY media_id""")
+         FROM u ORDER BY media_id""",
+
+    "q_caption_audit" ->
+      """WITH c AS (
+           SELECT doc_id % 3 + 1 AS n FROM documents WHERE doc_id % 97 <> 0)
+         SELECT
+           CAST(SUM(CASE WHEN n > 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_media_over_cap,
+           CAST(SUM(CASE WHEN n > 2 THEN n ELSE 0 END) AS BIGINT)
+             AS n_caption_rows_over,
+           CAST(SUM(CASE WHEN n <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_media_ok,
+           CAST(MAX(n) AS BIGINT) AS max_caps
+         FROM c""")
 }
