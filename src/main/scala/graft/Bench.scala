@@ -50,7 +50,10 @@ object Bench {
     // round-12 fixture-staging targets (PQ training state + the dedup
     // sweep block's shared shingling), tracked through their records
     "q_pq_gain", "q_pq_trained", "q_pq_topk", "q_dedup_plan",
-    "q_dedup_sweep", "q_winnow_pairs", "q_media_headers")
+    "q_dedup_sweep", "q_winnow_pairs", "q_media_headers",
+    // round-14 staging targets + the new decode row, tracked through
+    // their records
+    "q_dedup_verified", "q_classify_confusion", "q_media_jpeg")
 
   def main(args: Array[String]): Unit = {
     val wallStart = System.nanoTime()
