@@ -849,6 +849,79 @@ object Multimodal {
     })
   }
 
+  /** A baseline grayscale JPEG built from 16x16-CONSTANT blocks —
+    * [[jpegPayload]]'s rule at double block size (w = 16*(id%4+1),
+    * h = 16*(id%3+1), block (i, j) = (id + 7i + 13j) mod 256), so the
+    * 2x2 box-average thumbnail is 8x8-constant and its RE-ENCODE stays
+    * DC-only: the whole decode → downsample → encode → decode round
+    * trip is generation-rule exact.
+    */
+  def jpegThumbSourcePayload(id: Long): Array[Byte] = {
+    val bw = (id % 4 + 1).toInt; val bh = (id % 3 + 1).toInt
+    val w = 16 * bw; val h = 16 * bh
+    jpegEncodeGray(w, h, Array.tabulate(w * h) { k =>
+      val bi = (k / w) / 16; val bj = (k % w) / 16
+      ((id + 7 * bi + 13 * bj) % 256).toInt
+    })
+  }
+
+  /** Decodable 16x16-block JPEG media table for the thumbnail round
+    * trip (every 97th corrupted, the [[decodableMedia]] discipline).
+    */
+  def decodableJpegThumbSource(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val w = 16 * (id % 4 + 1).toInt; val h = 16 * (id % 3 + 1).toInt
+      val row = MediaRow(id, "image", jpegThumbSourcePayload(id), "jpeg",
+        w, h, 0L)
+      if (id % 97 == 0) row.payload(0) = 0x42 // corrupt
+      row
+    }
+  }
+
+  /** The [[thumbnails]] pipeline for JPEG payloads: decode the
+    * baseline-grayscale JPEG, 2x2 box-average (exact integer DIV 4),
+    * RE-ENCODE through [[jpegEncodeGray]], RE-DECODE the encoded
+    * thumbnail, and report ITS pixel stats — both codec directions sit
+    * in the serving path, so a defect in the Huffman writer, the bit
+    * stuffing, or the FDCT breaks the oracle too, not just the
+    * decoder. `thumb_bytes` is the real encoded size but NOT
+    * oracle-predictable (Huffman length), so driver rows project it
+    * out; unlike the stored-deflate PNG encoder there is no byte-size
+    * determinism contract here.
+    */
+  def thumbnailsJpeg(media: Dataset[MediaRow]): Dataset[MediaThumb] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        try {
+          require(isJpeg(m.payload), "not a JPEG")
+          val (w, h, px) = decodeJpegGrayDims(m.payload)
+          val tw = w / 2; val th = h / 2
+          require(tw > 0 && th > 0, "too small to thumbnail")
+          val tpx = Array.tabulate(tw * th) { k =>
+            val r = k / tw; val c = k % tw
+            (px(2 * r * w + 2 * c) + px(2 * r * w + 2 * c + 1) +
+              px((2 * r + 1) * w + 2 * c) +
+              px((2 * r + 1) * w + 2 * c + 1)) / 4
+          }
+          val encoded = jpegEncodeGray(tw, th, tpx)
+          val back = decodeJpegGray(encoded) // full round trip
+          var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          back.foreach { u =>
+            s += u; if (u < mn) mn = u; if (u > mx) mx = u
+          }
+          MediaThumb(m.media_id, w, h, tw, th, encoded.length.toLong,
+            s, mn, mx, thumb_ok = true)
+        } catch { case _: Exception =>
+          MediaThumb(m.media_id, 0, 0, 0, 0, 0L, 0L, 0L, 0L,
+            thumb_ok = false)
+        }
+      }
+    }
+  }
+
   /** A decodable JPEG media table from any keyed table (the
     * [[decodableMedia]] discipline: typed-map synthesis stands in for
     * the payload scan; every 97th payload's first byte is corrupted —

@@ -32,6 +32,23 @@ object Round14Queries {
         .orderBy(col("media_id"))
     }),
 
+    // ---- JPEG thumbnail round trip (both codec directions timed) ----
+    "q_media_jpeg_thumbs" -> ((s, dir) =>
+      // decode(16x16-constant blocks) -> 2x2 box-average (exact DIV 4,
+      // which preserves the constants) -> RE-ENCODE as a real baseline
+      // JPEG (8x8-constant thumb = DC-only = bit-exact) -> RE-DECODE
+      // and report the thumbnail's pixel stats. A defect in the
+      // Huffman WRITER, bit stuffing, or FDCT breaks this oracle, not
+      // just the decoder. thumb_bytes is real but Huffman-sized, so
+      // it stays out of the oracle projection.
+      Multimodal.thumbnailsJpeg(Multimodal.decodableJpegThumbSource(
+          Tables.load(s, dir, "documents"), "doc_id"))
+        .toDF()
+        .select(col("media_id"), col("src_w"), col("src_h"),
+          col("thumb_w"), col("thumb_h"), col("px_sum"), col("px_min"),
+          col("px_max"), col("thumb_ok"))
+        .orderBy(col("media_id"))),
+
     // ---- caption-table skew audit (cross-modal pairing guard) ----
     "q_caption_audit" -> ((s, dir) => {
       // the hubAudit discipline applied to q_video_captions' caption
@@ -73,6 +90,36 @@ object Round14Queries {
            CASE WHEN corrupted THEN 0
              ELSE CAST(list_max(blocks) AS BIGINT) END AS unit_max,
            NOT corrupted AS decode_ok
+         FROM u ORDER BY media_id""",
+
+    "q_media_jpeg_thumbs" ->
+      // thumb pixel (r, c) inherits block (r/8, c/8)'s constant value:
+      // box-averaging a 16x16-constant block is the identity on its
+      // value, so stats replay from the generation rule exactly as in
+      // q_media_jpeg — but the engine earned them through decode ->
+      // downsample -> encode -> decode
+      """WITH m AS (
+           SELECT doc_id AS media_id, doc_id % 4 + 1 AS bw,
+             doc_id % 3 + 1 AS bh, doc_id % 97 = 0 AS corrupted
+           FROM documents),
+         u AS (
+           SELECT media_id, bw, bh, corrupted,
+             flatten(list_transform(range(0, bh), bi ->
+               list_transform(range(0, bw), bj ->
+                 (media_id + 7 * bi + 13 * bj) % 256))) AS blocks
+           FROM m)
+         SELECT media_id,
+           CASE WHEN corrupted THEN 0 ELSE 16 * bw END AS src_w,
+           CASE WHEN corrupted THEN 0 ELSE 16 * bh END AS src_h,
+           CASE WHEN corrupted THEN 0 ELSE 8 * bw END AS thumb_w,
+           CASE WHEN corrupted THEN 0 ELSE 8 * bh END AS thumb_h,
+           CASE WHEN corrupted THEN 0
+             ELSE CAST(64 * list_sum(blocks) AS BIGINT) END AS px_sum,
+           CASE WHEN corrupted THEN 0
+             ELSE CAST(list_min(blocks) AS BIGINT) END AS px_min,
+           CASE WHEN corrupted THEN 0
+             ELSE CAST(list_max(blocks) AS BIGINT) END AS px_max,
+           NOT corrupted AS thumb_ok
          FROM u ORDER BY media_id""",
 
     "q_caption_audit" ->
