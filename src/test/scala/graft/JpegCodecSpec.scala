@@ -129,6 +129,25 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(got.sameElements(Multimodal.decodeJpegGray(payload)))
   }
 
+  test("parseHeaders reads the real encoder's JFIF framing (header path and codec agree)") {
+    // the header-only path (q_media_headers) and the real codec must
+    // agree on the format and dimensions of the SAME bytes — the
+    // invariant that makes metadata-only pruning trustworthy
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions.col
+    val media = graft.ops.Multimodal.decodableJpeg(
+        spark.range(1L, 120L).toDF("doc_id"), "doc_id")
+      .toDF()
+      .filter(col("media_id") % 97 =!= 0) // corrupted rows flag elsewhere
+      .select(col("media_id"), col("payload"),
+        col("width").as("exp_w"), col("height").as("exp_h"))
+    val mismatches = graft.ops.Multimodal.parseHeaders(media, "payload")
+      .filter(col("format").isNull || col("format") =!= "jpeg" ||
+        col("width") =!= col("exp_w") || col("height") =!= col("exp_h"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
   test("malformed payloads flag instead of crashing") {
     val good = Multimodal.jpegPayload(5L)
     // corrupted signature
