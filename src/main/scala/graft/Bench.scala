@@ -232,7 +232,19 @@ object Bench {
       s"""{"calibration_max":${f"$calMax%.3f"},"calibration_quiet_band":0.37,"calibration_discard_band":0.40,"shared_median_ratio":${optJson(sharedRatio)},"wall_per_query_ratio":${optJson(wallRatio)},"ratio_discard_band":1.15,"vs_record_n_queries":${prior.map(_.n.toString).getOrElse("null")},"verdict":"$sigVerdict"}"""
     val fullLine =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"calibration":$calJson,"loadavg":$loadJson,"wall":$wallJson,"wall_total":$wallTotal,"discard_signals":$signalsJson,"queries":${toJson(results)},"mins":$minsJson,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}"""
-    val fullPath = if (isContractRun) "bench_full.json" else "bench_full_smoke.json"
+    // Contended-run routing (automating the restore discipline the r13
+    // verdict flagged): a contract run whose CALIBRATION probe crossed
+    // the discard band writes to bench_full_contended.json instead of
+    // clobbering the pinned artifact. Calibration only — the ratio
+    // signals move under a genuine regression too, and a regression
+    // must NOT be able to hide by dodging the pinned record; the CPU
+    // probe moves only under host noise. Guarded on prior.nonEmpty so
+    // a fresh checkout still writes its first record.
+    val routeContended = isContractRun && prior.nonEmpty && calMax >= 0.40
+    val fullPath =
+      if (routeContended) "bench_full_contended.json"
+      else if (isContractRun) "bench_full.json"
+      else "bench_full_smoke.json"
     try {
       val w = new java.io.PrintWriter(fullPath)
       try w.println(fullLine) finally w.close()
