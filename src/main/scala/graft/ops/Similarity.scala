@@ -41,6 +41,49 @@ object Similarity {
       when(dot(v, typedlit(p)) >= 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Scalar int8 quantization (SQ8) + integer top-k: the embedding-
+    * STORAGE technique at 100 TB (4x smaller than float32, SIMD-
+    * friendly integer dot products). Per-DIMENSION global [min, max]
+    * bounds map each value to round((x-mn)*255/(mx-mn)) in 0..255 —
+    * `floor(u + 0.5)` explicitly, never a round() builtin, because
+    * IEEE double subtraction/multiply/divide are bit-defined across
+    * engines while round-half tie policies are not, so the DuckDB
+    * oracle replays the codes EXACTLY. Ranking is then a pure BIGINT
+    * dot product under a total order (dot DESC, id) — no float
+    * anywhere past the code assignment.
+    *
+    * Scale shape: bounds are one 64-group aggregate; the code build is
+    * a map-side broadcast join (at scale the code table is written
+    * once at ingest, like minhash signatures); the query-time work is
+    * one scan of codes + a |dims|-row broadcast + TakeOrdered. A
+    * constant dimension (mx == mn) codes to 0 everywhere — it carries
+    * no ranking information either quantized or exact.
+    */
+  def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val d = Dedup.widen(df)
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(col(vecCol)).as(Seq("dim", "x0")))
+      .select(col("id"), col("dim"), col("x0").cast("double").as("x"))
+      .persist(MEMORY_AND_DISK) // feeds the bounds aggregate AND the code build
+    val bounds = d.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val codes = d.join(broadcast(bounds), Seq("dim"))
+      .select(col("id"), col("dim"),
+        when(col("mx") > col("mn"),
+          least(greatest(floor((col("x") - col("mn")) * 255.0 /
+            (col("mx") - col("mn")) + 0.5), lit(0L)), lit(255L)))
+          .otherwise(0L).as("code"))
+      .persist(MEMORY_AND_DISK) // consumed as query side and corpus side
+    val q = codes.filter(col("id") === queryId)
+      .select(col("dim"), col("code").as("qc"))
+    codes.join(broadcast(q), Seq("dim"))
+      .groupBy(col("id")).agg(sum(col("code") * col("qc")).as("dot"))
+      .orderBy(col("dot").desc, col("id"))
+      .limit(k)
+  }
+
   /** Brute-force cosine top-k against a literal query vector. Compiles
     * to scan → project → TakeOrderedAndProject: no global sort, no
     * shuffle of the table.

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.Multimodal
+import graft.ops.{Multimodal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,6 +49,17 @@ object Round14Queries {
           col("px_max"), col("thumb_ok"))
         .orderBy(col("media_id"))),
 
+    // ---- scalar int8 quantization top-k (embedding storage at scale) ----
+    "q_sq8_topk" -> ((s, dir) =>
+      // per-dimension global bounds -> int8 codes -> BIGINT dot-product
+      // top-10 for the id-0 probe. floor(u + 0.5) instead of round():
+      // IEEE double arithmetic is bit-defined across engines, round-half
+      // tie policies are not, so DuckDB replays the codes exactly and
+      // the ranking is pure integer under a total order.
+      Similarity.sq8TopK(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", queryId = 0L, k = 10)
+        .select(col("id").as("vec_id"), col("dot"))),
+
     // ---- caption-table skew audit (cross-modal pairing guard) ----
     "q_caption_audit" -> ((s, dir) => {
       // the hubAudit discipline applied to q_video_captions' caption
@@ -91,6 +102,27 @@ object Round14Queries {
              ELSE CAST(list_max(blocks) AS BIGINT) END AS unit_max,
            NOT corrupted AS decode_ok
          FROM u ORDER BY media_id""",
+
+    "q_sq8_topk" ->
+      // the corpus is fixed 64-dim; range(1, 65) indexes the list 1-based
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         d AS (
+           SELECT vec_id, r.dim, v[r.dim] AS x
+           FROM e CROSS JOIN range(1, 65) r(dim)),
+         b AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY dim),
+         c AS (
+           SELECT vec_id, d.dim,
+             CASE WHEN mx > mn THEN
+               CAST(LEAST(GREATEST(FLOOR((x - mn) * 255.0 / (mx - mn) + 0.5),
+                 0), 255) AS BIGINT)
+             ELSE 0 END AS code
+           FROM d JOIN b USING (dim)),
+         q AS (SELECT dim, code AS qc FROM c WHERE vec_id = 0)
+         SELECT c.vec_id, CAST(SUM(c.code * q.qc) AS BIGINT) AS dot
+         FROM c JOIN q USING (dim)
+         GROUP BY c.vec_id
+         ORDER BY dot DESC, vec_id LIMIT 10""",
 
     "q_media_jpeg_thumbs" ->
       // thumb pixel (r, c) inherits block (r/8, c/8)'s constant value:
