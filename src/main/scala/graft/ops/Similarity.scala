@@ -41,47 +41,68 @@ object Similarity {
       when(dot(v, typedlit(p)) >= 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** Scalar int8 quantization (SQ8) + integer top-k: the embedding-
-    * STORAGE technique at 100 TB (4x smaller than float32, SIMD-
-    * friendly integer dot products). Per-DIMENSION global [min, max]
-    * bounds map each value to round((x-mn)*255/(mx-mn)) in 0..255 —
-    * `floor(u + 0.5)` explicitly, never a round() builtin, because
-    * IEEE double subtraction/multiply/divide are bit-defined across
-    * engines while round-half tie policies are not, so the DuckDB
-    * oracle replays the codes EXACTLY. Ranking is then a pure BIGINT
-    * dot product under a total order (dot DESC, id) — no float
-    * anywhere past the code assignment.
+  /** Scalar int8 quantization (SQ8) + top-k: the embedding-STORAGE
+    * technique at 100 TB (4x smaller than float32). Per-DIMENSION
+    * global [min, max] bounds map each value to
+    * floor((x-mn)*255/(mx-mn) + 0.5) in 0..255 — `floor(u + 0.5)`
+    * explicitly, never a round() builtin, because IEEE double
+    * subtract/multiply/divide are bit-defined across engines while
+    * round-half tie policies are not, so the DuckDB oracle replays
+    * the codes exactly. Ranking DEQUANTIZES (xhat = mn + c*(mx-mn)/255)
+    * and uses reconstructed cosine: raw code dot products are a BIASED
+    * similarity under the affine map (the per-dim offsets leak into
+    * every dot — measured: a noisy copy outranks the probe itself), so
+    * real SQ8 retrieval reconstructs before scoring. All per-vector
+    * arithmetic stays in ARRAY order (transform + the codegen'd
+    * cosine expression), the cross-engine-deterministic accumulation
+    * the q_ann_topk oracle already proves out.
     *
-    * Scale shape: bounds are one 64-group aggregate; the code build is
-    * a map-side broadcast join (at scale the code table is written
-    * once at ingest, like minhash signatures); the query-time work is
-    * one scan of codes + a |dims|-row broadcast + TakeOrdered. A
-    * constant dimension (mx == mn) codes to 0 everywhere — it carries
-    * no ranking information either quantized or exact.
+    * Scale shape: bounds are one |dims|-group aggregate collected as
+    * the |dims|-row parameterization of the scoring expression (the
+    * PQ-codebook precedent; at scale bounds are training-time state
+    * stored with the code table, and codes are written once at
+    * ingest). Query-time work is one scan with a per-row array
+    * transform + TakeOrdered — no join, no shuffle of the table. A
+    * constant dimension (mx == mn) reconstructs to mn for every
+    * vector — it carries no ranking information either way.
     */
   def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val d = Dedup.widen(df)
-      .select(col(idCol).cast("long").as("id"),
-        posexplode(col(vecCol)).as(Seq("dim", "x0")))
-      .select(col("id"), col("dim"), col("x0").cast("double").as("x"))
-      .persist(MEMORY_AND_DISK) // feeds the bounds aggregate AND the code build
-    val bounds = d.groupBy(col("dim"))
-      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    val codes = d.join(broadcast(bounds), Seq("dim"))
-      .select(col("id"), col("dim"),
-        when(col("mx") > col("mn"),
-          least(greatest(floor((col("x") - col("mn")) * 255.0 /
-            (col("mx") - col("mn")) + 0.5), lit(0L)), lit(255L)))
-          .otherwise(0L).as("code"))
-      .persist(MEMORY_AND_DISK) // consumed as query side and corpus side
-    val q = codes.filter(col("id") === queryId)
-      .select(col("dim"), col("code").as("qc"))
-    codes.join(broadcast(q), Seq("dim"))
-      .groupBy(col("id")).agg(sum(col("code") * col("qc")).as("dot"))
-      .orderBy(col("dot").desc, col("id"))
+    val widened = Dedup.widen(df)
+    val bounds = widened
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x0")))
+      .select(col("dim"), col("x0").cast("double").as("x"))
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("dim")).collect()
+    val mn = bounds.map(_.getDouble(1))
+    val mx = bounds.map(_.getDouble(2))
+    val mnL = typedlit(mn); val mxL = typedlit(mx)
+    def dequantized(v: Column): Column = transform(v, (x, i) => {
+      val m = element_at(mnL, i + 1); val big = element_at(mxL, i + 1)
+      when(big > m,
+        m + least(greatest(floor((x.cast("double") - m) * 255.0 /
+            (big - m) + 0.5), lit(0L)), lit(255L)).cast("double") *
+          (big - m) / 255.0)
+        .otherwise(m)
+    })
+    // the probe's reconstructed vector, computed with the SAME IEEE
+    // double formula on the driver (1-row parameterization, the
+    // queryVec precedent)
+    val qRow = df.filter(col(idCol) === queryId)
+      .select(col(vecCol)).head().getSeq[Float](0).toArray
+    val qhat = qRow.zipWithIndex.map { case (x0, i) =>
+      val x = x0.toDouble
+      if (mx(i) > mn(i)) {
+        val c = math.min(math.max(
+          math.floor((x - mn(i)) * 255.0 / (mx(i) - mn(i)) + 0.5), 0.0), 255.0)
+        mn(i) + c * (mx(i) - mn(i)) / 255.0
+      } else mn(i)
+    }
+    val sim = cosine(dequantized(col(vecCol)), typedlit(qhat))
+    widened.select(col(idCol), sim.as("_sim"))
+      .orderBy(col("_sim").desc, col(idCol))
       .limit(k)
+      .select(col(idCol), round(col("_sim"), 6).as("sim"))
   }
 
   /** Brute-force cosine top-k against a literal query vector. Compiles

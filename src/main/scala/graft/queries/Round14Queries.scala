@@ -51,14 +51,14 @@ object Round14Queries {
 
     // ---- scalar int8 quantization top-k (embedding storage at scale) ----
     "q_sq8_topk" -> ((s, dir) =>
-      // per-dimension global bounds -> int8 codes -> BIGINT dot-product
-      // top-10 for the id-0 probe. floor(u + 0.5) instead of round():
-      // IEEE double arithmetic is bit-defined across engines, round-half
-      // tie policies are not, so DuckDB replays the codes exactly and
-      // the ranking is pure integer under a total order.
+      // per-dimension global bounds -> int8 codes -> DEQUANTIZED cosine
+      // top-10 for the id-0 probe (raw code dots are biased under the
+      // affine map; real SQ8 retrieval reconstructs before scoring).
+      // floor(u + 0.5) instead of round(): IEEE double arithmetic is
+      // bit-defined across engines, round-half tie policies are not,
+      // so DuckDB replays the codes exactly.
       Similarity.sq8TopK(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", queryId = 0L, k = 10)
-        .select(col("id").as("vec_id"), col("dot"))),
+        "vec_id", "embedding", queryId = 0L, k = 10)),
 
     // ---- caption-table skew audit (cross-modal pairing guard) ----
     "q_caption_audit" -> ((s, dir) => {
@@ -111,18 +111,21 @@ object Round14Queries {
            SELECT vec_id, r.dim, v[r.dim] AS x
            FROM e CROSS JOIN range(1, 65) r(dim)),
          b AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY dim),
-         c AS (
-           SELECT vec_id, d.dim,
-             CASE WHEN mx > mn THEN
-               CAST(LEAST(GREATEST(FLOOR((x - mn) * 255.0 / (mx - mn) + 0.5),
-                 0), 255) AS BIGINT)
-             ELSE 0 END AS code
-           FROM d JOIN b USING (dim)),
-         q AS (SELECT dim, code AS qc FROM c WHERE vec_id = 0)
-         SELECT c.vec_id, CAST(SUM(c.code * q.qc) AS BIGINT) AS dot
-         FROM c JOIN q USING (dim)
-         GROUP BY c.vec_id
-         ORDER BY dot DESC, vec_id LIMIT 10""",
+         bb AS (SELECT list(mn ORDER BY dim) AS mns,
+                       list(mx ORDER BY dim) AS mxs FROM b),
+         rec AS (
+           SELECT vec_id, list_transform(range(1, 65), i ->
+             CASE WHEN mxs[i] > mns[i] THEN
+               mns[i] + LEAST(GREATEST(FLOOR(
+                 (v[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]) + 0.5),
+                 0), 255) * (mxs[i] - mns[i]) / 255.0
+             ELSE mns[i] END) AS vhat
+           FROM e CROSS JOIN bb),
+         q AS (SELECT vhat AS qh FROM rec WHERE vec_id = 0)
+         SELECT vec_id,
+           ROUND(list_cosine_similarity(vhat, qh), 6) AS sim
+         FROM rec CROSS JOIN q
+         ORDER BY list_cosine_similarity(vhat, qh) DESC, vec_id LIMIT 10""",
 
     "q_media_jpeg_thumbs" ->
       // thumb pixel (r, c) inherits block (r/8, c/8)'s constant value:

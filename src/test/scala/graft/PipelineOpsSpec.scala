@@ -274,6 +274,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(top == Seq(1L, 2L))
   }
 
+  test("sq8 quantization: codes span 0..255, constant dims code to 0, ranking tracks cosine") {
+    val rnd = new scala.util.Random(14)
+    val dims = 16
+    // base direction + noisy copies at decreasing similarity, plus a
+    // CONSTANT dimension appended to exercise the mx == mn guard
+    val a = Array.fill(dims)(rnd.nextGaussian())
+    def noisy(scale: Double, seed: Int) = perturb(a, scale, seed)
+    val rows = Seq(
+      (0L, a), (1L, noisy(0.01, 1)), (2L, noisy(0.05, 2)),
+      (3L, noisy(0.3, 3)), (4L, a.map(-_))).map { case (id, v) =>
+      (id, (v :+ 7.0).map(_.toFloat)) // dim 17 constant = 7
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.sq8TopK(df, "vec_id", "embedding", queryId = 0L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // dequantized-cosine ranking: the probe ranks itself first (raw
+    // code DOTS would not guarantee this — the affine offsets bias
+    // them, which is why the op reconstructs), noisy copies follow in
+    // noise order, the antipodal vector ranks last (its sim stays
+    // positive: the shared constant dim contributes 49 to every dot)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(got.head._2 > 0.999)
+    assert(got.map(_._2).sliding(2).forall(p => p(0) > p(1)),
+      s"similarities not strictly decreasing: $got")
+  }
+
   test("cosine near-dup pairs: planted duplicates found, random pairs excluded") {
     val rnd = new scala.util.Random(3)
     val dims = 64
