@@ -53,7 +53,10 @@ object Bench {
     "q_dedup_sweep", "q_winnow_pairs", "q_media_headers",
     // round-14 staging targets + the new decode row, tracked through
     // their records
-    "q_dedup_verified", "q_classify_confusion", "q_media_jpeg")
+    "q_dedup_verified", "q_classify_confusion", "q_media_jpeg",
+    // round-15 staging target (stored SQ8 bounds), its recall row, and
+    // the color JPEG decode row
+    "q_sq8_topk", "q_sq8_recall", "q_media_jpeg_color")
 
   def main(args: Array[String]): Unit = {
     val wallStart = System.nanoTime()
@@ -192,7 +195,8 @@ object Bench {
     // pinned record (>= 0.1 s floor keeps sub-100ms noise out). The
     // pinned reference is the bench_full.json present at launch — on a
     // contract run that is the last committed record.
-    case class Prior(queries: Map[String, Double], walls: Seq[Double], n: Int)
+    case class Prior(queries: Map[String, Double], walls: Seq[Double], n: Int,
+      total: Double)
     val prior: Option[Prior] =
       if (!isContractRun) None
       else try {
@@ -204,7 +208,8 @@ object Bench {
           val qmap = root.get("queries").fields().asScala
             .map(e => e.getKey -> e.getValue.asDouble).toMap
           val pw = root.get("wall").elements().asScala.map(_.asDouble).toSeq
-          Some(Prior(qmap, pw, root.get("n_queries").asInt))
+          Some(Prior(qmap, pw, root.get("n_queries").asInt,
+            root.get("value").asDouble))
         }
       } catch { case _: Throwable => None }
     val calMax = if (calibrations.nonEmpty) calibrations.max else 0.0
@@ -214,6 +219,21 @@ object Bench {
       }
       if (rs.size >= 20) Some(median(rs)) else None
     }
+    // wall-style ratio from the SUM of shared-query medians (r14 advice):
+    // the old count-scaled pass-wall form assumed uniform per-query cost,
+    // so adding heavier-than-average rows (or staging wins) drifted it
+    // toward the discard band on a genuinely quiet run. The shared-sum
+    // form compares identical work only; the legacy wall_per_query_ratio
+    // is still recorded for continuity but no longer drives the verdict.
+    val sharedSumRatio: Option[Double] = prior.flatMap { p =>
+      val shared = results.collect {
+        case (n, v) if p.queries.contains(n) => (v, p.queries(n))
+      }
+      val priorSum = shared.map(_._2).sum
+      if (shared.size >= 20 && priorSum > 0)
+        Some(shared.map(_._1).sum / priorSum)
+      else None
+    }
     val wallRatio: Option[Double] = prior.flatMap { p =>
       if (p.walls.nonEmpty && p.n > 0 && walls.nonEmpty)
         Some(median(walls.toSeq) /
@@ -222,16 +242,31 @@ object Bench {
     }
     val sigVerdict =
       if (calMax >= 0.40 || sharedRatio.exists(_ >= 1.15) ||
-          wallRatio.exists(_ >= 1.15)) "contended"
+          sharedSumRatio.exists(_ >= 1.15)) "contended"
       else if (calMax <= 0.37 && sharedRatio.forall(_ <= 1.10) &&
-          wallRatio.forall(_ <= 1.10)) "quiet"
+          sharedSumRatio.forall(_ <= 1.10)) "quiet"
       else "borderline"
     def optJson(o: Option[Double]): String =
       o.map(v => f"$v%.3f").getOrElse("null")
+    // vs_record_delta (r14 verdict item 7): the pinned-record comparison
+    // set, emitted so BASELINE.md's "expected quiet total = pinned +
+    // intrinsic new - removed" projection is mechanical. New rows use
+    // per-query MINS for the projection (the contention-robust floor);
+    // their medians are also recorded.
+    val deltaJson: String = prior.map { p =>
+      val newQ = results.filterNot(r => p.queries.contains(r._1))
+      val remQ = p.queries.keys.filterNot(byName.contains).toSeq.sorted
+      def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val newSumMed = newQ.map(_._2).sum
+      val newSumMin = newQ.map(r => byName(r._1).min).sum
+      val remSum = remQ.map(p.queries).sum
+      val projected = p.total - remSum + newSumMin
+      s"""{"prior_total":${f"${p.total}%.3f"},"new_queries":${strArr(newQ.map(_._1))},"new_sum_median":${f"$newSumMed%.3f"},"new_sum_min":${f"$newSumMin%.3f"},"removed_queries":${strArr(remQ)},"removed_sum":${f"$remSum%.3f"},"projected_quiet_total":${f"$projected%.3f"}}"""
+    }.getOrElse("null")
     val signalsJson =
-      s"""{"calibration_max":${f"$calMax%.3f"},"calibration_quiet_band":0.37,"calibration_discard_band":0.40,"shared_median_ratio":${optJson(sharedRatio)},"wall_per_query_ratio":${optJson(wallRatio)},"ratio_discard_band":1.15,"vs_record_n_queries":${prior.map(_.n.toString).getOrElse("null")},"verdict":"$sigVerdict"}"""
+      s"""{"calibration_max":${f"$calMax%.3f"},"calibration_quiet_band":0.37,"calibration_discard_band":0.40,"shared_median_ratio":${optJson(sharedRatio)},"shared_sum_ratio":${optJson(sharedSumRatio)},"wall_per_query_ratio":${optJson(wallRatio)},"ratio_discard_band":1.15,"vs_record_n_queries":${prior.map(_.n.toString).getOrElse("null")},"verdict":"$sigVerdict"}"""
     val fullLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"calibration":$calJson,"loadavg":$loadJson,"wall":$wallJson,"wall_total":$wallTotal,"discard_signals":$signalsJson,"queries":${toJson(results)},"mins":$minsJson,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"calibration":$calJson,"loadavg":$loadJson,"wall":$wallJson,"wall_total":$wallTotal,"discard_signals":$signalsJson,"vs_record_delta":$deltaJson,"queries":${toJson(results)},"mins":$minsJson,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}"""
     // Contended-run routing (automating the restore discipline the r13
     // verdict flagged): a contract run whose CALIBRATION probe crossed
     // the discard band writes to bench_full_contended.json instead of
@@ -251,7 +286,7 @@ object Bench {
     } catch { case _: Throwable => () }
     // errors surface in the JSON + stderr; exit stays 0 so the driver
     // still collects the line
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"calibration":$calJson,"loadavg":$loadJson,"wall":$wallJson,"wall_total":$wallTotal,"discard_signals":$signalsJson,"queries":${toJson(reported)},"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"calibration":$calJson,"loadavg":$loadJson,"wall":$wallJson,"wall_total":$wallTotal,"discard_signals":$signalsJson,"vs_record_delta":$deltaJson,"queries":${toJson(reported)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
