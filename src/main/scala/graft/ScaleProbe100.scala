@@ -54,7 +54,7 @@ object ScaleProbe100 {
     // so a new family can be probed without re-timing the others; an
     // unknown name must fail loudly, not silently probe nothing
     val sections = Set("dedup", "er", "url", "graph", "knn", "cc",
-      "graphx", "pref", "media", "captions")
+      "graphx", "pref", "media", "captions", "sq8")
     require(args.forall(sections), s"unknown section in ${args.toSeq}; " +
       s"valid: ${sections.mkString("|")}")
     def enabled(section: String): Boolean =
@@ -626,6 +626,47 @@ object ScaleProbe100 {
         println(s"[probe100]   kept=$kept of 200000 (planted optimum 20000)")
         kept
       }
+    }
+    if (enabled("sq8")) locally {
+      // SQ8 at 1M x 64d (r14 verdict item 3): the train/serve split —
+      // bounds build (one |dims|-group aggregate, written once at
+      // ingest) vs query time (one scan + TakeOrdered over the stored
+      // bounds) — plus recall@10 against the exact float ranking. The
+      // knn section's clique corpus: ids 0-9 share a base direction
+      // with 1e-3 noise, so the probe's clique is the
+      // planted-certainty top-10 (inter-clique cosines concentrate at
+      // N(0, 1/64)).
+      def pr(a: Column, j: Column, seed: Int): Column =
+        (xxhash64(a, j, lit(seed)) % 1001L).cast("double") / lit(500.0)
+      val vecs = spark.range(0L, 1000000L, 1L, 64)
+        .select(col("id"),
+          transform(sequence(lit(1), lit(64)), j =>
+            (pr((col("id") / 10).cast("long"), j, 1)
+              + lit(1e-3) * pr(col("id"), j, 2)).cast("float")).as("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vecs.count() // materialize: the split prices the ops, not synthesis
+      var mn: Array[Double] = null; var mx: Array[Double] = null
+      time("sq8 TRAIN: per-dim bounds aggregate, 1M x 64d (ingest-time, written once)") {
+        val b = graft.ops.Similarity.sq8Bounds(vecs, "vec")
+          .orderBy(col("dim")).collect()
+        mn = b.map(_.getAs[Double]("mn")); mx = b.map(_.getAs[Double]("mx"))
+        b.length.toLong
+      }
+      time("sq8 SERVE: dequantized-cosine top-10 from stored bounds, 1M vectors") {
+        val top = graft.ops.Similarity.sq8TopKFromBounds(vecs, "id", "vec",
+          mn, mx, queryId = 0L, k = 10).collect()
+        val ids = top.map(_.getLong(0)).toSet
+        require(ids == (0L to 9L).toSet, s"planted clique not the top-10: $ids")
+        top.length.toLong
+      }
+      time("sq8 RECALL: top-10 overlap vs the exact float ranking, 1M vectors") {
+        val r = graft.ops.Similarity.sq8Recall(vecs, "id", "vec",
+          mn, mx, queryId = 0L, k = 10).head()
+        println(s"[probe100]   sq8 recall@10 = ${r.getDouble(2)} " +
+          s"(n_hits=${r.getLong(1)})")
+        r.getLong(1)
+      }
+      vecs.unpersist(blocking = false)
     }
     spark.stop()
   }

@@ -68,14 +68,33 @@ object Similarity {
     */
   def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {
-    val widened = Dedup.widen(df)
-    val bounds = widened
+    val bounds = sq8Bounds(df, vecCol).orderBy(col("dim")).collect()
+    sq8TopKFromBounds(df, idCol, vecCol,
+      bounds.map(_.getDouble(1)), bounds.map(_.getDouble(2)), queryId, k)
+  }
+
+  /** Per-dimension global [min, max] bounds over an embedding column —
+    * SQ8's TRAINING-time state: one |dims|-group aggregate over the
+    * corpus. At 100 TB these are written once at ingest alongside the
+    * int8 code table; serving reads the stored |dims|-row frame (the
+    * PQ-codebook staging precedent). Returns (dim, mn, mx).
+    */
+  def sq8Bounds(df: DataFrame, vecCol: String): DataFrame =
+    Dedup.widen(df)
       .select(posexplode(col(vecCol)).as(Seq("dim", "x0")))
       .select(col("dim"), col("x0").cast("double").as("x"))
       .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .orderBy(col("dim")).collect()
-    val mn = bounds.map(_.getDouble(1))
-    val mx = bounds.map(_.getDouble(2))
+
+  /** SQ8 top-k against PRE-TRAINED per-dimension bounds — the serving
+    * shape: the |dims|-row bounds parameterize the scoring expression,
+    * and the query-time plan is ONE scan with a per-row array
+    * transform + TakeOrdered. No bounds aggregate, no join, no shuffle
+    * of the table. The only driver read is the 1-row probe lookup
+    * (the queryVec precedent).
+    */
+  def sq8TopKFromBounds(df: DataFrame, idCol: String, vecCol: String,
+      mn: Array[Double], mx: Array[Double], queryId: Long, k: Int): DataFrame = {
+    val widened = Dedup.widen(df)
     val mnL = typedlit(mn); val mxL = typedlit(mx)
     def dequantized(v: Column): Column = transform(v, (x, i) => {
       val m = element_at(mnL, i + 1); val big = element_at(mxL, i + 1)
@@ -103,6 +122,28 @@ object Similarity {
       .orderBy(col("_sim").desc, col(idCol))
       .limit(k)
       .select(col(idCol), round(col("_sim"), 6).as("sim"))
+  }
+
+  /** Recall@k of the SQ8 dequantized-cosine ranking against the exact
+    * float-cosine ranking — q_pq_recall's shape for the SQ8 family
+    * member: both top-k sets are computed scan+TakeOrdered, the
+    * overlap is one k-row join, and the output is a single
+    * (k, n_hits, recall) row. Ties break by id in both rankings, so
+    * the sets are engine-exact and a DuckDB oracle replays them.
+    */
+  def sq8Recall(df: DataFrame, idCol: String, vecCol: String,
+      mn: Array[Double], mx: Array[Double], queryId: Long, k: Int): DataFrame = {
+    // 1-row probe lookup (the queryVec precedent): the RAW float query
+    // drives the exact ranking; its QUANTIZED form drives the SQ8 one
+    val qRaw = df.filter(col(idCol) === queryId)
+      .select(col(vecCol)).head().getSeq[Float](0).map(_.toDouble).toArray
+    val exact = bruteForceTopK(df, idCol, vecCol, qRaw, k).select(col(idCol))
+    val approx = sq8TopKFromBounds(df, idCol, vecCol, mn, mx, queryId, k)
+      .select(col(idCol))
+    exact.join(approx, Seq(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(k).as("k"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(k.toDouble), 6).as("recall"))
   }
 
   /** Brute-force cosine top-k against a literal query vector. Compiles

@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object Round14Queries {
 
+  /** SQ8 bounds staged as a [[Tables.storedFixture]] (r14 verdict item
+    * 2): a 64-row (dim, mn, mx) parquet frame written once, collected
+    * as the |dims|-row parameterization of the scoring expression.
+    */
+  private def storedSq8Bounds(s: SparkSession, dir: String): (Array[Double], Array[Double]) = {
+    val b = Tables.storedFixture(s, dir, "sq8_bounds_v1")(
+        Similarity.sq8Bounds(Tables.load(s, dir, "embeddings"), "embedding"))
+      .orderBy(col("dim")).collect()
+    (b.map(_.getAs[Double]("mn")), b.map(_.getAs[Double]("mx")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- real baseline JPEG decode + feature extraction ----
@@ -50,15 +61,33 @@ object Round14Queries {
         .orderBy(col("media_id"))),
 
     // ---- scalar int8 quantization top-k (embedding storage at scale) ----
-    "q_sq8_topk" -> ((s, dir) =>
+    "q_sq8_topk" -> ((s, dir) => {
       // per-dimension global bounds -> int8 codes -> DEQUANTIZED cosine
       // top-10 for the id-0 probe (raw code dots are biased under the
       // affine map; real SQ8 retrieval reconstructs before scoring).
       // floor(u + 0.5) instead of round(): IEEE double arithmetic is
       // bit-defined across engines, round-half tie policies are not,
-      // so DuckDB replays the codes exactly.
-      Similarity.sq8TopK(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", queryId = 0L, k = 10)),
+      // so DuckDB replays the codes exactly. Bounds are STAGED
+      // training-time state (r14 verdict item 2, the PQ-codebook
+      // precedent): written once via storedFixture, so the timed path
+      // prices the serving scan + TakeOrdered only. Doubles round-trip
+      // parquet bit-exactly, so the staged bounds are the identical
+      // values the aggregate produced and the oracle (which replays
+      // the full bounds build from the base table) is unchanged.
+      val (mn, mx) = storedSq8Bounds(s, dir)
+      Similarity.sq8TopKFromBounds(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", mn, mx, queryId = 0L, k = 10)
+    }),
+
+    // ---- SQ8 recall@10 vs the exact float-cosine ranking ----
+    "q_sq8_recall" -> ((s, dir) => {
+      // the family-completeness row (r14 verdict item 3): every ANN
+      // member publishes its accuracy against the exact ranking
+      // (q_ann_recall, q_pq_recall, q_ivf_sweep) — this is SQ8's.
+      val (mn, mx) = storedSq8Bounds(s, dir)
+      Similarity.sq8Recall(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", mn, mx, queryId = 0L, k = 10)
+    }),
 
     // ---- caption-table skew audit (cross-modal pairing guard) ----
     "q_caption_audit" -> ((s, dir) => {
@@ -126,6 +155,36 @@ object Round14Queries {
            ROUND(list_cosine_similarity(vhat, qh), 6) AS sim
          FROM rec CROSS JOIN q
          ORDER BY list_cosine_similarity(vhat, qh) DESC, vec_id LIMIT 10""",
+
+    "q_sq8_recall" ->
+      // exact ranking: cosine of the raw double-cast vectors against
+      // the raw vec-0 probe; approx ranking: the q_sq8_topk rec CTE.
+      // Both tie-break by vec_id; the overlap count is the row.
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         d AS (
+           SELECT vec_id, r.dim, v[r.dim] AS x
+           FROM e CROSS JOIN range(1, 65) r(dim)),
+         b AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY dim),
+         bb AS (SELECT list(mn ORDER BY dim) AS mns,
+                       list(mx ORDER BY dim) AS mxs FROM b),
+         rec AS (
+           SELECT vec_id, list_transform(range(1, 65), i ->
+             CASE WHEN mxs[i] > mns[i] THEN
+               mns[i] + LEAST(GREATEST(FLOOR(
+                 (v[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]) + 0.5),
+                 0), 255) * (mxs[i] - mns[i]) / 255.0
+             ELSE mns[i] END) AS vhat
+           FROM e CROSS JOIN bb),
+         q AS (SELECT vhat AS qh FROM rec WHERE vec_id = 0),
+         qe AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         approx AS (SELECT vec_id FROM rec CROSS JOIN q
+           ORDER BY list_cosine_similarity(vhat, qh) DESC, vec_id LIMIT 10),
+         exact AS (SELECT vec_id FROM e CROSS JOIN qe
+           ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10)
+         SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS recall
+         FROM exact JOIN approx USING (vec_id)""",
 
     "q_media_jpeg_thumbs" ->
       // thumb pixel (r, c) inherits block (r/8, c/8)'s constant value:

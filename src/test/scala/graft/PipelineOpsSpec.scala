@@ -300,6 +300,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"similarities not strictly decreasing: $got")
   }
 
+  test("sq8 staged serving: stored-bounds path matches the inline build; recall row audits vs exact") {
+    val rnd = new scala.util.Random(15)
+    val dims = 16
+    val a = Array.fill(dims)(rnd.nextGaussian())
+    def noisy(scale: Double, seed: Int) = perturb(a, scale, seed)
+    val rows = Seq(
+      (0L, a), (1L, noisy(0.01, 1)), (2L, noisy(0.4, 2)),
+      (3L, noisy(0.8, 3)), (4L, a.map(-_)),
+      (5L, Array.fill(dims)(rnd.nextGaussian())))
+      .map { case (id, v) => (id, v.map(_.toFloat)) }
+    val df = rows.toDF("vec_id", "embedding")
+    val b = Similarity.sq8Bounds(df, "embedding").orderBy("dim").collect()
+    val mn = b.map(_.getAs[Double]("mn"))
+    val mx = b.map(_.getAs[Double]("mx"))
+    // serving over pre-trained bounds is the SAME ranking the inline
+    // build produces (the bounds aggregate is deterministic min/max)
+    val inline = Similarity.sq8TopK(df, "vec_id", "embedding",
+      queryId = 0L, k = 4).collect().toSeq
+    val staged = Similarity.sq8TopKFromBounds(df, "vec_id", "embedding",
+      mn, mx, queryId = 0L, k = 4).collect().toSeq
+    assert(inline == staged)
+    // similarity gaps here are orders of magnitude above the <=1/255
+    // per-dim quantization error, so SQ8 agrees with the exact ranking
+    val rec = Similarity.sq8Recall(df, "vec_id", "embedding",
+      mn, mx, queryId = 0L, k = 3).head()
+    assert(rec.getInt(0) == 3)
+    assert(rec.getLong(1) == 3L)
+    assert(rec.getDouble(2) == 1.0)
+  }
+
   test("cosine near-dup pairs: planted duplicates found, random pairs excluded") {
     val rnd = new scala.util.Random(3)
     val dims = 64
