@@ -71,7 +71,8 @@ object SparkEntry {
     graft.queries.Round12aQueries.queries ++
     graft.queries.Round12bQueries.queries ++
     graft.queries.Round13aQueries.queries ++
-    graft.queries.Round14Queries.queries
+    graft.queries.Round14Queries.queries ++
+    graft.queries.Round15Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -130,5 +131,6 @@ object SparkEntry {
     graft.queries.Round12aQueries.oracles ++
     graft.queries.Round12bQueries.oracles ++
     graft.queries.Round13aQueries.oracles ++
-    graft.queries.Round14Queries.oracles
+    graft.queries.Round14Queries.oracles ++
+    graft.queries.Round15Queries.oracles
 }

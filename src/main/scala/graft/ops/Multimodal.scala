@@ -550,6 +550,34 @@ object Multimodal {
     val dcCodes = jpegBuildCodes(JpegDcBits, JpegDcVals)
     val acCodes = jpegBuildCodes(JpegAcBits, JpegAcVals)
     val bw = new JpegBitWriter(out)
+    val blocksW = (w + 7) / 8; val blocksH = (h + 7) / 8
+    var prevDc = 0
+    val scratch = new JpegEncodeScratch
+    for (by <- 0 until blocksH; bx <- 0 until blocksW)
+      prevDc = jpegEncodeBlock(bw, px, w, h, bx, by, prevDc,
+        dcCodes, acCodes, scratch)
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Reusable FDCT scratch buffers for the block encoder. */
+  private final class JpegEncodeScratch {
+    val f: Array[Array[Double]] = Array.ofDim[Double](8, 8)
+    val tmp: Array[Array[Double]] = Array.ofDim[Double](8, 8)
+    val coef: Array[Int] = new Array[Int](64)
+  }
+
+  /** Encode one 8x8 block of `plane` (pw x ph, edge-replicated at the
+    * right/bottom pad) at block origin (bx*8, by*8): level shift,
+    * FDCT, all-ones quantization, DC difference + AC run-length
+    * Huffman write. Returns the block's DC (the next predictor).
+    */
+  private def jpegEncodeBlock(bw: JpegBitWriter, plane: Array[Int],
+      pw: Int, ph: Int, bx: Int, by: Int, prevDc: Int,
+      dcCodes: Map[Int, (Int, Int)], acCodes: Map[Int, (Int, Int)],
+      scratch: JpegEncodeScratch): Int = {
+    val f = scratch.f; val tmp = scratch.tmp; val coef = scratch.coef
     def category(v: Int): Int = {
       var s = 0; var a = math.abs(v)
       while (a != 0) { s += 1; a >>>= 1 }
@@ -557,60 +585,153 @@ object Multimodal {
     }
     def writeMagnitude(v: Int, s: Int): Unit =
       if (s > 0) bw.write(if (v >= 0) v else v + (1 << s) - 1, s)
-    val blocksW = (w + 7) / 8; val blocksH = (h + 7) / 8
-    var prevDc = 0
-    val f = Array.ofDim[Double](8, 8)
-    val tmp = Array.ofDim[Double](8, 8)
-    val coef = new Array[Int](64)
-    for (by <- 0 until blocksH; bx <- 0 until blocksW) {
-      // level-shifted samples, edge-replicated at the right/bottom pad
-      for (y <- 0 until 8; x <- 0 until 8) {
-        val sy = math.min(by * 8 + y, h - 1)
-        val sx = math.min(bx * 8 + x, w - 1)
-        f(y)(x) = px(sy * w + sx) - 128.0
-      }
-      // F = A f A^T via tmp = A f, F = tmp A^T
-      for (u <- 0 until 8; x <- 0 until 8) {
-        var s = 0.0
-        var y = 0
-        while (y < 8) { s += JpegDctBasis(u)(y) * f(y)(x); y += 1 }
-        tmp(u)(x) = s
-      }
-      for (u <- 0 until 8; v <- 0 until 8) {
-        var s = 0.0
-        var x = 0
-        while (x < 8) { s += tmp(u)(x) * JpegDctBasis(v)(x); x += 1 }
-        coef(u * 8 + v) = math.round(s).toInt // quant table is all ones
-      }
-      // DC: difference coding
-      val dc = coef(0)
-      val diff = dc - prevDc
-      prevDc = dc
-      val ds = category(diff)
-      val (dcode, dlen) = dcCodes(ds)
-      bw.write(dcode, dlen)
-      writeMagnitude(diff, ds)
-      // AC: run-length over zigzag order
-      var run = 0
-      for (zi <- 1 until 64) {
-        val v = coef(JpegZigzag(zi))
-        if (v == 0) run += 1
-        else {
-          while (run >= 16) {
-            val (zc, zl) = acCodes(0xf0); bw.write(zc, zl); run -= 16
-          }
-          val s = category(v)
-          val (ac, al) = acCodes((run << 4) | s)
-          bw.write(ac, al)
-          writeMagnitude(v, s)
-          run = 0
+    // level-shifted samples, edge-replicated at the right/bottom pad
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val sy = math.min(by * 8 + y, ph - 1)
+      val sx = math.min(bx * 8 + x, pw - 1)
+      f(y)(x) = plane(sy * pw + sx) - 128.0
+    }
+    // F = A f A^T via tmp = A f, F = tmp A^T
+    for (u <- 0 until 8; x <- 0 until 8) {
+      var s = 0.0
+      var y = 0
+      while (y < 8) { s += JpegDctBasis(u)(y) * f(y)(x); y += 1 }
+      tmp(u)(x) = s
+    }
+    for (u <- 0 until 8; v <- 0 until 8) {
+      var s = 0.0
+      var x = 0
+      while (x < 8) { s += tmp(u)(x) * JpegDctBasis(v)(x); x += 1 }
+      coef(u * 8 + v) = math.round(s).toInt // quant table is all ones
+    }
+    // DC: difference coding
+    val dc = coef(0)
+    val diff = dc - prevDc
+    val ds = category(diff)
+    val (dcode, dlen) = dcCodes(ds)
+    bw.write(dcode, dlen)
+    writeMagnitude(diff, ds)
+    // AC: run-length over zigzag order
+    var run = 0
+    for (zi <- 1 until 64) {
+      val v = coef(JpegZigzag(zi))
+      if (v == 0) run += 1
+      else {
+        while (run >= 16) {
+          val (zc, zl) = acCodes(0xf0); bw.write(zc, zl); run -= 16
         }
+        val s = category(v)
+        val (ac, al) = acCodes((run << 4) | s)
+        bw.write(ac, al)
+        writeMagnitude(v, s)
+        run = 0
       }
-      if (run > 0) { val (ec, el) = acCodes(0x00); bw.write(ec, el) } // EOB
+    }
+    if (run > 0) { val (ec, el) = acCodes(0x00); bw.write(ec, el) } // EOB
+    dc
+  }
+
+  /** Encode planar YCbCr as a real baseline color JFIF JPEG — the
+    * counterpart of [[jpegEncodeGray]]: all-ones quantization table 0
+    * shared by the three components, the Annex K luminance Huffman
+    * pair as DC0/AC0 for every component (conforming: table choice is
+    * free), one interleaved scan. `subsample` false emits 4:4:4 (all
+    * planes w x h); true emits 4:2:0 (luma 2x2, chroma planes
+    * ceil(w/2) x ceil(h/2) supplied by the CALLER at that size — no
+    * silent downsampling here, so block-constant chroma stays
+    * bit-exact by construction).
+    */
+  private[graft] def jpegEncodeYcc(w: Int, h: Int, yPx: Array[Int],
+      cbPx: Array[Int], crPx: Array[Int], subsample: Boolean): Array[Byte] = {
+    val cw = if (subsample) (w + 1) / 2 else w
+    val ch = if (subsample) (h + 1) / 2 else h
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff &&
+      yPx.length == w * h && cbPx.length == cw * ch &&
+      crPx.length == cw * ch, "bad dimensions")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(b => out.write(b & 0xff))
+    }
+    val lumaHv = if (subsample) 0x22 else 0x11
+    marker(0xd8) // SOI
+    seg(0xe0, Array(0x4a, 0x46, 0x49, 0x46, 0x00, // "JFIF\0"
+      1, 1, 0, 0, 1, 0, 1, 0, 0)) // v1.1, no density, no thumb
+    seg(0xdb, 0 +: Array.fill(64)(1)) // DQT: table 0, 8-bit, all ones
+    seg(0xc0, Array(8, (h >>> 8) & 0xff, h & 0xff, // SOF0: 8-bit
+      (w >>> 8) & 0xff, w & 0xff, 3, // 3 components
+      1, lumaHv, 0, // Y: sampling, quant table 0
+      2, 0x11, 0, // Cb
+      3, 0x11, 0)) // Cr
+    seg(0xc4, (0x00 +: JpegDcBits) ++ JpegDcVals) // DHT: DC table 0
+    seg(0xc4, (0x10 +: JpegAcBits) ++ JpegAcVals) // DHT: AC table 0
+    seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)) // SOS
+    val dcCodes = jpegBuildCodes(JpegDcBits, JpegDcVals)
+    val acCodes = jpegBuildCodes(JpegAcBits, JpegAcVals)
+    val bw = new JpegBitWriter(out)
+    val scratch = new JpegEncodeScratch
+    val hs = if (subsample) 2 else 1
+    val mcusX = (w + 8 * hs - 1) / (8 * hs)
+    val mcusY = (h + 8 * hs - 1) / (8 * hs)
+    var dcY = 0; var dcCb = 0; var dcCr = 0
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      for (j <- 0 until hs; i <- 0 until hs)
+        dcY = jpegEncodeBlock(bw, yPx, w, h, mx * hs + i, my * hs + j,
+          dcY, dcCodes, acCodes, scratch)
+      dcCb = jpegEncodeBlock(bw, cbPx, cw, ch, mx, my, dcCb,
+        dcCodes, acCodes, scratch)
+      dcCr = jpegEncodeBlock(bw, crPx, cw, ch, mx, my, dcCr,
+        dcCodes, acCodes, scratch)
     }
     bw.flush()
     marker(0xd9) // EOI
     out.toByteArray
+  }
+
+  /** Encode packed 0xRRGGBB as a baseline color JPEG: JFIF forward
+    * convert (Y = 0.299R + 0.587G + 0.114B; Cb/Cr per T.871), each
+    * channel rounded floor(x + 0.5) and clamped, then
+    * [[jpegEncodeYcc]]. 4:2:0 chroma is the exact 2x2 box mean
+    * floor((a+b+c+d)/4 + 0.5) with edge replication — constant-chroma
+    * regions subsample to themselves, keeping the block-constant
+    * bit-exactness contract.
+    */
+  private[graft] def jpegEncodeColor(w: Int, h: Int, rgb: Array[Int],
+      subsample: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h, "bad dimensions")
+    def clamp8(v: Double): Int = {
+      val r = math.round(v).toInt
+      if (r < 0) 0 else if (r > 255) 255 else r
+    }
+    val yPx = new Array[Int](w * h)
+    val cbF = new Array[Int](w * h)
+    val crF = new Array[Int](w * h)
+    var k = 0
+    while (k < rgb.length) {
+      val r = (rgb(k) >>> 16) & 0xff
+      val g = (rgb(k) >>> 8) & 0xff
+      val b = rgb(k) & 0xff
+      yPx(k) = clamp8(0.299 * r + 0.587 * g + 0.114 * b)
+      cbF(k) = clamp8(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+      crF(k) = clamp8(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+      k += 1
+    }
+    if (!subsample) jpegEncodeYcc(w, h, yPx, cbF, crF, subsample = false)
+    else {
+      val cw = (w + 1) / 2; val ch = (h + 1) / 2
+      def box(full: Array[Int]): Array[Int] = Array.tabulate(cw * ch) { t =>
+        val cy = t / cw; val cx = t % cw
+        val x0 = 2 * cx; val y0 = 2 * cy
+        val x1 = math.min(x0 + 1, w - 1); val y1 = math.min(y0 + 1, h - 1)
+        val s = full(y0 * w + x0) + full(y0 * w + x1) +
+          full(y1 * w + x0) + full(y1 * w + x1)
+        (s + 2) / 4 // floor(s/4 + 0.5) on non-negative ints
+      }
+      jpegEncodeYcc(w, h, yPx, box(cbF), box(crF), subsample = true)
+    }
   }
 
   /** MSB-first bit reader over the entropy-coded segment: un-stuffs
@@ -657,23 +778,118 @@ object Multimodal {
     }
   }
 
-  /** Decode a baseline sequential grayscale JPEG to (width, height,
-    * row-major pixels): full marker walk (DQT with 8/16-bit tables,
-    * SOF0, DHT, DRI, skip APPn/COM), canonical Huffman decode, DC
-    * prediction with restart-interval resets, dequantization, inverse
-    * zigzag, separable IDCT, level shift, clamp. Throws on anything
-    * outside the baseline grayscale subset — callers flag, never
-    * crash.
+  /** One decoded frame component: cropped plane dims + row-major
+    * samples, plus its sampling factors relative to the frame.
     */
-  private[graft] def decodeJpegGrayDims(p: Array[Byte]): (Int, Int, Array[Int]) = {
-    def fail(msg: String) = throw new IllegalArgumentException(msg)
+  private[graft] final case class JpegPlane(cw: Int, ch: Int, hs: Int,
+    vs: Int, px: Array[Int])
+
+  private def jpegFail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  /** Canonical Huffman symbol decode against a (length, code) table. */
+  private def jpegDecodeSymbol(br: JpegBitReader,
+      tbl: Map[(Int, Int), Int]): Int = {
+    var code = 0; var len = 0
+    while (len < 16) {
+      val b = br.readBit()
+      if (b < 0) jpegFail("truncated entropy data")
+      code = (code << 1) | b; len += 1
+      tbl.get((len, code)) match {
+        case Some(sym) => return sym
+        case None => ()
+      }
+    }
+    jpegFail("invalid Huffman code")
+  }
+
+  private def jpegExtend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Decode one entropy-coded block into dequantized natural-order
+    * coefficients; returns the block's DC (the next predictor value).
+    */
+  private def jpegDecodeBlock(br: JpegBitReader,
+      dcTbl: Map[(Int, Int), Int], acTbl: Map[(Int, Int), Int],
+      qt: Array[Int], prevDc: Int, coef: Array[Int]): Int = {
+    java.util.Arrays.fill(coef, 0)
+    val ds = jpegDecodeSymbol(br, dcTbl)
+    if (ds > 11) jpegFail("bad DC category")
+    val dc = prevDc + jpegExtend(br.readBits(ds), ds)
+    coef(0) = dc * qt(0)
+    var zi = 1
+    var eob = false
+    while (zi < 64 && !eob) {
+      val sym = jpegDecodeSymbol(br, acTbl)
+      if (sym == 0x00) eob = true // EOB
+      else if (sym == 0xf0) zi += 16 // ZRL
+      else {
+        zi += (sym >>> 4)
+        val s = sym & 0x0f
+        if (zi > 63 || s == 0) jpegFail("bad AC symbol")
+        coef(JpegZigzag(zi)) = jpegExtend(br.readBits(s), s) * qt(zi)
+        zi += 1
+      }
+    }
+    dc
+  }
+
+  /** Separable IDCT + level shift + clamp of one block into a plane at
+    * block origin (bx*8, by*8), cropping at the plane edges.
+    * f = A^T F A via ftmp = A^T F, f = ftmp A.
+    */
+  private def jpegIdctToPlane(coef: Array[Int], plane: Array[Int],
+      pw: Int, ph: Int, bx: Int, by: Int,
+      ftmp: Array[Array[Double]]): Unit = {
+    for (x <- 0 until 8; v <- 0 until 8) {
+      var s = 0.0
+      var u = 0
+      while (u < 8) { s += JpegDctBasis(u)(x) * coef(u * 8 + v); u += 1 }
+      ftmp(x)(v) = s
+    }
+    for (y <- 0 until 8) {
+      val sy = by * 8 + y
+      if (sy < ph) {
+        for (x <- 0 until 8) {
+          val sx = bx * 8 + x
+          if (sx < pw) {
+            var s = 0.0
+            var v = 0
+            while (v < 8) { s += ftmp(y)(v) * JpegDctBasis(v)(x); v += 1 }
+            val pix = math.round(s + 128.0).toInt
+            plane(sy * pw + sx) =
+              if (pix < 0) 0 else if (pix > 255) 255 else pix
+          }
+        }
+      }
+    }
+  }
+
+  /** Decode a baseline sequential JPEG to per-component planes: full
+    * marker walk (DQT with 8/16-bit tables, SOF0/1, DHT, DRI, skip
+    * APPn/COM), canonical Huffman decode, per-component DC prediction
+    * with restart-interval resets (per MCU), dequantization, inverse
+    * zigzag, separable IDCT, level shift, clamp. Supported frames:
+    * 1 component at 1x1 (grayscale), or 3 components (YCbCr) with
+    * luma sampling up to 2x2 and 1x1 chroma — 4:4:4, 4:2:2, 4:4:0,
+    * 4:2:0 — in one interleaved scan. Throws IllegalArgumentException
+    * on anything else — callers flag, never crash.
+    */
+  private[graft] def jpegDecodePlanes(
+      p: Array[Byte]): (Int, Int, Array[JpegPlane]) = {
+    def fail(msg: String) = jpegFail(msg)
     if (!isJpeg(p)) fail("not a JPEG")
     val quant = Array.fill(4)(null: Array[Int])
     // Huffman decode tables: (class 0/1, id) -> (length, code) -> symbol
     val huff = Array.fill(2, 4)(null: Map[(Int, Int), Int])
     var w = -1; var h = -1
-    var quantId = -1
-    var dcId = -1; var acId = -1
+    var nComp = 0
+    var compId: Array[Int] = null   // component ids as declared in SOF
+    var compH: Array[Int] = null    // horizontal sampling factors
+    var compV: Array[Int] = null    // vertical sampling factors
+    var compQ: Array[Int] = null    // quant table ids
+    var compDc: Array[Int] = null   // DC Huffman ids (from SOS)
+    var compAc: Array[Int] = null   // AC Huffman ids (from SOS)
     var restartInterval = 0
     var pos = 2
     def u16(off: Int): Int = ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
@@ -686,14 +902,20 @@ object Multimodal {
       else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2 // standalone
       else {
         val len = u16(pos + 2)
+        if (len < 2) fail("bad segment length")
         val body = pos + 4
-        if (body + len - 2 > p.length) fail("segment overruns payload")
+        val segEnd = body + len - 2
+        if (segEnd > p.length) fail("segment overruns payload")
         m match {
           case 0xdb => // DQT: one or more tables
             var q = body
-            while (q < body + len - 2) {
+            while (q < segEnd) {
               val pq = (p(q) & 0xf0) >>> 4; val tq = p(q) & 0x0f
               if (pq > 1 || tq > 3) fail("bad DQT")
+              // a short declared length must not read past the segment
+              // into the next marker's bytes (or off the payload end)
+              if (q + 1 + (if (pq == 1) 128 else 64) > segEnd)
+                fail("DQT overruns segment")
               val t = new Array[Int](64)
               var i = 0
               var r = q + 1
@@ -706,22 +928,54 @@ object Multimodal {
               q = r
             }
           case 0xc0 | 0xc1 => // SOF0/1 (sequential baseline/extended)
+            if (len < 11) fail("SOF segment too short")
             if ((p(body) & 0xff) != 8) fail("only 8-bit precision")
             h = u16(body + 1); w = u16(body + 3)
-            val nf = p(body + 5) & 0xff
-            if (nf != 1) fail("only grayscale (1 component) supported")
-            if ((p(body + 7) & 0xff) != 0x11) fail("only 1x1 sampling")
-            quantId = p(body + 8) & 0xff
+            if (w <= 0 || h <= 0) fail("bad SOF dimensions")
+            // the GIF lesson (decodeGifFramesGray): the decoder
+            // pre-allocates w*h pixel slots, 65535x65535 overflows Int,
+            // and an OutOfMemoryError is an Error the callers' `catch
+            // Exception` deliberately does not swallow — so a hostile
+            // 11-byte SOF must flag HERE, before any allocation
+            if (w.toLong * h > (1L << 24)) fail(s"frame size $w x $h too large")
+            nComp = p(body + 5) & 0xff
+            if (nComp != 1 && nComp != 3)
+              fail("only 1 (gray) or 3 (YCbCr) components supported")
+            if (len < 8 + 3 * nComp) fail("SOF segment too short")
+            compId = new Array[Int](nComp)
+            compH = new Array[Int](nComp)
+            compV = new Array[Int](nComp)
+            compQ = new Array[Int](nComp)
+            for (c <- 0 until nComp) {
+              compId(c) = p(body + 6 + 3 * c) & 0xff
+              val hv = p(body + 7 + 3 * c) & 0xff
+              compH(c) = (hv >>> 4) & 0x0f; compV(c) = hv & 0x0f
+              compQ(c) = p(body + 8 + 3 * c) & 0xff
+              if (compQ(c) > 3) fail("bad quant table id")
+            }
+            if (nComp == 1) {
+              if (compH(0) != 1 || compV(0) != 1) fail("only 1x1 sampling")
+            } else {
+              // luma up to 2x2; chroma must be 1x1 (the JFIF shapes:
+              // 4:4:4, 4:2:2, 4:4:0, 4:2:0)
+              if (compH(0) < 1 || compH(0) > 2 || compV(0) < 1 || compV(0) > 2)
+                fail("unsupported luma sampling")
+              if (compH(1) != 1 || compV(1) != 1 ||
+                  compH(2) != 1 || compV(2) != 1)
+                fail("unsupported chroma sampling")
+            }
           case 0xc2 => fail("progressive JPEG not supported")
           case mm if mm >= 0xc3 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 =>
             fail("unsupported SOF variant")
           case 0xc4 => // DHT: one or more tables
             var q = body
-            while (q < body + len - 2) {
+            while (q < segEnd) {
               val tc = (p(q) & 0xf0) >>> 4; val th = p(q) & 0x0f
               if (tc > 1 || th > 3) fail("bad DHT")
+              if (q + 17 > segEnd) fail("DHT overruns segment")
               val bits = Array.tabulate(16)(i => p(q + 1 + i) & 0xff)
               val n = bits.sum
+              if (q + 17 + n > segEnd) fail("DHT overruns segment")
               val vals = Array.tabulate(n)(i => p(q + 17 + i) & 0xff)
               var code = 0; var k = 0
               val tbl = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
@@ -734,103 +988,154 @@ object Multimodal {
               huff(tc)(th) = tbl.toMap
               q += 17 + n
             }
-          case 0xdd => restartInterval = u16(body) // DRI
+          case 0xdd => // DRI
+            if (len < 4) fail("DRI segment too short")
+            restartInterval = u16(body)
           case 0xda => // SOS
-            if ((p(body) & 0xff) != 1) fail("only single-component scans")
-            dcId = (p(body + 2) & 0xf0) >>> 4
-            acId = p(body + 2) & 0x0f
-            scanStart = body + len - 2
+            if (nComp == 0) fail("SOS before SOF")
+            val ns = p(body) & 0xff
+            if (ns != nComp) fail("scan must cover all frame components")
+            if (len < 6 + 2 * ns) fail("SOS segment too short") // Ls = 6 + 2Ns
+            compDc = new Array[Int](nComp)
+            compAc = new Array[Int](nComp)
+            for (c <- 0 until ns) {
+              // interleaved scans must list components in frame order
+              // (T.81 B.2.3); matching by position keeps MCU layout
+              // and table assignment in lockstep
+              if ((p(body + 1 + 2 * c) & 0xff) != compId(c))
+                fail("scan component order must match SOF")
+              val tt = p(body + 2 + 2 * c) & 0xff
+              compDc(c) = (tt >>> 4) & 0x0f
+              compAc(c) = tt & 0x0f
+              if (compDc(c) > 3 || compAc(c) > 3) fail("bad Huffman table id")
+            }
+            scanStart = segEnd
           case 0xd9 => fail("EOI before SOS")
           case _ => () // APPn, COM, others: skip
         }
-        if (scanStart < 0) pos = body + len - 2
+        if (scanStart < 0) pos = segEnd
       }
     }
     if (w <= 0 || h <= 0) fail("no SOF before SOS")
-    val qt = quant(quantId); if (qt == null) fail("missing quant table")
-    val dcTbl = huff(0)(dcId); val acTbl = huff(1)(acId)
-    if (dcTbl == null || acTbl == null) fail("missing Huffman table")
-    val br = new JpegBitReader(p, scanStart)
-    def decodeSymbol(tbl: Map[(Int, Int), Int]): Int = {
-      var code = 0; var len = 0
-      while (len < 16) {
-        val b = br.readBit()
-        if (b < 0) fail("truncated entropy data")
-        code = (code << 1) | b; len += 1
-        tbl.get((len, code)) match {
-          case Some(sym) => return sym
-          case None => ()
-        }
-      }
-      fail("invalid Huffman code")
+    val hMax = compH.max; val vMax = compV.max
+    val qts = Array.tabulate(nComp) { c =>
+      val qt = quant(compQ(c)); if (qt == null) fail("missing quant table"); qt
     }
-    def extend(v: Int, s: Int): Int =
-      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
-    val blocksW = (w + 7) / 8; val blocksH = (h + 7) / 8
-    val px = new Array[Int](w * h)
-    var prevDc = 0
+    val dcTbls = Array.tabulate(nComp) { c =>
+      val t = huff(0)(compDc(c)); if (t == null) fail("missing Huffman table"); t
+    }
+    val acTbls = Array.tabulate(nComp) { c =>
+      val t = huff(1)(compAc(c)); if (t == null) fail("missing Huffman table"); t
+    }
+    // cropped per-component plane dims (T.81 A.1.1 ceil scaling)
+    val planes = Array.tabulate(nComp) { c =>
+      val cw = (w * compH(c) + hMax - 1) / hMax
+      val ch = (h * compV(c) + vMax - 1) / vMax
+      JpegPlane(cw, ch, compH(c), compV(c), new Array[Int](cw * ch))
+    }
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val br = new JpegBitReader(p, scanStart)
+    val prevDc = new Array[Int](nComp)
     var sinceRestart = 0
     val coef = new Array[Int](64)
     val ftmp = Array.ofDim[Double](8, 8)
-    var by = 0
-    while (by < blocksH) {
-      var bx = 0
-      while (bx < blocksW) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && sinceRestart == restartInterval) {
-          br.consumeRst(); prevDc = 0; sinceRestart = 0
+          br.consumeRst()
+          java.util.Arrays.fill(prevDc, 0)
+          sinceRestart = 0
         }
-        java.util.Arrays.fill(coef, 0)
-        val ds = decodeSymbol(dcTbl)
-        if (ds > 11) fail("bad DC category")
-        prevDc += extend(br.readBits(ds), ds)
-        coef(0) = prevDc * qt(0)
-        var zi = 1
-        var eob = false
-        while (zi < 64 && !eob) {
-          val sym = decodeSymbol(acTbl)
-          if (sym == 0x00) eob = true // EOB
-          else if (sym == 0xf0) zi += 16 // ZRL
-          else {
-            zi += (sym >>> 4)
-            val s = sym & 0x0f
-            if (zi > 63 || s == 0) fail("bad AC symbol")
-            coef(JpegZigzag(zi)) = extend(br.readBits(s), s) * qt(zi)
-            zi += 1
-          }
-        }
-        // f = A^T F A via ftmp = A^T F, f = ftmp A
-        for (x <- 0 until 8; v <- 0 until 8) {
-          var s = 0.0
-          var u = 0
-          while (u < 8) { s += JpegDctBasis(u)(x) * coef(u * 8 + v); u += 1 }
-          ftmp(x)(v) = s
-        }
-        for (y <- 0 until 8) {
-          val sy = by * 8 + y
-          if (sy < h) {
-            for (x <- 0 until 8) {
-              val sx = bx * 8 + x
-              if (sx < w) {
-                var s = 0.0
-                var v = 0
-                while (v < 8) { s += ftmp(y)(v) * JpegDctBasis(v)(x); v += 1 }
-                val pix = math.round(s + 128.0).toInt
-                px(sy * w + sx) =
-                  if (pix < 0) 0 else if (pix > 255) 255 else pix
-              }
+        var c = 0
+        while (c < nComp) {
+          var j = 0
+          while (j < compV(c)) {
+            var i = 0
+            while (i < compH(c)) {
+              prevDc(c) = jpegDecodeBlock(br, dcTbls(c), acTbls(c),
+                qts(c), prevDc(c), coef)
+              jpegIdctToPlane(coef, planes(c).px, planes(c).cw,
+                planes(c).ch, mx * compH(c) + i, my * compV(c) + j, ftmp)
+              i += 1
             }
+            j += 1
           }
+          c += 1
         }
         sinceRestart += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    (w, h, px)
+    (w, h, planes)
+  }
+
+  /** Decode a baseline sequential GRAYSCALE JPEG to (width, height,
+    * row-major pixels) — the 1-component wrapper over
+    * [[jpegDecodePlanes]]; a color stream flags here, preserving the
+    * grayscale callers' contract.
+    */
+  private[graft] def decodeJpegGrayDims(p: Array[Byte]): (Int, Int, Array[Int]) = {
+    val (w, h, planes) = jpegDecodePlanes(p)
+    if (planes.length != 1)
+      jpegFail("only grayscale (1 component) supported")
+    (w, h, planes(0).px)
   }
 
   private[graft] def decodeJpegGray(p: Array[Byte]): Array[Int] =
     decodeJpegGrayDims(p)._3
+
+  /** Decode a baseline JPEG to (width, height, packed 0xRRGGBB): the
+    * 3-component YCbCr path upsamples chroma by sample replication
+    * (box/nearest — the deterministic choice a generation-rule oracle
+    * can replay; on MCU-constant chroma every conforming upsampler
+    * agrees) and converts with the JFIF fixed-point-free formulas
+    *   R = Y + 1.402 (Cr-128)
+    *   G = Y - 0.344136 (Cb-128) - 0.714136 (Cr-128)
+    *   B = Y + 1.772 (Cb-128)
+    * each rounded floor(x + 0.5) (= Math.round on doubles — IEEE
+    * bit-defined, so DuckDB replays it exactly) and clamped to 0..255.
+    * A 1-component stream decodes to R=G=B=Y (JFIF grayscale).
+    */
+  private[graft] def decodeJpegRgbDims(p: Array[Byte]): (Int, Int, Array[Int]) = {
+    val (w, h, planes) = jpegDecodePlanes(p)
+    val out = new Array[Int](w * h)
+    if (planes.length == 1) {
+      val y = planes(0).px
+      var k = 0
+      while (k < out.length) {
+        val v = y(k); out(k) = (v << 16) | (v << 8) | v; k += 1
+      }
+    } else {
+      val yp = planes(0); val cbp = planes(1); val crp = planes(2)
+      val hMax = planes.map(_.hs).max; val vMax = planes.map(_.vs).max
+      var yy = 0
+      while (yy < h) {
+        val cbRow = (yy * cbp.vs) / vMax * cbp.cw
+        val crRow = (yy * crp.vs) / vMax * crp.cw
+        var xx = 0
+        while (xx < w) {
+          val lum = yp.px(yy * yp.cw + xx).toDouble
+          val cb = cbp.px(cbRow + (xx * cbp.hs) / hMax) - 128.0
+          val cr = crp.px(crRow + (xx * crp.hs) / hMax) - 128.0
+          def clamp8(v: Double): Int = {
+            val r = math.round(v).toInt
+            if (r < 0) 0 else if (r > 255) 255 else r
+          }
+          val r = clamp8(lum + 1.402 * cr)
+          val g = clamp8(lum - 0.344136 * cb - 0.714136 * cr)
+          val b = clamp8(lum + 1.772 * cb)
+          out(yy * w + xx) = (r << 16) | (g << 8) | b
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+    (w, h, out)
+  }
 
   /** A real, decodable baseline grayscale JFIF JPEG built from 8x8
     * CONSTANT blocks, which quantize to a DC-only coefficient set and
@@ -935,6 +1240,89 @@ object Multimodal {
       val row = MediaRow(id, "image", jpegPayload(id), "jpeg", w, h, 0L)
       if (id % 97 == 0) row.payload(0) = 0x42 // corrupt
       row
+    }
+  }
+
+  /** A real, decodable baseline 4:2:0 COLOR JFIF JPEG (r14 verdict
+    * item 6): mw = id%3+1 x mh = id%2+1 MCUs of 16x16 (w = 16mw,
+    * h = 16mh); Y constant per 8x8 luma block
+    * (y = (id + 11 bi + 17 bj) mod 256 over the luma-block grid),
+    * chroma constant per MCU (cb = (3id + 29 mi + 31 mj) mod 256,
+    * cr = (5id + 37 mi + 41 mj) mod 256) — every block DC-only, so
+    * decode + replication upsample are generation-rule exact and the
+    * RGB stats replay in SQL through the floor(x+0.5) JFIF convert
+    * ([[decodeJpegRgbDims]]'s formulas, IEEE-double bit-defined).
+    */
+  def jpegColorPayload(id: Long): Array[Byte] = {
+    val mw = (id % 3 + 1).toInt; val mh = (id % 2 + 1).toInt
+    val w = 16 * mw; val h = 16 * mh
+    val yPx = Array.tabulate(w * h) { k =>
+      val bi = (k / w) / 8; val bj = (k % w) / 8
+      ((id + 11 * bi + 17 * bj) % 256).toInt
+    }
+    val cw = w / 2; val ch = h / 2
+    val cb = Array.tabulate(cw * ch) { k =>
+      val mi = (k / cw) / 8; val mj = (k % cw) / 8
+      ((3 * id + 29 * mi + 31 * mj) % 256).toInt
+    }
+    val cr = Array.tabulate(cw * ch) { k =>
+      val mi = (k / cw) / 8; val mj = (k % cw) / 8
+      ((5 * id + 37 * mi + 41 * mj) % 256).toInt
+    }
+    jpegEncodeYcc(w, h, yPx, cb, cr, subsample = true)
+  }
+
+  /** Decodable 4:2:0 color JPEG media table (every 97th corrupted,
+    * the [[decodableMedia]] discipline).
+    */
+  def decodableJpegColor(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val w = 16 * (id % 3 + 1).toInt; val h = 16 * (id % 2 + 1).toInt
+      val row = MediaRow(id, "image", jpegColorPayload(id), "jpeg", w, h, 0L)
+      if (id % 97 == 0) row.payload(0) = 0x42 // corrupt
+      row
+    }
+  }
+
+  /** Per-media RGB stats of decoded COLOR media: channel sums plus the
+    * global min/max over all three channels — the oracle-replayable
+    * projection of a full color decode.
+    */
+  final case class MediaRgb(media_id: Long, w: Int, h: Int, n_px: Long,
+    r_sum: Long, g_sum: Long, b_sum: Long, rgb_min: Long, rgb_max: Long,
+    decode_ok: Boolean)
+
+  /** Decode color media through [[decodeJpegRgbDims]] (pure per-row
+    * map, zero shuffle — the [[extractFeatures]] shape) and report
+    * per-channel stats; malformed payloads flag, never crash.
+    */
+  def rgbStats(media: Dataset[MediaRow]): Dataset[MediaRgb] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        try {
+          require(isJpeg(m.payload), "not a JPEG")
+          val (w, h, rgb) = decodeJpegRgbDims(m.payload)
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var mn = 255L; var mx = 0L
+          rgb.foreach { p =>
+            val r = (p >>> 16) & 0xff; val g = (p >>> 8) & 0xff
+            val b = p & 0xff
+            rs += r; gs += g; bs += b
+            val lo = math.min(r, math.min(g, b))
+            val hi = math.max(r, math.max(g, b))
+            if (lo < mn) mn = lo
+            if (hi > mx) mx = hi
+          }
+          MediaRgb(m.media_id, w, h, rgb.length.toLong, rs, gs, bs,
+            mn, mx, decode_ok = true)
+        } catch { case _: Exception =>
+          MediaRgb(m.media_id, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L,
+            decode_ok = false)
+        }
+      }
     }
   }
 

@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-15 pack: the baseline 4:2:0 COLOR JPEG path as a first-class
+  * driver row (r14 verdict item 6 — the last media-family boundary
+  * that was grayscale-only; real corpora are 3-component YCbCr).
+  */
+object Round15Queries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- real 4:2:0 color JPEG decode + RGB stats ----
+    "q_media_jpeg_color" -> ((s, dir) => {
+      // genuine interleaved 3-component 4:2:0 baseline payloads: Y
+      // constant per 8x8 luma block, chroma constant per 16x16 MCU —
+      // all DC-only, so the decoded YCbCr is generation-rule exact and
+      // the RGB stats replay through the floor(x+0.5) JFIF convert
+      // (IEEE-double bit-defined in both engines). A bug anywhere in
+      // the color path — MCU interleave order, per-component DC
+      // prediction, chroma upsample, the convert — breaks the hash.
+      // Every 97th payload is corrupted and must flag, not crash.
+      // JpegCodecSpec cross-checks the color pair against ImageIO in
+      // BOTH directions.
+      Multimodal.rgbStats(Multimodal.decodableJpegColor(
+          Tables.load(s, dir, "documents"), "doc_id"))
+        .toDF()
+        .select(col("media_id"), col("w"), col("h"), col("n_px"),
+          col("r_sum"), col("g_sum"), col("b_sum"), col("rgb_min"),
+          col("rgb_max"), col("decode_ok"))
+        .orderBy(col("media_id"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+
+    "q_media_jpeg_color" ->
+      // generation rule: mw = id%3+1, mh = id%2+1 MCUs of 16x16;
+      // luma block (bi, bj) = (id + 11 bi + 17 bj) % 256 with
+      // bi = 2 mi + dd/2, bj = 2 mj + dd%2; chroma per MCU
+      // cb = (3 id + 29 mi + 31 mj) % 256, cr = (5 id + 37 mi + 41 mj)
+      // % 256; RGB = JFIF inverse convert, FLOOR(x + 0.5), clamped —
+      // the decoder's exact arithmetic (Multimodal.decodeJpegRgbDims)
+      """WITH m AS (
+           SELECT doc_id AS media_id, doc_id % 3 + 1 AS mw,
+             doc_id % 2 + 1 AS mh, doc_id % 97 = 0 AS corrupted
+           FROM documents),
+         u AS (
+           SELECT media_id, mw, mh, corrupted,
+             flatten(flatten(list_transform(range(0, mh), mi ->
+               list_transform(range(0, mw), mj ->
+                 list_transform(range(0, 4), dd -> {
+                   'y': (media_id + 11 * (2 * mi + dd // 2)
+                         + 17 * (2 * mj + dd % 2)) % 256,
+                   'cb': (3 * media_id + 29 * mi + 31 * mj) % 256,
+                   'cr': (5 * media_id + 37 * mi + 41 * mj) % 256
+                 }))))) AS blocks
+           FROM m),
+         v AS (
+           SELECT media_id, mw, mh, corrupted,
+             list_transform(blocks, s -> {
+               'r': LEAST(255, GREATEST(0,
+                 FLOOR(s.y + 1.402 * (s.cr - 128) + 0.5))),
+               'g': LEAST(255, GREATEST(0,
+                 FLOOR(s.y - 0.344136 * (s.cb - 128)
+                   - 0.714136 * (s.cr - 128) + 0.5))),
+               'b': LEAST(255, GREATEST(0,
+                 FLOOR(s.y + 1.772 * (s.cb - 128) + 0.5)))
+             }) AS px
+           FROM u)
+         SELECT media_id,
+           CASE WHEN corrupted THEN 0 ELSE 16 * mw END AS w,
+           CASE WHEN corrupted THEN 0 ELSE 16 * mh END AS h,
+           CASE WHEN corrupted THEN 0
+             ELSE CAST(256 * mw * mh AS BIGINT) END AS n_px,
+           CASE WHEN corrupted THEN 0 ELSE CAST(
+             64 * list_sum(list_transform(px, s -> s.r)) AS BIGINT)
+             END AS r_sum,
+           CASE WHEN corrupted THEN 0 ELSE CAST(
+             64 * list_sum(list_transform(px, s -> s.g)) AS BIGINT)
+             END AS g_sum,
+           CASE WHEN corrupted THEN 0 ELSE CAST(
+             64 * list_sum(list_transform(px, s -> s.b)) AS BIGINT)
+             END AS b_sum,
+           CASE WHEN corrupted THEN 0 ELSE CAST(list_min(
+             list_transform(px, s -> LEAST(s.r, s.g, s.b))) AS BIGINT)
+             END AS rgb_min,
+           CASE WHEN corrupted THEN 0 ELSE CAST(list_max(
+             list_transform(px, s -> GREATEST(s.r, s.g, s.b))) AS BIGINT)
+             END AS rgb_max,
+           NOT corrupted AS decode_ok
+         FROM v ORDER BY media_id""")
+}

@@ -106,27 +106,183 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("restart markers: DRI-segmented streams decode with DC prediction resets") {
-    // ImageIO's writer can be asked for restart intervals via param?
-    // No public knob — so synthesize the check the other way: our
-    // encoder never emits DRI, so splice one in is not possible
-    // without re-coding. Instead decode an ImageIO payload with DRI
-    // if the platform writer emits one; otherwise assert our reader's
-    // marker walk at least tolerates a DRI segment header.
-    // Deterministic construction: encode, then inject a DRI segment
-    // (interval 0 = disabled) before SOS — a legal stream our decoder
-    // must walk past.
-    val px = Array.tabulate(64)(k => k * 3 % 256)
-    val payload = Multimodal.jpegEncodeGray(8, 8, px)
-    // find SOS (FFDA) and inject FFDD 0004 0000 before it
-    val idx = payload.sliding(2).indexWhere(s =>
+  // byte offset just past the SOS header = start of entropy data
+  private def sosEnd(p: Array[Byte]): Int = {
+    val idx = sosIdx(p)
+    val len = ((p(idx + 2) & 0xff) << 8) | (p(idx + 3) & 0xff)
+    idx + 2 + len
+  }
+
+  private def sosIdx(p: Array[Byte]): Int = {
+    val idx = p.sliding(2).indexWhere(s =>
       (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xda)
     assert(idx > 0, "SOS not found")
+    idx
+  }
+
+  // entropy-coded bytes: SOS header end up to (not including) EOI
+  private def entropyBytes(p: Array[Byte]): Array[Byte] =
+    p.slice(sosEnd(p), p.length - 2)
+
+  test("restart markers: interval-0 DRI segment is walked past without effect") {
+    val px = Array.tabulate(64)(k => k * 3 % 256)
+    val payload = Multimodal.jpegEncodeGray(8, 8, px)
     val dri = Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x00).map(_.toByte)
+    val idx = sosIdx(payload)
     val spliced = payload.take(idx) ++ dri ++ payload.drop(idx)
     val (w, h, got) = Multimodal.decodeJpegGrayDims(spliced)
     assert(w === 8 && h === 8)
     assert(got.sameElements(Multimodal.decodeJpegGray(payload)))
+  }
+
+  test("restart markers: a real DRI=1 stream decodes, resetting DC prediction at RST0") {
+    // hand-assembled two-block stream (r14 advice): each block's
+    // entropy data comes from a FRESH single-block encode, so each is
+    // coded against DC prediction 0 — exactly what a conforming
+    // decoder reconstructs only if it resets the predictor at the
+    // restart marker. Constant blocks are DC-only, so a predictor bug
+    // shifts the second block's pixels and the bit-exact assert fails.
+    val a = Multimodal.jpegEncodeGray(8, 8, Array.fill(64)(100))
+    val b = Multimodal.jpegEncodeGray(8, 8, Array.fill(64)(200))
+    val c = Multimodal.jpegEncodeGray(16, 8, Array.fill(128)(0))
+    val header = c.take(sosEnd(c))
+    val idx = sosIdx(header)
+    val dri = Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x01).map(_.toByte)
+    val rst0 = Array(0xff, 0xd0).map(_.toByte)
+    val eoi = Array(0xff, 0xd9).map(_.toByte)
+    val withDri = header.take(idx) ++ dri ++ header.drop(idx)
+    val spliced = withDri ++ entropyBytes(a) ++ rst0 ++ entropyBytes(b) ++ eoi
+    val (w, h, px) = Multimodal.decodeJpegGrayDims(spliced)
+    assert(w === 16 && h === 8)
+    val expected = Array.tabulate(128)(k => if (k % 16 < 8) 100 else 200)
+    assert(px.sameElements(expected), "DC prediction not reset at RST0")
+    // the independent JDK reader agrees the stream is conforming
+    val (iw, ih, ipx) = imageIoDecode(spliced)
+    assert(iw === 16 && ih === 8)
+    assert(maxAbsDiff(px, ipx) <= 1)
+    // the same stream MISSING its restart marker must flag, not
+    // misdecode: the decoder expects RST0 after block 1 and finds
+    // entropy bits instead
+    val noRst = withDri ++ entropyBytes(a) ++ entropyBytes(b) ++ eoi
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeJpegGrayDims(noRst)
+    }
+  }
+
+  // ---- color path (r14 verdict item 6) ----
+
+  // the decoder's exact JFIF inverse convert, reimplemented
+  // independently for expected values
+  private def yccToRgb(y: Int, cb0: Int, cr0: Int): Int = {
+    val cb = cb0 - 128.0; val cr = cr0 - 128.0
+    def c8(v: Double) = math.max(0, math.min(255, math.round(v).toInt))
+    (c8(y + 1.402 * cr) << 16) | (c8(y - 0.344136 * cb -
+      0.714136 * cr) << 8) | c8(y + 1.772 * cb)
+  }
+
+  test("block-constant YCbCr round-trips bit-exactly through the color pair (4:4:4 and 4:2:0)") {
+    // 4:2:0: 32x16 = 2 MCUs; Y constant per 8x8 block, chroma plane
+    // constant per (subsampled) 8x8 block = per MCU — all DC-only
+    val w = 32; val h = 16
+    def yOf(bi: Int, bj: Int) = 16 * (bi * 4 + bj) + 10
+    val yPx = Array.tabulate(w * h)(k => yOf((k / w) / 8, (k % w) / 8))
+    def cbOf(mj: Int) = 100 + 50 * mj
+    def crOf(mj: Int) = 80 + 60 * mj
+    val cb = Array.tabulate((w / 2) * (h / 2))(k => cbOf((k % (w / 2)) / 8))
+    val cr = Array.tabulate((w / 2) * (h / 2))(k => crOf((k % (w / 2)) / 8))
+    val p420 = Multimodal.jpegEncodeYcc(w, h, yPx, cb, cr, subsample = true)
+    val (dw, dh, rgb) = Multimodal.decodeJpegRgbDims(p420)
+    assert(dw === w && dh === h)
+    val expected = Array.tabulate(w * h) { k =>
+      val mj = (k % w) / 16
+      yccToRgb(yOf((k / w) / 8, (k % w) / 8), cbOf(mj), crOf(mj))
+    }
+    assert(rgb.sameElements(expected), "4:2:0 not bit-exact")
+    // 4:4:4: full-res chroma, constant per 8x8 block
+    val cbF = Array.tabulate(w * h)(k => cbOf((k % w) / 16))
+    val crF = Array.tabulate(w * h)(k => crOf((k % w) / 16))
+    val p444 = Multimodal.jpegEncodeYcc(w, h, yPx, cbF, crF, subsample = false)
+    val (_, _, rgb444) = Multimodal.decodeJpegRgbDims(p444)
+    assert(rgb444.sameElements(expected), "4:4:4 not bit-exact")
+    // a grayscale stream through the RGB entry point: R = G = B = Y
+    val gray = Multimodal.jpegEncodeGray(8, 8, Array.fill(64)(77))
+    val (_, _, grgb) = Multimodal.decodeJpegRgbDims(gray)
+    assert(grgb.forall(_ == ((77 << 16) | (77 << 8) | 77)))
+  }
+
+  private def imageIoDecodeRgb(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    assert(img != null, "ImageIO could not read the payload")
+    val w = img.getWidth; val h = img.getHeight
+    val px = Array.tabulate(w * h)(k =>
+      img.getRGB(k % w, k / w) & 0xffffff)
+    (w, h, px)
+  }
+
+  private def maxChannelDiff(a: Array[Int], b: Array[Int]): Int =
+    a.zip(b).map { case (x, y) =>
+      math.max(math.abs(((x >>> 16) & 0xff) - ((y >>> 16) & 0xff)),
+        math.max(math.abs(((x >>> 8) & 0xff) - ((y >>> 8) & 0xff)),
+          math.abs((x & 0xff) - (y & 0xff))))
+    }.max
+
+  test("ImageIO reads our 4:4:4 color streams within conversion tolerance") {
+    // each decoder applies its own IDCT (+/-1 per component, Annex A)
+    // and its own YCbCr->RGB (libjpeg fixed-point vs our double,
+    // +/-1): |dR| <= 1 + 1.402 + 1 and |dB| <= 1 + 1.772 + 1 — use 4
+    val rnd = new scala.util.Random(77)
+    val w = 24; val h = 16
+    val rgb = Array.tabulate(w * h) { k =>
+      (rnd.nextInt(256) << 16) | (rnd.nextInt(256) << 8) | rnd.nextInt(256)
+    }
+    val p = Multimodal.jpegEncodeColor(w, h, rgb, subsample = false)
+    val (dw, dh, ours) = Multimodal.decodeJpegRgbDims(p)
+    val (iw, ih, theirs) = imageIoDecodeRgb(p)
+    assert(dw === iw && dh === ih && dw === w && dh === h)
+    assert(maxChannelDiff(ours, theirs) <= 4,
+      s"max channel diff ${maxChannelDiff(ours, theirs)}")
+  }
+
+  test("ImageIO reads our 4:2:0 streams (constant chroma, so upsamplers agree)") {
+    // fancy (triangle) upsampling vs our replication only agree on
+    // constant chroma — exactly the corpus discipline the driver rows
+    // use; Y varies freely
+    val rnd = new scala.util.Random(78)
+    val w = 32; val h = 32
+    val yPx = Array.tabulate(w * h)(_ => rnd.nextInt(256))
+    val cb = Array.fill((w / 2) * (h / 2))(90)
+    val cr = Array.fill((w / 2) * (h / 2))(170)
+    val p = Multimodal.jpegEncodeYcc(w, h, yPx, cb, cr, subsample = true)
+    val (dw, dh, ours) = Multimodal.decodeJpegRgbDims(p)
+    val (iw, ih, theirs) = imageIoDecodeRgb(p)
+    assert(dw === iw && dh === ih && dw === w && dh === h)
+    assert(maxChannelDiff(ours, theirs) <= 4,
+      s"max channel diff ${maxChannelDiff(ours, theirs)}")
+  }
+
+  test("our decoder reads ImageIO-ENCODED color JPEGs (4:2:0, two quant tables, four Huffman tables)") {
+    // equal-channel RGB forward-converts to Cb = Cr = 128 (constant),
+    // so libjpeg's default 4:2:0 subsampling and fancy upsampling are
+    // the identity on chroma and the decoders stay comparable; the
+    // stream still exercises real luma/chroma quant tables, the
+    // chroma DC/AC Huffman pair, component ids, and the MCU walk
+    val rnd = new scala.util.Random(79)
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.min(255, math.max(0, 4 * x + 3 * y + rnd.nextInt(7) - 3))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    val p = out.toByteArray
+    val (dw, dh, ours) = Multimodal.decodeJpegRgbDims(p)
+    val (iw, ih, theirs) = imageIoDecodeRgb(p)
+    assert(dw === iw && dh === ih && dw === w && dh === h)
+    assert(maxChannelDiff(ours, theirs) <= 4,
+      s"max channel diff ${maxChannelDiff(ours, theirs)}")
   }
 
   test("parseHeaders reads the real encoder's JFIF framing (header path and codec agree)") {

@@ -1,0 +1,172 @@
+package graft
+
+import graft.ops.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hostile-input properties for the baseline-grayscale JPEG decoder
+  * (r14 verdict item 4) — the GifPropertySpec discipline applied to
+  * the newest codec: fuzzed markers, truncated segments, hostile SOF
+  * dimensions (the GIF w*h pre-allocation lesson), short DQT/DHT
+  * declared lengths, entropy truncation mid-block, restart-marker
+  * abuse. The contract everywhere is flag-not-crash: hostile bytes
+  * throw IllegalArgumentException (an Exception the dataset callers
+  * catch into a flagged row), never an Error (OutOfMemoryError /
+  * NegativeArraySizeException would kill an executor), and never
+  * hang or allocate proportional to an unvalidated header field.
+  */
+class JpegHostileSpec extends AnyFunSuite {
+
+  private def valid(): Array[Byte] =
+    Multimodal.jpegEncodeGray(8, 8, Array.tabulate(64)(k => k * 3 % 256))
+
+  private def markerIdx(p: Array[Byte], m: Int): Int = {
+    val idx = p.sliding(2).indexWhere(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) == m)
+    assert(idx > 0, f"marker FF$m%02X not found")
+    idx
+  }
+
+  private def flags(p: Array[Byte]): Boolean =
+    try { Multimodal.decodeJpegGrayDims(p); false }
+    catch { case _: IllegalArgumentException => true }
+
+  test("hostile SOF dimensions flag before any pixel allocation (the GIF w*h lesson)") {
+    // patch the real encoder's SOF to declare 65535 x 65535: w*h
+    // overflows Int, and even representable huge dims must flag
+    // BEFORE the decoder allocates w*h ints from a tiny payload
+    val p = valid()
+    val body = markerIdx(p, 0xc0) + 4
+    for ((hh, ww) <- Seq((0xffff, 0xffff), (0x4000, 0x4000), (0xffff, 2))) {
+      val q = p.clone()
+      q(body + 1) = ((hh >>> 8) & 0xff).toByte; q(body + 2) = (hh & 0xff).toByte
+      q(body + 3) = ((ww >>> 8) & 0xff).toByte; q(body + 4) = (ww & 0xff).toByte
+      val t0 = System.nanoTime()
+      assert(flags(q), s"$ww x $hh must flag")
+      // flagging must happen at header-parse time, not after work
+      // proportional to the declared area
+      assert((System.nanoTime() - t0) < 1e9, s"$ww x $hh took too long")
+    }
+    // zero dimensions flag too (w*h = 0 would "fit" any bound)
+    for ((hh, ww) <- Seq((0, 8), (8, 0))) {
+      val q = p.clone()
+      q(body + 1) = ((hh >>> 8) & 0xff).toByte; q(body + 2) = (hh & 0xff).toByte
+      q(body + 3) = ((ww >>> 8) & 0xff).toByte; q(body + 4) = (ww & 0xff).toByte
+      assert(flags(q), s"$ww x $hh must flag")
+    }
+  }
+
+  test("truncation at every byte boundary flags or decodes, never crashes or hangs") {
+    val p = valid()
+    val full = Multimodal.decodeJpegGray(p)
+    val sosIdx = markerIdx(p, 0xda)
+    val len = ((p(sosIdx + 2) & 0xff) << 8) | (p(sosIdx + 3) & 0xff)
+    val scan = sosIdx + 2 + len
+    // every strict prefix: header truncation, segment truncation, and
+    // entropy truncation mid-block are all covered by construction.
+    // Prefixes ending before the entropy data MUST flag; entropy-region
+    // prefixes either flag (bits lost mid-block) or — once every block
+    // is present, e.g. only the EOI dropped — decode to the full image.
+    for (n <- 0 until p.length) {
+      val q = p.take(n)
+      try {
+        val (w, h, px) = Multimodal.decodeJpegGrayDims(q)
+        assert(n > scan, s"prefix $n decoded before entropy data exists")
+        assert(w === 8 && h === 8 && px.sameElements(full),
+          s"prefix $n decoded to something else")
+      } catch { case _: IllegalArgumentException => () }
+    }
+  }
+
+  test("short declared DQT length must not read past the segment") {
+    val p = valid()
+    val idx = markerIdx(p, 0xdb)
+    // declared length 3: one table-spec byte, then the 64 table bytes
+    // would overrun into the next segment
+    val q = p.clone()
+    q(idx + 2) = 0; q(idx + 3) = 3
+    assert(flags(q), "short DQT must flag")
+  }
+
+  test("short declared DHT length must not read past the segment") {
+    val p = valid()
+    val idx = markerIdx(p, 0xc4)
+    val q = p.clone()
+    // length 4: table-class byte + 2 of the 16 BITS bytes — the BITS
+    // read alone would overrun
+    q(idx + 2) = 0; q(idx + 3) = 4
+    assert(flags(q), "short DHT must flag")
+    // length covering BITS but not the declared symbol count
+    val r = p.clone()
+    r(idx + 2) = 0; r(idx + 3) = 19 // 2 + 1 + 16: zero room for symbols
+    assert(flags(r), "DHT with symbols past segment must flag")
+  }
+
+  test("bad table ids flag instead of indexing out of bounds") {
+    val p = valid()
+    val sof = markerIdx(p, 0xc0) + 4
+    val q = p.clone()
+    q(sof + 8) = 0x07 // quant table id 7 (tables array has 4 slots)
+    assert(flags(q), "quant id > 3 must flag")
+    val sos = markerIdx(p, 0xda) + 4
+    val r = p.clone()
+    r(sos + 2) = 0xff.toByte // DC table 15 / AC table 15
+    assert(flags(r), "Huffman table id > 3 must flag")
+  }
+
+  test("unsupported SOF variants and misplaced EOI flag cleanly") {
+    val p = valid()
+    val sofMarker = markerIdx(p, 0xc0)
+    val prog = p.clone(); prog(sofMarker + 1) = 0xc2.toByte
+    assert(flags(prog), "progressive must flag")
+    val lossless = p.clone(); lossless(sofMarker + 1) = 0xc3.toByte
+    assert(flags(lossless), "lossless SOF must flag")
+    // EOI spliced in before SOS
+    val eoiEarly = p.take(sofMarker) ++
+      Array(0xff.toByte, 0xd9.toByte) ++ p.drop(sofMarker)
+    assert(flags(eoiEarly), "EOI before SOS must flag")
+  }
+
+  test("restart-marker abuse: unexpected RSTn mid-entropy flags") {
+    // no DRI declared, but an unstuffed RST0 interrupts the entropy
+    // data two bytes in — the bit reader sees a real marker where a
+    // Huffman code is expected
+    val p = valid()
+    val sosIdx = markerIdx(p, 0xda)
+    val len = ((p(sosIdx + 2) & 0xff) << 8) | (p(sosIdx + 3) & 0xff)
+    val scan = sosIdx + 2 + len
+    val q = p.take(scan + 1) ++ Array(0xff.toByte, 0xd0.toByte) ++ p.drop(scan + 1)
+    assert(flags(q), "unexpected RST must flag")
+  }
+
+  test("single-byte fuzz over the whole payload: decode or flag, never crash/hang") {
+    val p = valid()
+    val rnd = new scala.util.Random(151)
+    var flagged = 0
+    for (_ <- 1 to 2000) {
+      val q = p.clone()
+      val at = rnd.nextInt(p.length)
+      q(at) = (rnd.nextInt(256)).toByte
+      // contract: IllegalArgumentException only — any Error or other
+      // unexpected Throwable fails the suite; a successful decode of a
+      // benignly-mutated stream is equally fine
+      try { Multimodal.decodeJpegGrayDims(q); () }
+      catch { case _: IllegalArgumentException => flagged += 1 }
+    }
+    info(s"flagged $flagged / 2000 single-byte mutations")
+  }
+
+  test("random-garbage and random-marker-soup payloads flag") {
+    val rnd = new scala.util.Random(152)
+    for (i <- 1 to 300) {
+      val n = 2 + rnd.nextInt(400)
+      val q = new Array[Byte](n)
+      rnd.nextBytes(q)
+      // force a JPEG signature half the time so the marker walk runs
+      if (i % 2 == 0 && n >= 4) {
+        q(0) = 0xff.toByte; q(1) = 0xd8.toByte; q(2) = 0xff.toByte
+      }
+      try { Multimodal.decodeJpegGrayDims(q); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+}
