@@ -454,6 +454,22 @@ object ScaleProbe100 {
           s"flagged=$flagged (exactly the planted 1/97)")
         j.getLong(0)
       }
+      // COLOR 4:2:0 JPEG decode at 100x (round 15): interleaved
+      // 3-component MCU scan (6 blocks per MCU), chroma upsample, JFIF
+      // convert — 1-6 MCUs per payload (mean 3 = 768 px), so ~770M RGB
+      // pixels through the full color path; flag count stays EXACTLY 1/97
+      val color = graft.ops.Multimodal.decodableJpegColor(ids, "doc_id")
+      time("rgbStats (real COLOR JPEG decode, 4:2:0 interleave), 1M payloads") {
+        val c = graft.ops.Multimodal.rgbStats(color)
+          .agg(sum(col("n_px")),
+            sum(when(col("decode_ok"), 0L).otherwise(1L))).head()
+        val flagged = c.getLong(1)
+        val expect = (n + 96) / 97
+        require(flagged == expect, s"flagged $flagged, expected $expect")
+        println(s"[probe100]   decoded rgb px=${c.getLong(0)} " +
+          s"flagged=$flagged (exactly the planted 1/97)")
+        c.getLong(0)
+      }
     }
 
     // ---- cross-modal caption-join adversary at 100x (round 14) ----
@@ -666,6 +682,24 @@ object ScaleProbe100 {
           s"(n_hits=${r.getLong(1)})")
         r.getLong(1)
       }
+      // the compressed-serving comparison: the same top-10 from the
+      // 64-byte int8 CODE table through the fused dequantize+cosine
+      // kernel — the scan a 100 TB deployment actually pays for
+      val codes = graft.ops.Similarity.sq8Encode(vecs, "id", "vec", mn, mx)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("sq8 ENCODE: 1M x 64d -> int8 code table (ingest-time, written once)") {
+        codes.count()
+      }
+      time("sq8 SERVE (codes): fused kernel top-10 over 64-byte codes, 1M vectors") {
+        val qhat = graft.ops.Similarity.sq8DequantizedProbe(
+          vecs, "id", "vec", mn, mx, queryId = 0L)
+        val top = graft.ops.Similarity.sq8TopKFromCodes(codes, "id",
+          "codes", mn, mx, qhat, k = 10).collect()
+        val ids = top.map(_.getLong(0)).toSet
+        require(ids == (0L to 9L).toSet, s"planted clique not the top-10: $ids")
+        top.length.toLong
+      }
+      codes.unpersist(blocking = false)
       vecs.unpersist(blocking = false)
     }
     spark.stop()

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
@@ -119,11 +119,161 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     copy(left = l, right = r)
 }
 
+/** SQ8 encode: array<float|double> -> BINARY int8 codes under fixed
+  * per-dimension bounds — the 4x-compressed embedding STORAGE format
+  * (one byte per dimension). Code i = floor((x - mn_i) * 255 /
+  * (mx_i - mn_i) + 0.5) clamped to 0..255 (0 for constant dims) — the
+  * exact IEEE-double formula of graft.ops.Similarity.sq8TopKFromBounds
+  * and its DuckDB oracle, so encode -> dequantize replays bit-exactly.
+  */
+case class Sq8Encode(child: Expression, mn: Seq[Double], mx: Seq[Double])
+    extends UnaryExpression {
+  require(mn.size == mx.size, "bounds length mismatch")
+  override def prettyName: String = "sq8_encode"
+  override def dataType: DataType = BinaryType
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(t, _) => t
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType == FloatType || elemType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<float|double> input, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val t = elemType
+    val n = math.min(a.numElements(), mn.size)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val span = mx(i) - mn(i)
+      if (span > 0.0) {
+        val x = if (t == FloatType) a.getFloat(i).toDouble else a.getDouble(i)
+        val c = math.floor((x - mn(i)) * 255.0 / span + 0.5)
+        val cc = if (c < 0.0) 0.0 else if (c > 255.0) 255.0 else c
+        out(i) = cc.toInt.toByte
+      } // constant dim: code 0 (dequantizes to mn either way)
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("mn", mn.toArray, "double[]")
+    val mxRef = ctx.addReferenceObj("mx", mx.toArray, "double[]")
+    val getX = elemType match {
+      case FloatType => (a: String, i: String) => s"(double) $a.getFloat($i)"
+      case _ => (a: String, i: String) => s"$a.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, a => {
+      val Seq(i, n, out, span, c) =
+        Seq("i", "n", "out", "span", "c").map(ctx.freshName)
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $mnRef.length);
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $span = $mxRef[$i] - $mnRef[$i];
+         |  if ($span > 0.0) {
+         |    double $c = java.lang.Math.floor(
+         |      (${getX(a, i)} - $mnRef[$i]) * 255.0 / $span + 0.5);
+         |    $c = ($c < 0.0) ? 0.0 : (($c > 255.0) ? 255.0 : $c);
+         |    $out[$i] = (byte) (int) $c;
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Fused SQ8 serving kernel: BINARY int8 codes -> cosine similarity to
+  * a dequantized query, WITHOUT materializing the reconstructed
+  * vector. Per dimension xhat = mn_i + (code * (mx_i - mn_i)) / 255
+  * (the exact multiply-then-divide order of the float path's column
+  * expression), then the CosineSimilarity accumulation (dot and both
+  * norms per element, denom = sqrt*sqrt) — bit-identical to
+  * cosine_sim(dequantized(v), qhat), so the code-table path and the
+  * float path return the same rows and one oracle covers both.
+  */
+case class Sq8CosineToQuery(child: Expression, mn: Seq[Double],
+    mx: Seq[Double], qhat: Seq[Double]) extends UnaryExpression {
+  require(mn.size == mx.size && mn.size == qhat.size, "length mismatch")
+  override def prettyName: String = "sq8_cosine_to_query"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a binary code column, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any = {
+    val codes = v.asInstanceOf[Array[Byte]]
+    val n = math.min(codes.length, mn.size)
+    var dot = 0.0; var nx = 0.0; var nq = 0.0
+    var i = 0
+    while (i < n) {
+      val span = mx(i) - mn(i)
+      val x =
+        if (span > 0.0) mn(i) + ((codes(i) & 0xff) * span) / 255.0
+        else mn(i)
+      val q = qhat(i)
+      dot += x * q; nx += x * x; nq += q * q
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(nq)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("mn", mn.toArray, "double[]")
+    val mxRef = ctx.addReferenceObj("mx", mx.toArray, "double[]")
+    val qRef = ctx.addReferenceObj("qhat", qhat.toArray, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val Seq(i, n, dot, nx, nq, span, x, q, denom) =
+        Seq("i", "n", "dot", "nx", "nq", "span", "x", "q", "denom")
+          .map(ctx.freshName)
+      s"""
+         |int $n = java.lang.Math.min($c.length, $mnRef.length);
+         |double $dot = 0.0; double $nx = 0.0; double $nq = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $span = $mxRef[$i] - $mnRef[$i];
+         |  double $x = ($span > 0.0)
+         |    ? $mnRef[$i] + ((($c[$i]) & 0xff) * $span) / 255.0
+         |    : $mnRef[$i];
+         |  double $q = $qRef[$i];
+         |  $dot += $x * $q; $nx += $x * $x; $nq += $q * $q;
+         |}
+         |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($nq);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorExpressions {
   /** Column helpers. */
   def dot_product(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def sq8_encode(v: Column, mn: Seq[Double], mx: Seq[Double]): Column =
+    GraftColumnBridge.column(Sq8Encode(
+      GraftColumnBridge.expression(v), mn, mx))
+
+  def sq8_cosine_to_query(codes: Column, mn: Seq[Double], mx: Seq[Double],
+      qhat: Seq[Double]): Column =
+    GraftColumnBridge.column(Sq8CosineToQuery(
+      GraftColumnBridge.expression(codes), mn, mx, qhat))
 
   def cosine_sim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(

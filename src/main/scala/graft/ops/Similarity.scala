@@ -104,12 +104,23 @@ object Similarity {
           (big - m) / 255.0)
         .otherwise(m)
     })
-    // the probe's reconstructed vector, computed with the SAME IEEE
-    // double formula on the driver (1-row parameterization, the
-    // queryVec precedent)
+    val qhat = sq8DequantizedProbe(df, idCol, vecCol, mn, mx, queryId)
+    val sim = cosine(dequantized(col(vecCol)), typedlit(qhat))
+    widened.select(col(idCol), sim.as("_sim"))
+      .orderBy(col("_sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("_sim"), 6).as("sim"))
+  }
+
+  /** The probe's reconstructed (quantize -> dequantize) vector,
+    * computed with the SAME IEEE double formula on the driver — a
+    * 1-row parameterization, the queryVec precedent.
+    */
+  def sq8DequantizedProbe(df: DataFrame, idCol: String, vecCol: String,
+      mn: Array[Double], mx: Array[Double], queryId: Long): Array[Double] = {
     val qRow = df.filter(col(idCol) === queryId)
       .select(col(vecCol)).head().getSeq[Float](0).toArray
-    val qhat = qRow.zipWithIndex.map { case (x0, i) =>
+    qRow.zipWithIndex.map { case (x0, i) =>
       val x = x0.toDouble
       if (mx(i) > mn(i)) {
         val c = math.min(math.max(
@@ -117,8 +128,33 @@ object Similarity {
         mn(i) + c * (mx(i) - mn(i)) / 255.0
       } else mn(i)
     }
-    val sim = cosine(dequantized(col(vecCol)), typedlit(qhat))
-    widened.select(col(idCol), sim.as("_sim"))
+  }
+
+  /** SQ8 ENCODE: the int8 code table itself — (id, codes BINARY, one
+    * byte per dimension), the 4x-compressed storage format written
+    * once at ingest next to the bounds. Codegen'd
+    * [[VectorExpressions.sq8_encode]]; codes replay floor((x-mn)*255/
+    * (mx-mn) + 0.5) bit-exactly in DuckDB.
+    */
+  def sq8Encode(df: DataFrame, idCol: String, vecCol: String,
+      mn: Array[Double], mx: Array[Double]): DataFrame =
+    df.select(col(idCol),
+      VectorExpressions.sq8_encode(col(vecCol), mn, mx).as("codes"))
+
+  /** SQ8 top-k SERVED FROM THE CODE TABLE: one scan of the binary
+    * codes column (64 bytes/vector instead of the float array — the
+    * shape a 100 TB deployment actually scans), a fused
+    * dequantize+cosine codegen kernel
+    * ([[VectorExpressions.sq8_cosine_to_query]], bit-identical
+    * arithmetic to the float path), TakeOrdered. Returns the same
+    * rows as [[sq8TopKFromBounds]]; one oracle covers both paths.
+    */
+  def sq8TopKFromCodes(codes: DataFrame, idCol: String, codesCol: String,
+      mn: Array[Double], mx: Array[Double], qhat: Array[Double],
+      k: Int): DataFrame = {
+    val sim = VectorExpressions.sq8_cosine_to_query(
+      col(codesCol), mn, mx, qhat)
+    Dedup.widen(codes).select(col(idCol), sim.as("_sim"))
       .orderBy(col("_sim").desc, col(idCol))
       .limit(k)
       .select(col(idCol), round(col("_sim"), 6).as("sim"))

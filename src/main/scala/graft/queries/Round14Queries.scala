@@ -16,7 +16,7 @@ object Round14Queries {
     * 2): a 64-row (dim, mn, mx) parquet frame written once, collected
     * as the |dims|-row parameterization of the scoring expression.
     */
-  private def storedSq8Bounds(s: SparkSession, dir: String): (Array[Double], Array[Double]) = {
+  private[queries] def storedSq8Bounds(s: SparkSession, dir: String): (Array[Double], Array[Double]) = {
     val b = Tables.storedFixture(s, dir, "sq8_bounds_v1")(
         Similarity.sq8Bounds(Tables.load(s, dir, "embeddings"), "embedding"))
       .orderBy(col("dim")).collect()

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.Multimodal
+import graft.ops.{Multimodal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,9 +32,33 @@ object Round15Queries {
           col("r_sum"), col("g_sum"), col("b_sum"), col("rgb_min"),
           col("rgb_max"), col("decode_ok"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- SQ8 top-k served from the stored int8 CODE TABLE ----
+    "q_sq8_codes" -> ((s, dir) => {
+      // the compressed-serving variant of q_sq8_topk: scan the stored
+      // 64-byte-per-vector BINARY code table (written once at ingest
+      // next to the bounds — the 4x storage win SQ8 exists for) and
+      // rank with the fused dequantize+cosine codegen kernel. The
+      // arithmetic order is bit-identical to the float path, so the
+      // q_sq8_topk oracle covers this path too; the 1-row probe lookup
+      // against the base table is the queryVec precedent.
+      val (mn, mx) = Round14Queries.storedSq8Bounds(s, dir)
+      val e = Tables.load(s, dir, "embeddings")
+      val codes = Tables.storedFixture(s, dir, "sq8_codes_v1")(
+        Similarity.sq8Encode(e, "vec_id", "embedding", mn, mx))
+      val qhat = Similarity.sq8DequantizedProbe(
+        e, "vec_id", "embedding", mn, mx, queryId = 0L)
+      Similarity.sq8TopKFromCodes(codes, "vec_id", "codes",
+        mn, mx, qhat, k = 10)
     }))
 
   def oracles: Map[String, String] = Map(
+
+    // the code-table path returns bit-identical rows to the float
+    // path (same IEEE arithmetic order through stored int8 codes),
+    // so q_sq8_topk's oracle text covers it verbatim
+    "q_sq8_codes" -> Round14Queries.oracles("q_sq8_topk"),
 
     "q_media_jpeg_color" ->
       // generation rule: mw = id%3+1, mh = id%2+1 MCUs of 16x16;

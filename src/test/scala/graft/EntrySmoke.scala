@@ -6,8 +6,8 @@ class EntrySmoke extends AnyFunSuite {
     val n = df.count()
     info(s"entry rows: $n")
     assert(n > 0)
-    assert(SparkEntry.queries.size == 318)
-    assert(SparkEntry.oracleSql.size == 318)
+    assert(SparkEntry.queries.size == 319)
+    assert(SparkEntry.oracleSql.size == 319)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }

@@ -330,6 +330,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rec.getDouble(2) == 1.0)
   }
 
+  test("sq8 code table: binary encode matches the quantizer formula; fused kernel matches the float path") {
+    val rnd = new scala.util.Random(16)
+    val dims = 16
+    val a = Array.fill(dims)(rnd.nextGaussian())
+    def noisy(scale: Double, seed: Int) = perturb(a, scale, seed)
+    // constant dim 17 exercises the span = 0 branch (code 0, xhat = mn)
+    val rows = Seq(
+      (0L, a), (1L, noisy(0.02, 1)), (2L, noisy(0.3, 2)),
+      (3L, noisy(0.7, 3)), (4L, a.map(-_)),
+      (5L, Array.fill(dims)(rnd.nextGaussian())))
+      .map { case (id, v) => (id, (v :+ 7.0).map(_.toFloat)) }
+    val df = rows.toDF("vec_id", "embedding")
+    val b = Similarity.sq8Bounds(df, "embedding").orderBy("dim").collect()
+    val mn = b.map(_.getAs[Double]("mn"))
+    val mx = b.map(_.getAs[Double]("mx"))
+    val codes = Similarity.sq8Encode(df, "vec_id", "embedding", mn, mx)
+    val byId = codes.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("codes")).toMap
+    assert(byId.values.forall(_.length == dims + 1))
+    // byte codes replay the floor((x-mn)*255/span + 0.5) formula; the
+    // constant dim codes to 0
+    for ((id, v) <- rows) {
+      val expect = v.zipWithIndex.map { case (x, i) =>
+        val span = mx(i) - mn(i)
+        if (span > 0.0)
+          math.min(math.max(
+            math.floor((x.toDouble - mn(i)) * 255.0 / span + 0.5), 0.0),
+            255.0).toInt
+        else 0
+      }
+      assert(byId(id).map(_ & 0xff).toSeq == expect.toSeq, s"vec $id codes")
+    }
+    assert(rows.forall { case (id, _) => (byId(id).last & 0xff) == 0 })
+    // the fused binary kernel returns the SAME rows (ids and rounded
+    // sims) as the float-scan path — the one-oracle-covers-both claim
+    val qhat = Similarity.sq8DequantizedProbe(
+      df, "vec_id", "embedding", mn, mx, queryId = 0L)
+    val fromCodes = Similarity.sq8TopKFromCodes(codes, "vec_id", "codes",
+      mn, mx, qhat, k = 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val fromFloats = Similarity.sq8TopKFromBounds(df, "vec_id", "embedding",
+      mn, mx, queryId = 0L, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fromCodes.toSeq == fromFloats.toSeq)
+  }
+
   test("cosine near-dup pairs: planted duplicates found, random pairs excluded") {
     val rnd = new scala.util.Random(3)
     val dims = 64
