@@ -642,9 +642,20 @@ object Multimodal {
     * bit-exact by construction).
     */
   private[graft] def jpegEncodeYcc(w: Int, h: Int, yPx: Array[Int],
-      cbPx: Array[Int], crPx: Array[Int], subsample: Boolean): Array[Byte] = {
-    val cw = if (subsample) (w + 1) / 2 else w
-    val ch = if (subsample) (h + 1) / 2 else h
+      cbPx: Array[Int], crPx: Array[Int], subsample: Boolean): Array[Byte] =
+    if (subsample) jpegEncodeYccSampling(w, h, yPx, cbPx, crPx, 2, 2)
+    else jpegEncodeYccSampling(w, h, yPx, cbPx, crPx, 1, 1)
+
+  /** The general sampling form of [[jpegEncodeYcc]]: luma factors
+    * (hs, vs) in {1,2}x{1,2} — 4:4:4 (1,1), 4:2:2 (2,1), 4:4:0 (1,2),
+    * 4:2:0 (2,2); chroma is always 1x1, its planes
+    * ceil(w/hs) x ceil(h/vs), caller-supplied at that size.
+    */
+  private[graft] def jpegEncodeYccSampling(w: Int, h: Int, yPx: Array[Int],
+      cbPx: Array[Int], crPx: Array[Int], hs: Int, vs: Int): Array[Byte] = {
+    require(hs >= 1 && hs <= 2 && vs >= 1 && vs <= 2, "bad sampling")
+    val cw = (w + hs - 1) / hs
+    val ch = (h + vs - 1) / vs
     require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff &&
       yPx.length == w * h && cbPx.length == cw * ch &&
       crPx.length == cw * ch, "bad dimensions")
@@ -656,14 +667,13 @@ object Multimodal {
       out.write((len >>> 8) & 0xff); out.write(len & 0xff)
       body.foreach(b => out.write(b & 0xff))
     }
-    val lumaHv = if (subsample) 0x22 else 0x11
     marker(0xd8) // SOI
     seg(0xe0, Array(0x4a, 0x46, 0x49, 0x46, 0x00, // "JFIF\0"
       1, 1, 0, 0, 1, 0, 1, 0, 0)) // v1.1, no density, no thumb
     seg(0xdb, 0 +: Array.fill(64)(1)) // DQT: table 0, 8-bit, all ones
     seg(0xc0, Array(8, (h >>> 8) & 0xff, h & 0xff, // SOF0: 8-bit
       (w >>> 8) & 0xff, w & 0xff, 3, // 3 components
-      1, lumaHv, 0, // Y: sampling, quant table 0
+      1, (hs << 4) | vs, 0, // Y: sampling, quant table 0
       2, 0x11, 0, // Cb
       3, 0x11, 0)) // Cr
     seg(0xc4, (0x00 +: JpegDcBits) ++ JpegDcVals) // DHT: DC table 0
@@ -673,13 +683,12 @@ object Multimodal {
     val acCodes = jpegBuildCodes(JpegAcBits, JpegAcVals)
     val bw = new JpegBitWriter(out)
     val scratch = new JpegEncodeScratch
-    val hs = if (subsample) 2 else 1
     val mcusX = (w + 8 * hs - 1) / (8 * hs)
-    val mcusY = (h + 8 * hs - 1) / (8 * hs)
+    val mcusY = (h + 8 * vs - 1) / (8 * vs)
     var dcY = 0; var dcCb = 0; var dcCr = 0
     for (my <- 0 until mcusY; mx <- 0 until mcusX) {
-      for (j <- 0 until hs; i <- 0 until hs)
-        dcY = jpegEncodeBlock(bw, yPx, w, h, mx * hs + i, my * hs + j,
+      for (j <- 0 until vs; i <- 0 until hs)
+        dcY = jpegEncodeBlock(bw, yPx, w, h, mx * hs + i, my * vs + j,
           dcY, dcCodes, acCodes, scratch)
       dcCb = jpegEncodeBlock(bw, cbPx, cw, ch, mx, my, dcCb,
         dcCodes, acCodes, scratch)

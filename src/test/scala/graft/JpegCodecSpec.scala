@@ -210,6 +210,31 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(grgb.forall(_ == ((77 << 16) | (77 << 8) | 77)))
   }
 
+  test("all four luma sampling shapes round-trip block-constant YCbCr") {
+    // 4:4:4 (1,1), 4:2:2 (2,1), 4:4:0 (1,2), 4:2:0 (2,2) — the full
+    // sampling surface the decoder claims; Y constant per 8x8 luma
+    // block, chroma constant per 8x8 CHROMA block, all DC-only
+    val w = 32; val h = 32
+    def yOf(bi: Int, bj: Int) = 40 + 16 * ((bi + bj) % 6)
+    val yPx = Array.tabulate(w * h)(k => yOf((k / w) / 8, (k % w) / 8))
+    for ((hs, vs) <- Seq((1, 1), (2, 1), (1, 2), (2, 2))) {
+      val cw = w / hs; val ch = h / vs
+      def cbOf(ci: Int, cj: Int) = 60 + 20 * ((ci + 2 * cj) % 5)
+      def crOf(ci: Int, cj: Int) = 70 + 15 * ((2 * ci + cj) % 7)
+      val cb = Array.tabulate(cw * ch)(k => cbOf((k / cw) / 8, (k % cw) / 8))
+      val cr = Array.tabulate(cw * ch)(k => crOf((k / cw) / 8, (k % cw) / 8))
+      val p = Multimodal.jpegEncodeYccSampling(w, h, yPx, cb, cr, hs, vs)
+      val (dw, dh, rgb) = Multimodal.decodeJpegRgbDims(p)
+      assert(dw === w && dh === h, s"sampling ${hs}x$vs dims")
+      val expected = Array.tabulate(w * h) { k =>
+        val y = k / w; val x = k % w
+        val ci = (y / vs) / 8; val cj = (x / hs) / 8
+        yccToRgb(yOf(y / 8, x / 8), cbOf(ci, cj), crOf(ci, cj))
+      }
+      assert(rgb.sameElements(expected), s"sampling ${hs}x$vs not bit-exact")
+    }
+  }
+
   private def imageIoDecodeRgb(payload: Array[Byte]): (Int, Int, Array[Int]) = {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))

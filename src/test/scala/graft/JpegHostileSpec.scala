@@ -155,6 +155,50 @@ class JpegHostileSpec extends AnyFunSuite {
     info(s"flagged $flagged / 2000 single-byte mutations")
   }
 
+  private def flagsRgb(p: Array[Byte]): Boolean =
+    try { Multimodal.decodeJpegRgbDims(p); false }
+    catch { case _: IllegalArgumentException => true }
+
+  test("color streams: truncation sweep, sampling abuse, scan-order abuse all flag") {
+    val p = Multimodal.jpegColorPayload(5L) // real 4:2:0 interleaved payload
+    val full = Multimodal.decodeJpegRgbDims(p)._3
+    val sosIdx = markerIdx(p, 0xda)
+    val len = ((p(sosIdx + 2) & 0xff) << 8) | (p(sosIdx + 3) & 0xff)
+    val scan = sosIdx + 2 + len
+    for (n <- 0 until p.length) {
+      try {
+        val (w, h, rgb) = Multimodal.decodeJpegRgbDims(p.take(n))
+        assert(n > scan, s"prefix $n decoded before entropy data exists")
+        assert(rgb.sameElements(full), s"prefix $n decoded to something else")
+        assert(w === 48 && h === 32) // id 5: mw = 3, mh = 2 MCUs
+      } catch { case _: IllegalArgumentException => () }
+    }
+    // SOF body for 3 components: prec(0) h(1,2) w(3,4) nf(5) then
+    // (id, hv, q) triples at 6..14
+    val sof = markerIdx(p, 0xc0) + 4
+    val lumaAbuse = p.clone(); lumaAbuse(sof + 7) = 0x31 // 3x1 luma
+    assert(flagsRgb(lumaAbuse), "luma sampling 3x1 must flag")
+    val chromaAbuse = p.clone(); chromaAbuse(sof + 10) = 0x21 // 2x1 chroma
+    assert(flagsRgb(chromaAbuse), "subsampled chroma must flag")
+    // SOS listing components out of frame order must flag, not decode
+    // with swapped table/plane assignment
+    val sos = sosIdx + 4
+    val swapped = p.clone()
+    swapped(sos + 1) = 3; swapped(sos + 5) = 1 // cs1 <-> cs3
+    assert(flagsRgb(swapped), "scan order mismatch must flag")
+    // single-byte fuzz over the color payload: decode or flag, never
+    // crash or hang (the interleaved-MCU walk under mutation)
+    val rnd = new scala.util.Random(153)
+    var flagged = 0
+    for (_ <- 1 to 1000) {
+      val q = p.clone()
+      q(rnd.nextInt(p.length)) = rnd.nextInt(256).toByte
+      try { Multimodal.decodeJpegRgbDims(q); () }
+      catch { case _: IllegalArgumentException => flagged += 1 }
+    }
+    info(s"flagged $flagged / 1000 color mutations")
+  }
+
   test("random-garbage and random-marker-soup payloads flag") {
     val rnd = new scala.util.Random(152)
     for (i <- 1 to 300) {
