@@ -56,7 +56,8 @@ object Bench {
     "q_dedup_verified", "q_classify_confusion", "q_media_jpeg",
     // round-15 staging target (stored SQ8 bounds), its recall row, the
     // int8 code-table serving variant, and the color JPEG decode row
-    "q_sq8_topk", "q_sq8_recall", "q_sq8_codes", "q_media_jpeg_color")
+    "q_sq8_topk", "q_sq8_recall", "q_sq8_codes", "q_ivf_sq8",
+    "q_media_jpeg_color")
 
   def main(args: Array[String]): Unit = {
     val wallStart = System.nanoTime()

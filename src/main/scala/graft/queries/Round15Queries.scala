@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.VectorExpressions
 import graft.ops.{Multimodal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -51,6 +52,42 @@ object Round15Queries {
         e, "vec_id", "embedding", mn, mx, queryId = 0L)
       Similarity.sq8TopKFromCodes(codes, "vec_id", "codes",
         mn, mx, qhat, k = 10)
+    }),
+
+    // ---- IVF cell pruning OVER the SQ8 code table ----
+    "q_ivf_sq8" -> ((s, dir) => {
+      // the production ANN layout composes BOTH index structures: a
+      // coarse IVF cell for pruning (scan ~nProbe/nCells of the
+      // corpus) and int8 codes for the in-cell scan (4x less IO) —
+      // IVFADC's coarse+fine shape with a scalar quantizer. Cells use
+      // the Round9d axis-centroid geometry: one-hot centroids make
+      // cosine argmax equal raw-component argmax, computed WITHOUT
+      // the |v| division (IEEE division can map close neighbors to
+      // the same double, flipping first-index tie-breaks), so DuckDB
+      // replays the assignment exactly. At 100 TB the fixture is
+      // written PARTITIONED BY ivf_cid (q_ivf_probe proves directory
+      // pruning); here the IN-filter reaches the parquet scan.
+      val (mn, mx) = Round14Queries.storedSq8Bounds(s, dir)
+      val e = Tables.load(s, dir, "embeddings")
+      val codes = Tables.storedFixture(s, dir, "ivf_sq8_codes_v1") {
+        val v = col("embedding").cast("array<double>")
+        val comps = array((0 until 8).map(j => element_at(v, j + 1)): _*)
+        val best = array_max(zip_with(comps, sequence(lit(0), lit(7)),
+          (x, i) => struct(x.as("sim"), (-i).as("negidx"))))
+        e.select(col("vec_id"),
+          (-best.getField("negidx")).cast("int").as("ivf_cid"),
+          VectorExpressions.sq8_encode(col("embedding"), mn, mx).as("codes"))
+      }
+      val qhat = Similarity.sq8DequantizedProbe(
+        e, "vec_id", "embedding", mn, mx, queryId = 0L)
+      // top-2 cells by the probe's own leading components (one-hot
+      // centroid cosine order), index tie-break — the driver-side
+      // mirror of the oracle's ORDER BY qh[i] DESC, i LIMIT 2
+      val probed = qhat.take(8).zipWithIndex
+        .sortBy { case (x, i) => (-x, i) }.take(2).map(_._2)
+      Similarity.sq8TopKFromCodes(
+        codes.filter(col("ivf_cid").isin(probed.map(Int.box).toIndexedSeq: _*)),
+        "vec_id", "codes", mn, mx, qhat, k = 10)
     }))
 
   def oracles: Map[String, String] = Map(
@@ -59,6 +96,47 @@ object Round15Queries {
     // path (same IEEE arithmetic order through stored int8 codes),
     // so q_sq8_topk's oracle text covers it verbatim
     "q_sq8_codes" -> Round14Queries.oracles("q_sq8_topk"),
+
+    "q_ivf_sq8" ->
+      // cell = argmax of the first 8 raw components (one-hot axis
+      // centroids; first index on ties == the engine's (sim, -idx)
+      // struct-max); probed = top-2 cells by the reconstructed
+      // probe's leading components; ranking = the q_sq8_topk rec CTE
+      // restricted to the probed cells
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         d AS (
+           SELECT vec_id, r.dim, v[r.dim] AS x
+           FROM e CROSS JOIN range(1, 65) r(dim)),
+         b AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY dim),
+         bb AS (SELECT list(mn ORDER BY dim) AS mns,
+                       list(mx ORDER BY dim) AS mxs FROM b),
+         rec AS (
+           SELECT vec_id, list_transform(range(1, 65), i ->
+             CASE WHEN mxs[i] > mns[i] THEN
+               mns[i] + LEAST(GREATEST(FLOOR(
+                 (v[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]) + 0.5),
+                 0), 255) * (mxs[i] - mns[i]) / 255.0
+             ELSE mns[i] END) AS vhat
+           FROM e CROSS JOIN bb),
+         q AS (SELECT vhat AS qh FROM rec WHERE vec_id = 0),
+         cid AS (
+           SELECT vec_id,
+             CAST(list_position(v8, list_max(v8)) - 1 AS INT) AS cell
+           FROM (SELECT vec_id,
+                   list_transform(range(1, 9), i -> v[i]) AS v8 FROM e)),
+         probed AS (
+           SELECT CAST(r.i - 1 AS INT) AS cell
+           FROM range(1, 9) r(i) CROSS JOIN q
+           ORDER BY qh[r.i] DESC, r.i LIMIT 2)
+         SELECT rec.vec_id,
+           ROUND(list_cosine_similarity(vhat, qh), 6) AS sim
+         FROM rec
+         JOIN cid ON rec.vec_id = cid.vec_id
+         JOIN probed ON cid.cell = probed.cell
+         CROSS JOIN q
+         ORDER BY list_cosine_similarity(vhat, qh) DESC, rec.vec_id
+         LIMIT 10""",
 
     "q_media_jpeg_color" ->
       // generation rule: mw = id%3+1, mh = id%2+1 MCUs of 16x16;
