@@ -72,7 +72,8 @@ object SparkEntry {
     graft.queries.Round12bQueries.queries ++
     graft.queries.Round13aQueries.queries ++
     graft.queries.Round14Queries.queries ++
-    graft.queries.Round15Queries.queries
+    graft.queries.Round15Queries.queries ++
+    graft.queries.Round16Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -132,5 +133,6 @@ object SparkEntry {
     graft.queries.Round12bQueries.oracles ++
     graft.queries.Round13aQueries.oracles ++
     graft.queries.Round14Queries.oracles ++
-    graft.queries.Round15Queries.oracles
+    graft.queries.Round15Queries.oracles ++
+    graft.queries.Round16Queries.oracles
 }

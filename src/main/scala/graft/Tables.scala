@@ -92,6 +92,24 @@ object Tables {
   }
 
   def storedFixture(spark: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame =
+    storedFixtureWith(spark, dir, name, partitionCols = Nil)(build)
+
+  /** [[storedFixture]] written `partitionBy(partitionCols)` — for
+    * fixtures whose 100 TB layout IS the partitioning (an IVF code
+    * table partitioned by cell): an equality/IN filter on the
+    * partition column then prunes at the DIRECTORY level
+    * (PartitionFilters in the scan), not merely per row group. The
+    * fixture name must be versioned when a layout changes — the cache
+    * keys on (name, source fingerprint) only.
+    */
+  def storedFixturePartitioned(spark: SparkSession, dir: String,
+      name: String, partitionCols: Seq[String])(
+      build: => DataFrame): DataFrame =
+    storedFixtureWith(spark, dir, name, partitionCols)(build)
+
+  private def storedFixtureWith(spark: SparkSession, dir: String,
+      name: String, partitionCols: Seq[String])(
       build: => DataFrame): DataFrame = {
     val key = name + "_" + dirFingerprint(dir)
     val root = new java.io.File(
@@ -101,7 +119,9 @@ object Tables {
         org.apache.commons.io.FileUtils.deleteDirectory(root)
       val stage = new java.io.File(root.getParentFile,
         key + "_stage_" + java.lang.ProcessHandle.current().pid())
-      build.write.mode("overwrite").parquet(stage.toString)
+      val w = build.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(stage.toString)
       if (!stage.renameTo(root)) {
         // rename fails either because another process won the race
         // (root now exists — read it) or for a non-race reason (read

@@ -146,7 +146,15 @@ case class Sq8Encode(child: Expression, mn: Seq[Double], mx: Seq[Double])
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val t = elemType
-    val n = math.min(a.numElements(), mn.size)
+    // the bounds are fixed CONFIGURATION, not a second data column (cf.
+    // DotProduct's min-length): a dims/bounds mismatch — stale stored
+    // bounds after a schema change — would silently emit wrong codes,
+    // so it must fail loudly (the bit-exactness discipline everywhere
+    // else in this file)
+    if (a.numElements() != mn.size)
+      throw new IllegalArgumentException(
+        s"sq8_encode: vector has ${a.numElements()} dims but bounds have ${mn.size}")
+    val n = mn.size
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
@@ -173,7 +181,12 @@ case class Sq8Encode(child: Expression, mn: Seq[Double], mx: Seq[Double])
       val Seq(i, n, out, span, c) =
         Seq("i", "n", "out", "span", "c").map(ctx.freshName)
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $mnRef.length);
+         |if ($a.numElements() != $mnRef.length) {
+         |  throw new IllegalArgumentException(
+         |    "sq8_encode: vector has " + $a.numElements() +
+         |    " dims but bounds have " + $mnRef.length);
+         |}
+         |int $n = $mnRef.length;
          |byte[] $out = new byte[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  double $span = $mxRef[$i] - $mnRef[$i];
@@ -215,7 +228,13 @@ case class Sq8CosineToQuery(child: Expression, mn: Seq[Double],
 
   override def nullSafeEval(v: Any): Any = {
     val codes = v.asInstanceOf[Array[Byte]]
-    val n = math.min(codes.length, mn.size)
+    // bounds/query are configuration: a code-width mismatch (stale
+    // bounds vs a re-encoded table) must error, not silently score a
+    // truncated prefix — see Sq8Encode
+    if (codes.length != mn.size)
+      throw new IllegalArgumentException(
+        s"sq8_cosine_to_query: ${codes.length} code bytes but bounds have ${mn.size}")
+    val n = mn.size
     var dot = 0.0; var nx = 0.0; var nq = 0.0
     var i = 0
     while (i < n) {
@@ -240,7 +259,12 @@ case class Sq8CosineToQuery(child: Expression, mn: Seq[Double],
         Seq("i", "n", "dot", "nx", "nq", "span", "x", "q", "denom")
           .map(ctx.freshName)
       s"""
-         |int $n = java.lang.Math.min($c.length, $mnRef.length);
+         |if ($c.length != $mnRef.length) {
+         |  throw new IllegalArgumentException(
+         |    "sq8_cosine_to_query: " + $c.length +
+         |    " code bytes but bounds have " + $mnRef.length);
+         |}
+         |int $n = $mnRef.length;
          |double $dot = 0.0; double $nx = 0.0; double $nq = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $span = $mxRef[$i] - $mnRef[$i];

@@ -711,8 +711,11 @@ object Multimodal {
   private[graft] def jpegEncodeColor(w: Int, h: Int, rgb: Array[Int],
       subsample: Boolean): Array[Byte] = {
     require(w > 0 && h > 0 && rgb.length == w * h, "bad dimensions")
+    // floor(x + 0.5) literally (not Math.round) — see decodeJpegRgbDims:
+    // the forward convert must mirror the decode side's oracle-pinned
+    // rounding so encode -> decode replays the same integers
     def clamp8(v: Double): Int = {
-      val r = math.round(v).toInt
+      val r = math.floor(v + 0.5).toInt
       if (r < 0) 0 else if (r > 255) 255 else r
     }
     val yPx = new Array[Int](w * h)
@@ -874,6 +877,12 @@ object Multimodal {
     }
   }
 
+  /** Frame-size cap for JPEG decode entry points: frames whose pixel
+    * count exceeds this flag as malformed BEFORE any pixel allocation
+    * (see the jpegDecodePlanes DoS-guard contract).
+    */
+  private[graft] val JpegMaxPixels: Long = 1L << 24
+
   /** Decode a baseline sequential JPEG to per-component planes: full
     * marker walk (DQT with 8/16-bit tables, SOF0/1, DHT, DRI, skip
     * APPn/COM), canonical Huffman decode, per-component DC prediction
@@ -883,6 +892,16 @@ object Multimodal {
     * luma sampling up to 2x2 and 1x1 chroma — 4:4:4, 4:2:2, 4:4:0,
     * 4:2:0 — in one interleaved scan. Throws IllegalArgumentException
     * on anything else — callers flag, never crash.
+    *
+    * DoS guard (DOCUMENTED CONTRACT): frames over [[JpegMaxPixels]]
+    * (2^24 px ≈ 4096x4096) are FLAGGED as malformed before any pixel
+    * allocation — the GIF w*h lesson: the decoder pre-allocates w*h
+    * slots, a hostile 65535x65535 SOF overflows Int, and an
+    * OutOfMemoryError is an Error the callers' `catch Exception`
+    * deliberately does not swallow. Legitimate images beyond the cap
+    * flag too (decode_ok = false), the chosen trade for a corpus
+    * decoder: raise the constant for a deployment that must accept
+    * larger frames.
     */
   private[graft] def jpegDecodePlanes(
       p: Array[Byte]): (Int, Int, Array[JpegPlane]) = {
@@ -945,8 +964,9 @@ object Multimodal {
             // pre-allocates w*h pixel slots, 65535x65535 overflows Int,
             // and an OutOfMemoryError is an Error the callers' `catch
             // Exception` deliberately does not swallow — so a hostile
-            // 11-byte SOF must flag HERE, before any allocation
-            if (w.toLong * h > (1L << 24)) fail(s"frame size $w x $h too large")
+            // 11-byte SOF must flag HERE, before any allocation (the
+            // documented JpegMaxPixels contract on jpegDecodePlanes)
+            if (w.toLong * h > JpegMaxPixels) fail(s"frame size $w x $h too large")
             nComp = p(body + 5) & 0xff
             if (nComp != 1 && nComp != 3)
               fail("only 1 (gray) or 3 (YCbCr) components supported")
@@ -1105,8 +1125,11 @@ object Multimodal {
     *   R = Y + 1.402 (Cr-128)
     *   G = Y - 0.344136 (Cb-128) - 0.714136 (Cr-128)
     *   B = Y + 1.772 (Cb-128)
-    * each rounded floor(x + 0.5) (= Math.round on doubles — IEEE
-    * bit-defined, so DuckDB replays it exactly) and clamped to 0..255.
+    * each rounded floor(x + 0.5) — computed LITERALLY as
+    * math.floor(x + 0.5), which is IEEE bit-defined and differs from
+    * JDK 9+ Math.round(double) at values like 0.49999999999999994
+    * where correct rounding of x+0.5 crosses the integer — so DuckDB's
+    * FLOOR(x + 0.5) replays it exactly; clamped to 0..255.
     * A 1-component stream decodes to R=G=B=Y (JFIF grayscale).
     */
   private[graft] def decodeJpegRgbDims(p: Array[Byte]): (Int, Int, Array[Int]) = {
@@ -1130,8 +1153,13 @@ object Multimodal {
           val lum = yp.px(yy * yp.cw + xx).toDouble
           val cb = cbp.px(cbRow + (xx * cbp.hs) / hMax) - 128.0
           val cr = crp.px(crRow + (xx * crp.hs) / hMax) - 128.0
+          // floor(x + 0.5) LITERALLY, not Math.round: since JDK 9,
+          // Math.round(double) is correctly rounded and can differ from
+          // IEEE floor(x+0.5) where x+0.5 rounds up across an integer
+          // boundary (e.g. 0.49999999999999994) — the oracle computes
+          // FLOOR(x + 0.5), so the decoder must too (the SQ8 discipline)
           def clamp8(v: Double): Int = {
-            val r = math.round(v).toInt
+            val r = math.floor(v + 0.5).toInt
             if (r < 0) 0 else if (r > 255) 255 else r
           }
           val r = clamp8(lum + 1.402 * cr)

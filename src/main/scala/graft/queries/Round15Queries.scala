@@ -55,40 +55,58 @@ object Round15Queries {
     }),
 
     // ---- IVF cell pruning OVER the SQ8 code table ----
-    "q_ivf_sq8" -> ((s, dir) => {
-      // the production ANN layout composes BOTH index structures: a
-      // coarse IVF cell for pruning (scan ~nProbe/nCells of the
-      // corpus) and int8 codes for the in-cell scan (4x less IO) —
-      // IVFADC's coarse+fine shape with a scalar quantizer. Cells use
-      // the Round9d axis-centroid geometry: one-hot centroids make
-      // cosine argmax equal raw-component argmax, computed WITHOUT
-      // the |v| division (IEEE division can map close neighbors to
-      // the same double, flipping first-index tie-breaks), so DuckDB
-      // replays the assignment exactly. At 100 TB the fixture is
-      // written PARTITIONED BY ivf_cid (q_ivf_probe proves directory
-      // pruning); here the IN-filter reaches the parquet scan.
-      val (mn, mx) = Round14Queries.storedSq8Bounds(s, dir)
+    "q_ivf_sq8" -> ((s, dir) => ivfSq8TopK(s, dir, k = 10)))
+
+  /** The composed IVF+SQ8 ranking — the production ANN layout with
+    * BOTH index structures: a coarse IVF cell for pruning (scan
+    * ~nProbe/nCells of the corpus) and int8 codes for the in-cell
+    * scan (4x less IO) — IVFADC's coarse+fine shape with a scalar
+    * quantizer. Cells use the Round9d axis-centroid geometry: one-hot
+    * centroids make cosine argmax equal raw-component argmax,
+    * computed WITHOUT the |v| division (IEEE division can map close
+    * neighbors to the same double, flipping first-index tie-breaks),
+    * so DuckDB replays the assignment exactly. The fixture is written
+    * PARTITIONED BY ivf_cid — the declared 100 TB layout itself,
+    * matching the buildIvfIndex/probeIvfIndex precedent — so the
+    * cell IN-filter prunes at the DIRECTORY level (PartitionFilters
+    * in the scan, asserted in Round16Spec), not merely per row
+    * group: non-probed cells are never listed, let alone read.
+    * Shared by q_ivf_sq8 (the ranking row) and q_ivf_sq8_recall (its
+    * accuracy row).
+    */
+  private[graft] def ivfSq8TopK(s: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val (mn, mx) = Round14Queries.storedSq8Bounds(s, dir)
+    val e = Tables.load(s, dir, "embeddings")
+    val codes = ivfSq8CodeTable(s, dir, mn, mx)
+    val qhat = Similarity.sq8DequantizedProbe(
+      e, "vec_id", "embedding", mn, mx, queryId = 0L)
+    // top-2 cells by the probe's own leading components (one-hot
+    // centroid cosine order), index tie-break — the driver-side
+    // mirror of the oracle's ORDER BY qh[i] DESC, i LIMIT 2
+    val probed = qhat.take(8).zipWithIndex
+      .sortBy { case (x, i) => (-x, i) }.take(2).map(_._2)
+    Similarity.sq8TopKFromCodes(
+      codes.filter(col("ivf_cid").isin(probed.map(Int.box).toIndexedSeq: _*)),
+      "vec_id", "codes", mn, mx, qhat, k)
+  }
+
+  /** The (vec_id, codes, ivf_cid)-partitioned stored code table behind
+    * [[ivfSq8TopK]] — built once, read directory-pruned ever after.
+    */
+  private[graft] def ivfSq8CodeTable(s: SparkSession, dir: String,
+      mn: Array[Double], mx: Array[Double]): DataFrame =
+    Tables.storedFixturePartitioned(
+        s, dir, "ivf_sq8_codes_v2", Seq("ivf_cid")) {
       val e = Tables.load(s, dir, "embeddings")
-      val codes = Tables.storedFixture(s, dir, "ivf_sq8_codes_v1") {
-        val v = col("embedding").cast("array<double>")
-        val comps = array((0 until 8).map(j => element_at(v, j + 1)): _*)
-        val best = array_max(zip_with(comps, sequence(lit(0), lit(7)),
-          (x, i) => struct(x.as("sim"), (-i).as("negidx"))))
-        e.select(col("vec_id"),
-          (-best.getField("negidx")).cast("int").as("ivf_cid"),
-          VectorExpressions.sq8_encode(col("embedding"), mn, mx).as("codes"))
-      }
-      val qhat = Similarity.sq8DequantizedProbe(
-        e, "vec_id", "embedding", mn, mx, queryId = 0L)
-      // top-2 cells by the probe's own leading components (one-hot
-      // centroid cosine order), index tie-break — the driver-side
-      // mirror of the oracle's ORDER BY qh[i] DESC, i LIMIT 2
-      val probed = qhat.take(8).zipWithIndex
-        .sortBy { case (x, i) => (-x, i) }.take(2).map(_._2)
-      Similarity.sq8TopKFromCodes(
-        codes.filter(col("ivf_cid").isin(probed.map(Int.box).toIndexedSeq: _*)),
-        "vec_id", "codes", mn, mx, qhat, k = 10)
-    }))
+      val v = col("embedding").cast("array<double>")
+      val comps = array((0 until 8).map(j => element_at(v, j + 1)): _*)
+      val best = array_max(zip_with(comps, sequence(lit(0), lit(7)),
+        (x, i) => struct(x.as("sim"), (-i).as("negidx"))))
+      e.select(col("vec_id"),
+        (-best.getField("negidx")).cast("int").as("ivf_cid"),
+        VectorExpressions.sq8_encode(col("embedding"), mn, mx).as("codes"))
+    }
 
   def oracles: Map[String, String] = Map(
 

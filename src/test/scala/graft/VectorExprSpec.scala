@@ -70,6 +70,39 @@ class VectorExprSpec extends AnyFunSuite {
     assert(!bad.checkInputDataTypes().isSuccess)
   }
 
+  test("SQ8 kernels fail loudly on a dims/bounds mismatch (both paths)") {
+    // bounds are fixed configuration — stale stored bounds after a
+    // schema change must ERROR, never silently truncate (ADVICE r15)
+    val mn = Seq(0.0, 0.0); val mx = Seq(1.0, 1.0)
+    val three = Seq((1L, Array(0.1f, 0.2f, 0.3f))).toDF("id", "v")
+    val encErr = intercept[Exception] {
+      three.select(VectorExpressions.sq8_encode(col("v"), mn, mx)).collect()
+    }
+    assert(encErr.toString.contains("sq8_encode") ||
+      Option(encErr.getCause).exists(_.toString.contains("sq8_encode")))
+    // interpreted path too
+    val e = graft.functions.Sq8Encode(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0.1, 0.2, 0.3),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)), mn, mx)
+    intercept[IllegalArgumentException] { e.eval(null) }
+    val codes = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "c")
+    val cosErr = intercept[Exception] {
+      codes.select(VectorExpressions.sq8_cosine_to_query(
+        col("c"), mn, mx, Seq(0.5, 0.5))).collect()
+    }
+    assert(cosErr.toString.contains("sq8_cosine_to_query") ||
+      Option(cosErr.getCause).exists(_.toString.contains("sq8_cosine_to_query")))
+    // matched lengths still work end to end
+    val ok = Seq((1L, Array(0.25f, 0.75f))).toDF("id", "v")
+      .select(VectorExpressions.sq8_encode(col("v"), mn, mx).as("c"))
+      .select(VectorExpressions.sq8_cosine_to_query(
+        col("c"), mn, mx, Seq(0.25, 0.75)).as("s"))
+      .head().getDouble(0)
+    assert(ok > 0.99)
+  }
+
   test("GraftExtensions registers the functions on a new session") {
     // apply to an extensions container (builder-injection path), then
     // verify through an independent session's catalog via newSession
