@@ -33,6 +33,44 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** The three-signal contention verdict, extracted pure so
+    * BenchRoutingSpec can replay documented scenarios (r15 verdict
+    * item 5). Signals: the CPU calibration probe's band, the
+    * median-of-ratios and sum-of-medians ratios over queries shared
+    * with the pinned record, and the legacy per-query-scaled wall
+    * ratio. sharedSumRatio drives contended (identical work compared);
+    * wallRatio is DISCARD-ONLY (r15 advice): it can inflate from an
+    * IO co-tenant the CPU probe can't see, but it also drifts when the
+    * suite grows heavier rows, so disagreement with a quiet
+    * sharedSumRatio demotes to "borderline" (manual adjudication),
+    * never to "contended" on its own.
+    */
+  private[graft] def signalVerdict(calMax: Double,
+      sharedRatio: Option[Double], sharedSumRatio: Option[Double],
+      wallRatio: Option[Double]): String =
+    if (calMax >= 0.40 || sharedRatio.exists(_ >= 1.15) ||
+        sharedSumRatio.exists(_ >= 1.15)) "contended"
+    else if (calMax <= 0.37 && sharedRatio.forall(_ <= 1.10) &&
+        sharedSumRatio.forall(_ <= 1.10) && wallRatio.forall(_ < 1.15)) "quiet"
+    else "borderline"
+
+  /** Contended-run routing (r15 verdict item 5): a contract run must
+    * not clobber the pinned record when EITHER the calibration probe
+    * crossed the discard band (host noise the CPU probe always sees),
+    * OR the pinned record self-identified "quiet" and this run's
+    * computed verdict is "contended" (the ratio-only IO-co-tenant
+    * case that needed a manual `git checkout` two rounds running).
+    * The regression-must-not-dodge property is preserved: when the
+    * pinned record is NOT a quiet-verdict record (old format, or
+    * itself borderline), ratio signals alone never auto-route — a
+    * genuine regression lands in bench_full.json for adjudication.
+    */
+  private[graft] def shouldRouteContended(isContractRun: Boolean,
+      hasPrior: Boolean, priorVerdictQuiet: Boolean, calMax: Double,
+      verdict: String): Boolean =
+    isContractRun && hasPrior &&
+      (calMax >= 0.40 || (priorVerdictQuiet && verdict == "contended"))
+
   /** The queries BASELINE.md tracks individually: the heavy dedup /
     * similarity / pipeline block plus representative relational ones.
     */
@@ -57,7 +95,9 @@ object Bench {
     // round-15 staging target (stored SQ8 bounds), its recall row, the
     // int8 code-table serving variant, and the color JPEG decode row
     "q_sq8_topk", "q_sq8_recall", "q_sq8_codes", "q_ivf_sq8",
-    "q_media_jpeg_color")
+    "q_media_jpeg_color",
+    // round-16: the composed-path accuracy row
+    "q_ivf_sq8_recall")
 
   def main(args: Array[String]): Unit = {
     val wallStart = System.nanoTime()
@@ -197,7 +237,7 @@ object Bench {
     // pinned reference is the bench_full.json present at launch — on a
     // contract run that is the last committed record.
     case class Prior(queries: Map[String, Double], walls: Seq[Double], n: Int,
-      total: Double)
+      total: Double, verdict: String)
     val prior: Option[Prior] =
       if (!isContractRun) None
       else try {
@@ -210,7 +250,8 @@ object Bench {
             .map(e => e.getKey -> e.getValue.asDouble).toMap
           val pw = root.get("wall").elements().asScala.map(_.asDouble).toSeq
           Some(Prior(qmap, pw, root.get("n_queries").asInt,
-            root.get("value").asDouble))
+            root.get("value").asDouble,
+            root.path("discard_signals").path("verdict").asText("")))
         }
       } catch { case _: Throwable => None }
     val calMax = if (calibrations.nonEmpty) calibrations.max else 0.0
@@ -241,12 +282,7 @@ object Bench {
           (median(p.walls) * results.size.toDouble / p.n))
       else None
     }
-    val sigVerdict =
-      if (calMax >= 0.40 || sharedRatio.exists(_ >= 1.15) ||
-          sharedSumRatio.exists(_ >= 1.15)) "contended"
-      else if (calMax <= 0.37 && sharedRatio.forall(_ <= 1.10) &&
-          sharedSumRatio.forall(_ <= 1.10)) "quiet"
-      else "borderline"
+    val sigVerdict = signalVerdict(calMax, sharedRatio, sharedSumRatio, wallRatio)
     def optJson(o: Option[Double]): String =
       o.map(v => f"$v%.3f").getOrElse("null")
     // vs_record_delta (r14 verdict item 7): the pinned-record comparison
@@ -268,15 +304,13 @@ object Bench {
       s"""{"calibration_max":${f"$calMax%.3f"},"calibration_quiet_band":0.37,"calibration_discard_band":0.40,"shared_median_ratio":${optJson(sharedRatio)},"shared_sum_ratio":${optJson(sharedSumRatio)},"wall_per_query_ratio":${optJson(wallRatio)},"ratio_discard_band":1.15,"vs_record_n_queries":${prior.map(_.n.toString).getOrElse("null")},"verdict":"$sigVerdict"}"""
     val fullLine =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"calibration":$calJson,"loadavg":$loadJson,"wall":$wallJson,"wall_total":$wallTotal,"discard_signals":$signalsJson,"vs_record_delta":$deltaJson,"queries":${toJson(results)},"mins":$minsJson,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}"""
-    // Contended-run routing (automating the restore discipline the r13
-    // verdict flagged): a contract run whose CALIBRATION probe crossed
-    // the discard band writes to bench_full_contended.json instead of
-    // clobbering the pinned artifact. Calibration only — the ratio
-    // signals move under a genuine regression too, and a regression
-    // must NOT be able to hide by dodging the pinned record; the CPU
-    // probe moves only under host noise. Guarded on prior.nonEmpty so
-    // a fresh checkout still writes its first record.
-    val routeContended = isContractRun && prior.nonEmpty && calMax >= 0.40
+    // Contended-run routing — see shouldRouteContended's scaladoc for
+    // the full rule (calibration discard band, OR quiet-pinned-record
+    // vs contended-computed-verdict; regression-must-not-dodge
+    // preserved). Guarded on prior.nonEmpty so a fresh checkout still
+    // writes its first record.
+    val routeContended = shouldRouteContended(isContractRun, prior.nonEmpty,
+      prior.exists(_.verdict == "quiet"), calMax, sigVerdict)
     val fullPath =
       if (routeContended) "bench_full_contended.json"
       else if (isContractRun) "bench_full.json"
@@ -285,9 +319,23 @@ object Bench {
       val w = new java.io.PrintWriter(fullPath)
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
+    // per-query MINS in the stdout line too (r15 verdict item 6): the
+    // driver-side capture is routinely contended and the min is the
+    // contention-robust floor — but duplicating the whole reported map
+    // would bust the ~2000-char collector budget, so emit mins ONLY
+    // for reported rows whose median is inflated >= 10% over the min
+    // (>= 0.1 s floor), worst absolute gap first, capped at 12: near-
+    // empty on a quiet run, exactly the rows needing a corrected read
+    // on a contended one. bench_full*.json carries the complete map.
+    val minsFlagged = reported
+      .map { case (n, med) => (n, med, byName(n).min) }
+      .filter { case (_, med, mi) => med >= 0.1 && med >= mi * 1.10 }
+      .sortBy { case (_, med, mi) => -(med - mi) }
+      .take(12)
+      .map { case (n, _, mi) => n -> mi }
     // errors surface in the JSON + stderr; exit stays 0 so the driver
     // still collects the line
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"calibration":$calJson,"loadavg":$loadJson,"wall":$wallJson,"wall_total":$wallTotal,"discard_signals":$signalsJson,"vs_record_delta":$deltaJson,"queries":${toJson(reported)},"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"passes":$passes,"calibration":$calJson,"loadavg":$loadJson,"wall":$wallJson,"wall_total":$wallTotal,"discard_signals":$signalsJson,"vs_record_delta":$deltaJson,"queries":${toJson(reported)},"mins":${toJson(minsFlagged)},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -54,7 +54,7 @@ object ScaleProbe100 {
     // so a new family can be probed without re-timing the others; an
     // unknown name must fail loudly, not silently probe nothing
     val sections = Set("dedup", "er", "url", "graph", "knn", "cc",
-      "graphx", "pref", "media", "captions", "sq8")
+      "graphx", "pref", "media", "captions", "sq8", "ivf_sq8")
     require(args.forall(sections), s"unknown section in ${args.toSeq}; " +
       s"valid: ${sections.mkString("|")}")
     def enabled(section: String): Boolean =
@@ -700,6 +700,69 @@ object ScaleProbe100 {
         top.length.toLong
       }
       codes.unpersist(blocking = false)
+      vecs.unpersist(blocking = false)
+    }
+    if (enabled("ivf_sq8")) locally {
+      // the COMPOSED coarse+fine layout at 1M x 64d (r15 verdict item
+      // 2): int8 codes partitioned on disk by coarse cell (the
+      // q_ivf_sq8 geometry — argmax of the first 8 raw components),
+      // then the pruned directory scan vs the full code-table scan.
+      // The numbers to record: scanned fraction per nProbe, wall vs
+      // the full-scan baseline, and recall vs the planted clique
+      // (ids 0-9 share a base direction; the probe IS vec 0, so the
+      // exact float top-10 is the clique with planted certainty).
+      def pr(a: Column, j: Column, seed: Int): Column =
+        (xxhash64(a, j, lit(seed)) % 1001L).cast("double") / lit(500.0)
+      val vecs = spark.range(0L, 1000000L, 1L, 64)
+        .select(col("id"),
+          transform(sequence(lit(1), lit(64)), j =>
+            (pr((col("id") / 10).cast("long"), j, 1)
+              + lit(1e-3) * pr(col("id"), j, 2)).cast("float")).as("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vecs.count()
+      val b = graft.ops.Similarity.sq8Bounds(vecs, "vec")
+        .orderBy(col("dim")).collect()
+      val mn = b.map(_.getAs[Double]("mn"))
+      val mx = b.map(_.getAs[Double]("mx"))
+      val dir = s"$out/ivf_sq8_codes"
+      time("ivf_sq8 BUILD: assign 8 cells + encode + write PARTITIONED BY cell, 1M x 64d (ingest-time, once)") {
+        val v = col("vec").cast("array<double>")
+        val comps = array((0 until 8).map(j => element_at(v, j + 1)): _*)
+        val best = array_max(zip_with(comps, sequence(lit(0), lit(7)),
+          (x, i) => struct(x.as("sim"), (-i).as("negidx"))))
+        vecs.select(col("id"),
+            (-best.getField("negidx")).cast("int").as("ivf_cid"),
+            graft.functions.VectorExpressions.sq8_encode(
+              col("vec"), mn, mx).as("codes"))
+          .write.mode("overwrite").partitionBy("ivf_cid").parquet(dir)
+        1000000L
+      }
+      val stored = spark.read.parquet(dir)
+      val qhat = graft.ops.Similarity.sq8DequantizedProbe(
+        vecs, "id", "vec", mn, mx, queryId = 0L)
+      val cellOrder = qhat.take(8).zipWithIndex
+        .sortBy { case (x, i) => (-x, i) }.map(_._2)
+      time("ivf_sq8 BASELINE: full code-table scan top-10 (no pruning), 1M") {
+        val top = graft.ops.Similarity.sq8TopKFromCodes(stored, "id",
+          "codes", mn, mx, qhat, k = 10).collect()
+        require(top.map(_.getLong(0)).toSet == (0L to 9L).toSet,
+          "planted clique not the full-scan top-10")
+        top.length.toLong
+      }
+      for (np <- Seq(1, 2, 4)) {
+        val probed = cellOrder.take(np).map(Int.box).toIndexedSeq
+        val cand = stored.filter(col("ivf_cid").isin(probed: _*))
+        val nCand = cand.count()
+        time(f"ivf_sq8 SERVE nProbe=$np: directory-pruned scan " +
+            f"(${nCand / 1e6 * 100 / 1.0}%.1f%% of corpus scanned)") {
+          val top = graft.ops.Similarity.sq8TopKFromCodes(cand, "id",
+            "codes", mn, mx, qhat, k = 10).collect()
+          val hits = top.map(_.getLong(0)).count(id => id >= 0L && id <= 9L)
+          println(s"[probe100]   nProbe=$np recall@10 vs exact = ${hits / 10.0} " +
+            s"(scanned $nCand of 1000000 rows)")
+          top.length.toLong
+        }
+      }
       vecs.unpersist(blocking = false)
     }
     spark.stop()
