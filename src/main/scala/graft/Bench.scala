@@ -97,7 +97,8 @@ object Bench {
     "q_sq8_topk", "q_sq8_recall", "q_sq8_codes", "q_ivf_sq8",
     "q_media_jpeg_color",
     // round-16: the composed-path accuracy row + the local-SQ8 family
-    "q_ivf_sq8_recall", "q_sq8_local_gain", "q_ivf_sq8_local")
+    "q_ivf_sq8_recall", "q_sq8_local_gain", "q_ivf_sq8_local",
+    "q_media_jpeg_prog")
 
   def main(args: Array[String]): Unit = {
     val wallStart = System.nanoTime()

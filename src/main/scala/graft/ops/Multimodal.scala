@@ -561,6 +561,136 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Huffman tables for the PROGRESSIVE encoder. Annex K's baseline AC
+    * table has no EOBn symbols (0x10..0xE0 with size 0) — progressive
+    * AC-first scans need them for multi-block EOB runs — so the
+    * encoder declares its own simple canonical tables: DC = 12 symbols
+    * at length 4; AC = symbols 0..254 at length 9 plus 255 at length
+    * 10 (DHT length counts are single bytes, so 256-at-one-length is
+    * unrepresentable). Any conforming decoder (ours, ImageIO) rebuilds
+    * them from the DHT segments.
+    */
+  private val JpegProgDcBits: Array[Int] =
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegProgDcVals: Array[Int] = (0 to 11).toArray
+  private val JpegProgAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0)
+  private val JpegProgAcVals: Array[Int] = (0 to 255).toArray
+
+  /** Encode 8-bit grayscale as a real PROGRESSIVE (SOF2) JFIF JPEG:
+    * three scans exercising the Annex G machinery a progressive
+    * decoder must implement — (1) DC first with successive
+    * approximation Al=1, (2) DC refinement (raw bits, Ah=1 → Al=0),
+    * (3) the full AC band 1..63 in one spectral-selection scan with
+    * EOB-run coding across blocks. All-ones quantization and the same
+    * block-constant bit-exactness contract as [[jpegEncodeGray]]: a
+    * DC-only image reconstructs exactly, so the generation-rule
+    * oracles replay decoded stats unchanged.
+    */
+  private[graft] def jpegEncodeGrayProgressive(w: Int, h: Int,
+      px: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff &&
+      px.length == w * h, "bad dimensions")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(b => out.write(b & 0xff))
+    }
+    marker(0xd8) // SOI
+    seg(0xe0, Array(0x4a, 0x46, 0x49, 0x46, 0x00,
+      1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, 0 +: Array.fill(64)(1)) // DQT: table 0, all ones
+    seg(0xc2, Array(8, (h >>> 8) & 0xff, h & 0xff, // SOF2: progressive
+      (w >>> 8) & 0xff, w & 0xff, 1,
+      1, 0x11, 0))
+    seg(0xc4, (0x00 +: JpegProgDcBits) ++ JpegProgDcVals)
+    seg(0xc4, (0x10 +: JpegProgAcBits) ++ JpegProgAcVals)
+    val dcCodes = jpegBuildCodes(JpegProgDcBits, JpegProgDcVals)
+    val acCodes = jpegBuildCodes(JpegProgAcBits, JpegProgAcVals)
+    val blocksW = (w + 7) / 8; val blocksH = (h + 7) / 8
+    // all blocks' quantized coefficients, natural order (one FDCT pass
+    // shared by the three scans)
+    val scratch = new JpegEncodeScratch
+    val coefs = Array.ofDim[Int](blocksW * blocksH, 64)
+    for (by <- 0 until blocksH; bx <- 0 until blocksW) {
+      jpegFdctCoefs(px, w, h, bx, by, scratch)
+      System.arraycopy(scratch.coef, 0, coefs(by * blocksW + bx), 0, 64)
+    }
+    def writeMagnitude(bw: JpegBitWriter, v: Int, s: Int): Unit =
+      if (s > 0) bw.write(if (v >= 0) v else v + (1 << s) - 1, s)
+    // ---- scan 1: DC first, Ss=Se=0, Ah=0, Al=1 ----
+    seg(0xda, Array(1, 1, 0x00, 0, 0, 0x01))
+    locally {
+      val bw = new JpegBitWriter(out)
+      var pred = 0
+      for (b <- 0 until blocksW * blocksH) {
+        val v = coefs(b)(0) >> 1 // arithmetic point transform (G.1.1)
+        val diff = v - pred; pred = v
+        val s = jpegCategory(diff)
+        val (c, l) = dcCodes(s)
+        bw.write(c, l)
+        writeMagnitude(bw, diff, s)
+      }
+      bw.flush()
+    }
+    // ---- scan 2: DC refinement, Ah=1, Al=0 (raw bits, no Huffman) ----
+    seg(0xda, Array(1, 1, 0x00, 0, 0, 0x10))
+    locally {
+      val bw = new JpegBitWriter(out)
+      for (b <- 0 until blocksW * blocksH) bw.write(coefs(b)(0) & 1, 1)
+      bw.flush()
+    }
+    // ---- scan 3: AC band 1..63, Ah=0, Al=0, EOB-run coded ----
+    seg(0xda, Array(1, 1, 0x00, 1, 63, 0x00))
+    locally {
+      val bw = new JpegBitWriter(out)
+      var eobrun = 0
+      def flushEobrun(): Unit = while (eobrun > 0) {
+        val n = math.min(eobrun, 0x7fff)
+        var r = 0
+        while ((1 << (r + 1)) <= n) r += 1
+        val (c, l) = acCodes(r << 4)
+        bw.write(c, l)
+        if (r > 0) bw.write(n - (1 << r), r)
+        eobrun -= n
+      }
+      for (b <- 0 until blocksW * blocksH) {
+        val coef = coefs(b)
+        var lastNz = 0
+        for (zi <- 1 until 64) if (coef(JpegZigzag(zi)) != 0) lastNz = zi
+        if (lastNz == 0) {
+          eobrun += 1
+          if (eobrun == 0x7fff) flushEobrun()
+        } else {
+          flushEobrun()
+          var run = 0
+          for (zi <- 1 to lastNz) {
+            val v = coef(JpegZigzag(zi))
+            if (v == 0) run += 1
+            else {
+              while (run >= 16) {
+                val (zc, zl) = acCodes(0xf0); bw.write(zc, zl); run -= 16
+              }
+              val s = jpegCategory(v)
+              val (ac, al) = acCodes((run << 4) | s)
+              bw.write(ac, al)
+              writeMagnitude(bw, v, s)
+              run = 0
+            }
+          }
+          if (lastNz < 63) eobrun = 1 // this block's EOB opens a run
+        }
+      }
+      flushEobrun()
+      bw.flush()
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Reusable FDCT scratch buffers for the block encoder. */
   private final class JpegEncodeScratch {
     val f: Array[Array[Double]] = Array.ofDim[Double](8, 8)
@@ -573,25 +703,26 @@ object Multimodal {
     * FDCT, all-ones quantization, DC difference + AC run-length
     * Huffman write. Returns the block's DC (the next predictor).
     */
-  private def jpegEncodeBlock(bw: JpegBitWriter, plane: Array[Int],
-      pw: Int, ph: Int, bx: Int, by: Int, prevDc: Int,
-      dcCodes: Map[Int, (Int, Int)], acCodes: Map[Int, (Int, Int)],
-      scratch: JpegEncodeScratch): Int = {
+  /** DC/AC magnitude category (T.81 F.1.1): bits needed for |v|. */
+  private def jpegCategory(v: Int): Int = {
+    var s = 0; var a = math.abs(v)
+    while (a != 0) { s += 1; a >>>= 1 }
+    s
+  }
+
+  /** Level shift + FDCT + all-ones quantization of one 8x8 block (at
+    * block origin bx*8, by*8, edge-replicated at the pad) into
+    * scratch.coef, NATURAL order — shared by the baseline and
+    * progressive encoders.
+    */
+  private def jpegFdctCoefs(plane: Array[Int], pw: Int, ph: Int,
+      bx: Int, by: Int, scratch: JpegEncodeScratch): Unit = {
     val f = scratch.f; val tmp = scratch.tmp; val coef = scratch.coef
-    def category(v: Int): Int = {
-      var s = 0; var a = math.abs(v)
-      while (a != 0) { s += 1; a >>>= 1 }
-      s
-    }
-    def writeMagnitude(v: Int, s: Int): Unit =
-      if (s > 0) bw.write(if (v >= 0) v else v + (1 << s) - 1, s)
-    // level-shifted samples, edge-replicated at the right/bottom pad
     for (y <- 0 until 8; x <- 0 until 8) {
       val sy = math.min(by * 8 + y, ph - 1)
       val sx = math.min(bx * 8 + x, pw - 1)
       f(y)(x) = plane(sy * pw + sx) - 128.0
     }
-    // F = A f A^T via tmp = A f, F = tmp A^T
     for (u <- 0 until 8; x <- 0 until 8) {
       var s = 0.0
       var y = 0
@@ -604,6 +735,17 @@ object Multimodal {
       while (x < 8) { s += tmp(u)(x) * JpegDctBasis(v)(x); x += 1 }
       coef(u * 8 + v) = math.round(s).toInt // quant table is all ones
     }
+  }
+
+  private def jpegEncodeBlock(bw: JpegBitWriter, plane: Array[Int],
+      pw: Int, ph: Int, bx: Int, by: Int, prevDc: Int,
+      dcCodes: Map[Int, (Int, Int)], acCodes: Map[Int, (Int, Int)],
+      scratch: JpegEncodeScratch): Int = {
+    val coef = scratch.coef
+    def category(v: Int): Int = jpegCategory(v)
+    def writeMagnitude(v: Int, s: Int): Unit =
+      if (s > 0) bw.write(if (v >= 0) v else v + (1 << s) - 1, s)
+    jpegFdctCoefs(plane, pw, ph, bx, by, scratch)
     // DC: difference coding
     val dc = coef(0)
     val diff = dc - prevDc
@@ -788,6 +930,10 @@ object Multimodal {
         throw new IllegalArgumentException("missing restart marker")
       pos += 2
     }
+    /** Byte position after the last consumed byte — where the
+      * progressive multi-scan walk resumes its marker search.
+      */
+    def position: Int = pos
   }
 
   /** One decoded frame component: cropped plane dims + row-major
@@ -902,8 +1048,42 @@ object Multimodal {
     * flag too (decode_ok = false), the chosen trade for a corpus
     * decoder: raise the constant for a deployment that must accept
     * larger frames.
+    *
+    * Progressive (SOF2) streams dispatch to
+    * [[jpegDecodePlanesProgressive]] — same component constraints,
+    * same guards, same output planes.
     */
   private[graft] def jpegDecodePlanes(
+      p: Array[Byte]): (Int, Int, Array[JpegPlane]) =
+    if (jpegIsProgressive(p)) jpegDecodePlanesProgressive(p)
+    else jpegDecodePlanesBaseline(p)
+
+  /** True when the payload's first frame marker is SOF2 (progressive
+    * DCT). A light bounded marker walk; malformed streams return
+    * false and fail later in the real parser with its established
+    * errors.
+    */
+  private[graft] def jpegIsProgressive(p: Array[Byte]): Boolean = {
+    if (!isJpeg(p)) return false
+    var pos = 2
+    while (pos + 3 < p.length) {
+      if ((p(pos) & 0xff) != 0xff) return false
+      val m = p(pos + 1) & 0xff
+      if (m == 0xff) pos += 1
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2
+      else if (m == 0xc2) return true
+      else if ((m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8) ||
+          m == 0xda || m == 0xd9) return false
+      else {
+        val len = ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+        if (len < 2) return false
+        pos += 2 + len
+      }
+    }
+    false
+  }
+
+  private def jpegDecodePlanesBaseline(
       p: Array[Byte]): (Int, Int, Array[JpegPlane]) = {
     def fail(msg: String) = jpegFail(msg)
     if (!isJpeg(p)) fail("not a JPEG")
@@ -1102,6 +1282,433 @@ object Multimodal {
     (w, h, planes)
   }
 
+  /** Decode a PROGRESSIVE (SOF2) JPEG to per-component planes — the
+    * T.81 Annex G successive-refinement path: coefficients accumulate
+    * across multiple scans (DC first + DC refinements, per-component
+    * AC bands with spectral selection, AC refinements with EOB runs
+    * and correction bits), then one dequantize + IDCT pass at EOI
+    * produces the same planes the baseline path would. Component
+    * constraints, the [[JpegMaxPixels]] DoS guard, restart handling
+    * (DC prediction AND the EOB run reset at RSTn) and the
+    * flag-never-crash contract all match the baseline decoder; every
+    * structural violation (AC scan over >1 component, runs past the
+    * band, refinement sizes != 1, missing DC scan, truncation
+    * anywhere) throws IllegalArgumentException.
+    *
+    * Coefficients are held per component in ZIGZAG order (the order
+    * progressive bands are coded in) on the full interleaved block
+    * grid; non-interleaved scans cover the component's ceil(dims/8)
+    * sub-grid per T.81 A.2.2.
+    */
+  private[graft] def jpegDecodePlanesProgressive(
+      p: Array[Byte]): (Int, Int, Array[JpegPlane]) = {
+    def fail(msg: String) = jpegFail(msg)
+    if (!isJpeg(p)) fail("not a JPEG")
+    val quant = Array.fill(4)(null: Array[Int])
+    val huff = Array.fill(2, 4)(null: Map[(Int, Int), Int])
+    var w = -1; var h = -1
+    var nComp = 0
+    var compId: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compQ: Array[Int] = null
+    var restartInterval = 0
+    // per-component coefficient planes (zigzag order per block) on the
+    // interleaved grid, sized after SOF2
+    var coefs: Array[Array[Int]] = null
+    var bwBlocks: Array[Int] = null // full (interleaved) grid width
+    var bhBlocks: Array[Int] = null
+    var cbW: Array[Int] = null      // non-interleaved (ceil) grid
+    var cbH: Array[Int] = null
+    var compQt: Array[Array[Int]] = null // quant table captured at 1st scan
+    var dcSeen: Array[Boolean] = null
+    var mcusX = 0; var mcusY = 0
+    def u16(off: Int): Int = ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
+
+    /** Decode one scan's entropy data; returns the byte position after
+      * the scan (at/just before the next marker).
+      */
+    def decodeScan(scanComps: Array[Int], ss: Int, se: Int, ah: Int,
+        al: Int, dcTbl: Array[Map[(Int, Int), Int]],
+        acTbl: Array[Map[(Int, Int), Int]], start: Int): Int = {
+      val br = new JpegBitReader(p, start)
+      var eobrun = 0
+      val pred = new Array[Int](scanComps.length) // shifted-domain DC pred
+
+      def decodeDc(si: Int, c: Int, bx: Int, by: Int): Unit = {
+        val o = (by * bwBlocks(c) + bx) * 64
+        if (ah == 0) {
+          val ds = jpegDecodeSymbol(br, dcTbl(si))
+          if (ds > 11) fail("bad DC category")
+          pred(si) += jpegExtend(br.readBits(ds), ds)
+          coefs(c)(o) = pred(si) << al
+        } else {
+          val bit = br.readBit()
+          if (bit < 0) fail("truncated entropy data")
+          if (bit == 1) coefs(c)(o) |= 1 << al
+        }
+      }
+
+      def decodeAcFirst(c: Int, bx: Int, by: Int): Unit = {
+        val o = (by * bwBlocks(c) + bx) * 64
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        var done = false
+        while (k <= se && !done) {
+          val sym = jpegDecodeSymbol(br, acTbl(0))
+          val r = sym >>> 4; val s = sym & 0x0f
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += br.readBits(r)
+              done = true
+            }
+          } else {
+            k += r
+            if (k > se) fail("AC run past band")
+            coefs(c)(o + k) = jpegExtend(br.readBits(s), s) << al
+            k += 1
+          }
+        }
+      }
+
+      def refineBit(c: Int, idx: Int, p1: Int, m1: Int): Unit = {
+        val bit = br.readBit()
+        if (bit < 0) fail("truncated entropy data")
+        if (bit == 1 && (coefs(c)(idx) & p1) == 0)
+          coefs(c)(idx) += (if (coefs(c)(idx) >= 0) p1 else m1)
+      }
+
+      def decodeAcRefine(c: Int, bx: Int, by: Int): Unit = {
+        val o = (by * bwBlocks(c) + bx) * 64
+        val p1 = 1 << al; val m1 = -1 << al
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (k <= se && !done) {
+            val sym = jpegDecodeSymbol(br, acTbl(0))
+            var r = sym >>> 4; val s0 = sym & 0x0f
+            var newval = 0
+            if (s0 != 0) {
+              if (s0 != 1) fail("bad AC refinement size")
+              val bit = br.readBit()
+              if (bit < 0) fail("truncated entropy data")
+              newval = if (bit == 1) p1 else m1
+            } else if (r != 15) {
+              eobrun = 1 << r
+              if (r > 0) eobrun += br.readBits(r)
+              done = true
+            } // r == 15, s == 0: ZRL — skip 16 zero-history coefficients
+            if (!done) {
+              // advance over r zero-history coefficients, appending
+              // correction bits to already-nonzero ones (T.81 G.2 /
+              // the classical refinement walk)
+              var stop = false
+              while (k <= se && !stop) {
+                if (coefs(c)(o + k) != 0) {
+                  refineBit(c, o + k, p1, m1)
+                  k += 1
+                } else if (r == 0) stop = true
+                else { r -= 1; k += 1 }
+              }
+              if (s0 != 0) {
+                if (k > se) fail("AC refinement run past band")
+                coefs(c)(o + k) = newval
+                k += 1
+              } else if (!stop) {
+                // ZRL consumed its 16 zeros exactly at the band end
+              } else k += 1 // ZRL's 16th zero: skip it
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            if (coefs(c)(o + k) != 0) refineBit(c, o + k, p1, m1)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      var sinceRestart = 0
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          br.consumeRst()
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+          sinceRestart = 0
+        }
+
+      if (ss == 0) {
+        // DC scan: interleaved over the MCU grid (ns == nComp) or a
+        // single component over its ceil grid
+        if (se != 0) fail("DC scan must have Se = 0")
+        if (scanComps.length > 1) {
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
+              maybeRestart()
+              var si = 0
+              while (si < scanComps.length) {
+                val c = scanComps(si)
+                var j = 0
+                while (j < compV(c)) {
+                  var i = 0
+                  while (i < compH(c)) {
+                    decodeDc(si, c, mx * compH(c) + i, my * compV(c) + j)
+                    i += 1
+                  }
+                  j += 1
+                }
+                si += 1
+              }
+              sinceRestart += 1
+              mx += 1
+            }
+            my += 1
+          }
+        } else {
+          val c = scanComps(0)
+          var by = 0
+          while (by < cbH(c)) {
+            var bx = 0
+            while (bx < cbW(c)) {
+              maybeRestart()
+              decodeDc(0, c, bx, by)
+              sinceRestart += 1
+              bx += 1
+            }
+            by += 1
+          }
+        }
+      } else {
+        // AC scan: always non-interleaved, one component (T.81 B.2.3)
+        if (scanComps.length != 1) fail("AC scan must cover one component")
+        if (ss > se || se > 63) fail("bad spectral band")
+        val c = scanComps(0)
+        if (!dcSeen(c)) fail("AC scan before the component's DC scan")
+        var by = 0
+        while (by < cbH(c)) {
+          var bx = 0
+          while (bx < cbW(c)) {
+            maybeRestart()
+            if (ah == 0) decodeAcFirst(c, bx, by)
+            else decodeAcRefine(c, bx, by)
+            sinceRestart += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      br.position
+    }
+
+    var pos = 2
+    var done = false
+    while (!done) {
+      if (pos + 1 >= p.length) fail("truncated before EOI")
+      if ((p(pos) & 0xff) != 0xff) fail("bad marker prefix")
+      val m = p(pos + 1) & 0xff
+      if (m == 0xff) { pos += 1 }
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2
+      else if (m == 0xd9) done = true // EOI
+      else {
+        if (pos + 3 >= p.length) fail("truncated segment header")
+        val len = u16(pos + 2)
+        if (len < 2) fail("bad segment length")
+        val body = pos + 4
+        val segEnd = body + len - 2
+        if (segEnd > p.length) fail("segment overruns payload")
+        m match {
+          case 0xdb => // DQT (tables may arrive between scans)
+            var q = body
+            while (q < segEnd) {
+              val pq = (p(q) & 0xf0) >>> 4; val tq = p(q) & 0x0f
+              if (pq > 1 || tq > 3) fail("bad DQT")
+              if (q + 1 + (if (pq == 1) 128 else 64) > segEnd)
+                fail("DQT overruns segment")
+              val t = new Array[Int](64)
+              var i = 0
+              var r = q + 1
+              while (i < 64) {
+                t(i) = if (pq == 1) { val v = u16(r); r += 2; v }
+                       else { val v = p(r) & 0xff; r += 1; v }
+                i += 1
+              }
+              quant(tq) = t
+              q = r
+            }
+          case 0xc2 => // SOF2: progressive frame header
+            if (nComp != 0) fail("multiple frame headers")
+            if (len < 11) fail("SOF segment too short")
+            if ((p(body) & 0xff) != 8) fail("only 8-bit precision")
+            h = u16(body + 1); w = u16(body + 3)
+            if (w <= 0 || h <= 0) fail("bad SOF dimensions")
+            if (w.toLong * h > JpegMaxPixels)
+              fail(s"frame size $w x $h too large")
+            nComp = p(body + 5) & 0xff
+            if (nComp != 1 && nComp != 3)
+              fail("only 1 (gray) or 3 (YCbCr) components supported")
+            if (len < 8 + 3 * nComp) fail("SOF segment too short")
+            compId = new Array[Int](nComp)
+            compH = new Array[Int](nComp)
+            compV = new Array[Int](nComp)
+            compQ = new Array[Int](nComp)
+            for (c <- 0 until nComp) {
+              compId(c) = p(body + 6 + 3 * c) & 0xff
+              val hv = p(body + 7 + 3 * c) & 0xff
+              compH(c) = (hv >>> 4) & 0x0f; compV(c) = hv & 0x0f
+              compQ(c) = p(body + 8 + 3 * c) & 0xff
+              if (compQ(c) > 3) fail("bad quant table id")
+            }
+            if (nComp == 1) {
+              if (compH(0) != 1 || compV(0) != 1) fail("only 1x1 sampling")
+            } else {
+              if (compH(0) < 1 || compH(0) > 2 || compV(0) < 1 || compV(0) > 2)
+                fail("unsupported luma sampling")
+              if (compH(1) != 1 || compV(1) != 1 ||
+                  compH(2) != 1 || compV(2) != 1)
+                fail("unsupported chroma sampling")
+            }
+            val hMax = compH.max; val vMax = compV.max
+            mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+            bwBlocks = Array.tabulate(nComp)(c => mcusX * compH(c))
+            bhBlocks = Array.tabulate(nComp)(c => mcusY * compV(c))
+            cbW = Array.tabulate(nComp) { c =>
+              ((w * compH(c) + hMax - 1) / hMax + 7) / 8
+            }
+            cbH = Array.tabulate(nComp) { c =>
+              ((h * compV(c) + vMax - 1) / vMax + 7) / 8
+            }
+            coefs = Array.tabulate(nComp)(c =>
+              new Array[Int](bwBlocks(c) * bhBlocks(c) * 64))
+            compQt = new Array[Array[Int]](nComp)
+            dcSeen = new Array[Boolean](nComp)
+          case mm if (mm >= 0xc0 && mm <= 0xcf && mm != 0xc2 &&
+              mm != 0xc4 && mm != 0xc8) =>
+            fail("unsupported SOF variant in progressive stream")
+          case 0xc4 => // DHT (tables may arrive between scans)
+            var q = body
+            while (q < segEnd) {
+              val tc = (p(q) & 0xf0) >>> 4; val th = p(q) & 0x0f
+              if (tc > 1 || th > 3) fail("bad DHT")
+              if (q + 17 > segEnd) fail("DHT overruns segment")
+              val bits = Array.tabulate(16)(i => p(q + 1 + i) & 0xff)
+              val n = bits.sum
+              if (q + 17 + n > segEnd) fail("DHT overruns segment")
+              val vals = Array.tabulate(n)(i => p(q + 17 + i) & 0xff)
+              var code = 0; var k = 0
+              val tbl = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+              for (l <- 1 to 16) {
+                for (_ <- 0 until bits(l - 1)) {
+                  tbl((l, code)) = vals(k); code += 1; k += 1
+                }
+                code <<= 1
+              }
+              huff(tc)(th) = tbl.toMap
+              q += 17 + n
+            }
+          case 0xdd => // DRI
+            if (len < 4) fail("DRI segment too short")
+            restartInterval = u16(body)
+          case 0xda => // SOS: one of possibly many scans
+            if (nComp == 0) fail("SOS before SOF")
+            val ns = p(body) & 0xff
+            if (ns < 1 || (ns != 1 && ns != nComp))
+              fail("scan must cover one or all components")
+            if (len < 6 + 2 * ns) fail("SOS segment too short")
+            val scanComps = new Array[Int](ns)
+            val dcTbl = new Array[Map[(Int, Int), Int]](ns)
+            val acTbl = new Array[Map[(Int, Int), Int]](ns)
+            val ss = p(body + 1 + 2 * ns) & 0xff
+            val se = p(body + 2 + 2 * ns) & 0xff
+            val ahal = p(body + 3 + 2 * ns) & 0xff
+            val ah = (ahal >>> 4) & 0x0f; val al = ahal & 0x0f
+            if (al > 13 || ah > 13) fail("bad successive approximation")
+            if (ah != 0 && ah != al + 1)
+              fail("refinement must advance one bit")
+            for (si <- 0 until ns) {
+              val cid = p(body + 1 + 2 * si) & 0xff
+              val c = compId.indexOf(cid)
+              if (c < 0) fail("scan component not in frame")
+              if (ns > 1 && c != si) fail("scan component order must match SOF")
+              scanComps(si) = c
+              val tt = p(body + 2 + 2 * si) & 0xff
+              val td = (tt >>> 4) & 0x0f; val ta = tt & 0x0f
+              if (td > 3 || ta > 3) fail("bad Huffman table id")
+              if (ss == 0 && ah == 0) {
+                dcTbl(si) = huff(0)(td)
+                if (dcTbl(si) == null) fail("missing Huffman table")
+              }
+              if (ss > 0) {
+                acTbl(si) = huff(1)(ta)
+                if (acTbl(si) == null) fail("missing Huffman table")
+              }
+              if (compQt(c) == null) {
+                compQt(c) = quant(compQ(c))
+                if (compQt(c) == null) fail("missing quant table")
+              }
+              if (ss == 0) dcSeen(c) = true
+            }
+            val after = decodeScan(scanComps, ss, se, ah, al,
+              dcTbl, acTbl, segEnd)
+            // resume the marker walk at the next real marker (skip the
+            // entropy tail's pad bits and any stray RSTn)
+            var q = after
+            var found = -1
+            while (found < 0) {
+              if (q + 1 >= p.length) fail("truncated after scan")
+              if ((p(q) & 0xff) == 0xff) {
+                val nm = p(q + 1) & 0xff
+                if (nm != 0x00 && nm != 0xff && !(nm >= 0xd0 && nm <= 0xd7))
+                  found = q
+                else q += (if (nm >= 0xd0 && nm <= 0xd7) 2 else 1)
+              } else q += 1
+            }
+            pos = found
+          case _ => () // APPn, COM, DNL, others: skip
+        }
+        if (m != 0xda && !done) pos = segEnd
+      }
+    }
+    if (nComp == 0) fail("no frame header before EOI")
+    for (c <- 0 until nComp)
+      if (!dcSeen(c)) fail("component missing its DC scan")
+    // dequantize + inverse zigzag + IDCT into cropped planes, exactly
+    // as the baseline path does per block
+    val hMax = compH.max; val vMax = compV.max
+    val planes = Array.tabulate(nComp) { c =>
+      val cw = (w * compH(c) + hMax - 1) / hMax
+      val ch = (h * compV(c) + vMax - 1) / vMax
+      JpegPlane(cw, ch, compH(c), compV(c), new Array[Int](cw * ch))
+    }
+    val nat = new Array[Int](64)
+    val ftmp = Array.ofDim[Double](8, 8)
+    for (c <- 0 until nComp) {
+      val qt = compQt(c)
+      var by = 0
+      while (by < bhBlocks(c)) {
+        var bx = 0
+        while (bx < bwBlocks(c)) {
+          val o = (by * bwBlocks(c) + bx) * 64
+          var zi = 0
+          while (zi < 64) {
+            nat(JpegZigzag(zi)) = coefs(c)(o + zi) * qt(zi)
+            zi += 1
+          }
+          jpegIdctToPlane(nat, planes(c).px, planes(c).cw, planes(c).ch,
+            bx, by, ftmp)
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    (w, h, planes)
+  }
+
   /** Decode a baseline sequential GRAYSCALE JPEG to (width, height,
     * row-major pixels) — the 1-component wrapper over
     * [[jpegDecodePlanes]]; a color stream flags here, preserving the
@@ -1275,6 +1882,36 @@ object Multimodal {
     df.select(col(idCol).cast("long")).as[Long].map { id =>
       val w = 8 * (id % 4 + 1).toInt; val h = 8 * (id % 3 + 1).toInt
       val row = MediaRow(id, "image", jpegPayload(id), "jpeg", w, h, 0L)
+      if (id % 97 == 0) row.payload(0) = 0x42 // corrupt
+      row
+    }
+  }
+
+  /** [[jpegPayload]]'s generation rule emitted as a real PROGRESSIVE
+    * (SOF2) stream by [[jpegEncodeGrayProgressive]] — same pixels, so
+    * q_media_jpeg's oracle covers the progressive decode path
+    * verbatim (DC-only blocks reconstruct exactly through the
+    * three-scan successive-approximation pipeline).
+    */
+  def jpegProgPayload(id: Long): Array[Byte] = {
+    val bw = (id % 4 + 1).toInt; val bh = (id % 3 + 1).toInt
+    val w = 8 * bw; val h = 8 * bh
+    jpegEncodeGrayProgressive(w, h, Array.tabulate(w * h) { k =>
+      val bi = (k / w) / 8; val bj = (k % w) / 8
+      ((id + 7 * bi + 13 * bj) % 256).toInt
+    })
+  }
+
+  /** Decodable PROGRESSIVE JPEG media table (every 97th corrupted, the
+    * [[decodableMedia]] discipline) — [[decodableJpeg]]'s rule through
+    * the SOF2 multi-scan encoder.
+    */
+  def decodableJpegProg(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val w = 8 * (id % 4 + 1).toInt; val h = 8 * (id % 3 + 1).toInt
+      val row = MediaRow(id, "image", jpegProgPayload(id), "jpeg", w, h, 0L)
       if (id % 97 == 0) row.payload(0) = 0x42 // corrupt
       row
     }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorExpressions
-import graft.ops.Similarity
+import graft.ops.{Multimodal, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -160,9 +160,34 @@ object Round16Queries {
         localCodeTable(s, dir)
           .filter(col("ivf_cid").isin(probed.map(Int.box).toIndexedSeq: _*)),
         "vec_id", "codes", "ivf_cid", cellArrays, qRaw, k = 10)
+    }),
+
+    // ---- PROGRESSIVE (SOF2) JPEG decode + feature extraction ----
+    "q_media_jpeg_prog" -> ((s, dir) => {
+      // q_media_jpeg's generation rule emitted as REAL multi-scan
+      // progressive streams (DC first with successive approximation
+      // Al=1, DC refinement, spectral-selection AC band with EOB
+      // runs) — the Annex G path the r15 verdict flagged as the last
+      // undocumented media boundary. DC-only constant blocks
+      // reconstruct exactly through the three-scan reassembly, so the
+      // SAME oracle covers it; a bug anywhere in band splitting,
+      // refinement, or EOB-run decode breaks the hash. Every 97th
+      // payload corrupted -> flagged, never crashed (JpegHostileSpec
+      // fuzzes the progressive surfaces; JpegCodecSpec cross-checks
+      // against ImageIO's libjpeg scan scripts incl. AC refinement).
+      Multimodal.extractFeatures(Multimodal.decodableJpegProg(
+          Tables.load(s, dir, "documents"), "doc_id"))
+        .select(col("media_id"), col("n_units"), col("unit_sum"),
+          col("unit_min"), col("unit_max"), col("decode_ok"))
+        .orderBy(col("media_id"))
     }))
 
   def oracles: Map[String, String] = Map(
+
+    // same pixels as the baseline payloads (the generation rule is the
+    // contract, the scan structure is the engine's concern), so
+    // q_media_jpeg's oracle text covers the progressive path verbatim
+    "q_media_jpeg_prog" -> Round14Queries.oracles("q_media_jpeg"),
 
     "q_ivf_sq8_recall" ->
       // approx = the q_ivf_sq8 oracle's pruned ranking (cell argmax of

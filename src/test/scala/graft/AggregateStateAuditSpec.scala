@@ -108,6 +108,11 @@ class AggregateStateAuditSpec extends AnyFunSuite {
     "q_survival_km" -> Set("CollectList"),
     // one host's robots.txt prefix rules
     "q_url_rules" -> Set("CollectList"),
+    // sq8CellBoundArrays: exactly |dims| = 64 (dim, bound) structs per
+    // cell — training-state pivot of the nCells x dims bounds frame,
+    // never a data column
+    "q_sq8_local_gain" -> Set("CollectList"),
+    "q_ivf_sq8_local" -> Set("CollectList"),
     // p01/p99 clip bounds: distinct-cents domain
     "q_winsorize" -> Set("Percentile"),
     // Layout.orderStats' final gather: |posExprs| picked rank rows

@@ -6,8 +6,8 @@ class EntrySmoke extends AnyFunSuite {
     val n = df.count()
     info(s"entry rows: $n")
     assert(n > 0)
-    assert(SparkEntry.queries.size == 323)
-    assert(SparkEntry.oracleSql.size == 323)
+    assert(SparkEntry.queries.size == 324)
+    assert(SparkEntry.oracleSql.size == 324)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 }

@@ -106,6 +106,91 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  private def imageIoEncodeGrayProgressive(w: Int, h: Int,
+      px: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    for (k <- px.indices) r.setSample(k % w, k / w, 0, px(k) & 0xff)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  test("PROGRESSIVE encode of block-constant images decodes bit-exactly") {
+    for (id <- 0L to 40L) {
+      val payload = Multimodal.jpegProgPayload(id)
+      assert(Multimodal.jpegIsProgressive(payload), s"id $id not SOF2")
+      val bw = (id % 4 + 1).toInt; val bh = (id % 3 + 1).toInt
+      val w = 8 * bw; val h = 8 * bh
+      val expected = Array.tabulate(w * h) { k =>
+        val bi = (k / w) / 8; val bj = (k % w) / 8
+        ((id + 7 * bi + 13 * bj) % 256).toInt
+      }
+      val (dw, dh, px) = Multimodal.decodeJpegGrayDims(payload)
+      assert(dw === w && dh === h, s"id $id dims")
+      assert(px.sameElements(expected), s"id $id pixels not bit-exact")
+      // the independent JDK reader decodes our progressive stream too
+      val (iw, ih, ipx) = imageIoDecode(payload)
+      assert(iw === w && ih === h, s"id $id ImageIO dims")
+      assert(maxAbsDiff(px, ipx) <= 1, s"id $id vs ImageIO")
+    }
+  }
+
+  test("PROGRESSIVE and baseline encodes of the same image decode IDENTICALLY") {
+    // both pipelines carry the identical quantized coefficients (same
+    // FDCT, all-ones quant), so after the multi-scan reassembly the
+    // progressive decode must be BIT-identical to the baseline decode
+    // — any error in band splitting, successive approximation, or EOB
+    // runs shows as a pixel diff here
+    val rnd = new scala.util.Random(160L)
+    for (i <- 0 until 20) {
+      val w = rnd.nextInt(40) + 1
+      val h = rnd.nextInt(40) + 1
+      val px = Array.fill(w * h)(rnd.nextInt(256))
+      val prog = Multimodal.jpegEncodeGrayProgressive(w, h, px)
+      val base = Multimodal.jpegEncodeGray(w, h, px)
+      val (pw2, ph2, gotP) = Multimodal.decodeJpegGrayDims(prog)
+      val (_, _, gotB) = Multimodal.decodeJpegGrayDims(base)
+      assert(pw2 === w && ph2 === h, s"case $i dims")
+      assert(gotP.sameElements(gotB), s"case $i progressive != baseline")
+      val (_, _, ipx) = imageIoDecode(prog)
+      assert(maxAbsDiff(gotP, ipx) <= 1, s"case $i vs ImageIO")
+    }
+  }
+
+  test("our decoder reads ImageIO-encoded PROGRESSIVE JPEGs (real scan scripts incl. AC refinement)") {
+    // the JDK writer's MODE_DEFAULT emits the classic libjpeg
+    // progressive scan script — spectral selection bands AND
+    // successive-approximation AC refinement scans with correction
+    // bits, the hardest part of Annex G — so this is the independent
+    // cross-check that the refinement walk is right, not just
+    // self-consistent
+    val rnd = new scala.util.Random(77L)
+    for (i <- 0 until 12) {
+      val w = rnd.nextInt(60) + 1
+      val h = rnd.nextInt(60) + 1
+      val px = Array.tabulate(w * h) { k =>
+        val r = k / w; val c = k % w
+        math.min(255, math.max(0, 3 * r + 2 * c + rnd.nextInt(9) - 4))
+      }
+      val payload = imageIoEncodeGrayProgressive(w, h, px)
+      assert(Multimodal.jpegIsProgressive(payload),
+        s"case $i: ImageIO did not emit SOF2")
+      val (dw, dh, got) = Multimodal.decodeJpegGrayDims(payload)
+      assert(dw === w && dh === h, s"case $i dims")
+      val (_, _, ipx) = imageIoDecode(payload)
+      assert(maxAbsDiff(got, ipx) <= 1, s"case $i vs ImageIO round trip")
+    }
+  }
+
   // byte offset just past the SOS header = start of entropy data
   private def sosEnd(p: Array[Byte]): Int = {
     val idx = sosIdx(p)

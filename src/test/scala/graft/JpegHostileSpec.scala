@@ -116,8 +116,11 @@ class JpegHostileSpec extends AnyFunSuite {
   test("unsupported SOF variants and misplaced EOI flag cleanly") {
     val p = valid()
     val sofMarker = markerIdx(p, 0xc0)
+    // SOF0 flipped to SOF2 routes to the REAL progressive decoder now,
+    // which must still flag: the baseline SOS header (Ss=0, Se=63) is
+    // not a valid progressive scan header
     val prog = p.clone(); prog(sofMarker + 1) = 0xc2.toByte
-    assert(flags(prog), "progressive must flag")
+    assert(flags(prog), "baseline stream mislabeled SOF2 must flag")
     val lossless = p.clone(); lossless(sofMarker + 1) = 0xc3.toByte
     assert(flags(lossless), "lossless SOF must flag")
     // EOI spliced in before SOS
@@ -197,6 +200,84 @@ class JpegHostileSpec extends AnyFunSuite {
       catch { case _: IllegalArgumentException => flagged += 1 }
     }
     info(s"flagged $flagged / 1000 color mutations")
+  }
+
+  test("PROGRESSIVE: truncation at every byte boundary flags or decodes, never crashes or hangs") {
+    val p = Multimodal.jpegProgPayload(5L)
+    val full = Multimodal.decodeJpegGray(p)
+    for (n <- 0 until p.length) {
+      val t0 = System.nanoTime()
+      try Multimodal.decodeJpegGrayDims(p.take(n))
+      catch { case _: IllegalArgumentException => () }
+      assert((System.nanoTime() - t0) < 2e9, s"prefix $n hung")
+    }
+    assert(Multimodal.decodeJpegGray(p).sameElements(full))
+  }
+
+  test("PROGRESSIVE: single-byte fuzz — decode or flag, never crash/hang") {
+    // the multi-scan walk adds surfaces a baseline stream lacks (scan
+    // headers, EOB runs, refinement bits, the between-scan marker
+    // resume) — fuzz them all
+    val p = Multimodal.jpegProgPayload(17L)
+    val rnd = new scala.util.Random(1602L)
+    var flagged = 0
+    for (_ <- 0 until 2000) {
+      val q = p.clone()
+      q(rnd.nextInt(q.length)) = rnd.nextInt(256).toByte
+      val t0 = System.nanoTime()
+      try Multimodal.decodeJpegGrayDims(q)
+      catch { case _: IllegalArgumentException => flagged += 1 }
+      assert((System.nanoTime() - t0) < 2e9, "mutation hung")
+    }
+    info(s"flagged $flagged / 2000 progressive mutations")
+    assert(flagged > 0)
+  }
+
+  test("PROGRESSIVE: hostile scan headers flag cleanly") {
+    val p = Multimodal.jpegProgPayload(3L)
+    def sosOffsets(q: Array[Byte]): Seq[Int] = {
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      while (i + 1 < q.length) {
+        if ((q(i) & 0xff) == 0xff && (q(i + 1) & 0xff) == 0xda) out += i
+        i += 1
+      }
+      out.toSeq
+    }
+    val scans = sosOffsets(p)
+    assert(scans.size == 3, s"expected 3 scans, found ${scans.size}")
+    // DC scan with Se != 0
+    locally {
+      val q = p.clone(); q(scans(0) + 4 + 4) = 63.toByte // Se of scan 1
+      assert(flags(q), "DC scan with Se=63 must flag")
+    }
+    // AC scan claiming Ss > Se
+    locally {
+      val q = p.clone(); q(scans(2) + 4 + 3) = 70.toByte // Ss of scan 3
+      assert(flags(q), "Ss > 63 must flag")
+    }
+    // refinement jumping two bits (Ah must be Al+1)
+    locally {
+      val q = p.clone(); q(scans(1) + 4 + 5) = 0x30.toByte // Ah=3, Al=0
+      assert(flags(q), "Ah != Al+1 must flag")
+    }
+    // frame-less scan: drop SOF2 entirely
+    locally {
+      val sof = markerIdx(p, 0xc2)
+      val len = ((p(sof + 2) & 0xff) << 8) | (p(sof + 3) & 0xff)
+      val q = p.take(sof) ++ p.drop(sof + 2 + len)
+      assert(flags(q), "SOS before SOF2 must flag")
+    }
+    // hostile SOF2 dims: the JpegMaxPixels guard applies here too
+    locally {
+      val body = markerIdx(p, 0xc2) + 4
+      val q = p.clone()
+      q(body + 1) = 0xff.toByte; q(body + 2) = 0xff.toByte
+      q(body + 3) = 0xff.toByte; q(body + 4) = 0xff.toByte
+      val t0 = System.nanoTime()
+      assert(flags(q), "65535x65535 SOF2 must flag")
+      assert((System.nanoTime() - t0) < 1e9, "flag must precede allocation")
+    }
   }
 
   test("random-garbage and random-marker-soup payloads flag") {
