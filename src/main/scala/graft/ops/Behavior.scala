@@ -100,18 +100,24 @@ object Behavior {
     // cuts + N are pinned as literals (same reasoning as
     // Layout.orderStats): percentile_approx is merge-order-sensitive
     // and `b` fans out to the histogram and the rank path, so the cut
-    // array must be evaluated exactly once
+    // array must be evaluated exactly once.
+    // accuracy 100 (r16): cuts shape only bucket balance, never the
+    // tile assignment — the exact histogram + per-bucket ranks below
+    // reconstruct exact global ranks under ANY cut set (same invariant
+    // as Layout.orderStats) — and accuracy 1000 made this head() the
+    // dominant single-task job in each of q_rfm's three nested tiles.
     val cutsRow = df.agg(percentile_approx(metric.cast("double"),
       array((1 until nRough).map(i => lit(i.toDouble / nRough)): _*),
-      lit(1000)).as("_cuts"), count(lit(1)).as("_N")).head()
+      lit(100)).as("_cuts"), count(lit(1)).as("_N")).head()
     val cutVals: Seq[Double] =
       if (cutsRow.isNullAt(0)) Seq.empty else cutsRow.getSeq[Double](0)
     val nTotal = cutsRow.getLong(1)
+    // codegen'd CutBucket binary search instead of an interpreted HOF
+    // fold — same rationale and identical semantics as Layout.orderStats
     val b = df
       .withColumn("_N", lit(nTotal))
-      .withColumn("_b", coalesce(aggregate(typedLit(cutVals), lit(0),
-        (acc, c) => acc + when(metric.cast("double") > c, 1).otherwise(0)),
-        lit(0)))
+      .withColumn("_b", graft.functions.RankExpressions.cut_bucket(
+        metric.cast("double"), cutVals))
     val hist = b.groupBy(col("_b")).agg(count(lit(1)).as("_n"))
     val wOff = Window.orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, -1)

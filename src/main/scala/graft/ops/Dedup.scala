@@ -369,11 +369,12 @@ object Dedup {
     // materialize a round's labels AND mint fresh attribute ids: the
     // loop re-joins each round's output against the edge list and
     // itself, and reusing the same attributes across the union +
-    // self-join pattern trips Catalyst's Union constraint rewriting
-    def materialize(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint()
-      c.sparkSession.createDataFrame(c.rdd, c.schema)
-    }
+    // self-join pattern trips Catalyst's Union constraint rewriting.
+    // freshAttributes keeps both properties (new LogicalRDD output
+    // attrs, truncated lineage) without the external-Row round-trip.
+    def materialize(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftColumnBridge.freshAttributes(
+        df.localCheckpoint())
     // seed: own id vs min direct neighbor (first propagation round for free)
     var labels = materialize(edges.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("m"))

@@ -54,14 +54,24 @@ object Graphs {
       .union(e.select(col("dst").as("id")))
       .distinct().persist(MEMORY_AND_DISK)
     val base = scale * (dampDen - dampNum) / dampDen
-    def materialize(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint()
-      c.sparkSession.createDataFrame(c.rdd, c.schema)
-    }
+    // materialize WITHOUT the external-Row round-trip (r16): fresh
+    // attribute ids + truncated lineage via internal rows — see
+    // GraftColumnBridge.freshAttributes
+    def materialize(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftColumnBridge.freshAttributes(
+        df.localCheckpoint())
+    // the edge ⋈ outdeg join is LOOP-INVARIANT (guide §2.4): hoist it
+    // out of the iteration and persist it hash-partitioned by src, so
+    // each round joins only the (small) rank frame against an already
+    // co-partitioned edge table instead of re-joining and re-shuffling
+    // the edges every iteration
+    val ed = e.join(outdeg, Seq("src"))
+      .repartition(col("src"))
+      .persist(MEMORY_AND_DISK)
     var ranks = materialize(nodes.select(col("id"), lit(scale).as("rank")))
     for (_ <- 1 to iters) {
-      val contrib = e.join(outdeg, Seq("src"))
-        .join(ranks, e("src") === ranks("id"))
+      val contrib = ed
+        .join(ranks, ed("src") === ranks("id"))
         .select(col("dst").as("id"),
           expr(s"(rank * $dampNum) div ($dampDen * deg)").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
@@ -70,6 +80,7 @@ object Graphs {
           (lit(base) + coalesce(col("s"), lit(0L))).as("rank")))
     }
     e.unpersist(blocking = false)
+    ed.unpersist(blocking = false)
     outdeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     ranks
@@ -91,10 +102,10 @@ object Graphs {
     val e = edgeDf.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .distinct().persist(MEMORY_AND_DISK)
-    def materialize(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint()
-      c.sparkSession.createDataFrame(c.rdd, c.schema)
-    }
+    // internal-row materialize — see GraftColumnBridge.freshAttributes
+    def materialize(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftColumnBridge.freshAttributes(
+        df.localCheckpoint())
     var dist = materialize(
       seeds.select(col("id").cast("long").as("id"), lit(0).as("hops"))
         .distinct())

@@ -146,9 +146,14 @@ object Layout {
         greatest(ceil(col("_N") * i.toDouble / parts), lit(1.0))
           .cast("long")))
       .select(col("_stats").as("_bounds"))
+    // the bounds array has exactly parts−1 elements, so the fold
+    // expands to a static codegen'd when-sum over element_at — same
+    // rationale as the orderStats bucket expression (HOF lambdas are
+    // interpreted per row), identical term-for-term semantics
     df.select(col(keyCol).as("_k")).crossJoin(broadcast(bounds))
-      .withColumn("part", aggregate(col("_bounds"), lit(0),
-        (acc, b) => acc + when(col("_k") > b, 1).otherwise(0)))
+      .withColumn("part", (1 until parts).map(i =>
+        when(col("_k") > element_at(col("_bounds"), i), 1).otherwise(0))
+        .reduce(_ + _))
       .groupBy(col("part"))
       .agg(count(lit(1)).as("n"),
         min(col("_k")).as("min_key"), max(col("_k")).as("max_key"))
@@ -185,16 +190,22 @@ object Layout {
     // rank path — relying on Catalyst exchange reuse to deduplicate
     // the subtree would let the two paths see DIFFERENT cut arrays if
     // reuse is disabled or canonicalization misses, silently skewing
-    // every downstream rank
+    // every downstream rank.
+    // accuracy 100 (r16): the cuts shape only bucket BALANCE, never
+    // the answer (the invariant documented above), so ~1% rank error
+    // in a 1/64-grain cut grid is free and the sketch state stays
+    // 10x smaller per task at scale.
     val cutsRow = keys.agg(percentile_approx(col("_k").cast("double"),
       array((1 until nRough).map(i => lit(i.toDouble / nRough)): _*),
-      lit(1000)).as("_cuts")).head()
+      lit(100)).as("_cuts")).head()
     val cutVals: Seq[Double] =
       if (cutsRow.isNullAt(0)) Seq.empty else cutsRow.getSeq[Double](0)
+    // bucket id = count of cuts strictly below the key — the codegen'd
+    // CutBucket binary search (guide §4: no interpreted HOF lambdas in
+    // the hot path; see RankExpressions for the measured history)
     val bucketed = keys
-      .withColumn("_b", coalesce(aggregate(typedLit(cutVals), lit(0),
-        (acc, c) => acc + when(col("_k").cast("double") > c, 1).otherwise(0)),
-        lit(0)))
+      .withColumn("_b", graft.functions.RankExpressions.cut_bucket(
+        col("_k").cast("double"), cutVals))
       .select(col("_k"), col("_b"))
     val hist = bucketed.groupBy(col("_b")).agg(count(lit(1)).as("_n"))
     // ≤ nRough rows: the only ordered-unpartitioned window runs over
