@@ -68,22 +68,36 @@ object Graphs {
     val ed = e.join(outdeg, Seq("src"))
       .repartition(col("src"))
       .persist(MEMORY_AND_DISK)
-    var ranks = materialize(nodes.select(col("id"), lit(scale).as("rank")))
-    for (_ <- 1 to iters) {
+    // Checkpoint CADENCE, not every round (r16): each round references
+    // the previous rank frame exactly ONCE, so the un-checkpointed plan
+    // grows linearly (unlike CC's 3-references-per-round shape that
+    // motivated per-round checkpoints), and a handful of rounds execute
+    // as ONE job with end-to-end AQE instead of paying an eager
+    // checkpoint write + a fixed 32-partition cached scan per round —
+    // measured ~1.5 s of q_pagerank's 2.9 s at sf0.1. The cadence keeps
+    // the lineage bound for large `iters`.
+    val ckptEvery = 8
+    var ranks: DataFrame = nodes.select(col("id"), lit(scale).as("rank"))
+    for (i <- 1 to iters) {
       val contrib = ed
         .join(ranks, ed("src") === ranks("id"))
         .select(col("dst").as("id"),
           expr(s"(rank * $dampNum) div ($dampDen * deg)").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
-      ranks = materialize(nodes.join(contrib, Seq("id"), "left")
+      val next = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + coalesce(col("s"), lit(0L))).as("rank")))
+          (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
+      ranks = if (i % ckptEvery == 0) materialize(next) else next
     }
+    // materialize the final frame BEFORE releasing the caches it is
+    // built over — the lazy plan must not recompute e/ed/nodes uncached
+    // at the caller's action
+    val result = materialize(ranks)
     e.unpersist(blocking = false)
     ed.unpersist(blocking = false)
     outdeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    ranks
+    result
   }
 
   /** Multi-source BFS hop distances: the minimum number of edges from

@@ -799,14 +799,6 @@ object Similarity {
     Array.tabulate(m)(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
   }
 
-  /** Squared L2 between a subvector column and a codeword literal — a
-    * left-to-right fold, so the oracle's ordered list_reduce replays
-    * the identical double sum.
-    */
-  private def sqDist(sub: Column, cw: Array[Double]): Column =
-    aggregate(zip_with(sub, typedlit(cw), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
-
   /** PQ-encode every vector: per subspace the nearest codeword (ties →
     * lowest code, via the (dist, code) struct-min), plus the total
     * quantization error. Zero shuffle — m·k codegen'd squared
@@ -815,20 +807,18 @@ object Similarity {
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks.head.head.length
-    val e = col(vecCol).cast("array<double>")
-    val best = (0 until m).map { j =>
-      val sub = slice(e, j * dsub + 1, dsub)
-      array_min(array(codebooks(j).zipWithIndex.map { case (cw, c) =>
-        struct(sqDist(sub, cw).as("dist"), lit(c).as("code"))
-      }: _*))
-    }
-    // err sums subspace minima in j order (left-to-right), matching the
-    // oracle's ordered list_reduce
+    // r16: one fused codegen'd loop nest (functions.PqEncode) instead
+    // of m·k interpreted aggregate(zip_with(...)) sub-distances — same
+    // arithmetic in the same order (left-to-right element sums,
+    // NaN-greatest struct-min with ties to the lowest code, err summed
+    // in subspace order), so codes and err are bit-identical and the
+    // ordered-list_reduce oracles replay unchanged (PqExprSpec pins
+    // parity against the old formulation)
+    val enc = graft.functions.PqExpressions.pq_encode(
+      col(vecCol).cast("array<double>"), codebooks)
     df.select(col(idCol),
-      array(best.map(_.getField("code")): _*).as("codes"),
-      best.map(_.getField("dist")).reduceLeft(_ + _).as("err"))
+      enc.getField("codes").as("codes"),
+      enc.getField("err").as("err"))
   }
 
   /** Asymmetric-distance top-k over a PQ-encoded frame: the query's
@@ -893,16 +883,19 @@ object Similarity {
       var cbs = pqCodebooks(qdf, "_id", "_qv", m, k)
       val dsub = cbs.head.head.length
       for (_ <- 1 to iters) {
+        // assignment via ONE fused pq_encode per row (r16) — the same
+        // (dist, code) struct-min semantics, codegen'd (see PqEncode),
+        // projected BEFORE the explode so it runs once per row
+        val withCodes = qdf.select(col("_qv"),
+          graft.functions.PqExpressions.pq_encode(col("_qv"), cbs)
+            .getField("codes").as("_codes"))
         val perSub = (0 until m).map { j =>
-          val sub = slice(col("_qv"), j * dsub + 1, dsub)
-          val best = array_min(array(cbs(j).zipWithIndex.map { case (cw, c) =>
-            struct(sqDist(sub, cw).as("dist"), lit(c).as("code"))
-          }: _*))
-          struct(best.getField("code").as("code"), sub.as("sub"))
+          struct(element_at(col("_codes"), j + 1).as("code"),
+            slice(col("_qv"), j * dsub + 1, dsub).as("sub"))
         }
         val aggs = count(lit(1)).as("n") +:
           (0 until dsub).map(i => sum(col("s.sub")(i)).as(s"s$i"))
-        val sums = qdf
+        val sums = withCodes
           .select(posexplode(array(perSub: _*)).as(Seq("j", "s")))
           .groupBy(col("j"), col("s.code").as("code"))
           .agg(aggs.head, aggs.tail: _*)
@@ -931,10 +924,25 @@ object Similarity {
     */
   def pqRecallMean(df: DataFrame, idCol: String, vecCol: String,
       codebooks: Array[Array[Array[Double]]],
+      probes: Seq[(Long, Array[Double])], k: Int): DataFrame =
+    pqRecallMeanMulti(df, idCol, vecCol, Seq("cb" -> codebooks), probes, k)
+      .select(col("k"), col("n_probes"), col("n_hits"), col("mean_recall"))
+
+  /** [[pqRecallMean]] for SEVERAL codebooks over the same corpus and
+    * probe batch in ONE distributed plan (r16): the exact ranking —
+    * identical for every codebook — is computed once and joined
+    * against the union of the per-codebook ADC rankings, instead of
+    * re-scanning the corpus per codebook (q_pq_gain previously ran the
+    * whole exact side twice). Per-codebook rows carry the label; a
+    * codebook with zero overlap still gets its row (left join), so the
+    * output is total exactly like the single-codebook form.
+    */
+  def pqRecallMeanMulti(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[(String, Array[Array[Array[Double]]])],
       probes: Seq[(Long, Array[Double])], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(probes.nonEmpty, "need at least one probe")
-    val m = codebooks.length
+    require(codebooks.nonEmpty, "need at least one codebook")
     val e = col(vecCol).cast("array<double>")
     def topkPerProbe(pairs: DataFrame): DataFrame = pairs
       .withColumn("rn", row_number().over(
@@ -942,33 +950,43 @@ object Similarity {
       .filter(col("rn") <= k).select(col("p"), col("id"))
     val exact = topkPerProbe(df.select(col(idCol).as("id"),
         explode(array(probes.map { case (p, q) =>
-          struct(lit(p).as("p"), sqDist(e, q).as("d"))
+          struct(lit(p).as("p"),
+            graft.functions.PqExpressions.sq_l2_to_query(e, q.toSeq).as("d"))
         }: _*)).as("s"))
       .select(col("id"), col("s.p").as("p"), col("s.d").as("d")))
-    val dts = probes.map { case (p, q) =>
-      p -> Array.tabulate(m) { j =>
-        val dsub = codebooks(j).head.length
-        val qs = q.slice(j * dsub, (j + 1) * dsub)
-        codebooks(j).map { cw =>
-          var acc = 0.0; var i = 0
-          while (i < dsub) { val d = qs(i) - cw(i); acc += d * d; i += 1 }
-          acc
+    val adc = codebooks.map { case (label, cbs) =>
+      val m = cbs.length
+      val dts = probes.map { case (p, q) =>
+        p -> Array.tabulate(m) { j =>
+          val dsub = cbs(j).head.length
+          val qs = q.slice(j * dsub, (j + 1) * dsub)
+          cbs(j).map { cw =>
+            var acc = 0.0; var i = 0
+            while (i < dsub) { val d = qs(i) - cw(i); acc += d * d; i += 1 }
+            acc
+          }
         }
       }
-    }
-    val adc = topkPerProbe(pqEncode(df, idCol, vecCol, codebooks)
-      .select(col(idCol).as("id"),
-        explode(array(dts.map { case (p, dt) =>
-          struct(lit(p).as("p"),
-            (0 until m).map(j => element_at(typedlit(dt(j)),
-              element_at(col("codes"), j + 1) + 1)).reduceLeft(_ + _).as("d"))
-        }: _*)).as("s"))
-      .select(col("id"), col("s.p").as("p"), col("s.d").as("d")))
-    exact.join(adc, Seq("p", "id"))
-      .agg(count(lit(1)).as("n_hits"))
-      .select(lit(k).as("k"), lit(probes.length).as("n_probes"),
-        col("n_hits"),
-        round(col("n_hits").cast("double") /
+      topkPerProbe(pqEncode(df, idCol, vecCol, cbs)
+        .select(col(idCol).as("id"),
+          explode(array(dts.map { case (p, dt) =>
+            struct(lit(p).as("p"),
+              (0 until m).map(j => element_at(typedlit(dt(j)),
+                element_at(col("codes"), j + 1) + 1)).reduceLeft(_ + _).as("d"))
+          }: _*)).as("s"))
+        .select(col("id"), col("s.p").as("p"), col("s.d").as("d")))
+        .withColumn("codebook", lit(label))
+    }.reduce(_ unionByName _)
+    val hits = exact.join(adc, Seq("p", "id"))
+      .groupBy(col("codebook")).agg(count(lit(1)).as("_h"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    codebooks.map(_._1).toDF("codebook")
+      .join(hits, Seq("codebook"), "left")
+      .select(col("codebook"), lit(k).as("k"),
+        lit(probes.length).as("n_probes"),
+        coalesce(col("_h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("_h"), lit(0L)).cast("double") /
           lit(k.toDouble * probes.length), 6).as("mean_recall"))
   }
 
@@ -981,8 +999,9 @@ object Similarity {
       codebooks: Array[Array[Array[Double]]], query: Array[Double],
       k: Int): DataFrame = {
     val e = col(vecCol).cast("array<double>")
-    val exactDist = aggregate(zip_with(e, typedlit(query),
-      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    // codegen'd, bit-identical to the HOF fold (see SqL2ToQuery)
+    val exactDist =
+      graft.functions.PqExpressions.sq_l2_to_query(e, query.toSeq)
     val exact = df.select(col(idCol), exactDist.as("d"))
       .orderBy(col("d"), col(idCol)).limit(k).select(col(idCol))
     val adc = pqAdcTopK(pqEncode(df, idCol, vecCol, codebooks),

@@ -145,13 +145,13 @@ object Round8jQueries {
       val trained = storedCodebooks(s, dir, "pq_cb_trained_v1")(
         Similarity.pqTrainCodebooks(raw, "vec_id", "embedding",
           M, K, iters = 4))
-      Similarity.pqRecallMean(q, "vec_id", "qv", sampled, probes, k = 10)
-        .select(lit("sampled").as("codebook"), col("k"), col("n_probes"),
+      // ONE plan for both codebooks (r16): the exact ranking is shared
+      // — it does not depend on the codebook — so the corpus is scanned
+      // once for it instead of once per codebook; rows are identical
+      Similarity.pqRecallMeanMulti(q, "vec_id", "qv",
+          Seq("sampled" -> sampled, "trained" -> trained), probes, k = 10)
+        .select(col("codebook"), col("k"), col("n_probes"),
           col("n_hits"), col("mean_recall"))
-        .unionByName(
-          Similarity.pqRecallMean(q, "vec_id", "qv", trained, probes, k = 10)
-            .select(lit("trained").as("codebook"), col("k"), col("n_probes"),
-              col("n_hits"), col("mean_recall")))
         .orderBy(col("codebook"))
     }))
 
