@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
 
@@ -92,10 +93,92 @@ case class CutBucket(child: Expression, cuts: Seq[Double])
     copy(child = newChild)
 }
 
+/** TRUE iff every element of `probes` (array<long>) occurs in the
+  * SORTED distinct `sorted` (array<long>) — the codegen'd replacement
+  * for `forall(probes, p => array_contains(sorted, p))`, which paid an
+  * interpreted lambda per probe times a LINEAR array scan per
+  * membership test (the q_bloom_join probe stage: 600 k rows × k
+  * probes × |bit set|). Binary search per probe; inputs must be
+  * non-null-element arrays and `sorted` ascending (both hold by
+  * construction for the Bloom bit-set representation).
+  */
+case class AllInSortedArray(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "all_in_sorted_array"
+  override def dataType: DataType = BooleanType
+
+  private def elemOk(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left) && elemOk(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val probes = l.asInstanceOf[ArrayData]
+    val sorted = r.asInstanceOf[ArrayData]
+    val n = sorted.numElements()
+    var i = 0
+    while (i < probes.numElements()) {
+      val p = probes.getLong(i)
+      var lo = 0
+      var hi = n - 1
+      var found = false
+      while (lo <= hi && !found) {
+        val mid = (lo + hi) >>> 1
+        val v = sorted.getLong(mid)
+        if (v == p) found = true
+        else if (v < p) lo = mid + 1
+        else hi = mid - 1
+      }
+      if (!found) return false
+      i += 1
+    }
+    true
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val Seq(ok, i, p, lo, hi, mid, v, found) =
+        Seq("ok", "i", "p", "lo", "hi", "mid", "v", "found").map(ctx.freshName)
+      s"""
+         |boolean $ok = true;
+         |for (int $i = 0; $ok && $i < $l.numElements(); $i++) {
+         |  long $p = $l.getLong($i);
+         |  int $lo = 0;
+         |  int $hi = $r.numElements() - 1;
+         |  boolean $found = false;
+         |  while ($lo <= $hi && !$found) {
+         |    int $mid = ($lo + $hi) >>> 1;
+         |    long $v = $r.getLong($mid);
+         |    if ($v == $p) { $found = true; }
+         |    else if ($v < $p) { $lo = $mid + 1; }
+         |    else { $hi = $mid - 1; }
+         |  }
+         |  $ok = $found;
+         |}
+         |${ev.value} = $ok;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object RankExpressions {
   /** Bucket id of `c` under the non-decreasing `cuts` — the codegen'd
     * replacement for the interpreted per-row cut fold.
     */
   def cut_bucket(c: Column, cuts: Seq[Double]): Column =
     GraftColumnBridge.column(CutBucket(GraftColumnBridge.expression(c), cuts))
+
+  /** All probe longs present in a sorted distinct long array — the
+    * codegen'd forall/array_contains replacement.
+    */
+  def all_in_sorted_array(probes: Column, sorted: Column): Column =
+    GraftColumnBridge.column(AllInSortedArray(
+      GraftColumnBridge.expression(probes), GraftColumnBridge.expression(sorted)))
 }

@@ -73,9 +73,13 @@ object Skew {
     val bits = dim
       .select(explode(bloomPositions(col(dimKey), mBits, k)).as("_p"))
       .agg(sort_array(collect_set(col("_p"))).as("_bits"))
+    // codegen'd binary-search membership (r16) — the forall +
+    // array_contains form paid an interpreted lambda per probe times a
+    // LINEAR scan of the bit set per row; identical semantics for the
+    // non-null sorted-distinct set this builds
     val pruned = fact.crossJoin(broadcast(bits))
-      .filter(forall(bloomPositions(col(factKey), mBits, k),
-        p => array_contains(col("_bits"), p)))
+      .filter(graft.functions.RankExpressions.all_in_sorted_array(
+        bloomPositions(col(factKey), mBits, k), col("_bits")))
       .drop("_bits")
     pruned.join(dim, pruned(factKey) === dim(dimKey))
   }

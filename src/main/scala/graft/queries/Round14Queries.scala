@@ -36,8 +36,10 @@ object Round14Queries {
       // 97th payload is corrupted and must flag, not crash.
       // JpegCodecSpec cross-checks the decoder against ImageIO on
       // NON-constant images and on ImageIO-encoded streams.
+      // loadSpread (r16): the decode is real per-image CPU and the
+      // driver testdata scan is one split — single-task without it
       Multimodal.extractFeatures(Multimodal.decodableJpeg(
-          Tables.load(s, dir, "documents"), "doc_id"))
+          Tables.loadSpread(s, dir, "documents", "doc_id"), "doc_id"))
         .select(col("media_id"), col("n_units"), col("unit_sum"),
           col("unit_min"), col("unit_max"), col("decode_ok"))
         .orderBy(col("media_id"))
@@ -52,8 +54,9 @@ object Round14Queries {
       // Huffman WRITER, bit stuffing, or FDCT breaks this oracle, not
       // just the decoder. thumb_bytes is real but Huffman-sized, so
       // it stays out of the oracle projection.
+      // loadSpread (r16): decode+re-encode was a 1.7 s single task
       Multimodal.thumbnailsJpeg(Multimodal.decodableJpegThumbSource(
-          Tables.load(s, dir, "documents"), "doc_id"))
+          Tables.loadSpread(s, dir, "documents", "doc_id"), "doc_id"))
         .toDF()
         .select(col("media_id"), col("src_w"), col("src_h"),
           col("thumb_w"), col("thumb_h"), col("px_sum"), col("px_min"),

@@ -26,8 +26,9 @@ object Round15Queries {
       // Every 97th payload is corrupted and must flag, not crash.
       // JpegCodecSpec cross-checks the color pair against ImageIO in
       // BOTH directions.
+      // loadSpread (r16): per-image color decode CPU, one split
       Multimodal.rgbStats(Multimodal.decodableJpegColor(
-          Tables.load(s, dir, "documents"), "doc_id"))
+          Tables.loadSpread(s, dir, "documents", "doc_id"), "doc_id"))
         .toDF()
         .select(col("media_id"), col("w"), col("h"), col("n_px"),
           col("r_sum"), col("g_sum"), col("b_sum"), col("rgb_min"),

@@ -175,8 +175,9 @@ object Round16Queries {
       // payload corrupted -> flagged, never crashed (JpegHostileSpec
       // fuzzes the progressive surfaces; JpegCodecSpec cross-checks
       // against ImageIO's libjpeg scan scripts incl. AC refinement).
+      // loadSpread (r16): three-scan progressive decode CPU, one split
       Multimodal.extractFeatures(Multimodal.decodableJpegProg(
-          Tables.load(s, dir, "documents"), "doc_id"))
+          Tables.loadSpread(s, dir, "documents", "doc_id"), "doc_id"))
         .select(col("media_id"), col("n_units"), col("unit_sum"),
           col("unit_min"), col("unit_max"), col("decode_ok"))
         .orderBy(col("media_id"))

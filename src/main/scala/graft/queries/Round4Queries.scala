@@ -54,7 +54,10 @@ object Round4Queries {
       // avoid the second exchange entirely)
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("revenue").desc, col("l_partkey"))
-      Tables.load(s, dir, "lineitem")
+      // loadSpread (r16): the exact-decimal revenue partial agg is
+      // CPU-bound on a 3-split scan (1.1 s); decimal sums commute so
+      // the spread changes nothing but parallelism
+      Tables.loadSpread(s, dir, "lineitem", "l_orderkey")
         .groupBy(col("l_returnflag"), col("l_partkey"))
         .agg(dsumExact(revenueTerm(col("l_extendedprice"), col("l_discount"))).as("revenue"))
         .withColumn("rnk", row_number().over(w))

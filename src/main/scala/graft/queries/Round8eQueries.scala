@@ -48,7 +48,9 @@ object Round8eQueries {
 
     // ---- content-defined chunking (storage dedup synopsis) ----
     "q_cdc_chunks" -> ((s, dir) =>
-      Profile.cdcChunkStats(Tables.load(s, dir, "documents"),
+      // loadSpread (r16): rolling-hash chunking is per-doc CPU on a
+      // one-split scan — was a 0.66 s single task
+      Profile.cdcChunkStats(Tables.loadSpread(s, dir, "documents", "doc_id"),
         "doc_id", "text", modulus = 16)),
 
     // ---- watermark-lateness audit ----

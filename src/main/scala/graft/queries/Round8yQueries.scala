@@ -16,7 +16,11 @@ object Round8yQueries {
 
     // ---- one-pass correlation matrix ----
     "q_corr_matrix" -> ((s, dir) =>
-      Profile.corrMatrix(Tables.load(s, dir, "lineitem"), Seq(
+      // loadSpread (r16): the 14 exact decimal(38,0) sums are CPU-bound
+      // and the single-file driver testdata gives the scan 3 splits —
+      // the spread prices the map-side parallelism real splits give for
+      // free at scale; decimal sums commute, so the result is identical
+      Profile.corrMatrix(Tables.loadSpread(s, dir, "lineitem", "l_orderkey"), Seq(
           "quantity" -> round(col("l_quantity") * 100).cast("long"),
           "extendedprice" -> round(col("l_extendedprice") * 100).cast("long"),
           "discount" -> round(col("l_discount") * 100).cast("long"),

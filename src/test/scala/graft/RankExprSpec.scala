@@ -68,6 +68,25 @@ class RankExprSpec extends AnyFunSuite {
     assert(rows.zipWithIndex.forall { case (b, i) => i == nullIdx || b == 1 })
   }
 
+  test("all_in_sorted_array matches forall/array_contains exactly") {
+    val rows = Seq(
+      (1L, Seq(2L, 5L, 9L), Seq(1L, 2L, 5L, 9L, 11L)),   // all present
+      (2L, Seq(2L, 6L), Seq(1L, 2L, 5L)),                 // one missing
+      (3L, Seq.empty[Long], Seq(1L, 2L)),                 // empty probes
+      (4L, Seq(1L), Seq.empty[Long]),                     // empty set
+      (5L, Seq(7L, 7L), Seq(7L)),                         // duplicate probes
+      (6L, Seq(Long.MinValue, Long.MaxValue),
+        Seq(Long.MinValue, 0L, Long.MaxValue))            // extremes
+    ).toDF("id", "probes", "bits")
+    val got = rows.orderBy("id")
+      .select(RankExpressions.all_in_sorted_array(col("probes"), col("bits")))
+      .collect().map(_.getBoolean(0)).toSeq
+    val want = rows.orderBy("id")
+      .select(forall(col("probes"), p => array_contains(col("bits"), p)))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == want && got == Seq(true, false, true, false, true, true))
+  }
+
   test("non-decreasing / NaN-free cut requirements enforced") {
     intercept[IllegalArgumentException] {
       RankExpressions.cut_bucket(col("x"), Seq(2.0, 1.0))
