@@ -41,23 +41,32 @@ object Tables {
     }
   }
 
-  /** [[load]] plus an explicit-count key repartition — the small-file
-    * parallelism lever. The driver testdata is ONE parquet file (one
-    * row group) per table = one input split, so a CPU-heavy per-row
-    * stage (shingle/bigram explodes, regex chains, per-chunk language
-    * ID) serializes into a single task no matter how many cores exist;
-    * measured 5x on q_url_canonical. The count is explicit because AQE
-    * would coalesce the tiny exchange straight back to one partition.
-    * At 100 TB the scan's natural splits provide this parallelism and
-    * the extra shuffle is pure overhead — use plain [[load]] there;
-    * this helper prices the map-side spread that real splits give for
-    * free.
+  /** [[load]] plus a CONDITIONAL explicit-count key repartition — the
+    * small-file parallelism lever. The driver testdata is ONE parquet
+    * file (one row group) per table = one input split, so a CPU-heavy
+    * per-row stage (shingle/bigram explodes, regex chains, per-chunk
+    * language ID) serializes into a single task no matter how many
+    * cores exist; measured 5x on q_url_canonical. The count is explicit
+    * because AQE would coalesce the tiny exchange straight back to one
+    * partition.
+    *
+    * The repartition fires ONLY when the scan's own split count is
+    * below the core count (r16 verdict item 2): at 100 TB the scan has
+    * thousands of natural splits and an unconditional shuffle of the
+    * table — multi-MB payloads included, to a partition count that can
+    * be far SMALLER than the split count — would be an
+    * anti-optimization. `df.rdd.getNumPartitions` is the guard for the
+    * same reason documented on [[graft.ops.Dedup.widen]]: it is the
+    * only pre-execution partition count that is correct (the scan's
+    * split count), at the cost of one driver-side plan→RDD translation.
     */
   def loadSpread(spark: SparkSession, dir: String, name: String,
       key: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    load(spark, dir, name)
-      .repartition(spark.sparkContext.defaultParallelism, col(key))
+    val df = load(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, col(key))
+    else df
   }
 
   /** Register every table as a temp view so `spark.sql` works too. */

@@ -229,20 +229,45 @@ object Dedup {
     require(bands > 0 && bands <= k && k % bands == 0,
       s"need bands to divide k, got k=$k bands=$bands")
     // ONE tokenize+shingle pass feeds everything: the signature build
-    // derives from the same persisted distinct-shingle table (min over
-    // the distinct set equals min over the multiset, so the signatures
-    // are bit-identical to minhashSignature's), and the table then
-    // serves the sizes aggregate and both sides of the intersection
-    // join. Rows are two longs, spillable.
-    val sh = shingles
+    // derives from the same materialized distinct-shingle table (min
+    // over the distinct set equals min over the multiset, so the
+    // signatures are bit-identical to minhashSignature's), and the
+    // table then serves both sides of the intersection join. Rows are
+    // two longs, spillable.
+    //
+    // Materialization discipline (r17), replacing the former persist +
+    // sh.count + sig.count pair: sh stays a LAZY persist — sig's eager
+    // checkpoint below scans it, populating the cache in the same pass,
+    // so a separate sh materialize bought nothing but an extra job —
+    // but downstream consumers reference it through a fresh-attribute
+    // LogicalRDD barrier over the cache-backed RDD. The barrier kills
+    // the CACHE LOOKUP canonicalization tax: every reference to a
+    // persisted frame re-canonicalizes its full analyzed subtree for
+    // the CacheManager probe, and when the shingle frame's lineage is
+    // a planted-corpus explode (q_dedup_impact, q_pipeline_corpus)
+    // that tree is thousands of nodes, probed once per consumer — the
+    // measured driver gap. A LogicalRDD is a leaf: every downstream
+    // plan, probe, and AQE re-optimization sees 5 nodes instead.
+    val sh0 = shingles
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count() // materialize once, eagerly (the ngramJaccardPairs rule)
+    val sh = org.apache.spark.sql.GraftColumnBridge.freshAttributes(sh0)
+    // per-doc shingle-set sizes fold into the SAME id-keyed aggregate
+    // as the signature mins (r17): the separate sh.groupBy(id).count
+    // pass — a full extra aggregation + exchange over the shingle
+    // table — is free here, and the verify step reads sizes from the
+    // (tiny, stored) signature frame instead
     val mins: Seq[Column] = (0 until k).map(i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
-    val sig = sh.groupBy("id").agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sig.count() // consumed 4x (banded a/b, est attach a/b) in one action
+    // sig IS eagerly checkpointed: it is consumed 4x (banded a/b, est
+    // attach a/b) by AQE stages that materialize CONCURRENTLY, and its
+    // one eager pass also materializes sh's cache
+    val sig = org.apache.spark.sql.GraftColumnBridge.freshAttributes(
+      sh0.groupBy("id")
+        .agg(mins.head, mins.tail :+ count(lit(1)).as("n_sh"): _*)
+        .select(col("id"),
+          array((0 until k).map(i => col(s"h$i")): _*).as("sig"),
+          col("n_sh"))
+        .localCheckpoint())
     // est-Jaccard pre-filter before the exact verify: band candidacy
     // alone admits every random band collision and every low-J organic
     // pair; the signature estimate (already in hand, one array zip per
@@ -253,7 +278,7 @@ object Dedup {
     val cand = estJaccardOfPairs(lshCandidates(sig, k, bands), sig, k)
       .filter(col("est_jaccard") >= threshold - 0.4)
       .select(col("id_a"), col("id_b"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val sizes = sig.select(col("id"), col("n_sh"))
     val inter = cand
       .join(sh.select(col("id").as("id_a"), col("shingle").as("sh")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shingle").as("sh")), Seq("id_b", "sh"))

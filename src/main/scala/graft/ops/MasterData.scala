@@ -42,7 +42,11 @@ object MasterData {
       maxBlockDf: Int): DataFrame = {
     val hot = b.groupBy(col("blk")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxBlockDf).select(col("blk"))
-    val kept = b.join(broadcast(hot), Seq("blk"), "left_anti")
+    // widen before the CPU-heavy verify (r17): the hot-list anti-join
+    // broadcasts, so the levenshtein self-join otherwise runs at the
+    // input's scan parallelism — a handful of tasks on a small corpus;
+    // no-op when the scan is already wide (see Dedup.widen)
+    val kept = Dedup.widen(b).join(broadcast(hot), Seq("blk"), "left_anti")
     kept.select(col("blk"), col("id").as("id_a"), col("nm").as("nm_a"))
       .join(kept.select(col("blk"), col("id").as("id_b"),
         col("nm").as("nm_b")), Seq("blk"))
@@ -177,7 +181,13 @@ object MasterData {
       "need maxDist >= 0, maxBlockDf >= 2")
     val hot = dfs.filter(col("_df") > maxBlockDf)
       .select(col("pass"), col("blk"))
-    val kept = members.join(broadcast(hot), Seq("pass", "blk"), "left_anti")
+    // widen before the verify self-join — see [[blockPass]] (r17): the
+    // stored members table is a small parquet fixture whose scan has a
+    // handful of splits, and the broadcast anti-join preserves that
+    // parallelism straight into the levenshtein stage (measured as ONE
+    // 0.8 s 4-task job on a 32-core box)
+    val kept = Dedup.widen(members)
+      .join(broadcast(hot), Seq("pass", "blk"), "left_anti")
     kept.select(col("pass"), col("blk"), col("id").as("id_a"),
         col("nm").as("nm_a"))
       .join(kept.select(col("pass"), col("blk"), col("id").as("id_b"),
@@ -296,7 +306,8 @@ object MasterData {
     val keptPairs = storedPairs
       .join(broadcast(hot), Seq("pass", "blk"), "left_anti")
     val keptBatch = bm.join(broadcast(hot), Seq("pass", "blk"), "left_anti")
-    val keptAll = storedMembers.unionByName(bm)
+    // widen the big (stored ∪ batch) side — see [[blockPass]] (r17)
+    val keptAll = Dedup.widen(storedMembers.unionByName(bm))
       .join(broadcast(hot), Seq("pass", "blk"), "left_anti")
     val newPairs = keptBatch
       .select(col("pass"), col("blk"), col("id").as("_ia"),

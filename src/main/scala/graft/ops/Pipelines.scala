@@ -47,17 +47,22 @@ object Pipelines {
         else col("lang_pred").isin(config.keepLangs.toSeq: _*))
 
     // 3: exact dedup — keep the smallest id per canonical fingerprint.
-    // Persisted: it feeds BOTH the LSH signature build and the final
+    // Persisted (it feeds BOTH the LSH signature build and the final
     // anti-join, and its quality/lang expressions are the expensive
     // per-document stage — recomputing them twice measured ~2x the
-    // whole pipeline.
-    val keepExact = scored
-      .withColumn("fp", TextAnalysis.fingerprintMd5(text))
-      .withColumn("keep_id", min(id).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .filter(id === col("keep_id"))
-      .drop("keep_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // whole pipeline) and consumed through a fresh-attribute LogicalRDD
+    // barrier (r17): the barrier stops the quality/lang expression
+    // forest from being re-canonicalized at every downstream cache
+    // probe — see Dedup.lshVerifiedPairsFromShingles for the
+    // materialization rationale.
+    val keepExact = org.apache.spark.sql.GraftColumnBridge.freshAttributes(
+      scored
+        .withColumn("fp", TextAnalysis.fingerprintMd5(text))
+        .withColumn("keep_id", min(id).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+        .filter(id === col("keep_id"))
+        .drop("keep_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // 4: near-dedup — drop the larger id of every pair whose exact
     // Jaccard clears the threshold among the LSH candidates

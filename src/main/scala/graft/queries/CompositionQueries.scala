@@ -37,7 +37,11 @@ object CompositionQueries {
       // deterministic, and it is verified at all three SFs).
       val docs = Tables.loadSpread(s, dir, "documents", "doc_id")
         .select(col("doc_id"), col("text"))
-      val off = docs.agg(max(col("doc_id"))).head().getAs[Number](0).longValue + 1L
+      // off comes from the PLAIN scan (r17): the max aggregate needs no
+      // parallel per-row work, so paying the loadSpread exchange (the
+      // full text payload shuffled) just to compute one max was waste
+      val off = Tables.load(s, dir, "documents")
+        .agg(max(col("doc_id"))).head().getAs[Number](0).longValue + 1L
       val pat = concat(lit("p"), col("doc_id").cast("string"),
         lit(" q"), col("doc_id").cast("string"), lit(" "))
       val planted = docs.filter(col("doc_id") % 10 === 0)
