@@ -34,6 +34,26 @@ object Dedup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Eagerly materialize a frame consumed by SEVERAL downstream
+    * subtrees of one action: localCheckpoint stores the partitions
+    * once, and the fresh-attribute LogicalRDD barrier makes every
+    * consumer read the stored RDD through a 5-node leaf plan.
+    *
+    * This replaces the bare `persist(MEMORY_AND_DISK)` idiom at
+    * multi-consumer sites (r17): a LAZY persisted frame whose
+    * consumers are independent AQE query stages gets materialized by
+    * all of them CONCURRENTLY — each racing stage re-computes the
+    * full subtree into the same cache blocks, so an expensive build
+    * (a signature aggregation, a shingle explode) ran 2-4x depending
+    * on scheduling. The pinned bench record showed the symptom as
+    * 4-7x pass-to-pass swings on q_dedup_minhash/q_dedup_incremental.
+    * The barrier also removes the per-consumer CacheManager probe,
+    * which re-canonicalizes the frame's full analyzed subtree.
+    */
+  private[graft] def materialized(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftColumnBridge.freshAttributes(
+      df.localCheckpoint())
+
   /** (id, shingle) with shingles as 64-bit hashes — the shared input of
     * the n-gram Jaccard join and the minhash signature build. Token
     * hashes are bound to a real column first so the n-gram lambda reads
@@ -87,7 +107,8 @@ object Dedup {
     // re-evaluate the shingle construction — measured as the dominant
     // cost when re-run 4-5x per invocation. Shingles travel as 64-bit
     // hashes, so the persisted/shuffled rows are two longs, not
-    // (long, string). Compact rows, spillable.
+    // (long, string). Compact rows, spillable. (An eager checkpoint of
+    // the filtered frame was A/B-measured slower — r17.)
     val raw = shingles
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     raw.count() // materialize once, eagerly
@@ -168,7 +189,9 @@ object Dedup {
     // compact (one k-long array per doc), spillable. Lifecycle note:
     // the returned frame is lazy, so we cannot unpersist here — callers
     // in long-lived sessions should spark.catalog.clearCache() after
-    // consuming results (Verify/Bench do so between queries).
+    // consuming results (Verify/Bench do so between queries). An eager
+    // checkpoint here was A/B-measured SLOWER (r17): the extra action +
+    // storage write costs more than the lazy cache's duplicate fills.
     val sig = signatures
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     estJaccardOfPairs(lshCandidates(sig, k, bands), sig, k)
@@ -330,7 +353,8 @@ object Dedup {
     val fresh = newSig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // persist the union too: it feeds the band join AND both
     // est_jaccard re-attach joins — without it a computed corpusSig
-    // (as in the self-contained driver query) is evaluated three times
+    // (as in the self-contained driver query) is evaluated three times.
+    // (Eager checkpoints here were A/B-measured slower — r17.)
     val all = corpusSig.select(col("id"), col("sig")).unionByName(fresh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // left side is always a new doc, so corpus×corpus never joins; a
@@ -751,12 +775,13 @@ object Dedup {
     */
   def sourceOverlapMatrix(df: DataFrame, srcCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val sh = widen(df)
+    // materialized: consumed by the sizes aggregate and both self-join
+    // sides — see [[materialized]]
+    val sh = materialized(widen(df)
       .withColumn("_th", TextAnalysis.tokenHashes(col(textCol)))
       .select(col(srcCol).as("src"),
         explode(TextAnalysis.shingleHashesFrom(col("_th"), n)).as("g"))
-      .dropDuplicates("src", "g")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .dropDuplicates("src", "g"))
     val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
     val co = sh.as("a")
       .join(sh.as("b"), col("a.g") === col("b.g") && col("a.src") < col("b.src"))

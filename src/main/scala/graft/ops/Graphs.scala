@@ -45,9 +45,13 @@ object Graphs {
       dampDen: Long = 100): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampNum < dampDen, "bad params")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edgeDf.select(col("src").cast("long").as("src"),
+    // e is materialized eagerly (r17): the outdeg/nodes/ed cache builds
+    // below are concurrent AQE stages that would otherwise race to
+    // compute a lazily-persisted distinct (see Dedup.materialized)
+    val e = Dedup.materialized(
+      edgeDf.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .distinct().persist(MEMORY_AND_DISK)
+      .distinct())
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))
@@ -93,7 +97,6 @@ object Graphs {
     // built over — the lazy plan must not recompute e/ed/nodes uncached
     // at the caller's action
     val result = materialize(ranks)
-    e.unpersist(blocking = false)
     ed.unpersist(blocking = false)
     outdeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
@@ -235,13 +238,14 @@ object Graphs {
     pairCounts(keptBaskets(basketRows, maxBasketSize))
 
   /** Distinct (u, b, item) rows with oversized baskets dropped — the
-    * input persists because the size filter and every downstream
-    * consumer re-read it.
+    * input is materialized once (eager checkpoint + barrier, r17 — a
+    * lazy persist let the size aggregate and the semi-join probe side
+    * race to compute it; see Dedup.materialized) because the size
+    * filter and every downstream consumer re-read it.
     */
   private def keptBaskets(basketRows: DataFrame,
       maxBasketSize: Int): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val baskets = basketRows.distinct().persist(MEMORY_AND_DISK)
+    val baskets = Dedup.materialized(basketRows.distinct())
     val ok = baskets.groupBy(col("u"), col("b"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBasketSize)
       .select(col("u"), col("b"))
@@ -320,11 +324,11 @@ object Graphs {
   def associationRules(events: DataFrame, userCol: String,
       bucketExpr: Column, itemExpr: Column, minSupport: Long = 2,
       maxBasketSize: Int = 100): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val kept = keptBaskets(
       events.select(col(userCol).cast("long").as("u"),
         bucketExpr.as("b"), itemExpr.cast("long").as("item")),
-      maxBasketSize).persist(MEMORY_AND_DISK)
+      maxBasketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // delegate to the FromPairs tail (same rationale as itemSimilarity)
     associationRulesFromPairs(
       pairCounts(kept).filter(col("support") >= minSupport),
@@ -506,11 +510,11 @@ object Graphs {
   def itemSimilarity(events: DataFrame, userCol: String,
       bucketExpr: Column, itemExpr: Column, minSupport: Long = 2,
       topK: Int = 5, maxBasketSize: Int = 100): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val kept = keptBaskets(
       events.select(col(userCol).cast("long").as("u"),
         bucketExpr.as("b"), itemExpr.cast("long").as("item")),
-      maxBasketSize).persist(MEMORY_AND_DISK)
+      maxBasketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // delegate to the FromPairs tail so the build path and the
     // stored-fixture serving path cannot silently de-synchronize
     itemSimilarityFromPairs(
@@ -624,20 +628,25 @@ object Graphs {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     require(maxDeg >= 2 && k >= 1, "need maxDeg >= 2, k >= 1")
-    val e = edgeDf.select(col("item_a").cast("long").as("a"),
-      col("item_b").cast("long").as("b")).distinct()
-      .persist(MEMORY_AND_DISK)
+    // materialized, not lazily persisted (r17): e feeds the adjacency
+    // explode AND the new-link anti-join; deg feeds the hub list and
+    // both score joins; mid feeds both wedge self-join sides — all
+    // concurrently-materialized AQE stages (see Dedup.materialized)
+    val e = Dedup.materialized(
+      edgeDf.select(col("item_a").cast("long").as("a"),
+        col("item_b").cast("long").as("b")).distinct())
     // explode-symmetrize, not a self-union: a union evaluates the edge
-    // subtree once per branch; the explode reads the persisted frame once
+    // subtree once per branch; the explode reads the stored frame once
     val adj = e.select(explode(array(
         struct(col("a").as("u"), col("b").as("w")),
         struct(col("b").as("u"), col("a").as("w")))).as("_e"))
       .select(col("_e.u").as("u"), col("_e.w").as("w"))
-    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      .persist(MEMORY_AND_DISK)
+    val deg = Dedup.materialized(
+      adj.groupBy(col("u")).agg(count(lit(1)).as("deg")))
     val hubs = deg.filter(col("deg") > maxDeg)
       .select(col("u").as("w"))
-    val mid = adj.join(broadcast(hubs), Seq("w"), "left_anti")
+    val mid = Dedup.materialized(
+      adj.join(broadcast(hubs), Seq("w"), "left_anti"))
     val cand = mid
       .join(mid.select(col("w"), col("u").as("v")), Seq("w"))
       .filter(col("u") < col("v"))

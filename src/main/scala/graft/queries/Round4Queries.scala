@@ -221,12 +221,16 @@ object Round4Queries {
         .withColumn("session_id", sum(col("new_s")).over(run))
         .groupBy(col("user_id"), col("session_id"))
         .agg(min(col("es")).as("t0"), max(col("es")).as("t1"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deltas = sess.select(col("t0").as("es"), lit(1L).as("d"))
-        .unionByName(sess.select((col("t1") + 1).as("es"), lit(-1L).as("d")))
-      val perSec = deltas.groupBy(col("es")).agg(sum(col("d")).as("d"))
-        .withColumn("day_idx", floor(col("es") / 86400).cast("long"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the session frame feeds both union branches and perSec feeds
+      // the carry aggregate AND the stitched join side — materialized
+      // eagerly (r17) so concurrent AQE stages read stored partitions
+      // instead of racing to compute a lazy cache (Dedup.materialized)
+      val sessM = graft.ops.Dedup.materialized(sess)
+      val deltas = sessM.select(col("t0").as("es"), lit(1L).as("d"))
+        .unionByName(sessM.select((col("t1") + 1).as("es"), lit(-1L).as("d")))
+      val perSec = graft.ops.Dedup.materialized(
+        deltas.groupBy(col("es")).agg(sum(col("d")).as("d"))
+          .withColumn("day_idx", floor(col("es") / 86400).cast("long")))
       // carry(day) = sum of every prior day's net delta (sessions still
       // open at midnight). A session spanning days contributes +1 on
       // its start day and -1 after its end day, so the stitched count

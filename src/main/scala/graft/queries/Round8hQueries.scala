@@ -50,8 +50,13 @@ object Round8hQueries {
     }),
 
     // ---- novel-edge drift per day ----
+    // loadSpread (r17): the props-JSON item extraction is per-row CPU
+    // that otherwise runs inside the single-split events scan's one
+    // map task before the first exchange (measured as a 0.38 s 1-task
+    // stage on 32 cores in the cooccur family); conditional — a
+    // multi-split scan at scale spreads for free (Tables.loadSpread)
     "q_edge_novelty" -> ((s, dir) =>
-      Graphs.edgeNovelty(Tables.load(s, dir, "events"),
+      Graphs.edgeNovelty(Tables.loadSpread(s, dir, "events", "event_id"),
           col("user_id"), itemOf, date_trunc("day", col("ts")))
         .orderBy(col("bucket"))),
 
@@ -62,9 +67,10 @@ object Round8hQueries {
         .orderBy(col("from_type"), col("to_type"))),
 
     // ---- market-basket item co-occurrence ----
+    // loadSpread: see q_edge_novelty — same pre-exchange JSON parse
     "q_item_cooccur" -> ((s, dir) =>
-      Graphs.itemCooccurrence(Tables.load(s, dir, "events"), "user_id",
-          date_trunc("hour", col("ts")), itemOf, minSupport = 2)
+      Graphs.itemCooccurrence(Tables.loadSpread(s, dir, "events", "event_id"),
+          "user_id", date_trunc("hour", col("ts")), itemOf, minSupport = 2)
         .orderBy(col("item_a"), col("item_b"))),
 
     // ---- per-node triangle counts over the co-click graph ----
@@ -83,7 +89,9 @@ object Round8hQueries {
       // passes price the MAINTENANCE op — read stored + merge batch,
       // the daily-ingest shape — not a rebuild of the fixture (r8
       // verdict: the row benched the rebuild it exists to avoid).
-      val ev = Tables.load(s, dir, "events")
+      // loadSpread: see q_edge_novelty — the BATCH side's JSON parse is
+      // the timed per-row work (the stored side is a fixture)
+      val ev = Tables.loadSpread(s, dir, "events", "event_id")
       val cut = lit("2024-01-21 00:00:00").cast("timestamp")
       val stored = Tables.storedFixture(s, dir, "cooccur_stored_v1") {
         Graphs.itemCooccurrence(ev.filter(col("ts") < cut),
@@ -95,6 +103,9 @@ object Round8hQueries {
     }),
 
     // ---- offline recommender evaluation (hit-rate@k) ----
+    // (plain load, not loadSpread: the spread was A/B-measured slower
+    // here — recHitRate persists its projected events frame right away,
+    // so the parse cost amortizes across its many consumers)
     "q_rec_eval" -> ((s, dir) =>
       Graphs.recHitRate(Tables.load(s, dir, "events"), "user_id", "ts",
           "event_id", itemOf, date_trunc("hour", col("ts")),
