@@ -114,6 +114,9 @@ object Skew {
         (col("n_left").cast("decimal(19,0)") *
           col("n_right").cast("decimal(19,0)"))
           .cast("long").as("n_out"))
+      // persist (r17): consumed by the total aggregate AND the ranked
+      // output — unpersisted, the count join ran end to end twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = perKey.agg(sum(col("n_out")).as("_total"))
     val w = Window.orderBy(col("n_out").desc, col("key"))
     perKey.crossJoin(broadcast(tot))

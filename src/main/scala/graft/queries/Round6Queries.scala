@@ -210,12 +210,21 @@ object Round6Queries {
       // factors come from exact decimal sums, so the cut is
       // engine-stable. One fact aggregation + a broadcast 1-row frame.
       val term = revenueTerm(col("l_extendedprice"), col("l_discount"))
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
-      val pv = li.groupBy(col("l_partkey")).agg(dsumExact(term).as("value"))
-      val tot = li.agg(dsumExact(term).as("t"),
-        countDistinct(col("l_partkey")).as("np"))
-      pv.crossJoin(broadcast(tot))
+      // ONE lineitem scan instead of two (r17, guide §1.2): the global
+      // total re-aggregates the per-part DECIMAL partials — decimal
+      // addition is exact and associative, so sum-of-sums equals the
+      // direct decimal sum bit-for-bit (both only cast to double at the
+      // end), and np is exactly the per-part row count. The scan is
+      // spread (loadSpread) because the decimal partial agg is
+      // CPU-bound on the single-split testdata scan (the q_corr_matrix
+      // precedent; decimal sums commute, so results are identical).
+      val pvd = Tables.loadSpread(s, dir, "lineitem", "l_partkey")
+        .groupBy(col("l_partkey")).agg(sum(term).as("vdec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = pvd.agg(sum(col("vdec")).cast("double").as("t"),
+        count(lit(1)).as("np"))
+      pvd.select(col("l_partkey"), col("vdec").cast("double").as("value"))
+        .crossJoin(broadcast(tot))
         .filter(col("value") > lit(1.2) * (col("t") / col("np")))
         .select(col("l_partkey"), col("value"))
         .orderBy(col("value").desc, col("l_partkey"))
@@ -456,7 +465,13 @@ object Round6Queries {
       // on a 4-dp rounding boundary could flip between engines; the
       // decimal sum cannot).
       val t = col("t")
-      val withT = Tables.load(s, dir, "documents")
+      // loadSpread (r17): withT is cached at the scan's partitioning,
+      // so on the single-split testdata EVERY downstream consumer (the
+      // bigram explode, the unigram explode, the scoring join) ran its
+      // per-row work over a ONE-partition cache — measured as 0.38 s +
+      // 0.49 s single/two-task stages on 32 cores; conditional no-op
+      // on a multi-split scan
+      val withT = Tables.loadSpread(s, dir, "documents", "doc_id")
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val db = withT.select(col("doc_id"), explode(zip_with(
